@@ -1,0 +1,200 @@
+"""Database API tests — CRUD, introspection, DML, measurement handles.
+
+Dual-backend parity (Memory vs Parquet vs CSV) mirrors the reference's
+fixture strategy (reference tests/conftest.py:8-59,
+tests/test_storages.py:452-570).
+"""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from tinyflux_spark import (
+    CSVStorage,
+    FieldQuery,
+    MeasurementQuery,
+    MemoryStorage,
+    Point,
+    TagQuery,
+    TimeQuery,
+    TinyFluxSpark,
+)
+
+T0 = datetime(2020, 1, 1, tzinfo=timezone.utc)
+
+
+def mk_points():
+    return [
+        Point(time=T0 + timedelta(hours=i),
+              measurement="weather" if i % 2 == 0 else "cpu",
+              tags={"city": ["LA", "SF", None][i % 3]},
+              fields={"temp": float(60 + i), "i": float(i)})
+        for i in range(12)
+    ]
+
+
+@pytest.fixture(params=["memory", "parquet", "csv"])
+def db(request, spark, tmp_path):
+    if request.param == "memory":
+        d = TinyFluxSpark(storage=MemoryStorage, spark=spark)
+    elif request.param == "csv":
+        d = TinyFluxSpark(str(tmp_path / "db.csv"), storage=CSVStorage, spark=spark)
+    else:
+        d = TinyFluxSpark(str(tmp_path / "pq"), spark=spark)
+    d.insert_multiple(mk_points())
+    return d
+
+
+def test_len_and_all(db):
+    assert len(db) == 12
+    pts = db.all()
+    assert len(pts) == 12
+    times = [p.time for p in pts]
+    assert times == sorted(times)
+
+
+def test_iter_insertion_order(db):
+    pts = list(db)
+    assert [p.fields["i"] for p in pts] == [float(i) for i in range(12)]
+
+
+def test_search_and_count(db):
+    q = FieldQuery().temp >= 66
+    got = db.search(q)
+    assert len(got) == 6
+    assert db.count(q) == 6
+    assert db.contains(q)
+    assert not db.contains(FieldQuery().temp > 1000)
+
+
+def test_search_compound(db):
+    q = (TagQuery().city == "LA") & (MeasurementQuery() == "weather")
+    got = db.search(q)
+    assert all(
+        p.tags["city"] == "LA" and p.measurement == "weather" for p in got
+    )
+    assert len(got) == 2  # i in {0, 6}
+
+
+def test_get_first_by_insertion_order(db):
+    p = db.get(FieldQuery().temp >= 66)
+    assert p is not None and p.fields["i"] == 6.0
+
+
+def test_get_none_when_no_match(db):
+    assert db.get(FieldQuery().temp > 1000) is None
+
+
+def test_select(db):
+    rows = db.select(("time", "tags.city", "fields.temp"), TimeQuery() >= T0)
+    assert len(rows) == 12
+    assert rows[0][1] == "LA" and rows[0][2] == 60.0
+    scalars = db.select("fields.temp", MeasurementQuery() == "cpu")
+    assert scalars == [61.0, 63.0, 65.0, 67.0, 69.0, 71.0]
+    # missing key resolves to None (reference database.py:830-974)
+    nones = db.select("fields.absent", MeasurementQuery() == "cpu")
+    assert nones == [None] * 6
+
+
+def test_introspection(db):
+    assert db.get_measurements() == ["cpu", "weather"]
+    assert db.get_field_keys() == ["i", "temp"]
+    assert db.get_tag_keys() == ["city"]
+    tv = db.get_tag_values()
+    assert tv == {"city": [None, "LA", "SF"]}
+    assert db.get_field_values("temp")[:3] == [60.0, 61.0, 62.0]
+    ts = db.get_timestamps()
+    assert len(ts) == 12 and ts[0] == T0
+    assert all(t.tzinfo is not None for t in ts)
+
+
+def test_measurement_handle(db):
+    m = db.measurement("weather")
+    assert len(m) == 6
+    assert m.get_field_keys() == ["i", "temp"]
+    got = m.search(FieldQuery().temp >= 60)
+    assert len(got) == 6
+    assert all(p.measurement == "weather" for p in got)
+    assert db.measurement("weather") is m  # cached handle
+
+
+def test_insert_stamps_time(db):
+    n = len(db)
+    db.insert(Point(fields={"x": 1.0}, _now_if_empty=False))
+    assert len(db) == n + 1
+    p = db.get(FieldQuery().x.exists())
+    assert p.time is not None
+
+
+def test_update_constant_fields(db):
+    n = db.update(TagQuery().city == "LA", fields={"flag": 1.0})
+    assert n == 4
+    assert db.count(FieldQuery().flag == 1) == 4
+
+
+def test_update_merges_tags(db):
+    n = db.update(MeasurementQuery() == "cpu", tags={"dc": "west"})
+    assert n == 6
+    got = db.search(TagQuery().dc == "west")
+    assert len(got) == 6
+    assert all("city" in p.tags for p in got)  # merge, not replace
+
+
+def test_update_callable(db):
+    n = db.update(
+        MeasurementQuery() == "weather",
+        fields=lambda f: {**f, "temp": f["temp"] + 100},
+    )
+    assert n == 6
+    assert db.count(FieldQuery().temp >= 160) == 6
+
+
+def test_update_unset(db):
+    db.update(TimeQuery().noop(), unset_fields=["i"])
+    assert db.get_field_keys() == ["temp"]
+
+
+def test_update_returns_changed_count(db):
+    # setting temp to its current value changes nothing
+    p = db.all()[0]
+    n = db.update(FieldQuery().i == 0, fields={"temp": p.fields["temp"]})
+    assert n == 0
+
+
+def test_update_all(db):
+    n = db.update_all(tags={"global": "yes"})
+    assert n == 12
+    assert db.count(TagQuery()["global"] == "yes") == 12
+
+
+def test_remove(db):
+    n = db.remove(FieldQuery().i < 4)
+    assert n == 4
+    assert len(db) == 8
+    # insertion order survives the rewrite
+    assert [p.fields["i"] for p in db] == [float(i) for i in range(4, 12)]
+
+
+def test_remove_scoped_to_measurement(db):
+    n = db.remove(FieldQuery().i >= 0, measurement="cpu")
+    assert n == 6
+    assert db.get_measurements() == ["weather"]
+
+
+def test_remove_all(db):
+    db.remove_all()
+    assert len(db) == 0
+
+
+def test_drop_measurement(db):
+    n = db.drop_measurement("cpu")
+    assert n == 6
+    assert db.get_measurements() == ["weather"]
+    assert len(db) == 6
+
+
+def test_update_time(db):
+    t_new = datetime(2030, 1, 1, tzinfo=timezone.utc)
+    n = db.update(FieldQuery().i == 0, time=t_new)
+    assert n == 1
+    assert db.count(TimeQuery() >= t_new) == 1

@@ -1,0 +1,619 @@
+"""TinyFluxSpark — the database facade.
+
+API parity with the reference ``TinyFlux`` class (reference
+tinyflux/database.py): insert/search/get/select/count/contains, the six
+``get_*`` introspection ops, query-addressed DML
+(update/remove/drop_measurement), measurement handles, iteration and
+context-manager protocol.
+
+Design notes (SURVEY.md §3-§4):
+
+* Each read op is one declarative DataFrame plan; Catalyst provides the
+  pruning the reference's in-memory Index performs (time-range via
+  parquet min/max stats, measurement via partition pruning, tags/fields
+  via pushed-down predicates on the scan). No index object exists, so
+  there is no invalidation/rebuild machinery to port
+  (reference index.py is replaced wholesale).
+* Insertion-order contracts (``get`` = first by storage order, reference
+  database.py:349-377; ``sorted=False``; ``get_timestamps``) ride on the
+  durable ``_seq`` column stamped at ingest.
+* ``search(sorted=True)`` sorts by (time, _seq): Python's stable sort in
+  the reference preserves insertion order among equal timestamps
+  (reference database.py:824-827).
+* DML is rewrite-then-swap like the reference's temp-storage protocol
+  (reference storages.py:369-400) but *partition-scoped*: when the
+  predicate pins measurements (conjunct ``MeasurementQuery == m``), only
+  those partitions rewrite — the difference between touching 100 TB and
+  touching one partition.
+
+The List[Point] returning methods are driver-side conveniences for API
+parity; the Spark-native surface (``.dataframe()``, ``search_df()``,
+``select_df()``) returns DataFrames and is the path to use at scale.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .point import Point
+from .queries import (
+    EQ,
+    CompoundQuery,
+    MeasurementQuery,
+    Query,
+    SimpleQuery,
+)
+from .schema import SEQ_COL, get_spark
+from .storages import CSVStorage, MemoryStorage, ParquetStorage, Storage
+
+
+def _as_query(q: Any) -> Query:
+    if not isinstance(q, Query):
+        raise RuntimeError("Query must be SimpleQuery or CompoundQuery.")
+    return q
+
+
+def _prunable_measurements(q: Query) -> Optional[List[str]]:
+    """Extract measurement names pinned by the predicate, if any.
+
+    Walks AND-conjunctions for ``measurement == <lit>`` leaves (and ORs
+    of such). Returns None when the predicate doesn't pin measurements —
+    the caller then rewrites the full dataset. This is the analog of the
+    reference injecting a measurement conjunct before the index search
+    (reference database.py:763-768), repurposed for partition pruning.
+    """
+    if isinstance(q, SimpleQuery):
+        if q.attr == "measurement" and q.op == EQ and isinstance(q.rhs, str):
+            return [q.rhs]
+        return None
+    if isinstance(q, CompoundQuery):
+        if q.op == "and":
+            a = _prunable_measurements(q.q1)
+            b = _prunable_measurements(q.q2)
+            if a is not None and b is not None:
+                common = [m for m in a if m in b]
+                return common if common else []
+            return a if a is not None else b
+        if q.op == "or":
+            a = _prunable_measurements(q.q1)
+            b = _prunable_measurements(q.q2)
+            if a is not None and b is not None:
+                return sorted(set(a) | set(b))
+            return None
+    return None
+
+
+class TinyFluxSpark:
+    """The main database class.
+
+    Usage::
+
+        db = TinyFluxSpark("/data/weather")            # parquet store
+        db = TinyFluxSpark(storage=MemoryStorage)      # in-memory
+        db = TinyFluxSpark("db.csv", storage=CSVStorage)  # reference files
+    """
+
+    def __init__(
+        self,
+        path: Optional[str] = None,
+        storage: Union[type, Storage, None] = None,
+        spark: Optional[SparkSession] = None,
+    ) -> None:
+        self.spark = spark or get_spark()
+        # Right-biased map merge for update(); see _merged_map.
+        self.spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        if isinstance(storage, Storage):
+            self._storage = storage
+        elif storage is MemoryStorage or (storage is None and path is None):
+            self._storage = MemoryStorage(self.spark)
+        elif storage is CSVStorage:
+            assert path is not None
+            self._storage = CSVStorage(path, self.spark)
+        else:
+            assert path is not None
+            self._storage = ParquetStorage(path, self.spark)
+        self._measurements: Dict[str, "Measurement"] = {}
+        self._open = True
+
+    # ------------------------------------------------------------------
+    @property
+    def storage(self) -> Storage:
+        return self._storage
+
+    def dataframe(self, with_seq: bool = False) -> DataFrame:
+        """The canonical DataFrame over the store (Spark-native surface)."""
+        df = self._storage.read()
+        return df if with_seq else df.drop(SEQ_COL)
+
+    def close(self) -> None:
+        self._storage.close()
+        self._open = False
+
+    def __enter__(self) -> "TinyFluxSpark":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __len__(self) -> int:
+        return self._storage.read().count()
+
+    def __iter__(self) -> Iterator[Point]:
+        it = (
+            self._storage.read()
+            .orderBy(SEQ_COL)
+            .toLocalIterator()
+        )
+        return (Point.from_row(r) for r in it)
+
+    def __repr__(self) -> str:
+        return f"<TinyFluxSpark storage={type(self._storage).__name__}>"
+
+    # -- write path -----------------------------------------------------
+    def insert(
+        self,
+        point: Point,
+        measurement: Optional[str] = None,
+    ) -> int:
+        """Insert one Point (reference database.py:600-621). Returns 1."""
+        return self.insert_multiple([point], measurement)
+
+    def insert_multiple(
+        self,
+        points: Iterable[Point],
+        measurement: Optional[str] = None,
+        batch_size: int = 10000,
+    ) -> int:
+        """Batched append accepting generators
+        (reference database.py:623-656,1255-1315). Missing times are
+        stamped with one shared now(UTC) per call
+        (reference database.py:1274-1278)."""
+        now = datetime.now(timezone.utc)
+        count = 0
+        batch: List[Point] = []
+        for p in points:
+            if not isinstance(p, Point):
+                raise TypeError("Data must be a Point instance.")
+            q = p.copy()
+            if measurement is not None:
+                q.measurement = measurement
+            if q.time is None:
+                q.time = now
+            batch.append(q)
+            if len(batch) >= batch_size:
+                self._storage.append_points(batch)
+                count += len(batch)
+                batch = []
+        if batch:
+            self._storage.append_points(batch)
+            count += len(batch)
+        return count
+
+    def insert_dataframe(self, df: DataFrame, measurement: Optional[str] = None) -> None:
+        """Bulk ingest: a DataFrame already in canonical schema (the
+        scale path — no driver-side Points)."""
+        if measurement is not None:
+            df = df.withColumn("measurement", F.lit(measurement))
+        self._storage.append_df(df)
+
+    # -- read path ------------------------------------------------------
+    def _filtered(self, query: Optional[Query], measurement: Optional[str]) -> DataFrame:
+        df = self._storage.read()
+        if measurement is not None:
+            df = df.where(F.col("measurement") == measurement)
+        if query is not None:
+            df = df.where(_as_query(query).compile())
+        return df
+
+    @staticmethod
+    def _collect_points(df: DataFrame) -> List[Point]:
+        return [Point.from_row(r) for r in df.collect()]
+
+    def all(self, sorted: bool = True, measurement: Optional[str] = None) -> List[Point]:
+        df = self._filtered(None, measurement)
+        df = df.orderBy("time", SEQ_COL) if sorted else df.orderBy(SEQ_COL)
+        return self._collect_points(df)
+
+    def search(
+        self,
+        query: Query,
+        measurement: Optional[str] = None,
+        sorted: bool = True,
+    ) -> List[Point]:
+        """All matching points (reference database.py:740-828)."""
+        return self._collect_points(self.search_df(query, measurement, sorted))
+
+    def search_df(
+        self,
+        query: Query,
+        measurement: Optional[str] = None,
+        sorted: bool = True,
+    ) -> DataFrame:
+        df = self._filtered(query, measurement)
+        return df.orderBy("time", SEQ_COL) if sorted else df.orderBy(SEQ_COL)
+
+    def get(self, query: Query, measurement: Optional[str] = None) -> Optional[Point]:
+        """First match by insertion order — NOT min-time
+        (reference database.py:315-386)."""
+        rows = (
+            self._filtered(query, measurement)
+            .orderBy(SEQ_COL)
+            .limit(1)
+            .collect()
+        )
+        return Point.from_row(rows[0]) if rows else None
+
+    def count(self, query: Query, measurement: Optional[str] = None) -> int:
+        return self._filtered(query, measurement).count()
+
+    def contains(self, query: Query, measurement: Optional[str] = None) -> bool:
+        """Existence test; LIMIT 1 short-circuits the scan
+        (reference database.py:209-251)."""
+        return bool(self._filtered(query, measurement).limit(1).take(1))
+
+    def _select_cols(self, keys: Sequence[str]) -> List:
+        cols = []
+        for k in keys:
+            if k in ("time", "measurement"):
+                cols.append(F.col(k))
+            elif k.startswith("tags."):
+                cols.append(F.col("tags")[k[5:]])
+            elif k.startswith("fields."):
+                cols.append(F.col("fields")[k[7:]])
+            else:
+                raise ValueError(
+                    "Select keys must be 'time', 'measurement', "
+                    "'tags.<key>', or 'fields.<key>'."
+                )
+        return cols
+
+    def select(
+        self,
+        keys: Union[str, Sequence[str]],
+        query: Query,
+        measurement: Optional[str] = None,
+    ) -> List:
+        """Projection of matches, insertion order; missing key → None;
+        one key → scalars, several → tuples
+        (reference database.py:830-974)."""
+        single = isinstance(keys, str)
+        key_list = [keys] if single else list(keys)
+        df = self.select_df(key_list, query, measurement)
+        rows = df.collect()
+        if single:
+            return [r[0] for r in rows]
+        return [tuple(r) for r in rows]
+
+    def select_df(
+        self,
+        keys: Sequence[str],
+        query: Query,
+        measurement: Optional[str] = None,
+    ) -> DataFrame:
+        df = self._filtered(query, measurement).orderBy(SEQ_COL)
+        aliased = [
+            c.alias(k.replace(".", "_")) for c, k in
+            zip(self._select_cols(keys), keys)
+        ]
+        return df.select(*aliased)
+
+    # -- introspection --------------------------------------------------
+    def get_measurements(self) -> List[str]:
+        rows = (
+            self._storage.read()
+            .select("measurement")
+            .distinct()
+            .orderBy("measurement")
+            .collect()
+        )
+        return [r[0] for r in rows]
+
+    def get_field_keys(self, measurement: Optional[str] = None) -> List[str]:
+        rows = (
+            self._filtered(None, measurement)
+            .select(F.explode(F.map_keys("fields")).alias("k"))
+            .distinct()
+            .orderBy("k")
+            .collect()
+        )
+        return [r[0] for r in rows]
+
+    def get_field_values(
+        self, field_key: str, measurement: Optional[str] = None
+    ) -> List[Optional[float]]:
+        """Values in insertion order; rows lacking the key are skipped
+        (reference database.py:421-457)."""
+        rows = (
+            self._filtered(None, measurement)
+            .where(F.map_contains_key(F.col("fields"), field_key))
+            .orderBy(SEQ_COL)
+            .select(F.col("fields")[field_key].alias("v"))
+            .collect()
+        )
+        return [r[0] for r in rows]
+
+    def get_tag_keys(self, measurement: Optional[str] = None) -> List[str]:
+        rows = (
+            self._filtered(None, measurement)
+            .select(F.explode(F.map_keys("tags")).alias("k"))
+            .distinct()
+            .orderBy("k")
+            .collect()
+        )
+        return [r[0] for r in rows]
+
+    def get_tag_values(
+        self,
+        tag_keys: Optional[Sequence[str]] = None,
+        measurement: Optional[str] = None,
+    ) -> Dict[str, List[Optional[str]]]:
+        """key → sorted distinct values, None first
+        (reference database.py:512-558)."""
+        df = (
+            self._filtered(None, measurement)
+            .select(F.explode(F.col("tags")).alias("k", "v"))
+        )
+        if tag_keys:
+            df = df.where(F.col("k").isin(list(tag_keys)))
+        rows = df.distinct().collect()
+        out: Dict[str, List[Optional[str]]] = {
+            k: [] for k in (tag_keys or [])
+        }
+        for r in rows:
+            out.setdefault(r["k"], []).append(r["v"])
+        for k in out:
+            vals = out[k]
+            has_none = any(v is None for v in vals)
+            vals = sorted(v for v in vals if v is not None)
+            out[k] = ([None] + vals) if has_none else vals
+        return dict(sorted(out.items()))
+
+    def get_timestamps(self, measurement: Optional[str] = None) -> List[datetime]:
+        rows = (
+            self._filtered(None, measurement)
+            .orderBy(SEQ_COL)
+            .select("time")
+            .collect()
+        )
+        return [
+            r[0].replace(tzinfo=timezone.utc) if r[0].tzinfo is None else r[0]
+            for r in rows
+        ]
+
+    # -- DML ------------------------------------------------------------
+    @staticmethod
+    def _sorted_entries(col: str):
+        # Maps aren't directly comparable in Spark SQL; compare sorted
+        # entry arrays instead.
+        return F.sort_array(F.map_entries(F.col(col)))
+
+    def _apply_update(
+        self,
+        df: DataFrame,
+        pred,
+        time: Union[datetime, Callable, None],
+        measurement: Union[str, Callable, None],
+        tags: Union[Dict[str, Optional[str]], Callable, None],
+        fields: Union[Dict[str, Union[int, float, None]], Callable, None],
+        unset_fields: Optional[Sequence[str]],
+        unset_tags: Optional[Sequence[str]],
+    ) -> DataFrame:
+        """Produce the updated frame + a _changed flag column.
+
+        Constants compile to pure Column expressions (JVM-side); callables
+        become Python UDFs (the reference accepts arbitrary callables,
+        database.py:1148-1223 — inherently a UDF surface).
+        """
+        new_time = F.col("time")
+        if callable(time):
+            fn = time
+
+            @F.udf(T.TimestampType())
+            def time_udf(t):
+                r = fn(t.replace(tzinfo=timezone.utc) if t.tzinfo is None else t)
+                return r
+
+            new_time = time_udf(F.col("time"))
+        elif time is not None:
+            if not isinstance(time, datetime):
+                raise ValueError("Time must be datetime object.")
+            new_time = F.lit(time)
+
+        new_meas = F.col("measurement")
+        if callable(measurement):
+            new_meas = F.udf(measurement, T.StringType())(F.col("measurement"))
+        elif measurement is not None:
+            if not isinstance(measurement, str):
+                raise ValueError("Measurement must be str.")
+            new_meas = F.lit(measurement)
+
+        new_tags = F.col("tags")
+        if callable(tags):
+            new_tags = F.udf(
+                tags, T.MapType(T.StringType(), T.StringType())
+            )(F.col("tags"))
+        elif tags is not None:
+            Point(tags=dict(tags))  # validate via Point rules
+            # Right-biased merge == dict.update (mapKeyDedupPolicy
+            # LAST_WIN set in __init__; reference database.py:1184-1201).
+            new_tags = F.map_concat(
+                F.col("tags"),
+                F.create_map(
+                    *[x for k, v in tags.items() for x in (F.lit(k), F.lit(v))]
+                ),
+            )
+        if unset_tags:
+            keys = list(unset_tags)
+            new_tags = F.map_filter(
+                new_tags, lambda k, v: ~k.isin(keys)
+            )
+
+        new_fields = F.col("fields")
+        if callable(fields):
+            new_fields = F.udf(
+                fields, T.MapType(T.StringType(), T.DoubleType())
+            )(F.col("fields"))
+        elif fields is not None:
+            Point(fields=dict(fields))
+            new_fields = F.map_concat(
+                F.col("fields"),
+                F.create_map(
+                    *[
+                        x
+                        for k, v in fields.items()
+                        for x in (
+                            F.lit(k),
+                            F.lit(float(v)).cast("double")
+                            if v is not None
+                            else F.lit(None).cast("double"),
+                        )
+                    ]
+                ),
+            )
+        if unset_fields:
+            keys = list(unset_fields)
+            new_fields = F.map_filter(
+                new_fields, lambda k, v: ~k.isin(keys)
+            )
+
+        updated = df.select(
+            F.when(pred, new_time).otherwise(F.col("time")).alias("time"),
+            F.when(pred, new_meas).otherwise(F.col("measurement")).alias("measurement"),
+            F.when(pred, new_tags).otherwise(F.col("tags")).alias("tags"),
+            F.when(pred, new_fields).otherwise(F.col("fields")).alias("fields"),
+            F.col(SEQ_COL),
+            pred.alias("_matched"),
+            F.col("time").alias("_old_time"),
+            F.col("measurement").alias("_old_meas"),
+            self._sorted_entries("tags").alias("_old_tags"),
+            self._sorted_entries("fields").alias("_old_fields"),
+        )
+        changed = F.col("_matched") & (
+            (~F.col("time").eqNullSafe(F.col("_old_time")))
+            | (F.col("measurement") != F.col("_old_meas"))
+            | (F.sort_array(F.map_entries(F.col("tags"))) != F.col("_old_tags"))
+            | (F.sort_array(F.map_entries(F.col("fields"))) != F.col("_old_fields"))
+        )
+        return updated.withColumn("_changed", changed).drop(
+            "_matched", "_old_time", "_old_meas", "_old_tags", "_old_fields"
+        )
+
+    def update(
+        self,
+        query: Query,
+        time: Union[datetime, Callable, None] = None,
+        measurement: Union[str, Callable, None] = None,
+        tags: Union[Dict[str, Optional[str]], Callable, None] = None,
+        fields: Union[Dict[str, Union[int, float, None]], Callable, None] = None,
+        unset_fields: Optional[Sequence[str]] = None,
+        unset_tags: Optional[Sequence[str]] = None,
+        _measurement_scope: Optional[str] = None,
+    ) -> int:
+        """Update matches; returns the number of points actually changed
+        (reference database.py:976-1018)."""
+        if all(
+            x is None
+            for x in (time, measurement, tags, fields, unset_fields, unset_tags)
+        ):
+            raise ValueError(
+                "Must include time, measurement, tags, and/or fields."
+            )
+        q = _as_query(query)
+        if _measurement_scope is not None:
+            q = q & (MeasurementQuery() == _measurement_scope)
+        pred = q.compile()
+
+        # Partition-scoped rewrite: measurement updates can move rows
+        # across partitions, so scoping only applies when measurement is
+        # untouched and the storage can swap partitions.
+        scope = None
+        if measurement is None and self._storage.supports_partition_swap:
+            scope = _prunable_measurements(q)
+        df = self._storage.read()
+        if scope:
+            df = df.where(F.col("measurement").isin(scope))
+        updated = self._apply_update(
+            df, pred, time, measurement, tags, fields, unset_fields, unset_tags
+        )
+        updated = updated.cache()
+        try:
+            n_changed = updated.where(F.col("_changed")).count()
+            if n_changed:
+                self._storage.overwrite(
+                    updated.drop("_changed"),
+                    measurements=scope if scope else None,
+                )
+            return n_changed
+        finally:
+            updated.unpersist()
+
+    def update_all(self, **kwargs) -> int:
+        """Unconditional update (reference database.py:1020-1062)."""
+        from .queries import TimeQuery
+
+        return self.update(TimeQuery().noop(), **kwargs)
+
+    def remove(self, query: Query, measurement: Optional[str] = None) -> int:
+        """Delete matches, return count (reference database.py:707-725)."""
+        q = _as_query(query)
+        if measurement is not None:
+            q = q & (MeasurementQuery() == measurement)
+        pred = q.compile()
+        scope = (
+            _prunable_measurements(q)
+            if self._storage.supports_partition_swap
+            else None
+        )
+        df = self._storage.read()
+        if scope:
+            df = df.where(F.col("measurement").isin(scope))
+        df = df.cache()
+        try:
+            n_removed = df.where(pred).count()
+            if n_removed:
+                self._storage.overwrite(
+                    df.where(~pred), measurements=scope if scope else None
+                )
+            return n_removed
+        finally:
+            df.unpersist()
+
+    def remove_all(self) -> None:
+        """Truncate (reference database.py:727-738)."""
+        if isinstance(self._storage, ParquetStorage):
+            self._storage.truncate()
+        else:
+            empty = self.spark.createDataFrame(
+                [], self._storage.read().schema
+            )
+            self._storage.overwrite(empty)
+
+    def drop_measurement(self, name: str) -> int:
+        """Delete one measurement (reference database.py:293-313). On
+        parquet this is a partition drop — no data rewrite."""
+        n = self._storage.read().where(F.col("measurement") == name).count()
+        if isinstance(self._storage, ParquetStorage):
+            self._storage.drop_partition(name)
+        elif n:
+            keep = self._storage.read().where(F.col("measurement") != name)
+            self._storage.overwrite(keep)
+        self._measurements.pop(name, None)
+        return n
+
+    def drop_measurements(self) -> None:
+        self.remove_all()
+
+    # -- measurement handles --------------------------------------------
+    def measurement(self, name: str) -> "Measurement":
+        """Cached handle scoped to one measurement
+        (reference database.py:658-685)."""
+        if name not in self._measurements:
+            from .measurement import Measurement
+
+            self._measurements[name] = Measurement(name, self)
+        return self._measurements[name]

@@ -1,0 +1,303 @@
+"""Storage backends behind one interface, Spark-native.
+
+The reference defines an ABC with CSVStorage/MemoryStorage plus a
+temp-store swap protocol for rewrites (reference tinyflux/storages.py:
+56-167, 170-433, 436-558, swap at 383-400). Here the same roles are:
+
+* :class:`MemoryStorage` — driver-side list of Points exposed as a
+  DataFrame (the ``createDataFrame`` path). For tests and small batches.
+* :class:`ParquetStorage` — the real engine store: a parquet dataset
+  partitioned by ``measurement`` (→ partition pruning replaces the
+  reference's measurement inverted index, reference index.py:673-692),
+  carrying a durable ``_seq`` ingestion-order column (replaces storage
+  row position). Rewrites go to a staging directory then swap —
+  the transactional analog of the reference's temp-file protocol — and
+  can be scoped to a subset of measurement partitions so a 100 TB
+  update/delete only rewrites the partitions its predicate touches.
+* :class:`CSVStorage` — compatibility reader/writer for the reference's
+  CSV row format (reference point.py:307-367) so files produced by the
+  reference load here unchanged.
+
+No in-memory index is built: Parquet column statistics + partition
+pruning + Catalyst pushdown do the pruning the reference's Index does
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Iterable, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .point import Point
+from .schema import POINT_SCHEMA_SEQ, SEQ_COL, points_to_df
+
+
+class Storage:
+    """Interface: read/append/overwrite in the canonical schema + _seq."""
+
+    #: Whether ``overwrite(df, measurements=[...])`` can swap a subset of
+    #: measurement partitions. Drives DML rewrite scoping in the DB layer.
+    supports_partition_swap = False
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def read(self) -> DataFrame:
+        raise NotImplementedError
+
+    def append_points(self, points: List[Point]) -> None:
+        raise NotImplementedError
+
+    def append_df(self, df: DataFrame) -> None:
+        """Append a DataFrame already in canonical (seq-less) schema."""
+        raise NotImplementedError
+
+    def overwrite(self, df: DataFrame, measurements: Optional[List[str]] = None) -> None:
+        """Replace contents with ``df`` (internal schema, keeps _seq).
+
+        ``measurements``: when given, only those partitions are replaced
+        and ``df`` holds only rows for them (partition-scoped rewrite).
+        """
+        raise NotImplementedError
+
+    def next_seq(self) -> int:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+
+class MemoryStorage(Storage):
+    """Driver-side point list; DataFrame view built on demand."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        super().__init__(spark)
+        self._points: List[tuple] = []  # (Point, seq)
+        self._next = 0
+
+    def read(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [p.to_row() + (s,) for p, s in self._points], POINT_SCHEMA_SEQ
+        )
+
+    def append_points(self, points: List[Point]) -> None:
+        for p in points:
+            self._points.append((p, self._next))
+            self._next += 1
+
+    def append_df(self, df: DataFrame) -> None:
+        rows = df.select("time", "measurement", "tags", "fields").collect()
+        self.append_points([Point.from_row(r) for r in rows])
+
+    def overwrite(self, df: DataFrame, measurements: Optional[List[str]] = None) -> None:
+        rows = df.orderBy(SEQ_COL).collect()
+        kept = [(Point.from_row(r), r[SEQ_COL]) for r in rows]
+        if measurements is None:
+            self._points = kept
+        else:
+            others = [
+                (p, s) for p, s in self._points
+                if p.measurement not in set(measurements)
+            ]
+            self._points = sorted(others + kept, key=lambda t: t[1])
+        if self._points:
+            self._next = max(s for _, s in self._points) + 1
+
+    def next_seq(self) -> int:
+        return self._next
+
+
+class ParquetStorage(Storage):
+    """Measurement-partitioned parquet dataset with a manifest.
+
+    Layout::
+
+        <path>/
+          _tinyflux_meta.json        # {"next_seq": N}
+          data/measurement=<m>/*.parquet
+
+    The manifest carries the ingestion high-water mark so appends don't
+    scan to find max(_seq) (``monotonically_increasing_id`` is not
+    stable across batches — SURVEY.md §4).
+    """
+
+    supports_partition_swap = True
+
+    def __init__(self, path: str, spark: SparkSession) -> None:
+        super().__init__(spark)
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.meta_path = os.path.join(path, "_tinyflux_meta.json")
+        os.makedirs(self.data_dir, exist_ok=True)
+        if not os.path.exists(self.meta_path):
+            self._write_meta({"next_seq": 0})
+
+    # -- manifest ---------------------------------------------------------
+    def _read_meta(self) -> dict:
+        with open(self.meta_path) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self.meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.meta_path)
+
+    def next_seq(self) -> int:
+        return self._read_meta()["next_seq"]
+
+    def _bump_seq(self, n: int) -> int:
+        meta = self._read_meta()
+        start = meta["next_seq"]
+        meta["next_seq"] = start + n
+        self._write_meta(meta)
+        return start
+
+    def _is_empty(self) -> bool:
+        for _root, _dirs, files in os.walk(self.data_dir):
+            if any(f.endswith(".parquet") for f in files):
+                return False
+        return True
+
+    # -- IO ---------------------------------------------------------------
+    def read(self) -> DataFrame:
+        if self._is_empty():
+            return self.spark.createDataFrame([], POINT_SCHEMA_SEQ)
+        df = self.spark.read.schema(POINT_SCHEMA_SEQ).parquet(self.data_dir)
+        # partition column comes back as measurement; reorder to canon.
+        return df.select("time", "measurement", "tags", "fields", SEQ_COL)
+
+    def append_points(self, points: List[Point]) -> None:
+        if not points:
+            return
+        start = self._bump_seq(len(points))
+        df = points_to_df(self.spark, points, with_seq=True, seq_start=start)
+        self._write_append(df)
+
+    def append_df(self, df: DataFrame) -> None:
+        # Stamp a durable batch-scoped _seq: batch start offset + a
+        # per-row index computed from partition-major order.
+        n = df.count()
+        if n == 0:
+            return
+        start = self._bump_seq(n)
+        ordered = df.select("time", "measurement", "tags", "fields")
+        # zipWithIndex-free dense stamp: partition-major row_number. A
+        # global window is acceptable on the append path only because
+        # appends arrive in bounded micro-batches; bulk loads should use
+        # append_df_ordered with a precomputed _seq.
+        w = Window.orderBy(F.monotonically_increasing_id())
+        seq = (F.row_number().over(w) - 1 + F.lit(start)).cast("long")
+        self._write_append(ordered.withColumn(SEQ_COL, seq))
+
+    def _write_append(self, df_seq: DataFrame) -> None:
+        (
+            df_seq.write.mode("append")
+            .partitionBy("measurement")
+            .parquet(self.data_dir)
+        )
+
+    def overwrite(self, df: DataFrame, measurements: Optional[List[str]] = None) -> None:
+        """Staged write + swap (the reference's temp-store protocol,
+        storages.py:383-400, made transactional per partition)."""
+        stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex[:8]}")
+        (
+            df.select("time", "measurement", "tags", "fields", SEQ_COL)
+            .write.mode("overwrite")
+            .partitionBy("measurement")
+            .parquet(stage)
+        )
+        if measurements is None:
+            old = self.data_dir + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            if os.path.exists(self.data_dir):
+                os.replace(self.data_dir, old)
+            os.replace(stage, self.data_dir)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        else:
+            # Partition-scoped swap: only touched measurements move.
+            for m in measurements:
+                part = f"measurement={m}"
+                dst = os.path.join(self.data_dir, part)
+                src = os.path.join(stage, part)
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                if os.path.exists(src):
+                    shutil.move(src, dst)
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def truncate(self) -> None:
+        if os.path.exists(self.data_dir):
+            shutil.rmtree(self.data_dir)
+        os.makedirs(self.data_dir, exist_ok=True)
+        self._write_meta({"next_seq": 0})
+
+    def drop_partition(self, measurement: str) -> None:
+        part = os.path.join(self.data_dir, f"measurement={measurement}")
+        if os.path.exists(part):
+            shutil.rmtree(part)
+
+
+class CSVStorage(Storage):
+    """Reference-CSV compatibility store (reference storages.py:170-433).
+
+    Reads/writes the exact row layout the reference produces, so a
+    database file created by the reference opens here. Append is a
+    driver-side file append (this is an embedded log format); bulk
+    analytic data should live in :class:`ParquetStorage`.
+    """
+
+    def __init__(self, path: str, spark: SparkSession) -> None:
+        super().__init__(spark)
+        self.path = path
+        if not os.path.exists(path):
+            open(path, "a").close()
+
+    def _load_points(self) -> List[Point]:
+        with open(self.path, newline="") as f:
+            return [Point.from_csv_row(row) for row in csv.reader(f) if row]
+
+    def read(self) -> DataFrame:
+        return points_to_df(self.spark, self._load_points(), with_seq=True)
+
+    def append_points(self, points: List[Point]) -> None:
+        with open(self.path, "a", newline="") as f:
+            w = csv.writer(f)
+            for p in points:
+                w.writerow(p.to_csv_row())
+            f.flush()
+            os.fsync(f.fileno())
+
+    def append_df(self, df: DataFrame) -> None:
+        rows = df.select("time", "measurement", "tags", "fields").collect()
+        self.append_points([Point.from_row(r) for r in rows])
+
+    def overwrite(self, df: DataFrame, measurements: Optional[List[str]] = None) -> None:
+        if measurements is not None:
+            raise ValueError(
+                "CSVStorage does not support partition-scoped rewrite; "
+                "pass the full dataset."
+            )
+        rows = df.orderBy(SEQ_COL).collect()
+        pts = [Point.from_row(r) for r in rows]
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
+        os.close(fd)
+        with open(tmp, "w", newline="") as f:
+            w = csv.writer(f)
+            for p in pts:
+                w.writerow(p.to_csv_row())
+        os.replace(tmp, self.path)
+
+    def next_seq(self) -> int:
+        with open(self.path, newline="") as f:
+            return sum(1 for row in csv.reader(f) if row)
