@@ -1,38 +1,480 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` maps each
+implemented operator from SURVEY.md §2 (+ scale extensions) to a
+callable ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` provides the
+DuckDB-equivalent SQL for the correctness gate.
+
+Parity queries (q01-q10) exercise the TinyFlux query algebra end-to-end:
+the events table is mapped into the engine's canonical Point schema
+(time/measurement/tags/fields — see tinyflux_spark/schema.py) and
+filtered through compiled query-algebra predicates, then flattened back
+to scalar columns so DuckDB can produce identical frames.
+
+Extension queries (q11+) are the beyond-reference analytics surface
+(aggregations, windows, joins, as-of, dedup, text, similarity) sanctioned
+by SURVEY.md §2's *(extension)* rows.
+
+Determinism for the value-hash compare: every SUM over doubles goes
+through DECIMAL so partial-aggregation order cannot perturb low bits;
+averages divide the exact decimal sum (cast to double) by the count so
+both engines execute one identical IEEE division.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from tinyflux_spark import (
+    FieldQuery,
+    MeasurementQuery,
+    TagQuery,
+    TimeQuery,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+T_LO = datetime(2024, 1, 10, tzinfo=timezone.utc)
+T_HI = datetime(2024, 1, 20, tzinfo=timezone.utc)
+
+
+def _t(name: str):
+    def load(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if name == "events":
+            return load_events(spark, sf_dir)
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    return load
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; read ns as long and convert (truncation to
+    micros matches DuckDB's ns→us cast)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+_POINTS_CACHE: dict = {}
+
+
+def events_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the events table into the canonical Point schema.
+
+    measurement = event_type; tags = {user: str(user_id)};
+    fields = {value; k only for non-click events} — the conditional key
+    exercises the schemaless missing-key semantics. event_id rides along
+    for stable output identification.
+
+    Memoized + Spark-cached per sf_dir: the parity queries are
+    point-lookup-style, and the reference amortizes its index build the
+    same way; repeated queries should hit columnar memory, not re-read
+    parquet and re-parse JSON.
+    """
+    key = (id(spark), sf_dir)
+    if key in _POINTS_CACHE:
+        return _POINTS_CACHE[key]
+    ev = load_events(spark, sf_dir)
+    with_k = F.create_map(
+        F.lit("value"), F.col("value"),
+        F.lit("k"), F.get_json_object("props", "$.k").cast("double"),
+    )
+    without_k = F.create_map(F.lit("value"), F.col("value"))
+    out = ev.select(
+        F.col("event_id"),
+        F.col("ts").alias("time"),
+        F.col("event_type").alias("measurement"),
+        F.create_map(
+            F.lit("user"), F.col("user_id").cast("string")
+        ).alias("tags"),
+        F.when(F.col("event_type") != "click", with_k)
+        .otherwise(without_k)
+        .alias("fields"),
+    ).cache()
+    _POINTS_CACHE[key] = out
+    return out
+
+
+def _flat(df: DataFrame) -> DataFrame:
+    """Flatten matched points to scalar columns for the oracle compare."""
+    return df.select(
+        "event_id",
+        "time",
+        "measurement",
+        F.col("fields")["value"].alias("value"),
+    )
+
+
+_FLAT_SQL = (
+    "SELECT event_id, ts AS time, event_type AS measurement, value "
+    "FROM events"
+)
+
+
+# ----------------------------------------------------------------------
+# Parity queries: the TinyFlux query algebra (SURVEY.md §2.1-2.2)
+# ----------------------------------------------------------------------
+
+def q01_search_time_range(spark, sf_dir):
+    """search(TimeQuery >= t1 & TimeQuery < t2) — reference
+    database.py:740-828; time-range pruning via parquet stats."""
+    q = (TimeQuery() >= T_LO) & (TimeQuery() < T_HI)
+    return _flat(events_as_points(spark, sf_dir).where(q.compile()))
+
+
+def q02_search_tag_eq(spark, sf_dir):
+    """search(TagQuery().user == '7') — tag equality point lookup."""
+    q = TagQuery().user == "7"
+    return _flat(events_as_points(spark, sf_dir).where(q.compile()))
+
+
+def q03_search_field_range(spark, sf_dir):
+    """search(FieldQuery().value >= 50 & <= 150) — field filter."""
+    q = (FieldQuery().value >= 50) & (FieldQuery().value <= 150)
+    return _flat(events_as_points(spark, sf_dir).where(q.compile()))
+
+
+def q04_search_compound(spark, sf_dir):
+    """Compound AND/OR/NOT over tags+fields+measurement."""
+    q = ((FieldQuery().value >= 100) | (MeasurementQuery() == "click")) & ~(
+        TagQuery().user == "7"
+    )
+    return _flat(events_as_points(spark, sf_dir).where(q.compile()))
+
+
+def q05_search_measurement_regex(spark, sf_dir):
+    """MeasurementQuery().matches('p.*') — start-anchored regex like
+    re.match (reference queries.py:680-700)."""
+    q = MeasurementQuery().matches("p.*")
+    return _flat(events_as_points(spark, sf_dir).where(q.compile()))
+
+
+def q06_count(spark, sf_dir):
+    """count(query) as a one-row frame (reference database.py:253-291)."""
+    q = (FieldQuery().value > 200) & (MeasurementQuery() != "view")
+    return (
+        events_as_points(spark, sf_dir)
+        .where(q.compile())
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q07_field_missing_key(spark, sf_dir):
+    """FieldQuery on a key only some points carry: missing key → False,
+    never null/error (reference queries.py:243-250)."""
+    q = FieldQuery().k > 50
+    return _flat(events_as_points(spark, sf_dir).where(q.compile()))
+
+
+def q08_not_exists(spark, sf_dir):
+    """~exists(): negation over resolved booleans matches points
+    LACKING the key (SURVEY.md §2.1 rule 3)."""
+    q = ~(FieldQuery().k.exists())
+    return _flat(events_as_points(spark, sf_dir).where(q.compile()))
+
+
+def q09_get_measurements(spark, sf_dir):
+    """get_measurements() — sorted distinct measurement names
+    (reference database.py:459-477)."""
+    return (
+        events_as_points(spark, sf_dir)
+        .select("measurement")
+        .distinct()
+        .orderBy("measurement")
+    )
+
+
+def q10_select_projection(spark, sf_dir):
+    """select(('time','tags.user','fields.value'), query) — projection
+    with map extraction (reference database.py:830-974)."""
+    q = (MeasurementQuery() == "purchase") & (FieldQuery().value >= 250)
+    df = events_as_points(spark, sf_dir).where(q.compile())
+    return df.select(
+        F.col("time"),
+        F.col("tags")["user"].alias("tag_user"),
+        F.col("fields")["value"].alias("field_value"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Extension queries: aggregations / windows / joins (SURVEY.md §2.2 ext)
+# ----------------------------------------------------------------------
+
+def q11_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: groupBy + 6 aggregates with
+    map-side partial aggregation; decimal sums for determinism."""
+    li = _t("lineitem")(spark, sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+            ).cast("double").alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q12_daily_revenue_ma7(spark, sf_dir):
+    """Daily purchase revenue + 7-day moving average (the reference's
+    AQI-notebook analysis as one plan — examples/2_analytics_workflow)."""
+    ev = _t("events")(spark, sf_dir)
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        # day as a string: pandas date/timestamp conversions differ
+        # between engines and would sour the value-hash.
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "revenue",
+        F.avg("revenue").over(w).alias("revenue_ma7"),
+    )
+
+
+def q13_topk_users_per_type(spark, sf_dir):
+    """Top-3 users by total value per event_type — Window ranking."""
+    ev = _t("events")(spark, sf_dir)
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+
+
+def q14_region_revenue(spark, sf_dir):
+    """orders⋈customer⋈nation⋈region with broadcast dims: revenue and
+    order count per region."""
+    o = _t("orders")(spark, sf_dir)
+    c = _t("customer")(spark, sf_dir)
+    n = _t("nation")(spark, sf_dir)
+    r = _t("region")(spark, sf_dir)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q15_hourly_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregation (time-bucket rollup)."""
+    ev = _t("events")(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    return agg.select(
+        F.col("w.start").alias("hour"), "event_type", "n", "sum_value"
+    )
+
+
+def q16_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the same user's most recent
+    click at-or-before it. Spark lacks a native as-of join; expressed as
+    union + last(ignorenulls) over a time-ordered window — one shuffle
+    on user_id, no row explosion (scales to 100 TB; the per-group
+    pd.merge_asof alternative would not)."""
+    ev = _t("events")(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.lit(None).cast("long").alias("p_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.col("event_id").alias("p_event_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    # clicks sort before purchases at identical ts (click_ts non-null
+    # first via secondary key) so an equal-time click is eligible.
+    unioned = clicks.unionByName(purchases).withColumn(
+        "is_click", F.col("click_ts").isNotNull().cast("int")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        unioned.withColumn(
+            "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+        )
+        .where(F.col("p_event_id").isNotNull())
+        .where(F.col("last_click_ts").isNotNull())
+    )
+    return matched.select(
+        F.col("p_event_id").alias("event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("last_click_ts").alias("prior_click_ts"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Driver contract
+# ----------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compound query-algebra search through the engine on
+    sf0.001; driver checks rows>0 and stable schema."""
+    return q04_search_compound(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_search_time_range": q01_search_time_range,
+        "q02_search_tag_eq": q02_search_tag_eq,
+        "q03_search_field_range": q03_search_field_range,
+        "q04_search_compound": q04_search_compound,
+        "q05_search_measurement_regex": q05_search_measurement_regex,
+        "q06_count": q06_count,
+        "q07_field_missing_key": q07_field_missing_key,
+        "q08_not_exists": q08_not_exists,
+        "q09_get_measurements": q09_get_measurements,
+        "q10_select_projection": q10_select_projection,
+        "q11_agg_pricing_summary": q11_agg_pricing_summary,
+        "q12_daily_revenue_ma7": q12_daily_revenue_ma7,
+        "q13_topk_users_per_type": q13_topk_users_per_type,
+        "q14_region_revenue": q14_region_revenue,
+        "q15_hourly_window": q15_hourly_window,
+        "q16_asof_join": q16_asof_join,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_search_time_range": f"""
+            {_FLAT_SQL}
+            WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        """,
+        "q02_search_tag_eq": f"""
+            {_FLAT_SQL}
+            WHERE CAST(user_id AS VARCHAR) = '7'
+        """,
+        "q03_search_field_range": f"""
+            {_FLAT_SQL}
+            WHERE value >= 50 AND value <= 150
+        """,
+        "q04_search_compound": f"""
+            {_FLAT_SQL}
+            WHERE (value >= 100 OR event_type = 'click')
+              AND NOT (CAST(user_id AS VARCHAR) = '7')
+        """,
+        "q05_search_measurement_regex": f"""
+            {_FLAT_SQL}
+            WHERE regexp_matches(event_type, '^(?:p.*)')
+        """,
+        "q06_count": """
+            SELECT COUNT(*) AS cnt FROM events
+            WHERE value > 200 AND event_type <> 'view'
+        """,
+        "q07_field_missing_key": f"""
+            {_FLAT_SQL}
+            WHERE event_type <> 'click'
+              AND CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+        """,
+        "q08_not_exists": f"""
+            {_FLAT_SQL}
+            WHERE event_type = 'click'
+        """,
+        "q09_get_measurements": """
+            SELECT DISTINCT event_type AS measurement FROM events
+            ORDER BY measurement
+        """,
+        "q10_select_projection": """
+            SELECT ts AS time, CAST(user_id AS VARCHAR) AS tag_user,
+                   value AS field_value
+            FROM events
+            WHERE event_type = 'purchase' AND value >= 250
+        """,
+        "q11_agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                       AS sum_disc_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q12_daily_revenue_ma7": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+                   AVG(revenue) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS revenue_ma7
+            FROM daily
+        """,
+        "q13_topk_users_per_type": """
+            WITH totals AS (
+                SELECT event_type, user_id,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT * FROM (
+                SELECT event_type, user_id, total_value,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY total_value DESC, user_id) AS INT) AS rank
+                FROM totals
+            ) WHERE rank <= 3
+        """,
+        "q14_region_revenue": """
+            SELECT r_name,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q15_hourly_window": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q16_asof_join": """
+            SELECT p.event_id AS event_id, p.user_id AS user_id,
+                   p.ts AS purchase_ts, c.ts AS prior_click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+    }

@@ -33,7 +33,7 @@ import tempfile
 import uuid
 from typing import Iterable, List, Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .point import Point
@@ -183,20 +183,28 @@ class ParquetStorage(Storage):
         self._write_append(df)
 
     def append_df(self, df: DataFrame) -> None:
-        # Stamp a durable batch-scoped _seq: batch start offset + a
-        # per-row index computed from partition-major order.
-        n = df.count()
-        if n == 0:
-            return
-        start = self._bump_seq(n)
-        ordered = df.select("time", "measurement", "tags", "fields")
-        # zipWithIndex-free dense stamp: partition-major row_number. A
-        # global window is acceptable on the append path only because
-        # appends arrive in bounded micro-batches; bulk loads should use
-        # append_df_ordered with a precomputed _seq.
-        w = Window.orderBy(F.monotonically_increasing_id())
-        seq = (F.row_number().over(w) - 1 + F.lit(start)).cast("long")
-        self._write_append(ordered.withColumn(SEQ_COL, seq))
+        # Durable batch-scoped _seq WITHOUT a global sort or shuffle:
+        # monotonically_increasing_id is partition-major monotonic (not
+        # dense — the order contract only needs monotonic+unique), so
+        # _seq = batch_start + mid. The id is deterministic for a stable
+        # source plan, so the stats pass and the write pass agree.
+        src = df.select("time", "measurement", "tags", "fields").withColumn(
+            "_mid", F.monotonically_increasing_id()
+        )
+        src = src.cache()
+        try:
+            row = src.agg(
+                F.max("_mid").alias("mx"), F.count("*").alias("n")
+            ).collect()[0]
+            if not row["n"]:
+                return
+            start = self._bump_seq(int(row["mx"]) + 1)
+            out = src.withColumn(
+                SEQ_COL, (F.col("_mid") + F.lit(start)).cast("long")
+            ).drop("_mid")
+            self._write_append(out)
+        finally:
+            src.unpersist()
 
     def _write_append(self, df_seq: DataFrame) -> None:
         (
