@@ -340,6 +340,121 @@ def q16_asof_join(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
+# Training-data-pipeline extensions: dedup / text / similarity
+# (operators live in tinyflux_spark/operators/; these queries bind them
+# to the documents/embeddings tables with DuckDB-checkable outputs)
+# ----------------------------------------------------------------------
+
+def q17_dedup_exact(spark, sf_dir):
+    """Exact dedup: one representative doc per normalized-text
+    fingerprint (hash-groupBy — uniform keys, skew-free at scale)."""
+    from tinyflux_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t("documents")(spark, sf_dir), "doc_id")
+
+
+def q18_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join);
+    ground truth for the MinHash-LSH path."""
+    from tinyflux_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t("documents")(spark, sf_dir), "doc_id", threshold=0.7
+    ).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q19_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash(12 md5 hashes) banded 4x3 → candidate pairs → exact
+    Jaccard verify ≥ 0.35. Sub-quadratic near-dup dedup."""
+    from tinyflux_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t("documents")(spark, sf_dir),
+        "doc_id",
+        num_hashes=12,
+        bands=4,
+        verify_threshold=0.7,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q20_simhash(spark, sf_dir):
+    """32-bit md5-derived SimHash signature per document."""
+    from tinyflux_spark.operators.dedup import simhash
+
+    return simhash(
+        _t("documents")(spark, sf_dir), "doc_id", bits=32, use_md5=True
+    ).select(F.col("id").alias("doc_id"), "simhash")
+
+
+def q21_text_quality(spark, sf_dir):
+    """Quality-scoring features (token counts + ratios) per document."""
+    from tinyflux_spark.operators.text import quality_features
+
+    docs = _t("documents")(spark, sf_dir)
+    out = quality_features(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+    )
+
+
+def q22_lang_id(spark, sf_dir):
+    """Heuristic language ID (script ranges + stopword argmax) with the
+    corpus's labeled lang for accuracy auditing."""
+    from tinyflux_spark.operators.text import lang_id
+
+    docs = _t("documents")(spark, sf_dir)
+    return docs.select(
+        "doc_id", "lang", lang_id("text").alias("lang_guess")
+    )
+
+
+def q23_doc_fingerprint(spark, sf_dir):
+    """Stable content fingerprints: whole-doc md5 + min-shingle rolling
+    fingerprint (robust to local edits)."""
+    from tinyflux_spark.operators.text import fingerprint, shingle_fingerprint
+
+    docs = _t("documents")(spark, sf_dir)
+    fps = docs.select(
+        "doc_id", fingerprint("text").alias("content_fp")
+    )
+    sfp = shingle_fingerprint(docs, "doc_id", "text", n=8)
+    return fps.join(sfp, "doc_id").select(
+        "doc_id", "content_fp", "shingle_fp"
+    )
+
+
+def q24_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id 0 (similarity
+    rounded to 6dp so cross-engine float accumulation can't flip
+    ranks; ties break on id)."""
+    from tinyflux_spark.operators.similarity import cosine_topk
+
+    emb = _t("embeddings")(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return cosine_topk(emb.where(F.col("vec_id") != 0), qvec, k=10)
+
+
+def q25_embedding_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs: cosine >= 0.35 via SRP-LSH bucket
+    join + exact verify. (No SQL oracle: the LSH bucketing is
+    engine-side; rows-only check. The exact-threshold variant is
+    cross-checked through q24's exact math.)"""
+    from tinyflux_spark.operators.similarity import near_dup_pairs
+
+    emb = _t("embeddings")(spark, sf_dir)
+    return near_dup_pairs(emb, threshold=0.35, num_planes=2).select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+# ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
 
@@ -367,7 +482,121 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_region_revenue": q14_region_revenue,
         "q15_hourly_window": q15_hourly_window,
         "q16_asof_join": q16_asof_join,
+        "q17_dedup_exact": q17_dedup_exact,
+        "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
+        "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
+        "q20_simhash": q20_simhash,
+        "q21_text_quality": q21_text_quality,
+        "q22_lang_id": q22_lang_id,
+        "q23_doc_fingerprint": q23_doc_fingerprint,
+        "q24_ann_cosine_topk": q24_ann_cosine_topk,
+        "q25_embedding_near_dup": q25_embedding_near_dup,
     }
+
+
+# Shared oracle CTEs: normalized text and distinct 3-gram shingles.
+_NORM_CTE = """
+norm AS (
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+    FROM documents
+)"""
+
+_SHINGLE_CTE = _NORM_CTE + """,
+sh AS (
+    SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS shingle
+    FROM norm, UNNEST(range(1, greatest(length(t) - 2, 1) + 1)) AS r(i)
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+    FROM sh a JOIN sh b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT id_a, id_b,
+           ROUND(common / (ca.n + cb.n - common), 6) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON ca.doc_id = id_a
+    JOIN cnt cb ON cb.doc_id = id_b
+)"""
+
+
+def _hex_to_int_sql(hex_expr: str, digits: int) -> str:
+    """SQL computing the integer value of the first ``digits`` hex chars
+    of ``hex_expr`` — DuckDB has no conv(); positional digit sum equals
+    Spark's conv(...,16,10) exactly on integers."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hex_expr}, {p}, 1)) - 1)"
+        f" * CAST({16 ** (digits - p)} AS BIGINT)"
+        for p in range(1, digits + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lang_id_oracle_sql() -> str:
+    """Generated from the same tables the Spark lang_id expression uses
+    (tinyflux_spark/operators/text.py) so both stay in lockstep."""
+    from tinyflux_spark.operators.text import _SCRIPTS, _STOPWORDS
+
+    counts = {
+        lang: (
+            "len(regexp_extract_all(text, '(?i)\\b("
+            + "|".join(words)
+            + ")\\b'))"
+        )
+        for lang, words in _STOPWORDS.items()
+    }
+    m = "greatest(" + ", ".join(counts.values()) + ")"
+    # Winner = LAST language in declaration order reaching the max
+    # (mirrors the strict-greater fold in lang_id).
+    stop_case = f"CASE WHEN {m} <= 0 THEN 'und' "
+    for lang in reversed(list(_STOPWORDS)):
+        stop_case += f"WHEN {counts[lang]} = {m} THEN '{lang}' "
+    stop_case += "ELSE 'und' END"
+    script_whens = ""
+    for lang, ranges in _SCRIPTS.items():
+        lo, hi = ranges[0], ranges[2]
+        pat = f"[\\x{{{ord(lo):x}}}-\\x{{{ord(hi):x}}}]"
+        cond = (
+            f"len(regexp_extract_all(text, '{pat}')) * 10 "
+            f"> greatest(length(text), 1) * 3"
+        )
+        script_whens += f"WHEN {cond} THEN '{lang}' "
+    return f"""
+        SELECT doc_id, lang,
+               CASE {script_whens}ELSE ({stop_case}) END AS lang_guess
+        FROM documents
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    h = _hex_to_int_sql("md5(tok)", 8)
+    return f"""
+        WITH {_NORM_CTE},
+        toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       UNNEST(string_split_regex(trim(t), '\\s+')) AS tok
+                FROM norm
+            ) WHERE tok <> ''
+        ),
+        hashed AS (SELECT doc_id, {h} AS hv FROM toks),
+        votes AS (
+            SELECT doc_id, CAST(bit AS INT) AS bit,
+                   SUM(((hv >> CAST(bit AS INT)) & 1) * 2 - 1) AS s
+            FROM hashed, UNNEST(range(0, 32)) AS t(bit)
+            GROUP BY 1, 2
+        )
+        SELECT doc_id, CAST(simhash_raw AS BIGINT) AS simhash FROM (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0
+                   THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                   AS simhash_raw
+        FROM votes GROUP BY doc_id
+        )
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -476,5 +705,92 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "q17_dedup_exact": f"""
+            WITH {_NORM_CTE}
+            SELECT md5(t) AS fp, MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_dups
+            FROM norm GROUP BY 1
+        """,
+        "q18_ngram_jaccard_pairs": f"""
+            WITH {_SHINGLE_CTE}
+            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.7
+        """,
+        "q19_minhash_lsh_pairs": f"""
+            WITH {_SHINGLE_CTE},
+            mh AS (
+                SELECT doc_id, CAST(h AS INT) AS h,
+                       MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS v
+                FROM sh, UNNEST(range(0, 12)) AS t(h)
+                GROUP BY 1, 2
+            ),
+            sigs AS (
+                SELECT doc_id, list(v ORDER BY h) AS sig FROM mh GROUP BY 1
+            ),
+            banded AS (
+                SELECT doc_id, CAST(band AS INT) AS band,
+                       md5(array_to_string(
+                           sig[CAST(band*3+1 AS INT):CAST(band*3+3 AS INT)],
+                           '|')) AS bsig
+                FROM sigs, UNNEST(range(0, 4)) AS t(band)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM banded a
+                JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT c.id_a, c.id_b, j.jaccard
+            FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+            WHERE j.jaccard >= 0.7
+        """,
+        "q20_simhash": _simhash_oracle_sql(),
+        "q21_text_quality": """
+            SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END AS n_tokens,
+                ROUND(len(regexp_extract_all(text, '[.,;:!?]'))
+                      / greatest(length(text), 1), 6) AS punct_ratio,
+                ROUND(len(regexp_extract_all(text, '[0-9]'))
+                      / greatest(length(text), 1), 6) AS digit_ratio,
+                ROUND(len(regexp_extract_all(text,
+                      '(?i)\\b(the|and|is|was|of|to|in|that|it|for)\\b'))
+                      / greatest(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END, 1), 6) AS stopword_ratio,
+                ROUND((length(text) - len(regexp_extract_all(text, '\\s')))
+                      / greatest(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                        END, 1), 6) AS mean_token_len
+            FROM documents
+        """,
+        "q22_lang_id": _lang_id_oracle_sql(),
+        "q23_doc_fingerprint": f"""
+            WITH {_NORM_CTE},
+            sfp AS (
+                SELECT doc_id, t,
+                       MIN(md5(substr(t, CAST(i AS INT), 8))) AS shingle_fp
+                FROM norm,
+                     UNNEST(range(1, greatest(length(t) - 7, 1) + 1)) AS r(i)
+                GROUP BY doc_id, t
+            )
+            SELECT doc_id, md5(t) AS content_fp, shingle_fp FROM sfp
+        """,
+        "q24_ann_cosine_topk": """
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            q AS (SELECT e AS qe FROM emb WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_dot_product(e, qe)
+                         / (sqrt(list_dot_product(e, e))
+                            * sqrt(list_dot_product(qe, qe))),
+                         6) AS cosine_sim
+            FROM emb, q WHERE vec_id <> 0
+            ORDER BY cosine_sim DESC, vec_id LIMIT 10
         """,
     }

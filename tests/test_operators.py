@@ -1,0 +1,251 @@
+"""Operator tests: aggregates, dedup, similarity, text, multimodal."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tinyflux_spark.operators import (
+    aggregates,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumped over the lazy dog"),   # near-dup of 0
+    (2, "completely different content about spark engines"),
+    (3, "the quick brown fox jumps over the lazy dog"),    # exact dup of 0
+    (4, "El rápido zorro marrón salta sobre el perro que es perezoso"),
+    (5, "Der schnelle braune Fuchs springt und ist nicht langsam"),
+    (6, "数据处理引擎的中文文档内容测试样例十分有用"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+# ---------------- dedup ----------------
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, "doc_id").collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in out}
+    assert by_keep[0] == 2  # docs 0 and 3 collapse
+    assert len(out) == 6
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got  # exact dup → jaccard 1.0
+    assert (0, 1) in got  # near dup
+    assert all(a < b for a, b in got)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[(0, 3)] == 1.0
+    assert 0.5 <= j[(0, 1)] < 1.0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=12, bands=4, verify_threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got
+    assert (0, 1) in got
+    # verified jaccard filters unrelated docs even if banding collides
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_minhash_candidates_subquadratic_shape(docs):
+    cands = dedup.minhash_lsh_pairs(
+        docs, "doc_id", verify_threshold=None
+    )
+    assert set(cands.columns) == {"id_a", "id_b"}
+
+
+def test_simhash_near_dup_small_hamming(docs):
+    rows = dedup.simhash(docs, "doc_id", bits=32).collect()
+    h = {r["id"]: r["simhash"] for r in rows}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert h[0] == h[3]                    # identical text, same signature
+    assert ham(h[0], h[1]) <= 6            # near dup: few bits differ
+    assert ham(h[0], h[2]) > ham(h[0], h[1])  # unrelated differs more
+
+
+# ---------------- text ----------------
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("  ",), ("one",)], ["t"]
+    )
+    got = [r[0] for r in df.select(text.token_count("t")).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_quality_features(docs):
+    row = (
+        text.quality_features(docs, "text")
+        .where(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    assert row["n_tokens"] == 9
+    assert row["stopword_ratio"] > 0.2   # 'the' twice + 'over'
+    assert 0 <= row["punct_ratio"] < 0.05
+    assert row["mean_token_len"] == pytest.approx(
+        (43 - 8) / 9  # 43 chars, 8 spaces, 9 tokens
+    )
+
+
+def test_lang_id(docs):
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select(
+            "doc_id", text.lang_id("text").alias("lang")
+        ).collect()
+    }
+    assert got[0] == "en"
+    assert got[4] == "es"
+    assert got[5] == "de"
+    assert got[6] == "zh"
+
+
+def test_fingerprint_normalizes_whitespace_case(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",)], ["t"]
+    )
+    fps = [r[0] for r in df.select(text.fingerprint("t")).collect()]
+    assert fps[0] == fps[1]
+
+
+# ---------------- similarity ----------------
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(8)
+    rows = [(0, [float(x) for x in base])]
+    for i in range(1, 20):
+        noise = rng.standard_normal(8) * (0.01 if i < 5 else 1.0)
+        rows.append((i, [float(x) for x in base + noise]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+
+def test_cosine_topk_exact(vecs):
+    base = vecs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = similarity.cosine_topk(vecs, base, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine_sim"] == 1.0
+    assert {r["vec_id"] for r in top} == {0, 1, 2, 3, 4}
+
+
+def test_srp_lsh_topk_recall(vecs):
+    base = vecs.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    approx = similarity.srp_lsh_topk(
+        vecs, base, k=5, num_planes=6, multiprobe=1
+    ).collect()
+    got = {r["vec_id"] for r in approx}
+    # the tight cluster must survive bucketing
+    assert {0, 1, 2, 3, 4} <= got | set()
+
+
+def test_near_dup_pairs(vecs):
+    pairs = similarity.near_dup_pairs(vecs, threshold=0.999).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got or (0, 2) in got
+    assert all(r["cosine_sim"] >= 0.999 for r in pairs)
+
+
+# ---------------- aggregates ----------------
+
+def test_time_bucket(spark):
+    from datetime import datetime, timezone
+
+    rows = [
+        (datetime(2024, 1, 1, 0, m, tzinfo=timezone.utc), float(m))
+        for m in (1, 2, 31, 32)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "v"])
+    out = aggregates.time_bucket(
+        df, "ts", "30 minutes", [F.count("*").alias("n")]
+    ).orderBy("bucket_start").collect()
+    assert [r["n"] for r in out] == [2, 2]
+
+
+def test_moving_avg(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], ["i", "v"]
+    )
+    out = (
+        aggregates.moving_avg(df, "i", "v", 3)
+        .orderBy("i")
+        .collect()
+    )
+    assert [r["moving_avg"] for r in out] == [0.0, 0.5, 1.0, 2.0, 3.0]
+
+
+def test_top_k(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 2.0), ("b", 5.0)], ["g", "v"]
+    )
+    out = aggregates.top_k(df, ["g"], [F.col("v").desc()], 2).collect()
+    got = {(r["g"], r["v"]) for r in out}
+    assert got == {("a", 3.0), ("a", 2.0), ("b", 5.0)}
+
+
+def test_asof_join(spark):
+    from datetime import datetime, timezone
+
+    t = lambda m: datetime(2024, 1, 1, 0, m, tzinfo=timezone.utc)  # noqa
+    trades = spark.createDataFrame(
+        [(1, t(5), 100.0), (1, t(10), 101.0), (2, t(7), 50.0)],
+        ["sym", "ts", "price"],
+    )
+    quotes = spark.createDataFrame(
+        [(1, t(4), 99.5), (1, t(10), 100.9), (2, t(8), 49.9)],
+        ["sym", "qts", "bid"],
+    )
+    out = aggregates.asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts"
+    ).collect()
+    got = {(r["sym"], r["ts"].minute): r["bid_asof"] for r in out}
+    assert got[(1, 5)] == 99.5
+    assert got[(1, 10)] == 100.9   # inclusive: equal ts matches
+    assert got[(2, 7)] is None     # quote arrives after the trade
+
+
+# ---------------- multimodal ----------------
+
+def test_extract_features_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=10)
+    out = multimodal.extract_features(media).collect()
+    assert len(out) == 10
+    feats = {r["media_id"]: r["feature"] for r in out}
+    assert all(len(v) == multimodal.FEATURE_DIM for v in feats.values())
+    # deterministic stub: same bytes → same features
+    out2 = multimodal.extract_features(media).collect()
+    feats2 = {r["media_id"]: r["feature"] for r in out2}
+    assert feats == feats2
+    assert all(r["n_bytes"] == 256 for r in out)
+
+
+def test_extract_features_strict_raises(spark):
+    media = multimodal.synthetic_media(spark, n=2)
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, strict=True).collect()
+
+
+def test_frame_sample(spark):
+    media = multimodal.synthetic_media(spark, n=3, kind="video")
+    out = multimodal.frame_sample(media, every_n=10, max_frames=4).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert by_id[0] == [0, 10, 20, 30]  # n_frames=40 → 4 samples
+    assert all(len(v) <= 4 for v in by_id.values())

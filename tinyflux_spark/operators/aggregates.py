@@ -1,0 +1,166 @@
+"""Aggregation / window / join operators (the analytics the reference's
+notebook performs in driver-side Python, reference
+examples/2_analytics_workflow.ipynb, made distributed).
+
+Scale notes baked into each operator:
+
+* ``decimal_sum`` — SUM over doubles is order-sensitive in the last ulp
+  and partial aggregation makes the order nondeterministic; routing
+  through DECIMAL makes the sum exact and therefore reproducible across
+  cluster sizes (a correctness property, not a style choice).
+* ``moving_avg``/``top_k`` — explicit partition keys; an unpartitioned
+  Window is a single-task bottleneck at scale and is only acceptable on
+  already-aggregated small frames (one row per day/group).
+* ``asof_join`` — union + last(ignorenulls) over a per-key ordered
+  window: one shuffle on the key, zero row explosion. The classic
+  range-join formulation explodes to |left|x|right| per key and dies at
+  scale; the per-group pd.merge_asof alternative serializes through
+  Python. This formulation is pure JVM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def decimal_sum(col, precision: int = 18, scale: int = 2) -> Column:
+    """Order-insensitive (exact) sum of a double column, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def time_bucket(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    agg_exprs: Sequence[Column],
+    group_cols: Sequence[str] = (),
+    slide: Optional[str] = None,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is given) window rollup.
+
+    Returns bucket_start/bucket_end + groups + aggregates. Pure
+    groupBy-window: partial aggregation map-side, one shuffle.
+    """
+    w = (
+        F.window(ts_col, duration, slide)
+        if slide
+        else F.window(ts_col, duration)
+    )
+    out = df.groupBy(w.alias("_w"), *[F.col(c) for c in group_cols]).agg(
+        *agg_exprs
+    )
+    return out.select(
+        F.col("_w.start").alias("bucket_start"),
+        F.col("_w.end").alias("bucket_end"),
+        *[c for c in out.columns if c != "_w"],
+    )
+
+
+def moving_avg(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    window_rows: int,
+    partition_cols: Sequence[str] = (),
+    out_col: str = "moving_avg",
+) -> DataFrame:
+    """Trailing ``window_rows``-row moving average (the reference
+    notebook's 7-day moving average, as a Window spec)."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        if partition_cols
+        else Window.partitionBy()
+    )
+    w = w.orderBy(order_col).rowsBetween(-(window_rows - 1), 0)
+    return df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def top_k(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group via row_number — shuffles once on the
+    partition keys; no global sort."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] = (),
+    inclusive: bool = True,
+) -> DataFrame:
+    """For each left row, attach the most recent right row at-or-before
+    (``inclusive``) its timestamp, matched on ``on``.
+
+    Implementation: tag both sides, union, and carry the latest right
+    values forward with last(ignorenulls) over a per-key time-ordered
+    window; then keep left rows. One shuffle on ``on``; linear state.
+    """
+    rcols = list(right_cols) or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+    )
+    lcols = [c for c in left.columns if c not in (on, left_ts)]
+    l = left.select(  # noqa: E741
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_r_ts"].dataType).alias("_r_ts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in rcols
+        ],
+        *[F.col(c) for c in lcols],
+    )
+    r = r.select(
+        *[F.col(c) for c in [on, "_ts", "_side", "_r_ts"]],
+        *[F.col(f"_r_{c}") for c in rcols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    # At equal timestamps the right row sorts first iff inclusive, so it
+    # is visible to the left row's frame.
+    order = [F.col("_ts"), F.col("_side").asc() if inclusive else F.col("_side").desc()]
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r.unionByName(l).select(
+        "*",
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_asof_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}_asof")
+            for c in rcols
+        ],
+    )
+    return (
+        carried.where(F.col("_side") == 1)
+        .select(
+            F.col(on),
+            F.col("_ts").alias(left_ts),
+            *[F.col(c) for c in lcols],
+            F.col("_asof_ts").alias(f"{right_ts}_asof"),
+            *[F.col(f"{c}_asof") for c in rcols],
+        )
+    )

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+* ``cosine_topk`` — brute-force exact scan: one pass, no shuffle except
+  the final top-k. The correctness baseline, and the right choice when
+  the query batch is small relative to the corpus scan cost.
+* ``srp_lsh_*`` — sign-random-projection LSH: each vector is bucketed by
+  the sign pattern of dot products with ``planes`` fixed hyperplanes;
+  lookups only scan matching buckets (optionally multiprobe neighbors).
+  Sub-linear candidate sets at corpus scale; recall tunable by
+  planes/probes. Hyperplanes are generated from a seed so the bucketing
+  is deterministic and reproducible across runs and engines.
+* ``near_dup_pairs`` — all pairs above a cosine threshold via LSH bucket
+  join (embedding near-dup dedup).
+
+All math is double-precision ``F.aggregate``/``F.zip_with`` folds —
+JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: Optional[int] = 6,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+
+    ``round_digits`` rounds the similarity before ranking so rankings
+    are reproducible across engines whose float accumulation differs in
+    the last ulp; ties break on id.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), q)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def srp_planes(dim: int, num_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-random-projection."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def srp_bucket(vec_col: Column, planes: np.ndarray) -> Column:
+    """Bucket id = bit pattern of sign(v·plane_i). Pure expression: the
+    plane matrix is inlined as literals (small: planes × dim floats)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(_dot(vec_col, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("long")
+
+
+def srp_lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only vectors whose SRP bucket is within
+    ``multiprobe`` bit flips of the query's bucket.
+
+    At scale the bucketed table is precomputed once (bucket as a
+    partition/cluster column); the probe is then a partition-pruned
+    scan of ~|corpus| / 2^planes rows per probed bucket.
+    """
+    planes = srp_planes(len(query_vec), num_planes, seed)
+    qv = np.asarray(query_vec, dtype=float)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if float(np.dot(qv, plane)) >= 0:
+            qbucket |= 1 << i
+    probes = {qbucket}
+    if multiprobe >= 1:
+        for i in range(num_planes):
+            probes.add(qbucket ^ (1 << i))
+    bucketed = df.withColumn("_bucket", srp_bucket(F.col(vec_col), planes))
+    cand = bucketed.where(F.col("_bucket").isin(list(probes)))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold.
+
+    Pairs are generated only within SRP buckets (high-cosine pairs
+    almost surely share all sign bits), then verified exactly. The
+    bucket equi-join replaces the |n|^2 cross product.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = srp_planes(dim, num_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    left = b.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = b.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("cosine_sim"),
+        )
+    )
+    return pairs.where(F.col("cosine_sim") >= threshold)

@@ -1,0 +1,151 @@
+"""Text analysis operators for training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python UDFs. Each operator is also expressible
+in ANSI SQL so the DuckDB oracle can replicate it bit-for-bit.
+
+Operators: token counting (whitespace + BPE-ish regex), quality scoring
+(length/punct/stopword/digit ratios), language ID (character-script +
+stopword n-gram heuristic), document fingerprinting (hash and min-shingle
+rolling fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish tokenization regex: runs of word chars, or single
+# non-word/non-space chars (each punctuation mark its own token).
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+
+PUNCT_RE = r"[.,;:!?]"
+
+# Distinctive stopwords per language for the latin-script heuristic.
+# Word-boundary alternations keep this one regexp_count per language.
+_STOPWORDS = {
+    "en": ["the", "and", "is", "was", "that", "with"],
+    "es": ["el", "la", "los", "las", "que", "es"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "les", "des", "est", "que", "dans"],
+    "pt": ["o", "os", "uma", "que", "em", "para"],
+    "it": ["il", "gli", "che", "di", "per", "sono"],
+}
+
+# Script ranges for non-latin detection (BMP blocks).
+_SCRIPTS = {
+    "zh": "一-鿿",
+    "ja": "぀-ヿ",
+    "ko": "가-힯",
+    "ru": "Ѐ-ӿ",
+    "ar": "؀-ۿ",
+    "hi": "ऀ-ॿ",
+    "th": "฀-๿",
+}
+
+
+def token_count(col, pattern: str = r"\s+") -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, pattern))
+    )
+
+
+def bpe_token_count(col) -> Column:
+    """BPE-ish token count: word runs + individual punctuation marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring features used for corpus filtering."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    stop_re = r"(?i)\b(the|and|is|was|of|to|in|that|it|for)\b"
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        (F.regexp_count(c, F.lit(PUNCT_RE)) / F.greatest(n_chars, F.lit(1)))
+        .alias("punct_ratio"),
+        (F.regexp_count(c, F.lit(r"[0-9]")) / F.greatest(n_chars, F.lit(1)))
+        .alias("digit_ratio"),
+        (F.regexp_count(c, F.lit(r"[A-Z]")) / F.greatest(n_chars, F.lit(1)))
+        .alias("upper_ratio"),
+        (
+            F.regexp_count(c, F.lit(stop_re))
+            / F.greatest(n_tokens, F.lit(1))
+        ).alias("stopword_ratio"),
+        (
+            (n_chars - F.regexp_count(c, F.lit(r"\s")))
+            / F.greatest(n_tokens, F.lit(1))
+        ).alias("mean_token_len"),
+    )
+
+
+def _script_count(c: Column, ranges: str) -> Column:
+    return F.regexp_count(c, F.lit(f"[{ranges}]"))
+
+
+def _stopword_count(c: Column, words) -> Column:
+    pat = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(c, F.lit(pat))
+
+
+def lang_id(col, out_unknown: str = "und") -> Column:
+    """Heuristic language ID.
+
+    Two stages, all JVM regex: (1) character-script counts decide
+    non-latin languages when >30% of chars are in a script block;
+    (2) otherwise the latin-script language with the highest distinctive
+    stopword count wins (fixed priority on ties). Deterministic, so the
+    SQL oracle reproduces it exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c), F.lit(1))
+
+    expr = F.lit(out_unknown)
+    # Latin-script stopword argmax, applied in reverse priority order so
+    # earlier languages win ties via strict-greater comparisons.
+    counts = {
+        lang: _stopword_count(c, words) for lang, words in _STOPWORDS.items()
+    }
+    langs = list(_STOPWORDS)
+    best = F.lit(out_unknown)
+    best_cnt = F.lit(0)
+    for lang in reversed(langs):
+        better = counts[lang] > best_cnt
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_cnt = F.when(better, counts[lang]).otherwise(best_cnt)
+    expr = best
+    # Script detection overrides (checked in fixed order).
+    for lang, ranges in reversed(list(_SCRIPTS.items())):
+        expr = F.when(
+            _script_count(c, ranges) * 10 > n * 3, F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def fingerprint(col) -> Column:
+    """Stable 128-bit content fingerprint (hex md5 of normalized text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def shingle_fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint: minimum md5 over character
+    n-gram shingles of the normalized text (winnowing-style; robust to
+    local edits, unlike the whole-document hash)."""
+    c = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: F.md5(c.substr(i, F.lit(n))),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_min(shingles).alias("shingle_fp"),
+    )
