@@ -454,6 +454,50 @@ def q25_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q26_stream_hourly_rollup(spark, sf_dir):
+    """Structured Streaming path: the same hourly rollup as q15 computed
+    by a streaming query over a finite file source (availableNow,
+    complete mode) — verifying the batch/stream unification. Oracle:
+    identical SQL to q15."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from tinyflux_spark.streaming import ingest as st
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = st.point_stream_from_files(
+        spark, sf_dir, schema, path_glob="events.parquet"
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    rollup = st.windowed_rollup(
+        stream,
+        "ts",
+        "1 hour",
+        [
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ],
+        group_cols=["event_type"],
+    )
+    name = f"q26_out_{uuid.uuid4().hex[:8]}"
+    st.run_to_memory(rollup, name, output_mode="complete")
+    return spark.table(name).select(
+        F.col("window.start").alias("hour"), "event_type", "n", "sum_value"
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -491,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_doc_fingerprint": q23_doc_fingerprint,
         "q24_ann_cosine_topk": q24_ann_cosine_topk,
         "q25_embedding_near_dup": q25_embedding_near_dup,
+        "q26_stream_hourly_rollup": q26_stream_hourly_rollup,
     }
 
 
@@ -776,6 +821,13 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY doc_id, t
             )
             SELECT doc_id, md5(t) AS content_fp, shingle_fp FROM sfp
+        """,
+        "q26_stream_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "q24_ann_cosine_topk": """
             WITH emb AS (

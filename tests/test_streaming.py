@@ -1,0 +1,110 @@
+"""Structured Streaming ingest and streaming-operator tests.
+
+Finite file-source streams driven synchronously (availableNow +
+awaitTermination) — the local smoke protocol for streaming plans.
+"""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinyflux_spark import FieldQuery, Point, TinyFluxSpark
+from tinyflux_spark.schema import POINT_SCHEMA, points_to_df
+from tinyflux_spark.storages import ParquetStorage
+from tinyflux_spark.streaming import ingest
+
+T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def mk_source(spark, tmp_path, n=50):
+    pts = [
+        Point(
+            time=T0 + timedelta(minutes=7 * i),
+            measurement="m1" if i % 2 else "m2",
+            tags={"s": str(i % 3)},
+            fields={"v": float(i)},
+        )
+        for i in range(n)
+    ]
+    src = str(tmp_path / "src")
+    points_to_df(spark, pts).write.mode("overwrite").parquet(src)
+    return src, pts
+
+
+def test_stream_insert_into_parquet_storage(spark, tmp_path):
+    src, pts = mk_source(spark, tmp_path)
+    store = ParquetStorage(str(tmp_path / "db"), spark)
+    stream = ingest.point_stream_from_files(spark, src, POINT_SCHEMA)
+    q = ingest.stream_insert(
+        store,
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    db = TinyFluxSpark(storage=store, spark=spark)
+    assert len(db) == 50
+    # engine queries work on stream-ingested data
+    assert db.count(FieldQuery().v >= 25) == 25
+    # insertion-order APIs survive the stream boundary
+    got = db.get(FieldQuery().v >= 10)
+    assert got is not None and got.fields["v"] >= 10.0
+
+
+def test_windowed_rollup_matches_batch(spark, tmp_path):
+    src, pts = mk_source(spark, tmp_path)
+    stream = ingest.point_stream_from_files(spark, src, POINT_SCHEMA)
+    rollup = ingest.windowed_rollup(
+        stream,
+        "time",
+        "1 hour",
+        [F.count("*").alias("n"), F.sum(F.col("fields")["v"]).alias("sv")],
+        group_cols=["measurement"],
+    )
+    ingest.run_to_memory(rollup, "rollup_out")
+    got = {
+        (r["window"]["start"], r["measurement"]): (r["n"], r["sv"])
+        for r in spark.table("rollup_out").collect()
+    }
+    batch = (
+        points_to_df(spark, pts)
+        .groupBy(F.window("time", "1 hour").alias("w"), "measurement")
+        .agg(F.count("*").alias("n"), F.sum(F.col("fields")["v"]).alias("sv"))
+        .collect()
+    )
+    want = {
+        (r["w"]["start"], r["measurement"]): (r["n"], r["sv"]) for r in batch
+    }
+    assert got == want
+
+
+def test_stream_dedup(spark, tmp_path):
+    pts = [
+        Point(time=T0, measurement="m", tags={"s": "1"}, fields={"v": 1.0}),
+        Point(time=T0, measurement="m", tags={"s": "1"}, fields={"v": 1.0}),
+        Point(time=T0 + timedelta(minutes=1), measurement="m",
+              tags={"s": "1"}, fields={"v": 2.0}),
+    ]
+    src = str(tmp_path / "dup_src")
+    points_to_df(spark, pts).write.mode("overwrite").parquet(src)
+    stream = ingest.point_stream_from_files(spark, src, POINT_SCHEMA)
+    deduped = ingest.stream_dedup(stream, ["measurement"], "time")
+    ingest.run_to_memory(deduped, "dedup_out", output_mode="append")
+    assert spark.table("dedup_out").count() == 2
+
+
+def test_stream_insert_with_watermark_runs(spark, tmp_path):
+    src, _ = mk_source(spark, tmp_path, n=20)
+    store = ParquetStorage(str(tmp_path / "db2"), spark)
+    stream = ingest.point_stream_from_files(spark, src, POINT_SCHEMA)
+    q = ingest.stream_insert(
+        store,
+        stream,
+        watermark="30 minutes",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    assert store.read().count() == 20

@@ -215,26 +215,34 @@ class SimpleQuery(Query):
         return self._compile_map(col)
 
     def _compile_scalar(self, col: Column) -> Column:
+        # ``time`` and ``measurement`` are non-null by the data model
+        # (time stamped at insert, measurement defaults to "_default" —
+        # reference point.py:100, database.py:1274-1278), so plain
+        # comparisons are exact AND remain pushdown-eligible; a
+        # coalesce/null-safe wrapper here would block parquet pushdown.
         rhs = self.rhs
         if self.op == EQ:
-            return col.eqNullSafe(F.lit(rhs))
+            if rhs is None:
+                return F.lit(False)
+            return col == F.lit(rhs)
         if self.op == NE:
-            return ~col.eqNullSafe(F.lit(rhs))
+            if rhs is None:
+                return F.lit(True)
+            return col != F.lit(rhs)
         if self.op in _ORDERED:
             if rhs is None:
                 return F.lit(False)
-            cmp = {
+            return {
                 LT: col < F.lit(rhs),
                 LE: col <= F.lit(rhs),
                 GT: col > F.lit(rhs),
                 GE: col >= F.lit(rhs),
             }[self.op]
-            return F.coalesce(cmp, F.lit(False))
         if self.op in (MATCHES, SEARCH):
             pat = _to_java_regex(self.rhs, self.regex_flags)
             if self.op == MATCHES:
                 pat = "^(?:" + pat + ")"
-            return F.coalesce(col.rlike(pat), F.lit(False))
+            return col.rlike(pat)
         if self.op == EXISTS:
             return col.isNotNull()
         raise ValueError(f"Unsupported operator {self.op}")

@@ -1,0 +1,138 @@
+"""Structured Streaming ingestion and streaming operators.
+
+The reference's "streaming" is high-frequency appends — an MQTT consumer
+buffering messages on a queue.Queue and inserting from a writer thread
+(reference examples/3_iot_datastore_with_mqtt.py:1-120); out-of-order
+arrivals just invalidate its index (reference database.py:1280-1287).
+The Spark-native equivalent is a real streaming pipeline:
+
+    readStream (file/kafka/socket/rate) → canonical Point schema →
+    writeStream.foreachBatch(storage.append_df)
+
+* Out-of-order policy matches the reference by default: accept
+  everything (parquet stats don't need global order, so disorder costs
+  nothing here, unlike the reference's index invalidation). An optional
+  watermark turns on bounded-lateness dropping *(extension)*.
+* ``foreachBatch`` gives per-micro-batch atomic appends through the same
+  manifest-stamped ``_seq`` path as batch inserts, so insertion-order
+  APIs keep working across the batch/stream boundary.
+* Windowed rollups / streaming dedup are thin factories over
+  ``withWatermark`` + ``window()`` / ``dropDuplicates`` — the operators
+  a TinyFlux user upgrades to when one process stops being enough.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..storages import Storage
+
+
+def point_stream_from_files(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    path_glob: Optional[str] = None,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-source stream (the smoke-testable source; swap for kafka in
+    production — the downstream pipeline is identical)."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def stream_insert(
+    storage: Storage,
+    points_stream: DataFrame,
+    watermark: Optional[str] = None,
+    ts_col: str = "time",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Append a canonical-schema stream into a storage backend.
+
+    Returns the StreamingQuery. With ``watermark`` set, late rows beyond
+    the bound are dropped (extension); default accepts all disorder
+    (reference semantics).
+    """
+    df = points_stream
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        storage.append_df(batch_df)
+
+    writer = df.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_rollup(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    agg_exprs: Sequence,
+    group_cols: Sequence[str] = (),
+    slide: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Streaming tumbling/sliding window aggregation.
+
+    With a watermark the query can run in append mode with bounded
+    state; without one, use complete/update output modes.
+    """
+    df = stream
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    w = (
+        F.window(ts_col, window_duration, slide)
+        if slide
+        else F.window(ts_col, window_duration)
+    )
+    return df.groupBy(w.alias("window"), *group_cols).agg(*agg_exprs)
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact-duplicate suppression within the watermark horizon
+    (state bounded by the watermark — required at scale; unbounded
+    dropDuplicates state would grow forever)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(
+        [*keys, ts_col]
+    )
+
+
+def run_to_memory(
+    result: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+) -> None:
+    """Execute a finite (availableNow) streaming query into an in-memory
+    table synchronously — the local smoke path for streaming plans."""
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.exception() is not None:
+        raise q.exception()
