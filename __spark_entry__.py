@@ -354,8 +354,9 @@ def q17_dedup_exact(spark, sf_dir):
 
 
 def q18_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join);
-    ground truth for the MinHash-LSH path."""
+    """Exact word-3-gram Jaccard near-dup pairs via a prefix-filtered
+    set-similarity join (AllPairs/PPJoin); ground truth for the
+    MinHash-LSH path."""
     from tinyflux_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
@@ -366,8 +367,9 @@ def q18_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def q19_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash(12 md5 hashes) banded 4x3 → candidate pairs → exact
-    Jaccard verify ≥ 0.35. Sub-quadratic near-dup dedup."""
+    """MinHash(12 md5 hashes) over word-3-gram shingles, banded 4x3 →
+    candidate pairs → exact Jaccard verify on candidates only.
+    Sub-quadratic near-dup dedup."""
     from tinyflux_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -548,9 +550,14 @@ norm AS (
 )"""
 
 _SHINGLE_CTE = _NORM_CTE + """,
+words AS (
+    SELECT doc_id, string_split(t, ' ') AS w FROM norm
+),
 sh AS (
-    SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS shingle
-    FROM norm, UNNEST(range(1, greatest(length(t) - 2, 1) + 1)) AS r(i)
+    SELECT DISTINCT doc_id,
+           array_to_string(w[CAST(i AS INT):CAST(i + 2 AS INT)],
+                           ' ') AS shingle
+    FROM words, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS r(i)
 ),
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 pairs AS (

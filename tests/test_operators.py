@@ -40,8 +40,10 @@ def test_exact_dedup(docs):
 
 
 def test_ngram_jaccard_pairs(docs):
+    # word-3 shingles: doc 1 ("jumped") shares 4 of 10 union shingles
+    # with doc 0 → jaccard 0.4
     pairs = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", threshold=0.5
+        docs, "doc_id", threshold=0.35
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 3) in got  # exact dup → jaccard 1.0
@@ -49,12 +51,24 @@ def test_ngram_jaccard_pairs(docs):
     assert all(a < b for a, b in got)
     j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
     assert j[(0, 3)] == 1.0
-    assert 0.5 <= j[(0, 1)] < 1.0
+    assert 0.35 <= j[(0, 1)] < 1.0
+
+
+def test_ngram_jaccard_pairs_char_unit(docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.5, unit="char"
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got and (0, 1) in got
 
 
 def test_minhash_lsh_finds_near_dups(docs):
+    # char unit here: (0,1) char-3 jaccard ≈ 0.86, so banding collides
+    # with near-certainty; word-unit jaccard 0.4 would make the band
+    # collision a coin flip on so small a signature.
     pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", num_hashes=12, bands=4, verify_threshold=0.5
+        docs, "doc_id", num_hashes=12, bands=4, verify_threshold=0.5,
+        unit="char",
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 3) in got

@@ -68,27 +68,92 @@ def char_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text.
+
+    The default shingle unit for near-dup detection: word n-grams have
+    orders-of-magnitude higher entropy than character n-grams (which on
+    natural text concentrate on a few hundred hot trigrams whose
+    inverted-index fan-out is quadratic in corpus size). Word shingling
+    is the standard unit in large-corpus dedup pipelines (C4 / GPT-3
+    style 13-gram dedup uses the same construction).
+    """
+    w = F.split(F.trim(_norm_text(text_col)), r"\s+")
+    k = F.greatest(F.size(w) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def shingle_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    unit: str = "word",
+) -> DataFrame:
+    """(id, sh: array<string>, n_shingles) — one row per document.
+
+    Fully narrow (no shuffle): the distinct-shingle set and its size are
+    computed per row from the text column. ``unit`` is ``"word"``
+    (default, see :func:`word_shingles`) or ``"char"``.
+
+    The normalized text / token array is projected FIRST, then shingled
+    from the projected column: referencing the normalization expression
+    directly inside the ``transform`` lambda re-evaluates the
+    regexp/split once per sequence element (~10x slower on real text).
+    """
+    if unit == "word":
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(_norm_text(text_col)), r"\s+").alias("_w"),
+        )
+        w = F.col("_w")
+        k = F.greatest(F.size(w) - (n - 1), F.lit(1))
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"), _norm_text(text_col).alias("_t")
+        )
+        c = F.col("_t")
+        k = F.greatest(F.length(c) - (n - 1), F.lit(1))
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k), lambda i: c.substr(i, F.lit(n))
+            )
+        )
+    return base.select("id", sh.alias("sh")).withColumn(
+        "n_shingles", F.size("sh")
+    )
+
+
 def shingle_table(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     n: int = 3,
     max_shingle_freq: Optional[int] = None,
+    unit: str = "word",
 ) -> DataFrame:
     """(id, shingle, n_shingles) exploded inverted-index rows.
 
-    ``max_shingle_freq`` drops shingles appearing in more than that many
-    documents — the df-cut that caps self-join fan-out (a shingle shared
-    by 1M docs would otherwise emit 10^12 pairs).
+    ``n_shingles`` comes from the array size BEFORE the explode — no
+    count-and-join-back shuffle. ``max_shingle_freq`` drops shingles
+    appearing in more than that many documents — the df-cut that caps
+    self-join fan-out (a shingle shared by 1M docs would otherwise emit
+    10^12 pairs).
     """
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(char_shingles(text_col, n)).alias("shingle"),
-        )
+    sh = shingle_sets(df, id_col, text_col, n, unit).select(
+        "id", "n_shingles", F.explode("sh").alias("shingle")
     )
-    counts = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    sh = sh.join(counts, "id")
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         sh = (
@@ -105,6 +170,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: Optional[int] = None,
+    unit: str = "word",
 ) -> DataFrame:
     """All document pairs with Jaccard(shingles_a, shingles_b) >= t.
 
@@ -113,26 +179,75 @@ def ngram_jaccard_pairs(
     worst case — use minhash_lsh_pairs at corpus scale; this is the
     ground-truth operator the LSH variant is verified against.
     """
-    sh = shingle_table(df, id_col, text_col, n, max_shingle_freq)
-    a = sh.select(
-        F.col("shingle"),
+    from pyspark.sql import Window
+
+    sets = shingle_sets(df, id_col, text_col, n, unit)
+    sh = sets.select("id", "n_shingles", F.explode("sh").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq_cut = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = (
+            sh.join(
+                freq_cut.where(F.col("_df") <= max_shingle_freq), "shingle"
+            ).drop("_df")
+        )
+
+    # Prefix filtering (AllPairs/PPJoin): two docs with Jaccard >= t MUST
+    # share a shingle within each one's first (n - ceil(t*n) + 1)
+    # shingles under a fixed global order. Ordering by ascending document
+    # frequency puts the RAREST shingles in the prefix, so the candidate
+    # join fans out on rare keys instead of stop-shingles — this is what
+    # turns the O(sum df^2) hot-key blow-up into candidates proportional
+    # to true near-duplicates. Exact: no false negatives.
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("_gdf"))
+    ranked = sh.join(freq, "shingle").withColumn(
+        "_pos",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("_gdf", "shingle")
+        ),
+    )
+    # +1 slack on the prefix bound guards float rounding in t*n.
+    prefix_len = (
+        F.col("n_shingles")
+        - F.ceil(F.lit(threshold) * F.col("n_shingles"))
+        + F.lit(2)
+    )
+    pre = ranked.where(F.col("_pos") <= prefix_len).select(
+        "shingle", "id", "n_shingles"
+    )
+    a = pre.select(
+        "shingle", F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a")
+    )
+    b = pre.select(
+        "shingle", F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b")
+    )
+    cands = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: Jaccard >= t implies min(|A|,|B|)/max >= t
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Verify candidates in-row against the full shingle sets.
+    sa = sets.select(
         F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
         F.col("n_shingles").alias("n_a"),
     )
-    b = sh.select(
-        F.col("shingle"),
+    sb = sets.select(
         F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
         F.col("n_shingles").alias("n_b"),
     )
-    pairs = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("common"))
-    )
-    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = common / (F.col("n_a") + F.col("n_b") - common)
     return (
-        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -143,6 +258,7 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 12,
+    unit: str = "word",
 ) -> DataFrame:
     """(id, sig: array<string>) — k independent min-hashes per document.
 
@@ -150,37 +266,30 @@ def minhash_signatures(
     set approximates a uniform permutation minimum. One explode + one
     groupBy; md5 keeps it reproducible in any SQL engine.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(char_shingles(text_col, n)).alias("shingle"),
+    # One explode, then a single groupBy(id) carrying k codegen'd min()
+    # aggregates. Partial (map-side) aggregation reduces each partition
+    # to k hashes per doc BEFORE the shuffle, so the exchange moves
+    # O(docs × k) bytes regardless of shingle count. (A "narrow"
+    # nested-lambda variant — array_min(transform(sh, md5)) per seed —
+    # avoids the shuffle but falls off the codegen path and evaluates
+    # k×|shingles| interpreted md5s per row: ~5× slower end-to-end.)
+    sh = shingle_sets(df, id_col, text_col, n, unit).select(
+        "id", F.explode("sh").alias("shingle")
     )
-    hashed = sh.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.struct(
-                    i.alias("h"),
-                    F.md5(
-                        F.concat(
-                            i.cast("string"), F.lit(":"), F.col("shingle")
-                        )
-                    ).alias("v"),
-                ),
-            )
-        ).alias("hv"),
-    )
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        ).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
     return (
-        hashed.groupBy("id", F.col("hv.h").alias("h"))
-        .agg(F.min("hv.v").alias("minhash"))
-        .groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("h"), F.col("minhash")))
-                ),
-                lambda s: s["minhash"],
-            ).alias("sig")
+        sh.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias(
+                "sig"
+            ),
         )
     )
 
@@ -193,6 +302,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     verify_threshold: Optional[float] = 0.5,
+    unit: str = "word",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
@@ -205,7 +315,7 @@ def minhash_lsh_pairs(
     pairs (id_a, id_b) are returned unverified.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, unit)
     banded = sigs.select(
         "id",
         F.explode(
@@ -232,11 +342,28 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cands
-    exact = ngram_jaccard_pairs(
-        df, id_col, text_col, n, threshold=0.0
-    ).withColumnRenamed("jaccard", "jaccard")
+    # Verify CANDIDATES ONLY: join each candidate pair to the two
+    # per-doc shingle sets and compute exact Jaccard in-row with
+    # array_intersect. Cost scales with |candidates|, preserving the
+    # sub-quadratic property (verifying via the all-pairs exact operator
+    # would re-introduce the O(n^2) join LSH exists to avoid).
+    sets = shingle_sets(df, id_col, text_col, n, unit)
+    sa = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = common / (F.col("n_a") + F.col("n_b") - common)
     return (
-        cands.join(exact, ["id_a", "id_b"])
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= verify_threshold)
     )
 
@@ -256,44 +383,35 @@ def simhash(
     False uses xxhash64 (faster, Spark-only). Similar docs differ in few
     bits (hamming distance).
     """
-    tokens = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.split(F.trim(_norm_text(text_col)), r"\s+")
-        ).alias("tok"),
-    ).where(F.col("tok") != "")
-    if use_md5:
-        h = F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10).cast(
-            "long"
-        )
-    else:
-        h = F.xxhash64(F.col("tok"))
-    # bit positions are Python ints so shiftright gets literal counts;
-    # the explode fans each token into `bits` (bit, vote) rows.
-    bit_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("bit"),
-                (
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
-                ).cast("long").alias("vote"),
+    # Signature is per-document: hash the in-row token array once, then
+    # for each bit sum the ±1 votes with F.aggregate over the hash
+    # array. Fully narrow — no explode, no shuffle (the alternative
+    # explodes |tokens| × bits rows through two groupBys).
+    def _tok_hash(tok: Column) -> Column:
+        if use_md5:
+            return F.conv(F.substring(F.md5(tok), 1, bits // 4), 16, 10).cast(
+                "long"
             )
-            for i in range(bits)
-        ]
+        return F.xxhash64(tok)
+
+    toks = F.filter(
+        F.split(F.trim(_norm_text(text_col)), r"\s+"), lambda t: t != ""
     )
-    per_bit = tokens.select(
-        "id", F.explode(bit_structs).alias("bv")
-    ).select("id", F.col("bv.bit").alias("bit"), F.col("bv.vote").alias("vote"))
-    return (
-        per_bit.groupBy("id", "bit")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy("id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
+    hashes = F.transform(toks, _tok_hash)
+
+    def _bit(i: int) -> Column:
+        vote_sum = F.aggregate(
+            F.col("_h"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
         )
+        return F.when(
+            vote_sum > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    sig = sum((_bit(i) for i in range(bits)), F.lit(0).cast("long"))
+    return (
+        df.select(F.col(id_col).alias("id"), hashes.alias("_h"))
+        .select("id", sig.alias("simhash"))
     )

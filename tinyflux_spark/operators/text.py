@@ -140,12 +140,19 @@ def shingle_fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 8) -
     """Rolling-hash document fingerprint: minimum md5 over character
     n-gram shingles of the normalized text (winnowing-style; robust to
     local edits, unlike the whole-document hash)."""
-    c = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # Project the normalized text first: referencing the regexp inside
+    # the transform lambda would re-evaluate it per sequence element.
+    base = df.select(
+        F.col(id_col),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        .alias("_t"),
+    )
+    c = F.col("_t")
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
         lambda i: F.md5(c.substr(i, F.lit(n))),
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         F.array_min(shingles).alias("shingle_fp"),
     )
