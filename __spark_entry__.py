@@ -445,14 +445,42 @@ def q24_ann_cosine_topk(spark, sf_dir):
 
 def q25_embedding_near_dup(spark, sf_dir):
     """Embedding near-duplicate pairs: cosine >= 0.35 via SRP-LSH bucket
-    join + exact verify. (No SQL oracle: the LSH bucketing is
-    engine-side; rows-only check. The exact-threshold variant is
-    cross-checked through q24's exact math.)"""
+    join + exact verify. The oracle replicates the pipeline with the
+    SAME hyperplane constants (seeded, inlined into the SQL), so the
+    bucket equi-join and the cosine verify are both checked."""
     from tinyflux_spark.operators.similarity import near_dup_pairs
 
     emb = _t("embeddings")(spark, sf_dir)
     return near_dup_pairs(emb, threshold=0.35, num_planes=2).select(
         "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+def q27_simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup pairs with hamming <= 3 via pigeonhole banding
+    (4 bands of 8 bits; a pair within hamming 3 must agree on >= 1
+    band) + exact bit_count(xor) verify on candidates only."""
+    from tinyflux_spark.operators.dedup import simhash_pairs
+
+    docs = _t("documents")(spark, sf_dir)
+    return simhash_pairs(
+        docs, "doc_id", bits=32, max_hamming=3, use_md5=True
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q28_sessionize(spark, sf_dir):
+    """Gap-based sessionization (gaps-and-islands): per-user sessions
+    with a 30-minute inactivity gap; one shuffle on user_id, one window
+    pass. Batch twin of streaming session_window."""
+    from tinyflux_spark.operators.aggregates import session_stats
+
+    ev = _t("events")(spark, sf_dir)
+    return session_stats(ev, "user_id", "ts", 1800.0).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
     )
 
 
@@ -538,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_ann_cosine_topk": q24_ann_cosine_topk,
         "q25_embedding_near_dup": q25_embedding_near_dup,
         "q26_stream_hourly_rollup": q26_stream_hourly_rollup,
+        "q27_simhash_hamming_pairs": q27_simhash_hamming_pairs,
+        "q28_sessionize": q28_sessionize,
     }
 
 
@@ -623,10 +653,11 @@ def _lang_id_oracle_sql() -> str:
     """
 
 
-def _simhash_oracle_sql() -> str:
+def _simhash_sig_cte() -> str:
+    """CTE chain ending in sigs(doc_id, simhash) — shared by the q20
+    signature oracle and the q27 hamming-pair oracle."""
     h = _hex_to_int_sql("md5(tok)", 8)
-    return f"""
-        WITH {_NORM_CTE},
+    return f"""{_NORM_CTE},
         toks AS (
             SELECT doc_id, tok FROM (
                 SELECT doc_id,
@@ -640,14 +671,83 @@ def _simhash_oracle_sql() -> str:
                    SUM(((hv >> CAST(bit AS INT)) & 1) * 2 - 1) AS s
             FROM hashed, UNNEST(range(0, 32)) AS t(bit)
             GROUP BY 1, 2
+        ),
+        sigs AS (
+            SELECT doc_id, CAST(simhash_raw AS BIGINT) AS simhash FROM (
+            SELECT doc_id,
+                   SUM(CASE WHEN s > 0
+                       THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                       AS simhash_raw
+            FROM votes GROUP BY doc_id
+            )
+        )"""
+
+
+def _simhash_oracle_sql() -> str:
+    return f"""
+        WITH {_simhash_sig_cte()}
+        SELECT doc_id, simhash FROM sigs
+    """
+
+
+def _simhash_pairs_oracle_sql(max_hamming: int = 3, bits: int = 32) -> str:
+    nb = max_hamming + 1
+    w = bits // nb
+    mask = (1 << w) - 1
+    return f"""
+        WITH {_simhash_sig_cte()},
+        banded AS (
+            SELECT doc_id, simhash, CAST(band AS INT) AS band,
+                   (simhash >> (CAST(band AS INT) * {w})) & {mask} AS bval
+            FROM sigs, UNNEST(range(0, {nb})) AS t(band)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sig_a, b.simhash AS sig_b
+            FROM banded a
+            JOIN banded b ON a.band = b.band AND a.bval = b.bval
+            WHERE a.doc_id < b.doc_id
         )
-        SELECT doc_id, CAST(simhash_raw AS BIGINT) AS simhash FROM (
-        SELECT doc_id,
-               SUM(CASE WHEN s > 0
-                   THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-                   AS simhash_raw
-        FROM votes GROUP BY doc_id
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+def _near_dup_oracle_sql(threshold: float = 0.35, num_planes: int = 2,
+                         dim: int = 64, seed: int = 42) -> str:
+    """Replicates near_dup_pairs with the SAME seeded hyperplanes the
+    Spark operator uses, inlined as SQL list literals — the bucket
+    equi-join and exact-cosine verify are both oracle-checked."""
+    from tinyflux_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(dim, num_planes, seed)
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lit}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    return f"""
+        WITH emb AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        b AS (SELECT vec_id, e, {bucket} AS bucket FROM emb),
+        pairs AS (
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   list_dot_product(a.e, c.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(c.e, c.e))) AS cs
+            FROM b a JOIN b c USING (bucket)
+            WHERE a.vec_id < c.vec_id
         )
+        SELECT id_a, id_b, ROUND(cs, 6) AS cosine_sim
+        FROM pairs WHERE cs >= {threshold}
     """
 
 
@@ -851,5 +951,31 @@ def oracle_sql() -> dict[str, str]:
                          6) AS cosine_sim
             FROM emb, q WHERE vec_id <> 0
             ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
+        "q25_embedding_near_dup": _near_dup_oracle_sql(
+            threshold=0.35, num_planes=2, dim=64, seed=42
+        ),
+        "q27_simhash_hamming_pairs": _simhash_pairs_oracle_sql(
+            max_hamming=3, bits=32
+        ),
+        "q28_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                       THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY 1, 2
         """,
     }

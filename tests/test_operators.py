@@ -263,3 +263,29 @@ def test_frame_sample(spark):
         by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert by_id[0] == [0, 10, 20, 30]  # n_frames=40 → 4 samples
     assert all(len(v) <= 4 for v in by_id.values())
+
+
+def test_simhash_pairs_hamming(docs):
+    pairs = dedup.simhash_pairs(
+        docs, "doc_id", bits=32, max_hamming=6
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((0, 3)) == 0          # identical text
+    assert (0, 1) in got                 # near dup within the ball
+    assert all(h <= 6 for h in got.values())
+
+
+def test_sessionize_gaps_and_islands(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0),
+        ("u1", t0 + timedelta(minutes=5)),    # same session
+        ("u1", t0 + timedelta(minutes=60)),   # gap > 30m → new session
+        ("u2", t0),                           # other key independent
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = aggregates.session_stats(df, "user_id", "ts", 1800.0).collect()
+    stats = {(r["user_id"], r["session_id"]): r["n_events"] for r in out}
+    assert stats == {("u1", 1): 2, ("u1", 2): 1, ("u2", 1): 1}

@@ -164,3 +164,50 @@ def asof_join(
             *[F.col(f"{c}_asof") for c in rcols],
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_seconds: float,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids per key (gaps-and-islands).
+
+    A new session starts when the time since the key's previous event
+    exceeds ``gap_seconds``. One shuffle on ``key_col``; the running
+    sum is a single window pass (no self-join). Session ids are
+    1-based and contiguous per key.
+
+    This is the batch equivalent of Structured Streaming's
+    ``session_window`` (see streaming.ingest.session_rollup).
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col)
+    t = F.col(time_col).cast("timestamp").cast("double")
+    prev = F.lag(t).over(w)
+    is_new = F.when(
+        prev.isNull() | ((t - prev) > F.lit(float(gap_seconds))), 1
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Per-session bounds and event counts:
+    (key, session_id, session_start, session_end, n_events)."""
+    s = sessionize(df, key_col, time_col, gap_seconds)
+    return s.groupBy(key_col, "session_id").agg(
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

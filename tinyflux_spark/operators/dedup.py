@@ -415,3 +415,67 @@ def simhash(
         df.select(F.col(id_col).alias("id"), hashes.alias("_h"))
         .select("id", sig.alias("simhash"))
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    use_md5: bool = True,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole banding: split the signature into (max_hamming + 1) bit
+    bands — two signatures within hamming distance k must agree EXACTLY
+    on at least one band, so candidates come from an equality join on
+    (band, band_bits) and are verified with bit_count(xor). The join
+    fans out on band collisions (near-dups plus chance byte matches),
+    never on the |docs|^2 cross product.
+    """
+    nb = max_hamming + 1
+    w = bits // nb
+    sigs = simhash(df, id_col, text_col, bits, use_md5)
+    band_structs = []
+    for j in range(nb):
+        lo = j * w
+        width = bits - lo if j == nb - 1 else w
+        mask = (1 << width) - 1
+        band_structs.append(
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("simhash"), lo)
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+        )
+    banded = sigs.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("b")
+    ).select(
+        "id",
+        "simhash",
+        F.col("b.band").alias("band"),
+        F.col("b.bval").alias("bval"),
+    )
+    a = banded.select(
+        "band",
+        "bval",
+        F.col("id").alias("id_a"),
+        F.col("simhash").alias("sig_a"),
+    )
+    b = banded.select(
+        "band",
+        "bval",
+        F.col("id").alias("id_b"),
+        F.col("simhash").alias("sig_b"),
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

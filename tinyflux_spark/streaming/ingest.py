@@ -136,3 +136,30 @@ def run_to_memory(
     q.awaitTermination(timeout_sec)
     if q.exception() is not None:
         raise q.exception()
+
+
+def session_rollup(
+    stream_df: DataFrame,
+    key_col: str,
+    time_col: str = "time",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based session aggregation via ``session_window``.
+
+    State per open session is bounded by the watermark: sessions close
+    (and emit) once the watermark passes their end + gap. The batch
+    equivalent (identical session boundaries) is
+    operators.aggregates.sessionize.
+    """
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
