@@ -54,6 +54,20 @@ def test_time_filter_pushed_to_parquet_scan(pq_db):
     assert "GreaterThanOrEqual(time" in plan
 
 
+def test_time_range_prunes_date_partitions(pq_db):
+    # A time range implies pdate bounds; the injected partition
+    # conjunct must appear in PartitionFilters (directory-level
+    # pruning — the scale replacement for the reference's timestamp
+    # bisect index, reference index.py:719-821).
+    q = (TimeQuery() >= T0 + timedelta(hours=10)) & (
+        TimeQuery() <= T0 + timedelta(hours=15)
+    )
+    plan = plan_of(pq_db.search_df(q))
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters")[1][:300]
+    assert "pdate" in part
+
+
 def test_measurement_filter_prunes_partitions(pq_db):
     q = MeasurementQuery() == "weather"
     plan = plan_of(pq_db.search_df(q))

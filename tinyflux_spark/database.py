@@ -43,13 +43,23 @@ from pyspark.sql import types as T
 from .point import Point
 from .queries import (
     EQ,
+    GE,
+    GT,
+    LE,
+    LT,
     CompoundQuery,
     MeasurementQuery,
     Query,
     SimpleQuery,
 )
 from .schema import SEQ_COL, get_spark
-from .storages import CSVStorage, MemoryStorage, ParquetStorage, Storage
+from .storages import (
+    CSVStorage,
+    MemoryStorage,
+    ParquetStorage,
+    PDATE_COL,
+    Storage,
+)
 
 
 def _as_query(q: Any) -> Query:
@@ -86,6 +96,50 @@ def _prunable_measurements(q: Query) -> Optional[List[str]]:
                 return sorted(set(a) | set(b))
             return None
     return None
+
+
+def _prunable_time_bounds(q: Query):
+    """(lo, hi) datetime bounds implied by the predicate, or Nones.
+
+    Drives directory-level pruning on the ``pdate`` partition column —
+    the scale analog of the reference's sorted-timestamp bisect
+    (reference index.py:719-821, utils.py:61-148). Sound, not complete:
+    a bound is returned only when EVERY row matching the predicate
+    satisfies it (AND tightens, OR widens-or-gives-up, NOT gives up).
+    """
+    if isinstance(q, SimpleQuery):
+        none = (None, None)
+        if q.attr != "time" or q.path or q.func is not None:
+            return none
+        if not isinstance(q.rhs, datetime):
+            return none
+        if q.op in (GE, GT):
+            return (q.rhs, None)
+        if q.op in (LE, LT):
+            return (None, q.rhs)
+        if q.op == EQ:
+            return (q.rhs, q.rhs)
+        return none
+    if isinstance(q, CompoundQuery):
+        if q.op == "and":
+            lo1, hi1 = _prunable_time_bounds(q.q1)
+            lo2, hi2 = _prunable_time_bounds(q.q2)
+            lo = max((x for x in (lo1, lo2) if x is not None), default=None)
+            hi = min((x for x in (hi1, hi2) if x is not None), default=None)
+            return (lo, hi)
+        if q.op == "or":
+            lo1, hi1 = _prunable_time_bounds(q.q1)
+            lo2, hi2 = _prunable_time_bounds(q.q2)
+            lo = min(lo1, lo2) if lo1 is not None and lo2 is not None else None
+            hi = max(hi1, hi2) if hi1 is not None and hi2 is not None else None
+            return (lo, hi)
+    return (None, None)
+
+
+def _utc_date_str(t: datetime) -> str:
+    if t.tzinfo is not None:
+        t = t.astimezone(timezone.utc)
+    return t.strftime("%Y-%m-%d")
 
 
 class TinyFluxSpark:
@@ -127,7 +181,7 @@ class TinyFluxSpark:
 
     def dataframe(self, with_seq: bool = False) -> DataFrame:
         """The canonical DataFrame over the store (Spark-native surface)."""
-        df = self._storage.read()
+        df = self._storage.read().drop(PDATE_COL)
         return df if with_seq else df.drop(SEQ_COL)
 
     def close(self) -> None:
@@ -207,8 +261,20 @@ class TinyFluxSpark:
         if measurement is not None:
             df = df.where(F.col("measurement") == measurement)
         if query is not None:
-            df = df.where(_as_query(query).compile())
-        return df
+            query = _as_query(query)
+            # Inject pdate partition conjuncts implied by time bounds —
+            # directory-level pruning on top of the row-level predicate
+            # (the partition column carries the filter Catalyst can
+            # prune on; the time column's parquet min/max stats then
+            # skip row groups within surviving partitions).
+            if PDATE_COL in df.columns:
+                lo, hi = _prunable_time_bounds(query)
+                if lo is not None:
+                    df = df.where(F.col(PDATE_COL) >= _utc_date_str(lo))
+                if hi is not None:
+                    df = df.where(F.col(PDATE_COL) <= _utc_date_str(hi))
+            df = df.where(query.compile())
+        return df.drop(PDATE_COL)
 
     @staticmethod
     def _collect_points(df: DataFrame) -> List[Point]:

@@ -36,8 +36,21 @@ from typing import Iterable, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from .point import Point
 from .schema import POINT_SCHEMA_SEQ, SEQ_COL, points_to_df
+
+#: Partition column: UTC calendar date of ``time``. Directory-level
+#: time-range pruning — the scale replacement for the reference's
+#: sorted-timestamp bisect index (reference index.py:719-821).
+PDATE_COL = "pdate"
+
+#: On-disk schema: canonical + _seq + the date partition column.
+POINT_SCHEMA_PARTS = T.StructType(
+    POINT_SCHEMA_SEQ.fields
+    + [T.StructField(PDATE_COL, T.StringType(), True)]
+)
 
 
 class Storage:
@@ -169,11 +182,17 @@ class ParquetStorage(Storage):
 
     # -- IO ---------------------------------------------------------------
     def read(self) -> DataFrame:
+        """Canonical columns + ``_seq`` + the ``pdate`` partition column
+        (the DB layer injects pdate range conjuncts derived from time
+        predicates, then drops the column)."""
         if self._is_empty():
-            return self.spark.createDataFrame([], POINT_SCHEMA_SEQ)
-        df = self.spark.read.schema(POINT_SCHEMA_SEQ).parquet(self.data_dir)
-        # partition column comes back as measurement; reorder to canon.
-        return df.select("time", "measurement", "tags", "fields", SEQ_COL)
+            return self.spark.createDataFrame([], POINT_SCHEMA_PARTS)
+        df = self.spark.read.schema(POINT_SCHEMA_PARTS).parquet(
+            self.data_dir
+        )
+        return df.select(
+            "time", "measurement", "tags", "fields", SEQ_COL, PDATE_COL
+        )
 
     def append_points(self, points: List[Point]) -> None:
         if not points:
@@ -208,8 +227,11 @@ class ParquetStorage(Storage):
 
     def _write_append(self, df_seq: DataFrame) -> None:
         (
-            df_seq.write.mode("append")
-            .partitionBy("measurement")
+            df_seq.withColumn(
+                PDATE_COL, F.date_format("time", "yyyy-MM-dd")
+            )
+            .write.mode("append")
+            .partitionBy("measurement", PDATE_COL)
             .parquet(self.data_dir)
         )
 
@@ -219,8 +241,9 @@ class ParquetStorage(Storage):
         stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex[:8]}")
         (
             df.select("time", "measurement", "tags", "fields", SEQ_COL)
+            .withColumn(PDATE_COL, F.date_format("time", "yyyy-MM-dd"))
             .write.mode("overwrite")
-            .partitionBy("measurement")
+            .partitionBy("measurement", PDATE_COL)
             .parquet(stage)
         )
         if measurements is None:
