@@ -198,3 +198,66 @@ def test_update_time(db):
     n = db.update(FieldQuery().i == 0, time=t_new)
     assert n == 1
     assert db.count(TimeQuery() >= t_new) == 1
+
+
+def test_dml_rewrite_is_partition_scoped(spark, tmp_path):
+    """A time-bounded remove must physically rewrite ONLY the date
+    partitions its predicate touches — out-of-scope parquet files keep
+    their inodes (the 100 TB 'delete one day, touch one directory'
+    property)."""
+    import os
+
+    path = str(tmp_path / "scoped")
+    d = TinyFluxSpark(path, spark=spark)
+    d.insert_multiple(
+        Point(
+            time=datetime(2020, 1, 1 + day, hour, tzinfo=timezone.utc),
+            measurement="m",
+            fields={"v": float(day * 24 + hour)},
+        )
+        for day in range(3)
+        for hour in range(4)
+    )
+
+    def inodes(day):
+        pdir = os.path.join(
+            path, "data", "measurement=m", f"pdate=2020-01-0{day}"
+        )
+        return {
+            f: os.stat(os.path.join(pdir, f)).st_ino
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        }
+
+    before_d1, before_d3 = inodes(1), inodes(3)
+    n = d.remove(
+        (TimeQuery() >= datetime(2020, 1, 2, tzinfo=timezone.utc))
+        & (TimeQuery() < datetime(2020, 1, 3, tzinfo=timezone.utc))
+        & (FieldQuery().v >= 26.0)
+    )
+    assert n == 2  # hours 2,3 of day 2
+    assert len(d) == 10
+    # day-2 partition rewritten; days 1 and 3 physically untouched
+    assert inodes(1) == before_d1
+    assert inodes(3) == before_d3
+
+
+def test_update_time_scoped_but_correct_across_dates(spark, tmp_path):
+    """update(time=...) may move rows across date partitions, so date
+    scoping must be disabled — the moved row lands in its new
+    partition and the old one shrinks."""
+    path = str(tmp_path / "movetime")
+    d = TinyFluxSpark(path, spark=spark)
+    d.insert_multiple(
+        Point(
+            time=datetime(2020, 1, 1 + day, tzinfo=timezone.utc),
+            measurement="m",
+            fields={"v": float(day)},
+        )
+        for day in range(2)
+    )
+    t_new = datetime(2021, 6, 1, tzinfo=timezone.utc)
+    n = d.update(FieldQuery().v == 0.0, time=t_new)
+    assert n == 1
+    assert d.count(TimeQuery() >= t_new) == 1
+    assert len(d) == 2

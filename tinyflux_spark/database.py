@@ -33,7 +33,7 @@ parity; the Spark-native surface (``.dataframe()``, ``search_df()``,
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,10 +113,18 @@ def _prunable_time_bounds(q: Query):
             return none
         if not isinstance(q.rhs, datetime):
             return none
-        if q.op in (GE, GT):
+        # Strict bounds tighten by 1 microsecond (TimestampType
+        # resolution), so e.g. `time < midnight` excludes that whole
+        # date partition rather than conservatively including it.
+        us = timedelta(microseconds=1)
+        if q.op == GE:
             return (q.rhs, None)
-        if q.op in (LE, LT):
+        if q.op == GT:
+            return (q.rhs + us, None)
+        if q.op == LE:
             return (None, q.rhs)
+        if q.op == LT:
+            return (None, q.rhs - us)
         if q.op == EQ:
             return (q.rhs, q.rhs)
         return none
@@ -595,14 +603,18 @@ class TinyFluxSpark:
         pred = q.compile()
 
         # Partition-scoped rewrite: measurement updates can move rows
-        # across partitions, so scoping only applies when measurement is
+        # across measurement partitions and time updates across date
+        # partitions, so each scope only applies when that attribute is
         # untouched and the storage can swap partitions.
         scope = None
-        if measurement is None and self._storage.supports_partition_swap:
-            scope = _prunable_measurements(q)
+        date_range = None
+        if self._storage.supports_partition_swap:
+            if measurement is None:
+                scope = _prunable_measurements(q)
+            if time is None:
+                date_range = self._date_scope(q)
         df = self._storage.read()
-        if scope:
-            df = df.where(F.col("measurement").isin(scope))
+        df, date_range = self._apply_scope(df, scope, date_range)
         updated = self._apply_update(
             df, pred, time, measurement, tags, fields, unset_fields, unset_tags
         )
@@ -613,10 +625,40 @@ class TinyFluxSpark:
                 self._storage.overwrite(
                     updated.drop("_changed"),
                     measurements=scope if scope else None,
+                    date_range=date_range,
                 )
             return n_changed
         finally:
             updated.unpersist()
+
+    def _date_scope(self, q: Query) -> Optional[tuple]:
+        """(lo, hi) pdate strings implied by the predicate, or None."""
+        lo, hi = _prunable_time_bounds(q)
+        if lo is None and hi is None:
+            return None
+        return (
+            _utc_date_str(lo) if lo is not None else None,
+            _utc_date_str(hi) if hi is not None else None,
+        )
+
+    def _apply_scope(
+        self,
+        df: DataFrame,
+        scope: Optional[List[str]],
+        date_range: Optional[tuple],
+    ):
+        """Restrict a raw store frame to the rewrite scope."""
+        if scope:
+            df = df.where(F.col("measurement").isin(scope))
+        if date_range is not None and PDATE_COL in df.columns:
+            lo, hi = date_range
+            if lo is not None:
+                df = df.where(F.col(PDATE_COL) >= lo)
+            if hi is not None:
+                df = df.where(F.col(PDATE_COL) <= hi)
+        else:
+            date_range = None
+        return df, date_range
 
     def update_all(self, **kwargs) -> int:
         """Unconditional update (reference database.py:1020-1062)."""
@@ -630,20 +672,21 @@ class TinyFluxSpark:
         if measurement is not None:
             q = q & (MeasurementQuery() == measurement)
         pred = q.compile()
-        scope = (
-            _prunable_measurements(q)
-            if self._storage.supports_partition_swap
-            else None
-        )
+        scope = None
+        date_range = None
+        if self._storage.supports_partition_swap:
+            scope = _prunable_measurements(q)
+            date_range = self._date_scope(q)
         df = self._storage.read()
-        if scope:
-            df = df.where(F.col("measurement").isin(scope))
+        df, date_range = self._apply_scope(df, scope, date_range)
         df = df.cache()
         try:
             n_removed = df.where(pred).count()
             if n_removed:
                 self._storage.overwrite(
-                    df.where(~pred), measurements=scope if scope else None
+                    df.where(~pred),
+                    measurements=scope if scope else None,
+                    date_range=date_range,
                 )
             return n_removed
         finally:

@@ -73,11 +73,20 @@ class Storage:
         """Append a DataFrame already in canonical (seq-less) schema."""
         raise NotImplementedError
 
-    def overwrite(self, df: DataFrame, measurements: Optional[List[str]] = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        measurements: Optional[List[str]] = None,
+        date_range: Optional[tuple] = None,
+    ) -> None:
         """Replace contents with ``df`` (internal schema, keeps _seq).
 
-        ``measurements``: when given, only those partitions are replaced
-        and ``df`` holds only rows for them (partition-scoped rewrite).
+        ``measurements`` / ``date_range=(lo, hi)`` (inclusive
+        ``yyyy-MM-dd`` strings, either end None for unbounded) scope the
+        rewrite: only partitions inside the scope (conjunction of both)
+        are replaced, and ``df`` must hold exactly the surviving rows
+        FOR that scope. At 100 TB this is the difference between a
+        DELETE touching one day's directory and rewriting the world.
         """
         raise NotImplementedError
 
@@ -110,16 +119,32 @@ class MemoryStorage(Storage):
         rows = df.select("time", "measurement", "tags", "fields").collect()
         self.append_points([Point.from_row(r) for r in rows])
 
-    def overwrite(self, df: DataFrame, measurements: Optional[List[str]] = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        measurements: Optional[List[str]] = None,
+        date_range: Optional[tuple] = None,
+    ) -> None:
         rows = df.orderBy(SEQ_COL).collect()
         kept = [(Point.from_row(r), r[SEQ_COL]) for r in rows]
-        if measurements is None:
+        if measurements is None and date_range is None:
             self._points = kept
         else:
-            others = [
-                (p, s) for p, s in self._points
-                if p.measurement not in set(measurements)
-            ]
+            ms = set(measurements) if measurements is not None else None
+
+            def _in_scope(p: Point) -> bool:
+                if ms is not None and p.measurement not in ms:
+                    return False
+                if date_range is not None:
+                    d = p.time.strftime("%Y-%m-%d")
+                    lo, hi = date_range
+                    if lo is not None and d < lo:
+                        return False
+                    if hi is not None and d > hi:
+                        return False
+                return True
+
+            others = [(p, s) for p, s in self._points if not _in_scope(p)]
             self._points = sorted(others + kept, key=lambda t: t[1])
         if self._points:
             self._next = max(s for _, s in self._points) + 1
@@ -235,9 +260,19 @@ class ParquetStorage(Storage):
             .parquet(self.data_dir)
         )
 
-    def overwrite(self, df: DataFrame, measurements: Optional[List[str]] = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        measurements: Optional[List[str]] = None,
+        date_range: Optional[tuple] = None,
+    ) -> None:
         """Staged write + swap (the reference's temp-store protocol,
-        storages.py:383-400, made transactional per partition)."""
+        storages.py:383-400, made transactional per partition).
+
+        Scoped rewrites delete the in-scope partition directories, then
+        move the staged replacements in — out-of-scope partitions are
+        never read, rewritten, or touched.
+        """
         stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex[:8]}")
         (
             df.select("time", "measurement", "tags", "fields", SEQ_COL)
@@ -246,7 +281,7 @@ class ParquetStorage(Storage):
             .partitionBy("measurement", PDATE_COL)
             .parquet(stage)
         )
-        if measurements is None:
+        if measurements is None and date_range is None:
             old = self.data_dir + ".old"
             if os.path.exists(old):
                 shutil.rmtree(old)
@@ -255,17 +290,43 @@ class ParquetStorage(Storage):
             os.replace(stage, self.data_dir)
             if os.path.exists(old):
                 shutil.rmtree(old)
-        else:
-            # Partition-scoped swap: only touched measurements move.
-            for m in measurements:
-                part = f"measurement={m}"
-                dst = os.path.join(self.data_dir, part)
-                src = os.path.join(stage, part)
-                if os.path.exists(dst):
-                    shutil.rmtree(dst)
-                if os.path.exists(src):
-                    shutil.move(src, dst)
-            shutil.rmtree(stage, ignore_errors=True)
+            return
+        ms = set(measurements) if measurements is not None else None
+        lo, hi = date_range if date_range is not None else (None, None)
+        # 1. remove in-scope partition dirs (covers fully-deleted ones
+        #    that have no staged replacement).
+        for mdir in os.listdir(self.data_dir):
+            if not mdir.startswith("measurement="):
+                continue
+            m = mdir.split("=", 1)[1]
+            if ms is not None and m not in ms:
+                continue
+            mpath = os.path.join(self.data_dir, mdir)
+            if date_range is None:
+                shutil.rmtree(mpath)
+                continue
+            for pdir in os.listdir(mpath):
+                if not pdir.startswith(f"{PDATE_COL}="):
+                    continue
+                d = pdir.split("=", 1)[1]
+                if (lo is None or d >= lo) and (hi is None or d <= hi):
+                    shutil.rmtree(os.path.join(mpath, pdir))
+        # 2. move staged replacements in.
+        if os.path.exists(stage):
+            for mdir in os.listdir(stage):
+                if not mdir.startswith("measurement="):
+                    continue
+                src_m = os.path.join(stage, mdir)
+                dst_m = os.path.join(self.data_dir, mdir)
+                os.makedirs(dst_m, exist_ok=True)
+                for pdir in os.listdir(src_m):
+                    if not pdir.startswith(f"{PDATE_COL}="):
+                        continue
+                    dst = os.path.join(dst_m, pdir)
+                    if os.path.exists(dst):
+                        shutil.rmtree(dst)
+                    shutil.move(os.path.join(src_m, pdir), dst)
+        shutil.rmtree(stage, ignore_errors=True)
 
     def truncate(self) -> None:
         if os.path.exists(self.data_dir):
@@ -313,8 +374,13 @@ class CSVStorage(Storage):
         rows = df.select("time", "measurement", "tags", "fields").collect()
         self.append_points([Point.from_row(r) for r in rows])
 
-    def overwrite(self, df: DataFrame, measurements: Optional[List[str]] = None) -> None:
-        if measurements is not None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        measurements: Optional[List[str]] = None,
+        date_range: Optional[tuple] = None,
+    ) -> None:
+        if measurements is not None or date_range is not None:
             raise ValueError(
                 "CSVStorage does not support partition-scoped rewrite; "
                 "pass the full dataset."
