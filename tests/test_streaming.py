@@ -108,3 +108,64 @@ def test_stream_insert_with_watermark_runs(spark, tmp_path):
     q.awaitTermination(300)
     assert q.exception() is None
     assert store.read().count() == 20
+
+
+def _py_ewma(vals, alpha=0.3):
+    ew = None
+    out = []
+    for v in vals:
+        ew = v if ew is None else alpha * v + (1 - alpha) * ew
+        out.append(ew)
+    return out
+
+
+def test_stateful_ewma_matches_python_oracle(spark, tmp_path):
+    rows = [
+        (str(k), T0 + timedelta(minutes=i), float(k * 100 + i * 3 % 17))
+        for k in range(2)
+        for i in range(20)
+    ]
+    src = str(tmp_path / "ewmasrc")
+    df = spark.createDataFrame(rows, ["key", "time", "value"])
+    df.write.mode("overwrite").parquet(src)
+    stream = ingest.point_stream_from_files(
+        spark, src, df.schema, fmt="parquet"
+    )
+    out = ingest.stateful_ewma(stream, "key", "time", "value", alpha=0.3)
+    ingest.run_to_memory(out, "ewma_out", output_mode="append")
+    got = spark.table("ewma_out").orderBy("key", "time").collect()
+    assert len(got) == 40
+    for k in ("0", "1"):
+        series = [r["value"] for r in got if r["key"] == k]
+        expect = _py_ewma(series)
+        actual = [r["ewma"] for r in got if r["key"] == k]
+        assert actual == pytest.approx(expect)
+        assert all(
+            r["dev"] == pytest.approx(abs(r["value"] - r["ewma"]))
+            for r in got
+            if r["key"] == k
+        )
+
+
+def test_batch_ewma_variants_agree(spark):
+    from tinyflux_spark.operators import aggregates
+
+    rows = [
+        (str(k), T0 + timedelta(minutes=i), float((i * 7 + k) % 23))
+        for k in range(3)
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, ["key", "time", "value"])
+    run = aggregates.ewma_running(df, "key", "time", "value", alpha=0.3)
+    last = aggregates.ewma_last(df, "key", "time", "value", alpha=0.3)
+    run_final = {
+        r["key"]: r["ewma"]
+        for r in run.orderBy("key", "time")
+        .groupBy("key")
+        .agg(F.last("ewma").alias("ewma"))
+        .collect()
+    }
+    for r in last.collect():
+        series = [v for kk, _, v in rows if kk == r["key"]]
+        assert r["ewma"] == pytest.approx(_py_ewma(series)[-1])
+        assert run_final[r["key"]] == pytest.approx(r["ewma"])

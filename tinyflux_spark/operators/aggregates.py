@@ -211,3 +211,71 @@ def session_stats(
         F.max(time_col).alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key FINAL exponentially-weighted moving average.
+
+    ewma_0 = v_0; ewma_i = alpha*v_i + (1-alpha)*ewma_{i-1} over the
+    key's time-ordered series. One shuffle on the key; the recurrence
+    folds over the in-row collected series (per-key series must fit a
+    row — for unbounded series use ewma_running/stateful_ewma).
+    Expressible in any engine with an ordered-list fold, so it stays
+    oracle-checkable.
+    """
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(time_col).alias("t"), F.col(value_col).alias("v"))
+            )
+        ),
+        lambda s: s["v"],
+    )
+    a = F.lit(float(alpha))
+    fold = F.aggregate(
+        ordered,
+        F.lit(None).cast("double"),
+        lambda acc, v: F.when(acc.isNull(), v.cast("double")).otherwise(
+            a * v.cast("double") + (F.lit(1.0) - a) * acc
+        ),
+    )
+    return df.groupBy(key_col).agg(fold.alias("ewma"))
+
+
+def ewma_running(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-row running EWMA via Arrow grouped-map (applyInPandas).
+
+    The recurrence isn't a frame-based window aggregate, so this is a
+    legitimate Pandas-UDF case: pandas ewm(adjust=False) vectorizes the
+    scan per key, Arrow moves the batches. Output: key, time, value,
+    ewma.
+    """
+    import pandas as pd  # noqa: F401
+
+    schema = (
+        f"{key_col} string, {time_col} timestamp, "
+        f"{value_col} double, ewma double"
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values(time_col)
+        out = pdf[[key_col, time_col, value_col]].copy()
+        out[key_col] = out[key_col].astype(str)
+        out["ewma"] = (
+            pdf[value_col].astype(float).ewm(alpha=alpha, adjust=False).mean()
+        )
+        return out
+
+    return df.groupBy(key_col).applyInPandas(fn, schema)

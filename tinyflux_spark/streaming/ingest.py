@@ -163,3 +163,62 @@ def session_rollup(
             F.col("n_events"),
         )
     )
+
+
+def stateful_ewma(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str = "time",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    state_ttl_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key running EWMA and
+    deviation via ``applyInPandasWithState``.
+
+    The (count, ewma) state per key persists across micro-batches in
+    the state store; a processing-time timeout reclaims idle keys so
+    state stays bounded. This is the extension point the built-in
+    window/dedup operators can't express: an arbitrary per-key
+    recurrence over an unbounded stream. Batch twin (identical math):
+    operators.aggregates.ewma_running.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        f"{key_col} string, {time_col} timestamp, "
+        f"{value_col} double, ewma double, dev double"
+    )
+    state_schema = "cnt long, ewma double"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cnt, ew = state.get if state.exists else (0, 0.0)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            for t, v in zip(pdf[time_col], pdf[value_col]):
+                v = float(v)
+                ew = v if cnt == 0 else alpha * v + (1 - alpha) * ew
+                cnt += 1
+                rows.append((str(key[0]), t, v, ew, abs(v - ew)))
+        state.update((cnt, ew))
+        state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=[key_col, time_col, value_col, "ewma", "dev"],
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
