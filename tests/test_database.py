@@ -141,12 +141,21 @@ def test_update_merges_tags(db):
 
 
 def test_update_callable(db):
+    # Callable returns ONLY the touched key: result must MERGE into the
+    # existing field set (reference database.py:1195-1206), and the
+    # callable must never see non-matching rows (the "disk" point lacks
+    # "temp" and would KeyError).
+    db.insert(
+        Point(time=T0, measurement="disk", fields={"free": 1.0})
+    )
     n = db.update(
         MeasurementQuery() == "weather",
-        fields=lambda f: {**f, "temp": f["temp"] + 100},
+        fields=lambda f: {"temp": f["temp"] + 100},
     )
     assert n == 6
     assert db.count(FieldQuery().temp >= 160) == 6
+    for p in db.search(MeasurementQuery() == "weather"):
+        assert set(p.fields) >= {"temp"}
 
 
 def test_update_unset(db):

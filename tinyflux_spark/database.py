@@ -483,16 +483,24 @@ class TinyFluxSpark:
         become Python UDFs (the reference accepts arbitrary callables,
         database.py:1148-1223 — inherently a UDF surface).
         """
+        # Callable updaters run as UDFs. Spark evaluates extracted Python
+        # UDFs on every row regardless of the surrounding when(pred, ...),
+        # so each UDF takes the match flag and passes non-matching rows
+        # through untouched (the reference only invokes updaters on
+        # candidates, database.py:1513-1574).
         new_time = F.col("time")
         if callable(time):
             fn = time
 
             @F.udf(T.TimestampType())
-            def time_udf(t):
-                r = fn(t.replace(tzinfo=timezone.utc) if t.tzinfo is None else t)
-                return r
+            def time_udf(m, t):
+                if not m:
+                    return t
+                return fn(
+                    t.replace(tzinfo=timezone.utc) if t.tzinfo is None else t
+                )
 
-            new_time = time_udf(F.col("time"))
+            new_time = time_udf(pred, F.col("time"))
         elif time is not None:
             if not isinstance(time, datetime):
                 raise ValueError("Time must be datetime object.")
@@ -500,7 +508,13 @@ class TinyFluxSpark:
 
         new_meas = F.col("measurement")
         if callable(measurement):
-            new_meas = F.udf(measurement, T.StringType())(F.col("measurement"))
+            mfn = measurement
+
+            @F.udf(T.StringType())
+            def meas_udf(m, s):
+                return mfn(s) if m else s
+
+            new_meas = meas_udf(pred, F.col("measurement"))
         elif measurement is not None:
             if not isinstance(measurement, str):
                 raise ValueError("Measurement must be str.")
@@ -508,9 +522,19 @@ class TinyFluxSpark:
 
         new_tags = F.col("tags")
         if callable(tags):
-            new_tags = F.udf(
-                tags, T.MapType(T.StringType(), T.StringType())
-            )(F.col("tags"))
+            tfn = tags
+
+            @F.udf(T.MapType(T.StringType(), T.StringType()))
+            def tags_udf(m, tg):
+                if not m:
+                    return tg
+                # Merge, not replace: reference does
+                # point.tags.update(tags(old_tags)) (database.py:1183-1193).
+                merged = dict(tg or {})
+                merged.update(tfn(dict(tg or {})))
+                return merged
+
+            new_tags = tags_udf(pred, F.col("tags"))
         elif tags is not None:
             Point(tags=dict(tags))  # validate via Point rules
             # Right-biased merge == dict.update (mapKeyDedupPolicy
@@ -529,9 +553,23 @@ class TinyFluxSpark:
 
         new_fields = F.col("fields")
         if callable(fields):
-            new_fields = F.udf(
-                fields, T.MapType(T.StringType(), T.DoubleType())
-            )(F.col("fields"))
+            ffn = fields
+
+            @F.udf(T.MapType(T.StringType(), T.DoubleType()))
+            def fields_udf(m, fl):
+                if not m:
+                    return fl
+                # Merge, not replace (reference database.py:1195-1206).
+                merged = dict(fl or {})
+                merged.update(
+                    {
+                        k: (None if v is None else float(v))
+                        for k, v in ffn(dict(fl or {})).items()
+                    }
+                )
+                return merged
+
+            new_fields = fields_udf(pred, F.col("fields"))
         elif fields is not None:
             Point(fields=dict(fields))
             new_fields = F.map_concat(
