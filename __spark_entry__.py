@@ -528,6 +528,156 @@ def q26_stream_hourly_rollup(spark, sf_dir):
     )
 
 
+def q29_ewma_last(spark, sf_dir):
+    """Per-user FINAL EWMA (alpha=0.3) over the time-ordered value
+    series — JVM-side array fold, one shuffle on the key. Oracle:
+    DuckDB list_reduce over the same ordered list."""
+    from tinyflux_spark.operators.aggregates import ewma_last
+
+    ev = _t("events")(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"), "ts", "value"
+    )
+    out = ewma_last(ev, "user_id", "ts", "value", alpha=0.3)
+    return out.select("user_id", F.round("ewma", 6).alias("ewma"))
+
+
+def q30_token_stats(spark, sf_dir):
+    """Token counting per document: whitespace tokens + BPE-ish regex
+    tokens (word runs and single punctuation marks)."""
+    from tinyflux_spark.operators.text import bpe_token_count, token_count
+
+    docs = _t("documents")(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_ws_tokens"),
+        bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q31_srp_ann_topk(spark, sf_dir):
+    """ANN scale path: SRP-LSH bucketed top-10 for vec_id 0 with 1-bit
+    multiprobe (4 planes, seed 42). At corpus scale the bucket is a
+    cluster/partition column and the probe prunes to
+    ~|corpus|/2^planes rows per bucket; here the oracle recomputes the
+    same seeded buckets in SQL so candidate selection AND ranking are
+    both checked."""
+    from tinyflux_spark.operators.similarity import srp_lsh_topk
+
+    emb = _t("embeddings")(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return srp_lsh_topk(
+        emb.where(F.col("vec_id") != 0),
+        qvec,
+        k=10,
+        num_planes=4,
+        seed=42,
+        multiprobe=1,
+    )
+
+
+def q32_frame_sample_plan(spark, sf_dir):
+    """Multimodal plumbing: video frame-sampling plan (which frames to
+    decode, fan-out BEFORE the stubbed codec so decode parallelism is
+    per-frame). Deterministic synthetic media table; oracle generates
+    the same plan from the metadata rule."""
+    from tinyflux_spark.operators.multimodal import (
+        frame_sample,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=32, kind="video")
+    return frame_sample(media, every_n=10, max_frames=8).select(
+        "media_id", "frame_idx"
+    )
+
+
+def q33_media_features(spark, sf_dir):
+    """Multimodal feature extraction through mapInPandas (Arrow batches,
+    bytes projected away before any shuffle). Decode is the documented
+    deterministic STUB (sha256-seeded signal) — no SQL oracle; the
+    driver records the weaker rows-only check."""
+    from tinyflux_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=64, kind="image")
+    out = extract_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        F.round(F.col("feature")[0], 6).alias("f0"),
+        F.round(F.col("feature")[FEATURE_DIM - 1], 6).alias("f_last"),
+        "n_bytes",
+    )
+
+
+def q34_get_field_keys(spark, sf_dir):
+    """get_field_keys(): sorted distinct field keys across the dynamic
+    per-point field sets (reference database.py:388-419)."""
+    pts = events_as_points(spark, sf_dir)
+    return (
+        pts.select(F.explode(F.map_keys("fields")).alias("field_key"))
+        .distinct()
+        .orderBy("field_key")
+    )
+
+
+def q35_get_tag_values(spark, sf_dir):
+    """get_tag_values(): per tag key, the sorted distinct values
+    (reference database.py:512-558)."""
+    pts = events_as_points(spark, sf_dir)
+    return (
+        pts.select(F.explode("tags").alias("tag_key", "tag_value"))
+        .groupBy("tag_key")
+        .agg(F.sort_array(F.collect_set("tag_value")).alias("tag_values"))
+    )
+
+
+def q36_stream_ewma(spark, sf_dir):
+    """Custom stateful streaming operator: per-user running EWMA +
+    deviation via applyInPandasWithState (state store persists (count,
+    ewma) across micro-batches). Oracle: per-row prefix folds over the
+    same (ts)-ordered series."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from tinyflux_spark.streaming import ingest as st
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        st.point_stream_from_files(
+            spark, sf_dir, schema, path_glob="events.parquet"
+        )
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select(
+            F.col("user_id").cast("string").alias("user_id"), "ts", "value"
+        )
+    )
+    out = st.stateful_ewma(stream, "user_id", "ts", "value", alpha=0.3)
+    name = f"q36_out_{uuid.uuid4().hex[:8]}"
+    st.run_to_memory(out, name, output_mode="append")
+    return spark.table(name).select(
+        "user_id",
+        "ts",
+        "value",
+        F.round("ewma", 6).alias("ewma"),
+        F.round("dev", 6).alias("dev"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -568,6 +718,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_stream_hourly_rollup": q26_stream_hourly_rollup,
         "q27_simhash_hamming_pairs": q27_simhash_hamming_pairs,
         "q28_sessionize": q28_sessionize,
+        "q29_ewma_last": q29_ewma_last,
+        "q30_token_stats": q30_token_stats,
+        "q31_srp_ann_topk": q31_srp_ann_topk,
+        "q32_frame_sample_plan": q32_frame_sample_plan,
+        "q33_media_features": q33_media_features,
+        "q34_get_field_keys": q34_get_field_keys,
+        "q35_get_tag_values": q35_get_tag_values,
+        "q36_stream_ewma": q36_stream_ewma,
     }
 
 
@@ -748,6 +906,45 @@ def _near_dup_oracle_sql(threshold: float = 0.35, num_planes: int = 2,
         )
         SELECT id_a, id_b, ROUND(cs, 6) AS cosine_sim
         FROM pairs WHERE cs >= {threshold}
+    """
+
+
+def _srp_ann_oracle_sql(num_planes: int = 4, dim: int = 64,
+                        seed: int = 42, k: int = 10) -> str:
+    """Replicates srp_lsh_topk: same seeded hyperplanes inlined as SQL
+    literals; the query vector's bucket and its 1-bit multiprobe
+    neighborhood are computed IN SQL, so candidate pruning and the
+    rounded ranking are both oracle-checked."""
+    from tinyflux_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(dim, num_planes, seed)
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lit}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    probes = " OR ".join(
+        ["bucket = qb"]
+        + [f"bucket = xor(qb, {1 << i})" for i in range(num_planes)]
+    )
+    return f"""
+        WITH emb AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        b AS (SELECT vec_id, e, {bucket} AS bucket FROM emb),
+        q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+        SELECT vec_id,
+               ROUND(list_dot_product(e, qe)
+                     / (sqrt(list_dot_product(e, e))
+                        * sqrt(list_dot_product(qe, qe))), 6) AS cosine_sim
+        FROM b, q
+        WHERE vec_id <> 0 AND ({probes})
+        ORDER BY cosine_sim DESC, vec_id LIMIT {k}
     """
 
 
@@ -977,5 +1174,76 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts) AS session_start, MAX(ts) AS session_end,
                    COUNT(*) AS n_events
             FROM sess GROUP BY 1, 2
+        """,
+        # EWMA fold: DuckDB list_reduce uses the first element as the
+        # initial accumulator — exactly ewma_0 = v_0. (1.0 - 0.3) is
+        # spelled as the subtraction so both engines run the identical
+        # IEEE op sequence.
+        "q29_ewma_last": """
+            SELECT CAST(user_id AS VARCHAR) AS user_id,
+                   ROUND(list_reduce(
+                       list_transform(list(value ORDER BY ts, value),
+                                      x -> CAST(x AS DOUBLE)),
+                       (acc, x) -> 0.3::DOUBLE * x
+                           + (1.0::DOUBLE - 0.3::DOUBLE) * acc), 6) AS ewma
+            FROM events GROUP BY 1
+        """,
+        "q30_token_stats": """
+            SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END AS n_ws_tokens,
+                len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                    AS n_bpe_tokens
+            FROM documents
+        """,
+        "q31_srp_ann_topk": _srp_ann_oracle_sql(
+            num_planes=4, dim=64, seed=42, k=10
+        ),
+        "q32_frame_sample_plan": """
+            SELECT CAST(i AS BIGINT) AS media_id, CAST(f AS INT) AS frame_idx
+            FROM range(32) t(i),
+                 UNNEST(range(0, least(39 + i, 70) + 1, 10)) r(f)
+        """,
+        # q33_media_features: no oracle — decode is the documented
+        # deterministic stub (sha256-seeded numpy signal), not SQL-
+        # expressible; driver records the rows-only check.
+        "q34_get_field_keys": """
+            SELECT DISTINCT field_key FROM (
+                SELECT 'value' AS field_key FROM events
+                UNION ALL
+                SELECT 'k' FROM events WHERE event_type <> 'click'
+            ) ORDER BY field_key
+        """,
+        "q35_get_tag_values": """
+            SELECT 'user' AS tag_key,
+                   list_sort(list(DISTINCT CAST(user_id AS VARCHAR)))
+                       AS tag_values
+            FROM events
+        """,
+        # Running EWMA: per-row prefix fold over the ordered series.
+        # O(n^2) per key is fine at oracle scale (~67 rows/user).
+        "q36_stream_ewma": """
+            WITH ev AS (
+                SELECT CAST(user_id AS VARCHAR) AS user_id, ts,
+                       CAST(value AS DOUBLE) AS value
+                FROM events
+            ),
+            g AS (
+                SELECT user_id, list(value ORDER BY ts) AS vs,
+                       list(ts ORDER BY ts) AS tss
+                FROM ev GROUP BY 1
+            ),
+            pos AS (
+                SELECT user_id, tss[CAST(i AS INT)] AS ts,
+                       vs[CAST(i AS INT)] AS value,
+                       list_reduce(vs[1:CAST(i AS INT)],
+                           (acc, x) -> 0.3::DOUBLE * x
+                               + (1.0::DOUBLE - 0.3::DOUBLE) * acc) AS ewma
+                FROM g, UNNEST(range(1, len(vs) + 1)) r(i)
+            )
+            SELECT user_id, ts, value, ROUND(ewma, 6) AS ewma,
+                   ROUND(abs(value - ewma), 6) AS dev
+            FROM pos
         """,
     }
