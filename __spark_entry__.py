@@ -678,6 +678,89 @@ def q36_stream_ewma(spark, sf_dir):
     )
 
 
+T_DML_HI = datetime(2024, 1, 12, tzinfo=timezone.utc)
+
+_RO_STORE_CACHE: dict = {}
+
+
+def _dml_slice(spark, sf_dir):
+    """Canonical 2-day slice of events with the event_id riding in tags
+    (Points have no IDs — reference design-principles.rst:34-36 — so the
+    oracle needs one smuggled in). repartition(1) + sortWithinPartitions
+    makes monotonically_increasing_id — and therefore the durable _seq —
+    follow event_id order deterministically."""
+    pts = events_as_points(spark, sf_dir).where(
+        (F.col("time") >= F.lit(T_LO)) & (F.col("time") < F.lit(T_DML_HI))
+    )
+    return (
+        pts.repartition(1)
+        .sortWithinPartitions("event_id")
+        .select(
+            "time",
+            "measurement",
+            F.map_concat(
+                "tags",
+                F.create_map(
+                    F.lit("eid"), F.col("event_id").cast("string")
+                ),
+            ).alias("tags"),
+            "fields",
+        )
+    )
+
+
+def _fresh_dml_store(spark, sf_dir):
+    import tempfile
+
+    from tinyflux_spark import TinyFluxSpark
+
+    db = TinyFluxSpark(tempfile.mkdtemp(prefix="tfs_dml_"))
+    db.insert_dataframe(_dml_slice(spark, sf_dir))
+    return db
+
+
+def q37_dml_update_unset_remove(spark, sf_dir):
+    """Full DML round-trip on a throwaway partitioned store (reference
+    database.py:976-1435): field-merge update, unset_tags update, then
+    remove. The oracle replays the same mutations as a pure SELECT
+    transformation over the source rows."""
+    db = _fresh_dml_store(spark, sf_dir)
+    db.update(FieldQuery().value > 100, fields={"flag": 1.0})
+    db.update(MeasurementQuery() == "click", unset_tags=["user"])
+    db.remove(FieldQuery().value > 200)
+    return db.dataframe().select(
+        F.col("tags")["eid"].cast("long").alias("eid"),
+        "measurement",
+        F.col("tags")["user"].alias("user_tag"),
+        F.col("fields")["value"].alias("value"),
+        F.col("fields")["flag"].alias("flag"),
+    )
+
+
+def q38_get_contains(spark, sf_dir):
+    """get() = first match by durable insertion order (_seq, reference
+    database.py:315-386) plus contains() existence probes (reference
+    database.py:209-251) — including the missing-key ⇒ False rule."""
+    key = (id(spark), sf_dir)
+    if key not in _RO_STORE_CACHE:
+        _RO_STORE_CACHE[key] = _fresh_dml_store(spark, sf_dir)
+    db = _RO_STORE_CACHE[key]
+    p = db.get(FieldQuery().value > 100)
+    has_user = db.contains(TagQuery().user == p.tags["user"])
+    has_missing = db.contains(FieldQuery().no_such_key.exists())
+    return spark.createDataFrame(
+        [(
+            int(p.tags["eid"]),
+            p.measurement,
+            p.fields["value"],
+            has_user,
+            has_missing,
+        )],
+        "eid long, measurement string, value double, "
+        "has_user boolean, has_missing boolean",
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -726,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_get_field_keys": q34_get_field_keys,
         "q35_get_tag_values": q35_get_tag_values,
         "q36_stream_ewma": q36_stream_ewma,
+        "q37_dml_update_unset_remove": q37_dml_update_unset_remove,
+        "q38_get_contains": q38_get_contains,
     }
 
 
@@ -1245,5 +1330,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, ts, value, ROUND(ewma, 6) AS ewma,
                    ROUND(abs(value - ewma), 6) AS dev
             FROM pos
+        """,
+        # DML replayed as a SELECT: flag-merge on value>100, user tag
+        # unset for clicks, rows with value>200 deleted.
+        "q37_dml_update_unset_remove": """
+            SELECT CAST(event_id AS BIGINT) AS eid,
+                   event_type AS measurement,
+                   CASE WHEN event_type <> 'click'
+                        THEN CAST(user_id AS VARCHAR) END AS user_tag,
+                   value,
+                   CASE WHEN value > 100
+                        THEN CAST(1.0 AS DOUBLE) END AS flag
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10'
+              AND ts <  TIMESTAMP '2024-01-12'
+              AND NOT value > 200
+        """,
+        # Insertion order in the q38 store is event_id order by
+        # construction (_dml_slice), so first-by-_seq == min event_id.
+        "q38_get_contains": """
+            SELECT CAST(event_id AS BIGINT) AS eid,
+                   event_type AS measurement, value,
+                   TRUE AS has_user, FALSE AS has_missing
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10'
+              AND ts <  TIMESTAMP '2024-01-12'
+              AND value > 100
+            ORDER BY event_id LIMIT 1
         """,
     }

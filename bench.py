@@ -142,6 +142,17 @@ def main() -> None:
             qps_conc[label] = round(
                 n_conc / (time.perf_counter() - t0), 2
             )
+    # DML round-trip wall time, end to end (store build + 2 updates +
+    # remove + read-back). Reported separately: the reference baseline
+    # has no DML benchmark, and q37's timings[] entry above only times
+    # the post-DML read (the mutations run eagerly at plan-build).
+    dml_sec = _timed(
+        lambda: entry_mod.q37_dml_update_unset_remove(spark, SF_DIR)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total",
@@ -154,6 +165,7 @@ def main() -> None:
             "query_qps_concurrent16": qps_conc,
             "bulk_ingest_pts_per_sec": round(ingest["pts_per_sec"], 1),
             "bulk_ingest_rows": ingest["rows"],
+            "dml_roundtrip_sec": round(dml_sec, 4),
         },
     }
     print(json.dumps(out))
