@@ -594,8 +594,8 @@ def q32_frame_sample_plan(spark, sf_dir):
 def q33_media_features(spark, sf_dir):
     """Multimodal feature extraction through mapInPandas (Arrow batches,
     bytes projected away before any shuffle). Decode is the documented
-    deterministic STUB (sha256-seeded signal) — no SQL oracle; the
-    driver records the weaker rows-only check."""
+    deterministic STUB — an md5-hex-fold signal the oracle replays in
+    SQL, so the Arrow plumbing is hash-checked end-to-end."""
     from tinyflux_spark.operators.multimodal import (
         FEATURE_DIM,
         extract_features,
@@ -625,13 +625,15 @@ def q34_get_field_keys(spark, sf_dir):
 
 
 def q35_get_tag_values(spark, sf_dir):
-    """get_tag_values(): per tag key, the sorted distinct values
-    (reference database.py:512-558)."""
+    """get_tag_values(): distinct (tag_key, tag_value) pairs, flattened
+    to scalar rows so the driver's canonicalizer can sort them
+    (reference database.py:512-558 returns {key: sorted values}; the
+    exploded rows carry identical information)."""
     pts = events_as_points(spark, sf_dir)
     return (
         pts.select(F.explode("tags").alias("tag_key", "tag_value"))
-        .groupBy("tag_key")
-        .agg(F.sort_array(F.collect_set("tag_value")).alias("tag_values"))
+        .distinct()
+        .orderBy("tag_key", "tag_value")
     )
 
 
@@ -874,10 +876,10 @@ def _lang_id_oracle_sql() -> str:
         for lang, words in _STOPWORDS.items()
     }
     m = "greatest(" + ", ".join(counts.values()) + ")"
-    # Winner = LAST language in declaration order reaching the max
-    # (mirrors the strict-greater fold in lang_id).
+    # Winner = FIRST language in declaration order reaching the max
+    # (mirrors the declaration-order strict-greater fold in lang_id).
     stop_case = f"CASE WHEN {m} <= 0 THEN 'und' "
-    for lang in reversed(list(_STOPWORDS)):
+    for lang in list(_STOPWORDS):
         stop_case += f"WHEN {counts[lang]} = {m} THEN '{lang}' "
     stop_case += "ELSE 'und' END"
     script_whens = ""
@@ -1030,6 +1032,40 @@ def _srp_ann_oracle_sql(num_planes: int = 4, dim: int = 64,
         FROM b, q
         WHERE vec_id <> 0 AND ({probes})
         ORDER BY cosine_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _media_features_oracle_sql(n: int = 64) -> str:
+    """Replays q33's whole pipeline in SQL: synthetic_media's payload
+    (sha256("image:{i}").digest() * 8 → hex = repeat(sha256 hex, 8)),
+    the md5-hex-fold stub decode (multimodal._stub_decode), and the
+    4-samples-per-feature mean pooling. f0 pools samples 0..3; f_last
+    pools samples 60..63. Every sample is (32-bit int)/2^32 — exact in
+    double — and the 4-term sums associate left-to-right in both
+    engines, so the hash compare is bit-exact."""
+    from tinyflux_spark.operators.multimodal import FEATURE_DIM
+
+    def h(j: int) -> str:
+        return (
+            _hex_to_int_sql(f"md5('{j}:' || hx)", 8) + " / 4294967296.0"
+        )
+
+    def pooled(row: int) -> str:
+        return (
+            "(" + " + ".join(h(4 * row + s) for s in range(4)) + ") / 4.0"
+        )
+
+    return f"""
+        WITH m AS (
+            SELECT CAST(i AS BIGINT) AS media_id, 'image' AS kind,
+                   repeat(sha256('image:' || CAST(i AS VARCHAR)), 8) AS hx
+            FROM range({n}) t(i)
+        )
+        SELECT media_id, kind,
+               ROUND({pooled(0)}, 6) AS f0,
+               ROUND({pooled(FEATURE_DIM - 1)}, 6) AS f_last,
+               CAST(256 AS BIGINT) AS n_bytes
+        FROM m
     """
 
 
@@ -1290,9 +1326,7 @@ def oracle_sql() -> dict[str, str]:
             FROM range(32) t(i),
                  UNNEST(range(0, least(39 + i, 70) + 1, 10)) r(f)
         """,
-        # q33_media_features: no oracle — decode is the documented
-        # deterministic stub (sha256-seeded numpy signal), not SQL-
-        # expressible; driver records the rows-only check.
+        "q33_media_features": _media_features_oracle_sql(),
         "q34_get_field_keys": """
             SELECT DISTINCT field_key FROM (
                 SELECT 'value' AS field_key FROM events
@@ -1301,10 +1335,10 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY field_key
         """,
         "q35_get_tag_values": """
-            SELECT 'user' AS tag_key,
-                   list_sort(list(DISTINCT CAST(user_id AS VARCHAR)))
-                       AS tag_values
+            SELECT DISTINCT 'user' AS tag_key,
+                   CAST(user_id AS VARCHAR) AS tag_value
             FROM events
+            ORDER BY tag_key, tag_value
         """,
         # Running EWMA: per-row prefix fold over the ordered series.
         # O(n^2) per key is fine at oracle scale (~67 rows/user).

@@ -270,3 +270,79 @@ def test_update_time_scoped_but_correct_across_dates(spark, tmp_path):
     assert n == 1
     assert d.count(TimeQuery() >= t_new) == 1
     assert len(d) == 2
+
+
+def test_compact_key_prefixes_round_trip(spark, tmp_path):
+    """insert(compact_key_prefixes=True) writes t_/f_ prefixed keys to
+    CSV and reads back identically (reference database.py:600-621,
+    point.py:106-107)."""
+    path = str(tmp_path / "compact.csv")
+    d = TinyFluxSpark(path, storage=CSVStorage, spark=spark)
+    p = Point(time=T0, measurement="m", tags={"city": "LA"},
+              fields={"temp": 70.5})
+    d.insert(p, compact_key_prefixes=True)
+    with open(path) as f:
+        raw = f.read()
+    assert "t_city" in raw and "f_temp" in raw
+    assert "_tag_" not in raw and "_field_" not in raw
+    got = d.all()
+    assert len(got) == 1
+    assert got[0].tags == {"city": "LA"}
+    assert got[0].fields == {"temp": 70.5}
+
+
+def test_drop_measurement_hive_escaped_name(spark, tmp_path):
+    """Measurement names containing hive-special chars (':' etc.) are
+    percent-escaped by Spark in partition dir names; drop_measurement
+    and scoped DML must hit the real directory."""
+    path = str(tmp_path / "esc")
+    d = TinyFluxSpark(path, spark=spark)
+    weird = "a:b/c d"
+    d.insert_multiple(
+        [
+            Point(time=T0, measurement=weird, fields={"v": 1.0}),
+            Point(time=T0, measurement="plain", fields={"v": 2.0}),
+        ]
+    )
+    assert len(d) == 2
+    n = d.drop_measurement(weird)
+    assert n == 1
+    assert len(d) == 1
+    assert d.get_measurements() == ["plain"]
+
+
+def test_scoped_remove_escaped_measurement(spark, tmp_path):
+    """A remove that empties an escaped-name partition must delete the
+    directory, not leave stale rows behind."""
+    path = str(tmp_path / "esc2")
+    d = TinyFluxSpark(path, spark=spark)
+    weird = "x=y#z"
+    d.insert_multiple(
+        [
+            Point(time=T0, measurement=weird, fields={"v": 1.0}),
+            Point(time=T0, measurement="keep", fields={"v": 2.0}),
+        ]
+    )
+    n = d.remove(MeasurementQuery() == weird)
+    assert n == 1
+    assert len(d) == 1
+    assert d.count(MeasurementQuery() == weird) == 0
+
+
+def test_update_merge_no_session_dedup_policy(spark):
+    """Right-biased tag/field merge must not depend on the session's
+    mapKeyDedupPolicy (EXCEPTION is Spark's default)."""
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        d = TinyFluxSpark(storage=MemoryStorage, spark=spark)
+        d.insert(Point(time=T0, measurement="m", tags={"a": "old"},
+                       fields={"v": 1.0}))
+        n = d.update(MeasurementQuery() == "m",
+                     tags={"a": "new", "b": "x"}, fields={"v": 2.0})
+        assert n == 1
+        p = d.all()[0]
+        assert p.tags == {"a": "new", "b": "x"}
+        assert p.fields == {"v": 2.0}
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)

@@ -289,3 +289,43 @@ def test_sessionize_gaps_and_islands(spark):
     out = aggregates.session_stats(df, "user_id", "ts", 1800.0).collect()
     stats = {(r["user_id"], r["session_id"]): r["n_events"] for r in out}
     assert stats == {("u1", 1): 2, ("u1", 2): 1, ("u2", 1): 1}
+
+
+def test_simhash_64_bit(docs):
+    """bits=64 must build and run: the sign bit (1<<63) needs shiftleft
+    assembly and the md5 hash two-half construction."""
+    from tinyflux_spark.operators.dedup import simhash
+
+    out = simhash(docs, "doc_id", bits=64, use_md5=True).collect()
+    assert len(out) == docs.count()
+    sigs = [r["simhash"] for r in out]
+    assert all(s is not None for s in sigs)
+    # 64-bit signatures should use high bits for at least one doc
+    assert any(s < 0 or s >= (1 << 32) for s in sigs)
+    # deterministic
+    out2 = simhash(docs, "doc_id", bits=64, use_md5=True).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_simhash_pairs_64_bit(docs):
+    from tinyflux_spark.operators.dedup import simhash_pairs
+
+    pairs = simhash_pairs(docs, "doc_id", bits=64, max_hamming=3).collect()
+    for r in pairs:
+        assert r["hamming"] <= 3
+
+
+def test_lang_id_tie_prefers_earlier_declared(spark):
+    """On a stopword-count tie, the FIRST language in _STOPWORDS
+    declaration order wins (documented priority)."""
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.text import _STOPWORDS, lang_id
+
+    langs = list(_STOPWORDS)
+    first, second = langs[0], langs[1]
+    # one stopword from each of the first two languages -> tie at 1
+    text = f"{_STOPWORDS[first][0]} {_STOPWORDS[second][0]}"
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(lang_id("text").alias("g")).collect()[0]["g"]
+    assert got == first

@@ -31,7 +31,13 @@ class Measurement:
         return f"<Measurement name={self._name}>"
 
     def __len__(self) -> int:
-        return self._db.dataframe().where(f"measurement = '{self._name}'").count()
+        from pyspark.sql import functions as F
+
+        return (
+            self._db.dataframe()
+            .where(F.col("measurement") == self._name)
+            .count()
+        )
 
     def __iter__(self) -> Iterator[Point]:
         from pyspark.sql import functions as F

@@ -425,11 +425,27 @@ def simhash(
     # for each bit sum the ±1 votes with F.aggregate over the hash
     # array. Fully narrow — no explode, no shuffle (the alternative
     # explodes |tokens| × bits rows through two groupBys).
+    if bits > 64 or bits % 4:
+        raise ValueError("bits must be a multiple of 4, at most 64")
+
     def _tok_hash(tok: Column) -> Column:
         if use_md5:
-            return F.conv(F.substring(F.md5(tok), 1, bits // 4), 16, 10).cast(
+            if bits <= 32:
+                return F.conv(
+                    F.substring(F.md5(tok), 1, bits // 4), 16, 10
+                ).cast("long")
+            # conv() of >8 hex chars can exceed signed-long range (nulls);
+            # assemble from two halves instead. The high half lands on
+            # bits 32..63 via shiftleft — the sign bit included, which is
+            # exactly the two's-complement 64-bit pattern we want.
+            hi_digits = (bits - 32) // 4
+            hi = F.conv(F.substring(F.md5(tok), 1, hi_digits), 16, 10).cast(
                 "long"
             )
+            lo = F.conv(
+                F.substring(F.md5(tok), hi_digits + 1, 8), 16, 10
+            ).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo)
         return F.xxhash64(tok)
 
     toks = F.filter(
@@ -444,11 +460,21 @@ def simhash(
             lambda acc, h: acc
             + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
         )
+        # shiftleft (not a python-int literal): 1 << 63 overflows a
+        # LongType literal, but shifting onto the sign bit is legal.
         return F.when(
-            vote_sum > 0, F.lit(1 << i).cast("long")
+            vote_sum > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
 
-    sig = sum((_bit(i) for i in range(bits)), F.lit(0).cast("long"))
+    from functools import reduce
+
+    # OR-fold, not sum(): bit values are disjoint, and OR can never
+    # overflow when bit 63 (negative as a long) participates.
+    sig = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        (_bit(i) for i in range(bits)),
+        F.lit(0).cast("long"),
+    )
     return (
         df.select(F.col(id_col).alias("id"), hashes.alias("_h"))
         .select("id", sig.alias("simhash"))
@@ -479,12 +505,13 @@ def simhash_pairs(
     for j in range(nb):
         lo = j * w
         width = bits - lo if j == nb - 1 else w
-        mask = (1 << width) - 1
+        # width == 64 (single band): all-ones mask is -1 as a long.
+        mask = F.lit(-1).cast("long") if width >= 64 else F.lit((1 << width) - 1)
         band_structs.append(
             F.struct(
                 F.lit(j).alias("band"),
                 F.shiftright(F.col("simhash"), lo)
-                .bitwiseAND(F.lit(mask))
+                .bitwiseAND(mask)
                 .alias("bval"),
             )
         )

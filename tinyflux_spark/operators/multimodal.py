@@ -42,12 +42,21 @@ FEATURE_DIM = 16
 
 
 def _stub_decode(data: bytes, kind: str) -> np.ndarray:
-    """Deterministic fake 'decode': a pseudo-signal seeded from the
-    content hash. STUB — replace with PIL/ffmpeg/librosa decode."""
-    digest = hashlib.sha256(data or b"").digest()
-    seed = int.from_bytes(digest[:8], "big") % (2**32)
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(256)
+    """Deterministic fake 'decode', chosen to be SQL-replayable so the
+    correctness oracle can hash-match the whole mapInPandas pipeline:
+    sample ``j`` is the first 8 hex chars of ``md5("{j}:{data.hex()}")``
+    scaled to [0, 1). Each sample is exact in double (32-bit int /
+     2^32), and the 4-samples-per-feature pooling sums 4 doubles
+    sequentially in both engines, so DuckDB replays it bit-identically.
+    STUB — replace with PIL/ffmpeg/librosa decode."""
+    hx = (data or b"").hex()
+    return np.array(
+        [
+            int(hashlib.md5(f"{j}:{hx}".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+            for j in range(4 * FEATURE_DIM)
+        ]
+    )
 
 
 def extract_features(

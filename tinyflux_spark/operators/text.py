@@ -108,15 +108,17 @@ def lang_id(col, out_unknown: str = "und") -> Column:
     n = F.greatest(F.length(c), F.lit(1))
 
     expr = F.lit(out_unknown)
-    # Latin-script stopword argmax, applied in reverse priority order so
-    # earlier languages win ties via strict-greater comparisons.
+    # Latin-script stopword argmax, folded in declaration order with
+    # strict-greater comparisons: a later language replaces the running
+    # best only when strictly higher, so EARLIER-declared languages win
+    # ties (the documented priority).
     counts = {
         lang: _stopword_count(c, words) for lang, words in _STOPWORDS.items()
     }
     langs = list(_STOPWORDS)
     best = F.lit(out_unknown)
     best_cnt = F.lit(0)
-    for lang in reversed(langs):
+    for lang in langs:
         better = counts[lang] > best_cnt
         best = F.when(better, F.lit(lang)).otherwise(best)
         best_cnt = F.when(better, counts[lang]).otherwise(best_cnt)

@@ -52,6 +52,41 @@ POINT_SCHEMA_PARTS = T.StructType(
     + [T.StructField(PDATE_COL, T.StringType(), True)]
 )
 
+#: Characters Spark percent-encodes in partition directory names
+#: (ExternalCatalogUtils.escapePathName): ASCII control chars, DEL, and
+#: the hive-special punctuation set. Directory-level partition ops
+#: (scoped overwrite, drop_partition) must agree with what Spark wrote
+#: or a measurement named e.g. "a:b" would be "dropped" without its
+#: directory ever being touched.
+_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f') | frozenset(
+    chr(i) for i in range(0x20)
+)
+
+
+def escape_partition_value(v: str) -> str:
+    """Mirror Spark's hive partition-path escaping (percent-encoding)."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in v
+    )
+
+
+def unescape_partition_value(s: str) -> str:
+    """Inverse of :func:`escape_partition_value` (tolerates bare '%')."""
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "%" and i + 2 < len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
 
 class Storage:
     """Interface: read/append/overwrite in the canonical schema + _seq."""
@@ -66,7 +101,13 @@ class Storage:
     def read(self) -> DataFrame:
         raise NotImplementedError
 
-    def append_points(self, points: List[Point]) -> None:
+    def append_points(
+        self, points: List[Point], compact_key_prefixes: bool = False
+    ) -> None:
+        """Append Points. ``compact_key_prefixes`` selects the short
+        ``t_``/``f_`` key prefixes in serialized formats (the CSV codec,
+        reference point.py:106-107); schema-carrying storages ignore it.
+        """
         raise NotImplementedError
 
     def append_df(self, df: DataFrame) -> None:
@@ -110,7 +151,9 @@ class MemoryStorage(Storage):
             [p.to_row() + (s,) for p, s in self._points], POINT_SCHEMA_SEQ
         )
 
-    def append_points(self, points: List[Point]) -> None:
+    def append_points(
+        self, points: List[Point], compact_key_prefixes: bool = False
+    ) -> None:
         for p in points:
             self._points.append((p, self._next))
             self._next += 1
@@ -219,7 +262,9 @@ class ParquetStorage(Storage):
             "time", "measurement", "tags", "fields", SEQ_COL, PDATE_COL
         )
 
-    def append_points(self, points: List[Point]) -> None:
+    def append_points(
+        self, points: List[Point], compact_key_prefixes: bool = False
+    ) -> None:
         if not points:
             return
         start = self._bump_seq(len(points))
@@ -298,7 +343,7 @@ class ParquetStorage(Storage):
         for mdir in os.listdir(self.data_dir):
             if not mdir.startswith("measurement="):
                 continue
-            m = mdir.split("=", 1)[1]
+            m = unescape_partition_value(mdir.split("=", 1)[1])
             if ms is not None and m not in ms:
                 continue
             mpath = os.path.join(self.data_dir, mdir)
@@ -335,7 +380,10 @@ class ParquetStorage(Storage):
         self._write_meta({"next_seq": 0})
 
     def drop_partition(self, measurement: str) -> None:
-        part = os.path.join(self.data_dir, f"measurement={measurement}")
+        part = os.path.join(
+            self.data_dir,
+            f"measurement={escape_partition_value(measurement)}",
+        )
         if os.path.exists(part):
             shutil.rmtree(part)
 
@@ -362,11 +410,13 @@ class CSVStorage(Storage):
     def read(self) -> DataFrame:
         return points_to_df(self.spark, self._load_points(), with_seq=True)
 
-    def append_points(self, points: List[Point]) -> None:
+    def append_points(
+        self, points: List[Point], compact_key_prefixes: bool = False
+    ) -> None:
         with open(self.path, "a", newline="") as f:
             w = csv.writer(f)
             for p in points:
-                w.writerow(p.to_csv_row())
+                w.writerow(p.to_csv_row(compact_key_prefixes))
             f.flush()
             os.fsync(f.fileno())
 
