@@ -522,7 +522,11 @@ def q26_stream_hourly_rollup(spark, sf_dir):
         group_cols=["event_type"],
     )
     name = f"q26_out_{uuid.uuid4().hex[:8]}"
-    st.run_to_memory(rollup, name, output_mode="complete")
+    # 8 state partitions, not the session's 32: each shuffle partition
+    # of a stateful query is its own state store, pure per-batch
+    # overhead at this key cardinality.
+    st.run_to_memory(rollup, name, output_mode="complete",
+                     shuffle_partitions=8)
     return spark.table(name).select(
         F.col("window.start").alias("hour"), "event_type", "n", "sum_value"
     )
@@ -670,7 +674,8 @@ def q36_stream_ewma(spark, sf_dir):
     )
     out = st.stateful_ewma(stream, "user_id", "ts", "value", alpha=0.3)
     name = f"q36_out_{uuid.uuid4().hex[:8]}"
-    st.run_to_memory(out, name, output_mode="append")
+    st.run_to_memory(out, name, output_mode="append",
+                     shuffle_partitions=8)
     return spark.table(name).select(
         "user_id",
         "ts",

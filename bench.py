@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import signal
 import sys
 import tempfile
 import time
@@ -29,7 +30,38 @@ from tinyflux_spark.schema import get_spark  # noqa: E402
 from tinyflux_spark.storages import ParquetStorage  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WARMUPS = 3
+WARMUPS = 2
+# Queries whose single execution is expensive (full-table dedup / text /
+# Arrow passes): one warmup is enough — their runtimes are seconds, far
+# above timer noise, and extra warmups just burn the harness budget.
+HEAVY = {
+    "q17_dedup_exact", "q18_ngram_jaccard_pairs", "q19_minhash_lsh_pairs",
+    "q20_simhash", "q22_lang_id", "q23_doc_fingerprint",
+    "q25_embedding_near_dup", "q26_stream_hourly_rollup",
+    "q27_simhash_hamming_pairs", "q32_frame_sample_plan",
+    "q33_media_features", "q36_stream_ewma",
+    "q37_dml_update_unset_remove", "q38_get_contains",
+}
+
+# Mutable result document: the SIGTERM/SIGINT handler dumps whatever is
+# filled in so far, so a harness time limit still yields a parseable
+# BENCH line instead of nothing.
+RESULT: dict = {}
+_PRINTED = False
+
+
+def _emit() -> None:
+    global _PRINTED
+    if _PRINTED:
+        return
+    _PRINTED = True
+    print(json.dumps(RESULT), flush=True)
+
+
+def _on_signal(signum, frame):
+    RESULT["partial"] = True
+    _emit()
+    os._exit(1)
 
 # The reference benchmark's four query shapes (BASELINE.md;
 # reference performance_tests/benchmark.py:303-316), re-expressed with
@@ -59,13 +91,13 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
-def time_query(fn, spark) -> float:
-    """Build the plan once, warm 3×, time one execution — the reference
+def time_query(name, fn, spark) -> float:
+    """Build the plan once, warm up, time one execution — the reference
     times query *execution* against a prebuilt query object
     (performance_tests/benchmark.py:320-333); the DataFrame is this
     engine's query object."""
     df = fn(spark, SF_DIR)
-    for _ in range(WARMUPS):
+    for _ in range(1 if name in HEAVY else WARMUPS):
         df.write.format("noop").mode("overwrite").save()
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -93,11 +125,25 @@ def bench_bulk_ingest(spark) -> dict:
 
 
 def main() -> None:
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("bench")
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    RESULT.update(
+        {
+            "metric": "headline_queries_total",
+            "value": None,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "derived": {},
+        }
+    )
 
     # Warm the events scan once (OS page cache + codegen), as the
     # reference warms before timing.
@@ -107,10 +153,19 @@ def main() -> None:
 
     # Ingest first: measuring it after 28 analytic queries picks up
     # their leftover GC/memory pressure.
-    ingest = bench_bulk_ingest(spark)
+    try:
+        ingest = bench_bulk_ingest(spark)
+    except Exception as e:  # noqa: BLE001 — keep benching
+        errors["bulk_ingest"] = repr(e)[:200]
+        ingest = None
 
     for name, fn in queries.items():
-        timings[name] = round(time_query(fn, spark), 4)
+        try:
+            timings[name] = round(time_query(name, fn, spark), 4)
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # cost the round its entire BENCH artifact
+            errors[name] = repr(e)[:200]
+        RESULT["value"] = round(sum(timings.values()), 4)
 
     # Reference-shaped searches over the cached point frame. collect()
     # matches the reference protocol (its search() materializes a list
@@ -124,51 +179,55 @@ def main() -> None:
     pts = entry_mod.events_as_points(spark, SF_DIR)
     qps = {}
     qps_conc = {}
-    for label, q in _baseline_queries().items():
-        df = pts.where(q.compile())
-        for _ in range(WARMUPS):
-            df.collect()
-        # min of 3 timed runs: a single run is at the mercy of a driver
-        # GC pause at these (tens-of-ms) scales.
-        best = min(
-            _timed(lambda: df.collect()) for _ in range(3)
-        )
-        qps[label] = round(1.0 / best, 2)
-        n_conc = 48
-        with ThreadPoolExecutor(16) as ex:
-            list(ex.map(lambda _: df.collect(), range(8)))
-            t0 = time.perf_counter()
-            list(ex.map(lambda _: df.collect(), range(n_conc)))
-            qps_conc[label] = round(
-                n_conc / (time.perf_counter() - t0), 2
+    derived = RESULT["derived"]
+    derived["query_qps_vs_baseline"] = qps
+    derived["query_qps_concurrent16"] = qps_conc
+    if ingest is not None:
+        derived["bulk_ingest_pts_per_sec"] = round(ingest["pts_per_sec"], 1)
+        derived["bulk_ingest_rows"] = ingest["rows"]
+    try:
+        for label, q in _baseline_queries().items():
+            df = pts.where(q.compile())
+            for _ in range(WARMUPS):
+                df.collect()
+            # min of 3 timed runs: a single run is at the mercy of a
+            # driver GC pause at these (tens-of-ms) scales.
+            best = min(
+                _timed(lambda: df.collect()) for _ in range(3)
             )
+            qps[label] = round(1.0 / best, 2)
+            n_conc = 48
+            with ThreadPoolExecutor(16) as ex:
+                list(ex.map(lambda _: df.collect(), range(8)))
+                t0 = time.perf_counter()
+                list(ex.map(lambda _: df.collect(), range(n_conc)))
+                qps_conc[label] = round(
+                    n_conc / (time.perf_counter() - t0), 2
+                )
+    except Exception as e:  # noqa: BLE001
+        errors["baseline_qps"] = repr(e)[:200]
+
     # DML round-trip wall time, end to end (store build + 2 updates +
     # remove + read-back). Reported separately: the reference baseline
     # has no DML benchmark, and q37's timings[] entry above only times
     # the post-DML read (the mutations run eagerly at plan-build).
-    dml_sec = _timed(
-        lambda: entry_mod.q37_dml_update_unset_remove(spark, SF_DIR)
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
+    try:
+        derived["dml_roundtrip_sec"] = round(
+            _timed(
+                lambda: entry_mod.q37_dml_update_unset_remove(spark, SF_DIR)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            ),
+            4,
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["dml_roundtrip"] = repr(e)[:200]
 
-    total = round(sum(timings.values()), 4)
-    out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "derived": {
-            "query_qps_vs_baseline": qps,
-            "query_qps_concurrent16": qps_conc,
-            "bulk_ingest_pts_per_sec": round(ingest["pts_per_sec"], 1),
-            "bulk_ingest_rows": ingest["rows"],
-            "dml_roundtrip_sec": round(dml_sec, 4),
-        },
-    }
-    print(json.dumps(out))
+    RESULT["value"] = round(sum(timings.values()), 4)
+    if errors:
+        RESULT["errors"] = errors
+    _emit()
 
 
 if __name__ == "__main__":

@@ -123,19 +123,47 @@ def run_to_memory(
     query_name: str,
     output_mode: str = "complete",
     timeout_sec: int = 300,
+    shuffle_partitions: Optional[int] = None,
 ) -> None:
     """Execute a finite (availableNow) streaming query into an in-memory
-    table synchronously — the local smoke path for streaming plans."""
-    q = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
+    table synchronously — the local smoke path for streaming plans.
+
+    ``shuffle_partitions`` temporarily overrides
+    ``spark.sql.shuffle.partitions`` around the run (restored after):
+    each shuffle partition of a stateful query is a separate state-store
+    instance with per-micro-batch snapshot/commit overhead, so a finite
+    smoke run over a handful of keys wants far fewer than a cluster's
+    default. A query still active at ``timeout_sec`` is stopped and
+    raised as an error — a silent partial result must never look like
+    success."""
+    spark = result.sparkSession
+    prev = (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions is not None
+        else None
     )
-    q.awaitTermination(timeout_sec)
-    if q.exception() is not None:
-        raise q.exception()
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.exception() is not None:
+            raise q.exception()
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {query_name!r} still active after "
+                f"{timeout_sec}s (stopped)"
+            )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def session_rollup(
@@ -171,17 +199,23 @@ def stateful_ewma(
     time_col: str = "time",
     value_col: str = "value",
     alpha: float = 0.3,
-    state_ttl_minutes: int = 60,
+    state_ttl_minutes: Optional[int] = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: per-key running EWMA and
     deviation via ``applyInPandasWithState``.
 
     The (count, ewma) state per key persists across micro-batches in
-    the state store; a processing-time timeout reclaims idle keys so
-    state stays bounded. This is the extension point the built-in
+    the state store. This is the extension point the built-in
     window/dedup operators can't express: an arbitrary per-key
     recurrence over an unbounded stream. Batch twin (identical math):
     operators.aggregates.ewma_running.
+
+    ``state_ttl_minutes`` arms a processing-time timeout that reclaims
+    idle keys — set it on continuous deployments so state stays bounded.
+    Leave it ``None`` for finite (availableNow) runs: pending
+    processing-time timers keep an availableNow query alive waiting for
+    a trigger that never comes, so the query only returns at the caller's
+    timeout.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import (
@@ -195,8 +229,10 @@ def stateful_ewma(
     )
     state_schema = "cnt long, ewma double"
 
+    with_ttl = state_ttl_minutes is not None
+
     def fn(key, pdfs, state: GroupState):
-        if state.hasTimedOut:
+        if with_ttl and state.hasTimedOut:
             state.remove()
             return
         cnt, ew = state.get if state.exists else (0, 0.0)
@@ -209,7 +245,8 @@ def stateful_ewma(
                 cnt += 1
                 rows.append((str(key[0]), t, v, ew, abs(v - ew)))
         state.update((cnt, ew))
-        state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+        if with_ttl:
+            state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
         yield pd.DataFrame(
             rows,
             columns=[key_col, time_col, value_col, "ewma", "dev"],
@@ -220,5 +257,7 @@ def stateful_ewma(
         out_schema,
         state_schema,
         "append",
-        GroupStateTimeout.ProcessingTimeTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if with_ttl
+        else GroupStateTimeout.NoTimeout,
     )
