@@ -748,10 +748,7 @@ def q38_get_contains(spark, sf_dir):
     """get() = first match by durable insertion order (_seq, reference
     database.py:315-386) plus contains() existence probes (reference
     database.py:209-251) — including the missing-key ⇒ False rule."""
-    key = (id(spark), sf_dir)
-    if key not in _RO_STORE_CACHE:
-        _RO_STORE_CACHE[key] = _fresh_dml_store(spark, sf_dir)
-    db = _RO_STORE_CACHE[key]
+    db = _ro_store(spark, sf_dir)
     p = db.get(FieldQuery().value > 100)
     has_user = db.contains(TagQuery().user == p.tags["user"])
     has_missing = db.contains(FieldQuery().no_such_key.exists())
@@ -766,6 +763,233 @@ def q38_get_contains(spark, sf_dir):
         "eid long, measurement string, value double, "
         "has_user boolean, has_missing boolean",
     )
+
+
+def _ro_store(spark, sf_dir):
+    """Shared read-only DML-slice store (same cache as q38)."""
+    key = (id(spark), sf_dir)
+    if key not in _RO_STORE_CACHE:
+        _RO_STORE_CACHE[key] = _fresh_dml_store(spark, sf_dir)
+    return _RO_STORE_CACHE[key]
+
+
+_DML_WHERE = (
+    "ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'"
+)
+
+
+def q39_get_tag_keys(spark, sf_dir):
+    """get_tag_keys(): sorted distinct tag keys across the store
+    (reference database.py:459-510) — every slice row carries both
+    'eid' and 'user'."""
+    db = _ro_store(spark, sf_dir)
+    return spark.createDataFrame(
+        [(k,) for k in db.get_tag_keys()], "tag_key string"
+    )
+
+
+def q40_get_field_values(spark, sf_dir):
+    """get_field_values('k'): values in insertion order, rows lacking
+    the key skipped (reference database.py:421-457). 'k' exists only on
+    non-click events, so the missing-key skip is exercised; insertion
+    order is event_id order by _dml_slice construction."""
+    db = _ro_store(spark, sf_dir)
+    vals = db.get_field_values("k")
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "idx long, k double"
+    )
+
+
+def q41_get_timestamps(spark, sf_dir):
+    """get_timestamps(): every point's time in insertion order
+    (reference database.py:560-598)."""
+    db = _ro_store(spark, sf_dir)
+    ts = db.get_timestamps()
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts)], "idx long, time timestamp"
+    )
+
+
+def q42_all_len_iter(spark, sf_dir):
+    """all(sorted=True) (time-ordered), iter(db) (insertion-ordered) and
+    len(db) in one frame: idx_all / idx_iter are each point's position
+    under the two orderings, n_total rides along as a constant
+    (reference database.py:143-188)."""
+    db = _ro_store(spark, sf_dir)
+    n = len(db)
+    rows: dict = {}
+    for i, p in enumerate(db.all(sorted=True)):
+        rows[p.tags["eid"]] = [i, None, p.time, p.measurement,
+                               p.fields["value"]]
+    for i, p in enumerate(db):
+        rows[p.tags["eid"]][1] = i
+    return spark.createDataFrame(
+        [
+            (int(eid), r[0], r[1], r[2], r[3], r[4], n)
+            for eid, r in rows.items()
+        ],
+        "eid long, idx_all long, idx_iter long, time timestamp, "
+        "measurement string, value double, n_total long",
+    )
+
+
+def q43_update_all(spark, sf_dir):
+    """update_all(): unconditional update — internally
+    update(TimeQuery().noop(), ...), so the noop predicate (matches
+    everything, mutates nothing) is gated here too (reference
+    database.py:1020-1062, queries.py:749-758)."""
+    db = _fresh_dml_store(spark, sf_dir)
+    db.update_all(fields={"seen": 1.0})
+    return db.dataframe().select(
+        F.col("tags")["eid"].cast("long").alias("eid"),
+        F.col("fields")["value"].alias("value"),
+        F.col("fields")["seen"].alias("seen"),
+    )
+
+
+def q44_remove_all(spark, sf_dir):
+    """remove_all(): truncate (reference database.py:727-738). Output is
+    the before/after row counts."""
+    db = _fresh_dml_store(spark, sf_dir)
+    n_before = len(db)
+    db.remove_all()
+    return spark.createDataFrame(
+        [(n_before, len(db))], "n_before long, n_after long"
+    )
+
+
+def q45_drop_measurement(spark, sf_dir):
+    """drop_measurement('click'): partition drop, returns the dropped
+    count; remaining measurements keep their rows (reference
+    database.py:293-313)."""
+    db = _fresh_dml_store(spark, sf_dir)
+    n_dropped = db.drop_measurement("click")
+    per = (
+        db.dataframe()
+        .groupBy("measurement")
+        .agg(F.count("*").alias("n"))
+    )
+    return per.withColumn("n_dropped", F.lit(n_dropped).cast("long"))
+
+
+def _first_events(spark, sf_dir, n=200):
+    """First n events by event_id as driver-side Points — the point-path
+    ingestion fixture (oracle: the same rows via ORDER BY/LIMIT)."""
+    from tinyflux_spark import Point
+
+    rows = (
+        load_events(spark, sf_dir)
+        .withColumn(
+            "k", F.get_json_object("props", "$.k").cast("double")
+        )
+        .orderBy("event_id")
+        .limit(n)
+        .collect()
+    )
+    pts = []
+    for r in rows:
+        fields = {"value": r["value"]}
+        if r["event_type"] != "click":
+            fields["k"] = r["k"]
+        pts.append(
+            Point(
+                time=r["ts"].replace(tzinfo=timezone.utc),
+                measurement=r["event_type"],
+                tags={
+                    "user": str(r["user_id"]),
+                    "eid": str(r["event_id"]),
+                },
+                fields=fields,
+            )
+        )
+    return pts
+
+
+def _flat_store(db):
+    return db.dataframe().select(
+        F.col("tags")["eid"].cast("long").alias("eid"),
+        "time",
+        "measurement",
+        F.col("tags")["user"].alias("user"),
+        F.col("fields")["value"].alias("value"),
+        F.col("fields")["k"].alias("k"),
+    )
+
+
+def q46_insert_point_path(spark, sf_dir):
+    """Point-path ingestion into the partitioned parquet store:
+    insert() one point, then insert_multiple() from a generator
+    (reference database.py:600-656) — full data fidelity round-trip of
+    time/measurement/tags/fields including the conditionally-absent
+    'k'."""
+    import tempfile
+
+    from tinyflux_spark import TinyFluxSpark
+
+    pts = _first_events(spark, sf_dir)
+    db = TinyFluxSpark(tempfile.mkdtemp(prefix="tfs_pt_"))
+    db.insert(pts[0])
+    db.insert_multiple(p for p in pts[1:])
+    return _flat_store(db)
+
+
+def q47_map_test_predicates(spark, sf_dir):
+    """.map(func) and .test(func) predicates — the Python-UDF escape
+    hatch (reference queries.py:648-747): user tag mapped to
+    int(u) % 7 == 3, AND a .test lambda on the value field."""
+    pts = events_as_points(spark, sf_dir)
+    q = (TagQuery().user.map(lambda u: str(int(u) % 7)) == "3") & (
+        FieldQuery().value.test(
+            lambda v: v is not None and 30.0 < v < 60.0
+        )
+    )
+    return _flat(pts.where(q.compile()))
+
+
+def q48_search_predicate(spark, sf_dir):
+    """.search(regex) — unanchored containment, vs .matches() anchoring
+    (reference queries.py:672-697) — on both the measurement and a tag."""
+    pts = events_as_points(spark, sf_dir)
+    q = MeasurementQuery().search("ick|rror") & TagQuery().user.search(
+        "^4"
+    )
+    return _flat(pts.where(q.compile()))
+
+
+def q49_measurement_handle(spark, sf_dir):
+    """Measurement handle scoping (reference measurement.py:140-395):
+    db.measurement('click').search(...) sees only click points; len(m)
+    rides along as a constant column."""
+    db = _ro_store(spark, sf_dir)
+    m = db.measurement("click")
+    n_click = len(m)
+    got = m.search(FieldQuery().value > 150)
+    return spark.createDataFrame(
+        [
+            (int(p.tags["eid"]), p.fields["value"], n_click)
+            for p in got
+        ],
+        "eid long, value double, n_click long",
+    )
+
+
+def q50_csv_interop(spark, sf_dir):
+    """Reference-format CSV codec round-trip: write via the engine with
+    compact t_/f_ key prefixes (reference point.py:106-107,307-367),
+    reopen the same file with a fresh handle, read everything back."""
+    import os
+    import tempfile
+
+    from tinyflux_spark import TinyFluxSpark
+    from tinyflux_spark.storages import CSVStorage
+
+    pts = _first_events(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="tfs_csv_"), "db.csv")
+    w = TinyFluxSpark(path, storage=CSVStorage, spark=spark)
+    w.insert_multiple(pts, compact_key_prefixes=True)
+    w.close()
+    r = TinyFluxSpark(path, storage=CSVStorage, spark=spark)
+    return _flat_store(r)
 
 
 # ----------------------------------------------------------------------
@@ -818,6 +1042,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_stream_ewma": q36_stream_ewma,
         "q37_dml_update_unset_remove": q37_dml_update_unset_remove,
         "q38_get_contains": q38_get_contains,
+        "q39_get_tag_keys": q39_get_tag_keys,
+        "q40_get_field_values": q40_get_field_values,
+        "q41_get_timestamps": q41_get_timestamps,
+        "q42_all_len_iter": q42_all_len_iter,
+        "q43_update_all": q43_update_all,
+        "q44_remove_all": q44_remove_all,
+        "q45_drop_measurement": q45_drop_measurement,
+        "q46_insert_point_path": q46_insert_point_path,
+        "q47_map_test_predicates": q47_map_test_predicates,
+        "q48_search_predicate": q48_search_predicate,
+        "q49_measurement_handle": q49_measurement_handle,
+        "q50_csv_interop": q50_csv_interop,
     }
 
 
@@ -1072,6 +1308,19 @@ def _media_features_oracle_sql(n: int = 64) -> str:
                CAST(256 AS BIGINT) AS n_bytes
         FROM m
     """
+
+
+# q46/q50 fixture replay: the same first-200-by-event_id rows the point
+# path and CSV codec round-trip, with 'k' absent (NULL) on clicks.
+_FIRST_EVENTS_SQL = """
+    SELECT CAST(event_id AS BIGINT) AS eid, ts AS time,
+           event_type AS measurement, CAST(user_id AS VARCHAR) AS user,
+           value,
+           CASE WHEN event_type <> 'click'
+                THEN CAST(json_extract_string(props, '$.k') AS DOUBLE)
+           END AS k
+    FROM (SELECT * FROM events ORDER BY event_id LIMIT 200)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1397,4 +1646,73 @@ def oracle_sql() -> dict[str, str]:
               AND value > 100
             ORDER BY event_id LIMIT 1
         """,
+        # Every slice row carries both tag keys; the EXISTS makes the
+        # oracle vanish with the data instead of asserting constants.
+        "q39_get_tag_keys": f"""
+            SELECT tag_key
+            FROM (VALUES ('eid'), ('user')) t(tag_key)
+            WHERE EXISTS (SELECT 1 FROM events WHERE {_DML_WHERE})
+            ORDER BY tag_key
+        """,
+        "q40_get_field_values": f"""
+            SELECT ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx,
+                   CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+            FROM events
+            WHERE {_DML_WHERE} AND event_type <> 'click'
+        """,
+        "q41_get_timestamps": f"""
+            SELECT ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx,
+                   ts AS time
+            FROM events WHERE {_DML_WHERE}
+        """,
+        "q42_all_len_iter": f"""
+            SELECT CAST(event_id AS BIGINT) AS eid,
+                   ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1
+                       AS idx_all,
+                   ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx_iter,
+                   ts AS time, event_type AS measurement, value,
+                   (SELECT COUNT(*) FROM events WHERE {_DML_WHERE})
+                       AS n_total
+            FROM events WHERE {_DML_WHERE}
+        """,
+        "q43_update_all": f"""
+            SELECT CAST(event_id AS BIGINT) AS eid, value,
+                   CAST(1.0 AS DOUBLE) AS seen
+            FROM events WHERE {_DML_WHERE}
+        """,
+        "q44_remove_all": f"""
+            SELECT (SELECT COUNT(*) FROM events WHERE {_DML_WHERE})
+                       AS n_before,
+                   CAST(0 AS BIGINT) AS n_after
+        """,
+        "q45_drop_measurement": f"""
+            SELECT event_type AS measurement, COUNT(*) AS n,
+                   (SELECT COUNT(*) FROM events
+                    WHERE {_DML_WHERE} AND event_type = 'click')
+                       AS n_dropped
+            FROM events
+            WHERE {_DML_WHERE} AND event_type <> 'click'
+            GROUP BY event_type
+        """,
+        "q46_insert_point_path": _FIRST_EVENTS_SQL,
+        "q47_map_test_predicates": """
+            SELECT event_id, ts AS time, event_type AS measurement, value
+            FROM events
+            WHERE user_id % 7 = 3 AND value > 30.0 AND value < 60.0
+        """,
+        "q48_search_predicate": """
+            SELECT event_id, ts AS time, event_type AS measurement, value
+            FROM events
+            WHERE regexp_matches(event_type, 'ick|rror')
+              AND regexp_matches(CAST(user_id AS VARCHAR), '^4')
+        """,
+        "q49_measurement_handle": f"""
+            SELECT CAST(event_id AS BIGINT) AS eid, value,
+                   (SELECT COUNT(*) FROM events
+                    WHERE {_DML_WHERE} AND event_type = 'click')
+                       AS n_click
+            FROM events
+            WHERE {_DML_WHERE} AND event_type = 'click' AND value > 150
+        """,
+        "q50_csv_interop": _FIRST_EVENTS_SQL,
     }
