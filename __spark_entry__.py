@@ -717,11 +717,17 @@ def _dml_slice(spark, sf_dir):
 
 
 def _fresh_dml_store(spark, sf_dir):
+    """index_tags routes every DML/introspection gate through the
+    materialized-scalar pushdown path (tag equality reaches
+    PushedFilters) — so q37-q45/q49 oracle-check that path's answers,
+    not just the MapType compile."""
     import tempfile
 
     from tinyflux_spark import TinyFluxSpark
 
-    db = TinyFluxSpark(tempfile.mkdtemp(prefix="tfs_dml_"))
+    db = TinyFluxSpark(
+        tempfile.mkdtemp(prefix="tfs_dml_"), index_tags=["user"]
+    )
     db.insert_dataframe(_dml_slice(spark, sf_dir))
     return db
 

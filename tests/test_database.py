@@ -329,6 +329,50 @@ def test_scoped_remove_escaped_measurement(spark, tmp_path):
     assert d.count(MeasurementQuery() == weird) == 0
 
 
+def test_index_config_durable_and_guarded(spark, tmp_path):
+    """index_tags/index_fields persist in the manifest: a bare reopen
+    replays them; a conflicting constructor argument is an error (a
+    reindex is a rewrite, not a flag flip)."""
+    path = str(tmp_path / "idx")
+    d = TinyFluxSpark(path, spark=spark, index_tags=["city"])
+    d.insert(Point(time=T0, measurement="m", tags={"city": "LA"},
+                   fields={"v": 1.0}))
+    d2 = TinyFluxSpark(path, spark=spark)
+    assert ("tags", "city") in d2.storage.index_cols
+    assert d2.count(TagQuery().city == "LA") == 1
+    with pytest.raises(ValueError):
+        TinyFluxSpark(path, spark=spark, index_tags=["other"])
+    with pytest.raises(ValueError):
+        TinyFluxSpark(str(tmp_path / "bad"), spark=spark,
+                      index_tags=["no spaces allowed"])
+
+
+def test_index_cols_follow_dml(spark, tmp_path):
+    """update() rewrites must re-derive the scalar columns from the
+    mutated maps — a stale _tag_* would silently corrupt every later
+    indexed query."""
+    path = str(tmp_path / "idxdml")
+    d = TinyFluxSpark(path, spark=spark, index_tags=["city"],
+                      index_fields=["v"])
+    d.insert_multiple([
+        Point(time=T0, measurement="m", tags={"city": "LA"},
+              fields={"v": 1.0}),
+        Point(time=T0, measurement="m", tags={"city": "SF"},
+              fields={"v": 2.0}),
+    ])
+    assert d.update(TagQuery().city == "LA", tags={"city": "NY"}) == 1
+    assert d.count(TagQuery().city == "NY") == 1
+    assert d.count(TagQuery().city == "LA") == 0
+    assert d.update(FieldQuery().v == 2.0, fields={"v": 5.0}) == 1
+    assert d.count(FieldQuery().v > 4) == 1
+    assert d.remove(TagQuery().city == "NY") == 1
+    assert len(d) == 1
+    # unset of an indexed tag nulls the scalar too
+    assert d.update_all(unset_tags=["city"]) == 1
+    assert d.count(TagQuery().city.exists()) == 0
+    assert d.count(TagQuery().city == "SF") == 0
+
+
 def test_update_merge_no_session_dedup_policy(spark):
     """Right-biased tag/field merge must not depend on the session's
     mapKeyDedupPolicy (EXCEPTION is Spark's default)."""

@@ -101,6 +101,70 @@ def test_udf_query_isolates_nonudf_conjuncts(pq_db):
     assert "measurement" in after  # ...and pruning still happened
 
 
+@pytest.fixture(scope="module")
+def idx_db(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans_idx") / "db")
+    db = TinyFluxSpark(
+        path, spark=spark, index_tags=["city"], index_fields=["t"]
+    )
+    db.insert_multiple(
+        Point(
+            time=T0 + timedelta(hours=i),
+            measurement="weather",
+            tags={"city": "LA" if i % 2 else "SF"},
+            fields={"t": float(i)},
+        )
+        for i in range(20)
+    )
+    return db
+
+
+def test_indexed_tag_equality_pushes_to_scan(idx_db):
+    # The 100 TB point-lookup path: a TagQuery equality on an indexed
+    # key must reach PushedFilters as a scalar-column predicate (the
+    # reference's inverted tag index — index.py:694-717 — done as
+    # parquet stats + dictionary filtering). MapType lookups never push.
+    plan = plan_of(idx_db.search_df(TagQuery().city == "LA"))
+    assert "EqualNullSafe(_tag_city,LA)" in plan.split("PushedFilters")[1][:200]
+
+
+def test_indexed_field_range_pushes_to_scan(idx_db):
+    plan = plan_of(idx_db.search_df(FieldQuery().t >= 5))
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "IsNotNull(_field_t)" in pushed
+    assert "GreaterThanOrEqual(_field_t,5.0)" in pushed
+
+
+def test_indexed_results_match_map_path(idx_db, spark, tmp_path):
+    # Same data in a non-indexed store: identical results for the same
+    # queries (the index changes the scan, never the answer), including
+    # the operators that must NOT use the scalar column (!=, exists).
+    plain = TinyFluxSpark(str(tmp_path / "plain"), spark=spark)
+    plain.insert_multiple(
+        Point(
+            time=T0 + timedelta(hours=i),
+            measurement="weather",
+            tags={"city": "LA" if i % 2 else "SF"},
+            fields={"t": float(i)},
+        )
+        for i in range(20)
+    )
+    for q in (
+        TagQuery().city == "LA",
+        FieldQuery().t >= 5,
+        TagQuery().city != "LA",
+        TagQuery().city.exists(),
+        ~(FieldQuery().t < 3),
+    ):
+        assert idx_db.count(q) == plain.count(q), repr(q)
+
+
+def test_indexed_cols_hidden_from_results(idx_db):
+    assert "_tag_city" not in idx_db.dataframe().columns
+    got = idx_db.search(TagQuery().city == "LA")
+    assert got and all(set(p.tags) == {"city"} for p in got)
+
+
 def test_dimension_join_broadcasts(spark):
     import __spark_entry__ as em
 

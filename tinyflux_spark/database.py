@@ -165,7 +165,15 @@ class TinyFluxSpark:
         path: Optional[str] = None,
         storage: Union[type, Storage, None] = None,
         spark: Optional[SparkSession] = None,
+        index_tags: Optional[Sequence[str]] = None,
+        index_fields: Optional[Sequence[str]] = None,
     ) -> None:
+        """``index_tags`` / ``index_fields`` (parquet stores only):
+        materialize those map keys as scalar columns so equality/range
+        predicates on them push into the parquet scan — the engine's
+        analog of the reference's tag index (reference index.py:694-717).
+        Query results are identical either way; only the scan changes.
+        """
         self.spark = spark or get_spark()
         if isinstance(storage, Storage):
             self._storage = storage
@@ -176,7 +184,10 @@ class TinyFluxSpark:
             self._storage = CSVStorage(path, self.spark)
         else:
             assert path is not None
-            self._storage = ParquetStorage(path, self.spark)
+            self._storage = ParquetStorage(
+                path, self.spark,
+                index_tags=index_tags, index_fields=index_fields,
+            )
         self._measurements: Dict[str, "Measurement"] = {}
         self._open = True
 
@@ -187,7 +198,9 @@ class TinyFluxSpark:
 
     def dataframe(self, with_seq: bool = False) -> DataFrame:
         """The canonical DataFrame over the store (Spark-native surface)."""
-        df = self._storage.read().drop(PDATE_COL)
+        df = self._storage.read().drop(
+            PDATE_COL, *self._storage.index_cols.values()
+        )
         return df if with_seq else df.drop(SEQ_COL)
 
     def close(self) -> None:
@@ -293,8 +306,8 @@ class TinyFluxSpark:
                     df = df.where(F.col(PDATE_COL) >= _utc_date_str(lo))
                 if hi is not None:
                     df = df.where(F.col(PDATE_COL) <= _utc_date_str(hi))
-            df = df.where(query.compile())
-        return df.drop(PDATE_COL)
+            df = df.where(query.compile(indexed=self._storage.index_cols))
+        return df.drop(PDATE_COL, *self._storage.index_cols.values())
 
     @staticmethod
     def _collect_points(df: DataFrame) -> List[Point]:
@@ -672,7 +685,7 @@ class TinyFluxSpark:
         q = _as_query(query)
         if _measurement_scope is not None:
             q = q & (MeasurementQuery() == _measurement_scope)
-        pred = q.compile()
+        pred = q.compile(indexed=self._storage.index_cols)
 
         # Partition-scoped rewrite: measurement updates can move rows
         # across measurement partitions and time updates across date
@@ -743,7 +756,7 @@ class TinyFluxSpark:
         q = _as_query(query)
         if measurement is not None:
             q = q & (MeasurementQuery() == measurement)
-        pred = q.compile()
+        pred = q.compile(indexed=self._storage.index_cols)
         scope = None
         date_range = None
         if self._storage.supports_partition_swap:

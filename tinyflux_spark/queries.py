@@ -83,7 +83,19 @@ class Query:
     def __call__(self, point: Point) -> bool:  # pragma: no cover - abstract
         raise NotImplementedError
 
-    def compile(self, cols: Optional[dict] = None) -> Column:
+    def compile(
+        self,
+        cols: Optional[dict] = None,
+        indexed: Optional[dict] = None,
+    ) -> Column:
+        """Compile to a closed-boolean Spark Column.
+
+        ``indexed`` maps ``("tags"|"fields", key)`` to the name of a
+        materialized scalar column (see ParquetStorage index_tags/
+        index_fields); eligible predicates compile against the scalar —
+        which parquet can push — instead of the MapType lookup, with
+        identical semantics.
+        """
         raise NotImplementedError
 
     def __and__(self, other: "Query") -> "CompoundQuery":
@@ -194,7 +206,11 @@ class SimpleQuery(Query):
     def _needs_udf(self) -> bool:
         return self.op == TEST or any(callable(p) for p in self.path)
 
-    def compile(self, cols: Optional[dict] = None) -> Column:
+    def compile(
+        self,
+        cols: Optional[dict] = None,
+        indexed: Optional[dict] = None,
+    ) -> Column:
         names = dict(_ATTR_COL)
         if cols:
             names.update(cols)
@@ -212,7 +228,52 @@ class SimpleQuery(Query):
                 # (value[part] raises → False, reference queries.py:484+).
                 return F.lit(False)
             return self._compile_scalar(col)
+        idx = self._indexed_column(indexed)
+        if idx is not None:
+            return idx
         return self._compile_map(col)
+
+    def _indexed_column(self, indexed: Optional[dict]) -> Optional[Column]:
+        """Pushdown-eligible compile against a materialized scalar
+        column, when one exists for this predicate's key and the
+        operator's semantics survive the map→scalar translation.
+
+        A scalar NULL conflates "key absent" with "key present, value
+        None", so only operators for which both cases already evaluate
+        identically are rewritten:
+
+        * ``== rhs`` (rhs non-None): both → False. ``eqNullSafe`` keeps
+          the boolean closed AND translates to a parquet EqualNullSafe
+          filter.
+        * ordered compares (rhs non-None): both → False.
+          ``isNotNull() & cmp`` is null-free and splits into two
+          pushable conjuncts.
+
+        ``!=`` (present-None → True but absent → False), ``== None``,
+        ``.exists()`` and the regex ops stay on the map path.
+        """
+        if not indexed or len(self.path) != 1:
+            return None
+        scol_name = indexed.get((self.attr, self.path[0]))
+        if scol_name is None:
+            return None
+        rhs = self.rhs
+        if rhs is None:
+            return None
+        if self.attr == "fields" and isinstance(rhs, (int, float)):
+            rhs = float(rhs)
+        scol = F.col(scol_name)
+        if self.op == EQ:
+            return scol.eqNullSafe(F.lit(rhs))
+        if self.op in _ORDERED:
+            cmp = {
+                LT: scol < F.lit(rhs),
+                LE: scol <= F.lit(rhs),
+                GT: scol > F.lit(rhs),
+                GE: scol >= F.lit(rhs),
+            }[self.op]
+            return scol.isNotNull() & cmp
+        return None
 
     def _compile_scalar(self, col: Column) -> Column:
         # ``time`` and ``measurement`` are non-null by the data model
@@ -356,11 +417,15 @@ class CompoundQuery(Query):
             return self.q1(point) or self.q2(point)
         return not self.q1(point)
 
-    def compile(self, cols: Optional[dict] = None) -> Column:
-        c1 = self.q1.compile(cols)
+    def compile(
+        self,
+        cols: Optional[dict] = None,
+        indexed: Optional[dict] = None,
+    ) -> Column:
+        c1 = self.q1.compile(cols, indexed)
         if self.op == "not":
             return ~c1
-        c2 = self.q2.compile(cols)
+        c2 = self.q2.compile(cols, indexed)
         return (c1 & c2) if self.op == "and" else (c1 | c2)
 
 

@@ -28,10 +28,11 @@ from __future__ import annotations
 import csv
 import json
 import os
+import re
 import shutil
 import tempfile
 import uuid
-from typing import Iterable, List, Optional
+from typing import Iterable, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,8 +89,30 @@ def unescape_partition_value(s: str) -> str:
     return "".join(out)
 
 
+#: Keys eligible for scalar-column materialization: must be safe as a
+#: parquet column name fragment (no escaping games in the footer schema).
+_INDEXABLE_KEY = re.compile(r"^[A-Za-z0-9_]+$")
+
+
+def indexed_tag_col(key: str) -> str:
+    """Materialized-column name for a tag key."""
+    return f"_tag_{key}"
+
+
+def indexed_field_col(key: str) -> str:
+    """Materialized-column name for a field key."""
+    return f"_field_{key}"
+
+
 class Storage:
     """Interface: read/append/overwrite in the canonical schema + _seq."""
+
+    #: {("tags"|"fields", key) -> scalar column name} for storages that
+    #: materialize map entries into pushdown-eligible parquet columns.
+    #: Empty for storages with no scan-level stats (memory, CSV).
+    @property
+    def index_cols(self) -> dict:
+        return {}
 
     #: Whether ``overwrite(df, measurements=[...])`` can swap a subset of
     #: measurement partitions. Drives DML rewrite scoping in the DB layer.
@@ -212,14 +235,81 @@ class ParquetStorage(Storage):
 
     supports_partition_swap = True
 
-    def __init__(self, path: str, spark: SparkSession) -> None:
+    def __init__(
+        self,
+        path: str,
+        spark: SparkSession,
+        index_tags: Optional[Sequence[str]] = None,
+        index_fields: Optional[Sequence[str]] = None,
+    ) -> None:
+        """``index_tags`` / ``index_fields`` name map keys to ALSO store
+        as scalar parquet columns (``_tag_<k>`` / ``_field_<k>``) derived
+        from the maps at every write. Scalar columns get row-group
+        min/max stats and dictionary pages, so equality/range predicates
+        on them reach ``PushedFilters`` — the Spark-shaped replacement
+        for the reference's inverted tag index (reference
+        index.py:694-717); MapType predicates never push. The choice is
+        durable: it is recorded in the manifest on creation and replayed
+        from there on reopen (a changed constructor argument on an
+        existing store is an error — reindexing is a rewrite, not a
+        flag flip).
+        """
         super().__init__(spark)
         self.path = path
         self.data_dir = os.path.join(path, "data")
         self.meta_path = os.path.join(path, "_tinyflux_meta.json")
         os.makedirs(self.data_dir, exist_ok=True)
+        want = {
+            "index_tags": sorted(set(index_tags or ())),
+            "index_fields": sorted(set(index_fields or ())),
+        }
+        for kind, keys in want.items():
+            bad = [k for k in keys if not _INDEXABLE_KEY.match(k)]
+            if bad:
+                raise ValueError(
+                    f"{kind} keys must match [A-Za-z0-9_]+: {bad}"
+                )
         if not os.path.exists(self.meta_path):
-            self._write_meta({"next_seq": 0})
+            self._write_meta({"next_seq": 0, **want})
+            have = want
+        else:
+            meta = self._read_meta()
+            have = {
+                "index_tags": meta.get("index_tags", []),
+                "index_fields": meta.get("index_fields", []),
+            }
+            if (index_tags is not None or index_fields is not None) and (
+                want != have
+            ):
+                raise ValueError(
+                    f"store at {path} was created with {have}; "
+                    f"got {want} — reindexing requires a rewrite"
+                )
+        self._index_tags = list(have["index_tags"])
+        self._index_fields = list(have["index_fields"])
+
+    @property
+    def index_cols(self) -> dict:
+        out = {}
+        for k in self._index_tags:
+            out[("tags", k)] = indexed_tag_col(k)
+        for k in self._index_fields:
+            out[("fields", k)] = indexed_field_col(k)
+        return out
+
+    def _derive_index_cols(self, df: DataFrame) -> DataFrame:
+        """(Re-)derive every materialized scalar column from the maps —
+        called on each write path so DML that mutates a map can never
+        leave a stale scalar behind."""
+        for k in self._index_tags:
+            df = df.withColumn(
+                indexed_tag_col(k), F.element_at(F.col("tags"), k)
+            )
+        for k in self._index_fields:
+            df = df.withColumn(
+                indexed_field_col(k), F.element_at(F.col("fields"), k)
+            )
+        return df
 
     # -- manifest ---------------------------------------------------------
     def _read_meta(self) -> dict:
@@ -249,17 +339,28 @@ class ParquetStorage(Storage):
         return True
 
     # -- IO ---------------------------------------------------------------
+    def _read_schema(self):
+        extra = [
+            T.StructField(c, T.StringType() if a == "tags"
+                          else T.DoubleType(), True)
+            for (a, _k), c in sorted(self.index_cols.items(),
+                                     key=lambda kv: kv[1])
+        ]
+        return T.StructType(POINT_SCHEMA_PARTS.fields + extra)
+
     def read(self) -> DataFrame:
         """Canonical columns + ``_seq`` + the ``pdate`` partition column
         (the DB layer injects pdate range conjuncts derived from time
-        predicates, then drops the column)."""
+        predicates, then drops the column) + any materialized ``_tag_*``
+        / ``_field_*`` scalar columns (the DB layer compiles eligible
+        predicates against these, then drops them from results)."""
+        schema = self._read_schema()
         if self._is_empty():
-            return self.spark.createDataFrame([], POINT_SCHEMA_PARTS)
-        df = self.spark.read.schema(POINT_SCHEMA_PARTS).parquet(
-            self.data_dir
-        )
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(self.data_dir)
         return df.select(
-            "time", "measurement", "tags", "fields", SEQ_COL, PDATE_COL
+            "time", "measurement", "tags", "fields", SEQ_COL, PDATE_COL,
+            *sorted(self.index_cols.values()),
         )
 
     def append_points(
@@ -297,9 +398,12 @@ class ParquetStorage(Storage):
 
     def _write_append(self, df_seq: DataFrame) -> None:
         (
-            df_seq.withColumn(
-                PDATE_COL, F.date_format("time", "yyyy-MM-dd")
+            self._derive_index_cols(
+                df_seq.select(
+                    "time", "measurement", "tags", "fields", SEQ_COL
+                )
             )
+            .withColumn(PDATE_COL, F.date_format("time", "yyyy-MM-dd"))
             .write.mode("append")
             .partitionBy("measurement", PDATE_COL)
             .parquet(self.data_dir)
@@ -320,7 +424,9 @@ class ParquetStorage(Storage):
         """
         stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex[:8]}")
         (
-            df.select("time", "measurement", "tags", "fields", SEQ_COL)
+            self._derive_index_cols(
+                df.select("time", "measurement", "tags", "fields", SEQ_COL)
+            )
             .withColumn(PDATE_COL, F.date_format("time", "yyyy-MM-dd"))
             .write.mode("overwrite")
             .partitionBy("measurement", PDATE_COL)
