@@ -329,6 +329,59 @@ def test_scoped_remove_escaped_measurement(spark, tmp_path):
     assert d.count(MeasurementQuery() == weird) == 0
 
 
+def test_compact_merges_files_preserves_order(spark, tmp_path):
+    """Repeated appends fragment partitions into one file each;
+    compact() rewrites to one file per (measurement, date) dir with
+    rows, insertion order (_seq) and values intact."""
+    path = str(tmp_path / "frag")
+    d = TinyFluxSpark(path, spark=spark, index_tags=["city"])
+    for batch in range(4):
+        d.insert_multiple(
+            Point(time=T0, measurement="m",
+                  tags={"city": f"c{batch}"},
+                  fields={"v": float(batch * 10 + i)})
+            for i in range(3)
+        )
+    before_points = d.all(sorted=False)
+    assert d.storage.parquet_file_count() == 4
+    eliminated = d.compact()
+    assert eliminated == 3
+    assert d.storage.parquet_file_count() == 1
+    after_points = d.all(sorted=False)
+    assert [(p.tags, p.fields) for p in before_points] == [
+        (p.tags, p.fields) for p in after_points
+    ]
+    # indexed path still works post-compact
+    assert d.count(TagQuery().city == "c2") == 3
+    # scoped compact of an untouched measurement is a no-op
+    assert d.compact("nope") == 0
+
+
+def test_bulk_append_df_one_file_per_partition(spark, tmp_path):
+    """The clustered bulk-write path emits one file per partition dir
+    even from a multi-partition source frame."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "bulk")
+    d = TinyFluxSpark(path, spark=spark)
+    src = (
+        spark.range(0, 1000, 1, 8)
+        .select(
+            (F.lit(T0) + F.make_interval(hours=F.col("id") % 48))
+            .alias("time"),
+            F.concat(F.lit("m"), F.col("id") % 2).alias("measurement"),
+            F.create_map(F.lit("u"), (F.col("id") % 5).cast("string"))
+            .alias("tags"),
+            F.create_map(F.lit("v"), F.col("id").cast("double"))
+            .alias("fields"),
+        )
+    )
+    d.insert_dataframe(src)
+    assert len(d) == 1000
+    # 2 measurements x 2 dates = 4 partition dirs, one file each
+    assert d.storage.parquet_file_count() == 4
+
+
 def test_index_config_durable_and_guarded(spark, tmp_path):
     """index_tags/index_fields persist in the manifest: a bare reopen
     replays them; a conflicting constructor argument is an error (a

@@ -316,16 +316,29 @@ class TinyFluxSpark:
         batches, 5-10× cheaper on the driver. Timestamps arrive tz-naive
         in the session's UTC; re-attach the zone like ``Point.from_row``.
         """
+        import warnings
+
         pdf = df.select("time", "measurement", "tags", "fields").toPandas()
+        if not len(pdf):
+            return []
+        with warnings.catch_warnings():
+            # pandas 2.x deprecation: future versions return a Series
+            # instead of an ndarray — both iterate identically here.
+            warnings.simplefilter("ignore", FutureWarning)
+            times = pdf["time"].dt.tz_localize(
+                timezone.utc
+            ).dt.to_pydatetime()
         out: List[Point] = []
         for t, m, tg, fl in zip(
-            pdf["time"], pdf["measurement"], pdf["tags"], pdf["fields"]
+            times, pdf["measurement"], pdf["tags"], pdf["fields"]
         ):
             p = Point.__new__(Point)
-            p._time = t.to_pydatetime().replace(tzinfo=timezone.utc)
+            p._time = t
             p._measurement = m
-            p._tags = dict(tg) if tg is not None else {}
-            p._fields = dict(fl) if fl is not None else {}
+            # Arrow delivers MapType as real dicts; empty maps arrive
+            # as {} and only a NULL map needs the fallback.
+            p._tags = tg if tg is not None else {}
+            p._fields = fl if fl is not None else {}
             out.append(p)
         return out
 
@@ -801,6 +814,16 @@ class TinyFluxSpark:
 
     def drop_measurements(self) -> None:
         self.remove_all()
+
+    def compact(self, measurement: Optional[str] = None) -> int:
+        """Maintenance *(extension)*: merge each partition's accumulated
+        small files (one per append/micro-batch) into one file per
+        ``(measurement, date)`` directory. Data, insertion order and
+        index columns are untouched. Returns files eliminated; no-op (0)
+        on storages without file-granular layout."""
+        if isinstance(self._storage, ParquetStorage):
+            return self._storage.compact(measurement)
+        return 0
 
     # -- measurement handles --------------------------------------------
     def measurement(self, name: str) -> "Measurement":
