@@ -107,22 +107,27 @@ def lang_id(col, out_unknown: str = "und") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     n = F.greatest(F.length(c), F.lit(1))
 
-    expr = F.lit(out_unknown)
-    # Latin-script stopword argmax, folded in declaration order with
-    # strict-greater comparisons: a later language replaces the running
-    # best only when strictly higher, so EARLIER-declared languages win
-    # ties (the documented priority).
-    counts = {
-        lang: _stopword_count(c, words) for lang, words in _STOPWORDS.items()
-    }
+    # Latin-script stopword argmax with EARLIER-declared languages
+    # winning ties. Built as array_max over (count, -rank, lang) structs
+    # — struct ordering compares fields left to right, so the max is
+    # the highest count and, on ties, the lowest declaration index.
+    # Crucially each regexp_count appears in the plan exactly once; the
+    # equivalent when/otherwise fold nests every count into every later
+    # branch condition, exploding the tree O(k²) and defeating
+    # subexpression reuse.
     langs = list(_STOPWORDS)
-    best = F.lit(out_unknown)
-    best_cnt = F.lit(0)
-    for lang in langs:
-        better = counts[lang] > best_cnt
-        best = F.when(better, F.lit(lang)).otherwise(best)
-        best_cnt = F.when(better, counts[lang]).otherwise(best_cnt)
-    expr = best
+    scores = F.array(
+        *[
+            F.struct(
+                _stopword_count(c, _STOPWORDS[lang]).alias("c"),
+                F.lit(-i).alias("r"),
+                F.lit(lang).alias("l"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    top = F.array_max(scores)
+    expr = F.when(top["c"] > 0, top["l"]).otherwise(F.lit(out_unknown))
     # Script detection overrides (checked in fixed order).
     for lang, ranges in reversed(list(_SCRIPTS.items())):
         expr = F.when(
