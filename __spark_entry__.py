@@ -998,6 +998,23 @@ def q50_csv_interop(spark, sf_dir):
     return _flat_store(r)
 
 
+def q51_dedup_clusters(spark, sf_dir):
+    """Duplicate clusters: exact-Jaccard near-dup pairs (q18's ground
+    truth edges) closed transitively via iterative HashMin label
+    propagation — each doc in a duplicate component labeled with the
+    component's min doc_id. The oracle replays the fixpoint as a
+    recursive CTE, so the iterative Spark operator is hash-checked."""
+    from tinyflux_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _t("documents")(spark, sf_dir), "doc_id", threshold=0.7
+    )
+    return duplicate_clusters(pairs).orderBy("node")
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1060,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_search_predicate": q48_search_predicate,
         "q49_measurement_handle": q49_measurement_handle,
         "q50_csv_interop": q50_csv_interop,
+        "q51_dedup_clusters": q51_dedup_clusters,
     }
 
 
@@ -1721,4 +1739,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_DML_WHERE} AND event_type = 'click' AND value > 150
         """,
         "q50_csv_interop": _FIRST_EVENTS_SQL,
+        # Transitive closure of the q18 edge set: recursive CTE reaches
+        # the min label along undirected edges — the same fixpoint the
+        # HashMin propagation converges to.
+        "q51_dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM jac
+                WHERE jaccard >= 0.7
+                UNION
+                SELECT id_b, id_a FROM jac WHERE jaccard >= 0.7
+            ),
+            reach(node, lab) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.node
+            )
+            SELECT node, MIN(lab) AS cluster
+            FROM reach GROUP BY node ORDER BY node
+        """,
     }

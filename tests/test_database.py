@@ -398,6 +398,13 @@ def test_index_config_durable_and_guarded(spark, tmp_path):
     with pytest.raises(ValueError):
         TinyFluxSpark(str(tmp_path / "bad"), spark=spark,
                       index_tags=["no spaces allowed"])
+    # index config is a parquet feature — loudly, not silently, so
+    with pytest.raises(ValueError):
+        TinyFluxSpark(storage=MemoryStorage, spark=spark,
+                      index_tags=["city"])
+    with pytest.raises(ValueError):
+        TinyFluxSpark(str(tmp_path / "x.csv"), storage=CSVStorage,
+                      spark=spark, index_fields=["v"])
 
 
 def test_index_cols_follow_dml(spark, tmp_path):

@@ -329,3 +329,62 @@ def test_lang_id_tie_prefers_earlier_declared(spark):
     df = spark.createDataFrame([(text,)], "text string")
     got = df.select(lang_id("text").alias("g")).collect()[0]["g"]
     assert got == first
+
+
+def test_duplicate_clusters_transitive(spark):
+    """A~B, B~C, D~E: transitive closure puts A,B,C in one cluster
+    keyed by the min id, D,E in another."""
+    from tinyflux_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["cluster"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_duplicate_clusters_long_chain(spark):
+    """A path graph needs multiple propagation rounds — exercises the
+    convergence loop beyond one hop."""
+    from tinyflux_spark.operators.dedup import duplicate_clusters
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = duplicate_clusters(pairs).collect()
+    assert all(r["cluster"] == 0 for r in got)
+    assert len(got) == n + 1
+
+
+def test_dedup_keep_canonical(spark, docs):
+    """Only the min-id member of each duplicate cluster survives;
+    docs with no duplicate pair are untouched."""
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.dedup import (
+        dedup_keep_canonical,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", verify_threshold=0.6
+    ).select("id_a", "id_b")
+    kept = dedup_keep_canonical(docs, pairs, "doc_id")
+    n_docs = docs.count()
+    n_losers = (
+        pairs.select(F.col("id_b").alias("x"))
+        .union(pairs.select("id_a"))
+        .distinct()
+        .count()
+    )
+    # every pair member except one canonical per cluster is dropped
+    assert kept.count() < n_docs or n_losers == 0
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for r in pairs.collect():
+        assert not (r["id_a"] in kept_ids and r["id_b"] in kept_ids) or (
+            r["id_a"] == r["id_b"]
+        )

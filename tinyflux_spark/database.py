@@ -175,12 +175,29 @@ class TinyFluxSpark:
         Query results are identical either way; only the scan changes.
         """
         self.spark = spark or get_spark()
+        wants_index = index_tags is not None or index_fields is not None
         if isinstance(storage, Storage):
+            if wants_index:
+                raise ValueError(
+                    "index_tags/index_fields apply to path-constructed "
+                    "parquet stores; configure the Storage instance "
+                    "directly instead"
+                )
             self._storage = storage
         elif storage is MemoryStorage or (storage is None and path is None):
+            if wants_index:
+                raise ValueError(
+                    "index_tags/index_fields require ParquetStorage "
+                    "(memory/CSV stores have no scan-level statistics)"
+                )
             self._storage = MemoryStorage(self.spark)
         elif storage is CSVStorage:
             assert path is not None
+            if wants_index:
+                raise ValueError(
+                    "index_tags/index_fields require ParquetStorage "
+                    "(memory/CSV stores have no scan-level statistics)"
+                )
             self._storage = CSVStorage(path, self.spark)
         else:
             assert path is not None

@@ -544,3 +544,92 @@ def simhash_pairs(
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (node, cluster).
+
+    The pair emitters (ngram_jaccard_pairs / minhash_lsh_pairs /
+    simhash_pairs / embedding near-dup) produce edges; a training-data
+    dedup pipeline then needs the transitive closure — A~B and B~C must
+    land A, B, C in ONE cluster so exactly one survives. ``cluster`` is
+    the minimum node id reachable from ``node``.
+
+    Algorithm: HashMin label propagation — every node starts with
+    label = own id; each round every node takes the min of its and its
+    neighbors' labels; converged when no label changes. Rounds needed =
+    graph diameter, and near-dup components are shallow (dups of a
+    common source), so 2-4 rounds is typical. Each round is one
+    self-equi-join on node id + a groupBy-min — no cross product, and
+    ``localCheckpoint`` truncates the lineage so plan size stays
+    constant across iterations (the classic Spark iterative-algorithm
+    trap). This is the one deliberately iterative operator in the
+    engine; its oracle is a recursive CTE.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    # Undirected: propagate both ways.
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except its cluster's canonical (min-id)
+    document: rows of ``df`` whose id is not a non-canonical member of
+    any duplicate cluster. Singleton docs (no pair) always survive.
+    The clusters side is tiny relative to the corpus (only docs that
+    appeared in a pair), so the anti-join broadcasts at scale.
+    """
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    losers = clusters.where(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")
