@@ -998,6 +998,26 @@ def q50_csv_interop(spark, sf_dir):
     return _flat_store(r)
 
 
+def q52_ivf_ann_topk(spark, sf_dir):
+    """IVF-Flat ANN (second scale path beside q31's SRP-LSH): corpus
+    vectors assigned to their nearest of 16 deterministic codebook
+    centroids; the query probes the 4 nearest inverted lists and
+    brute-forces only those (~25% of the corpus). The oracle replays
+    codebook selection, list assignment, probe ranking, and final
+    ranking in SQL, so every stage of the index is hash-checked."""
+    from tinyflux_spark.operators.similarity import ivf_topk
+
+    emb = _t("embeddings")(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_topk(
+        emb.where(F.col("vec_id") != 0),
+        qvec,
+        k=10,
+        num_centroids=16,
+        nprobe=4,
+    )
+
+
 def q51_dedup_clusters(spark, sf_dir):
     """Duplicate clusters: exact-Jaccard near-dup pairs (q18's ground
     truth edges) closed transitively via iterative HashMin label
@@ -1078,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_measurement_handle": q49_measurement_handle,
         "q50_csv_interop": q50_csv_interop,
         "q51_dedup_clusters": q51_dedup_clusters,
+        "q52_ivf_ann_topk": q52_ivf_ann_topk,
     }
 
 
@@ -1742,6 +1763,60 @@ def oracle_sql() -> dict[str, str]:
         # Transitive closure of the q18 edge set: recursive CTE reaches
         # the min label along undirected edges — the same fixpoint the
         # HashMin propagation converges to.
+        # IVF replay: same codebook (every n//16-th corpus vector by id,
+        # capped at 16), same 6dp-rounded cosine argmax assignment with
+        # lower-index tie-break, same 4-list probe set, same final
+        # ranking as q24.
+        "q52_ivf_ann_topk": """
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+            corpus AS (SELECT * FROM emb WHERE vec_id <> 0),
+            cent0 AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn, e
+                FROM corpus
+            ),
+            cent AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY rn) - 1 AS cidx,
+                       e AS ce
+                FROM cent0
+                WHERE rn % (SELECT GREATEST(COUNT(*) // 16, 1)
+                            FROM corpus) = 0
+                ORDER BY rn LIMIT 16
+            ),
+            asg AS (
+                SELECT c.vec_id, c.e,
+                       (SELECT cidx FROM cent
+                        ORDER BY ROUND(
+                            list_dot_product(c.e, ce)
+                            / (sqrt(list_dot_product(c.e, c.e))
+                               * sqrt(list_dot_product(ce, ce))), 6
+                        ) DESC, cidx
+                        LIMIT 1) AS lst
+                FROM corpus c
+            ),
+            probes AS (
+                SELECT cidx FROM cent, q
+                ORDER BY ROUND(
+                    list_dot_product(qe, ce)
+                    / (sqrt(list_dot_product(qe, qe))
+                       * sqrt(list_dot_product(ce, ce))), 6
+                ) DESC, cidx
+                LIMIT 4
+            )
+            SELECT vec_id,
+                   ROUND(list_dot_product(e, qe)
+                         / (sqrt(list_dot_product(e, e))
+                            * sqrt(list_dot_product(qe, qe))),
+                         6) AS cosine_sim
+            FROM asg, q
+            WHERE lst IN (SELECT cidx FROM probes)
+            ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
         "q51_dedup_clusters": f"""
             WITH RECURSIVE {_SHINGLE_CTE},
             e AS (

@@ -388,3 +388,44 @@ def test_dedup_keep_canonical(spark, docs):
         assert not (r["id_a"] in kept_ids and r["id_b"] in kept_ids) or (
             r["id_a"] == r["id_b"]
         )
+
+
+def test_ivf_topk_full_probe_equals_exact(spark):
+    """Probing every inverted list must reduce IVF to the exact scan —
+    the recall knob's boundary condition."""
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    corpus = emb.where(F.col("vec_id") != 0)
+    exact = [(r["vec_id"], r["cosine_sim"])
+             for r in cosine_topk(corpus, q, k=5).collect()]
+    full = [(r["vec_id"], r["cosine_sim"])
+            for r in ivf_topk(corpus, q, k=5, num_centroids=8,
+                              nprobe=8).collect()]
+    assert full == exact
+
+
+def test_ivf_topk_deterministic_and_subset(spark):
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    corpus = emb.where(F.col("vec_id") != 0)
+    a = [r["vec_id"] for r in ivf_topk(corpus, q, k=5, num_centroids=8,
+                                       nprobe=2).collect()]
+    b = [r["vec_id"] for r in ivf_topk(corpus, q, k=5, num_centroids=8,
+                                       nprobe=2).collect()]
+    assert a == b
+    # every approximate result is a real corpus vector with its exact
+    # similarity (IVF never fabricates scores)
+    exact_all = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in cosine_topk(corpus, q, k=10**6).collect()
+    }
+    for r in ivf_topk(corpus, q, k=5, num_centroids=8, nprobe=2).collect():
+        assert exact_all[r["vec_id"]] == r["cosine_sim"]

@@ -20,6 +20,7 @@ JVM-side, no UDFs.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 import numpy as np
@@ -189,3 +190,108 @@ def near_dup_pairs(
         )
     )
     return pairs.where(F.col("cosine_sim") >= threshold)
+
+
+def _seq_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """Strict left-to-right double fold — the same IEEE operation
+    sequence as the JVM ``F.aggregate`` fold and DuckDB's list fold, so
+    driver-side probe selection reproduces engine-side math exactly
+    (numpy's SIMD/pairwise summation would not)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+):
+    """Deterministic coarse-quantizer codebook: every ``n/K``-th vector
+    in id order (ids are arbitrary w.r.t. embedding space, so this is a
+    uniform sample — the reproducible, oracle-replayable stand-in for
+    an offline k-means training job, which would slot in here unchanged
+    since only the codebook values differ). Returns
+    ``[(centroid_idx, vector), ...]`` collected to the driver (K x dim
+    floats — broadcast-sized by construction).
+    """
+    from pyspark.sql import Window
+
+    n = df.count()
+    stride = max(n // num_centroids, 1)
+    w = Window.orderBy(id_col)
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") - 1) % stride == 0)
+        .orderBy("_rn")
+        .limit(num_centroids)
+        .collect()
+    )
+    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def ivf_assign(
+    vec_col: Column,
+    centroids,
+) -> Column:
+    """Inverted-list id for a vector: argmax of cosine to the codebook,
+    sims rounded to 6dp before comparison (cross-engine ulp noise can't
+    flip the argmax) and ties broken toward the lower centroid index.
+    One struct array_max — each centroid dot evaluated exactly once.
+    """
+    nv = _norm(vec_col)
+    scores = []
+    for i, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        cn = math.sqrt(_seq_dot(cvec, cvec))
+        sim = F.round(_dot(vec_col, c) / (nv * F.lit(cn)), 6)
+        scores.append(
+            F.struct(sim.alias("s"), F.lit(-i).alias("r"))
+        )
+    top = F.array_max(F.array(*scores))
+    return (-top["r"]).cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: the second ANN scale path beside
+    SRP-LSH (srp_lsh_topk).
+
+    Build: assign every vector to its nearest codebook centroid (the
+    inverted list; at scale ``_ivf_list`` is a partition/cluster
+    column written once). Probe: rank centroids against the query
+    driver-side, scan only the ``nprobe`` nearest lists, brute-force
+    the survivors — per-query work ~ nprobe/K of the corpus, recall
+    tunable by nprobe.
+    """
+    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    qn = math.sqrt(_seq_dot(query_vec, query_vec))
+    ranked = sorted(
+        (
+            (
+                -round(
+                    _seq_dot(query_vec, cvec)
+                    / (qn * math.sqrt(_seq_dot(cvec, cvec))),
+                    6,
+                ),
+                i,
+            )
+            for i, cvec in cents
+        ),
+    )
+    probes = [i for _, i in ranked[:nprobe]]
+    assigned = df.withColumn(
+        "_ivf_list", ivf_assign(F.col(vec_col), cents)
+    )
+    cand = assigned.where(F.col("_ivf_list").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
