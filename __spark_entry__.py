@@ -52,12 +52,23 @@ def _t(name: str):
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read ns as long and convert (truncation to
-    micros matches DuckDB's ns→us cast)."""
+    """Load events with ``ts`` normalized to session-tz TIMESTAMP (UTC).
+
+    Handles both testdata vintages: TIMESTAMP(MICROS) parquet arrives as
+    TIMESTAMP_NTZ (cast interprets the naive value in the UTC session
+    zone, matching DuckDB's naive read), while legacy TIMESTAMP(NANOS)
+    is read as long via nanosAsLong and truncated to micros."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->TZ cast below is value-preserving only under a UTC session
+    # zone; pin it so a driver-created session behaves like get_spark().
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 _POINTS_CACHE: dict = {}
@@ -495,11 +506,10 @@ def q26_stream_hourly_rollup(spark, sf_dir):
 
     from tinyflux_spark.streaming import ingest as st
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -508,7 +518,7 @@ def q26_stream_hourly_rollup(spark, sf_dir):
     )
     stream = st.point_stream_from_files(
         spark, sf_dir, schema, path_glob="events.parquet"
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
     rollup = st.windowed_rollup(
         stream,
         "ts",
@@ -652,11 +662,10 @@ def q36_stream_ewma(spark, sf_dir):
 
     from tinyflux_spark.streaming import ingest as st
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -667,7 +676,7 @@ def q36_stream_ewma(spark, sf_dir):
         st.point_stream_from_files(
             spark, sf_dir, schema, path_glob="events.parquet"
         )
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .select(
             F.col("user_id").cast("string").alias("user_id"), "ts", "value"
         )
