@@ -1785,17 +1785,18 @@ def oracle_sql() -> dict[str, str]:
             ),
             q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
             corpus AS (SELECT * FROM emb WHERE vec_id <> 0),
-            cent0 AS (
-                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn, e
-                FROM corpus
+            bounds AS (
+                SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM corpus
+            ),
+            cids AS (
+                SELECT MIN(vec_id) AS cid
+                FROM corpus, bounds
+                GROUP BY ((vec_id - lo) * 16) // (hi - lo + 1)
             ),
             cent AS (
-                SELECT ROW_NUMBER() OVER (ORDER BY rn) - 1 AS cidx,
-                       e AS ce
-                FROM cent0
-                WHERE rn % (SELECT GREATEST(COUNT(*) // 16, 1)
-                            FROM corpus) = 0
-                ORDER BY rn LIMIT 16
+                SELECT ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1 AS cidx,
+                       c.e AS ce
+                FROM corpus c JOIN cids ON c.vec_id = cids.cid
             ),
             asg AS (
                 SELECT c.vec_id, c.e,

@@ -209,28 +209,42 @@ def ivf_centroids(
     vec_col: str = "embedding",
     num_centroids: int = 16,
 ):
-    """Deterministic coarse-quantizer codebook: every ``n/K``-th vector
-    in id order (ids are arbitrary w.r.t. embedding space, so this is a
-    uniform sample — the reproducible, oracle-replayable stand-in for
-    an offline k-means training job, which would slot in here unchanged
-    since only the codebook values differ). Returns
-    ``[(centroid_idx, vector), ...]`` collected to the driver (K x dim
-    floats — broadcast-sized by construction).
-    """
-    from pyspark.sql import Window
+    """Deterministic coarse-quantizer codebook: the id domain [lo, hi]
+    is cut into K equal integer buckets and the min-id vector of each
+    bucket is taken — a uniform stride over the id range (ids are
+    arbitrary w.r.t. embedding space, so this is a uniform sample —
+    the reproducible, oracle-replayable stand-in for an offline k-means
+    training job, which would slot in here unchanged since only the
+    codebook values differ). Returns ``[(centroid_idx, vector), ...]``
+    collected to the driver (K x dim floats — broadcast-sized by
+    construction).
 
-    n = df.count()
-    stride = max(n // num_centroids, 1)
-    w = Window.orderBy(id_col)
-    rows = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") - 1) % stride == 0)
-        .orderBy("_rn")
-        .limit(num_centroids)
+    Scale: no global sort/window anywhere — a min/max agg, a K-key
+    groupBy with map-side partial aggregation, and a pushed-down
+    ``IN (K ids)`` scan. Every stage is distributed; only K rows ever
+    reach the driver.
+    """
+    bounds = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = hi - lo + 1
+    bucket = F.expr(
+        f"(({id_col} - {lo}L) * {num_centroids}) div {span}L"
+    )
+    cid_rows = (
+        df.groupBy(bucket.alias("_b"))
+        .agg(F.min(id_col).alias("_cid"))
         .collect()
     )
-    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+    cids = sorted(int(r["_cid"]) for r in cid_rows)
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .where(F.col(id_col).isin(cids))
+        .collect()
+    )
+    by_id = {int(r[id_col]): list(r[vec_col]) for r in rows}
+    return [(i, by_id[cid]) for i, cid in enumerate(cids)]
 
 
 def ivf_assign(
