@@ -71,7 +71,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-_POINTS_CACHE: dict = {}
+# Per-session memo caches: keyed by the live SparkSession through a
+# WeakKeyDictionary (NOT id(spark) — id() values can be reused after a
+# session is GC'd, aliasing a new session to stale frames) with an inner
+# dict per sf_dir. The weak ref also lets a closed session's cached
+# frames be collected.
+import weakref  # noqa: E402
+
+_POINTS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def events_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,9 +94,9 @@ def events_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way; repeated queries should hit columnar memory, not re-read
     parquet and re-parse JSON.
     """
-    key = (id(spark), sf_dir)
-    if key in _POINTS_CACHE:
-        return _POINTS_CACHE[key]
+    per_session = _POINTS_CACHE.setdefault(spark, {})
+    if sf_dir in per_session:
+        return per_session[sf_dir]
     ev = load_events(spark, sf_dir)
     with_k = F.create_map(
         F.lit("value"), F.col("value"),
@@ -107,7 +114,7 @@ def events_as_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(without_k)
         .alias("fields"),
     ).cache()
-    _POINTS_CACHE[key] = out
+    per_session[sf_dir] = out
     return out
 
 
@@ -495,21 +502,33 @@ def q28_sessionize(spark, sf_dir):
     )
 
 
-def q26_stream_hourly_rollup(spark, sf_dir):
-    """Structured Streaming path: the same hourly rollup as q15 computed
-    by a streaming query over a finite file source (availableNow,
-    complete mode) — verifying the batch/stream unification. Oracle:
-    identical SQL to q15."""
-    import uuid
-
+def _stream_event_source(spark, sf_dir):
+    """Streaming read of events.parquet with the ``ts`` vintage detected
+    by a cheap batch schema probe (round-2 ADVICE): the streaming reader
+    needs the schema declared up front, so mirror load_events' handling
+    of all three testdata vintages — TIMESTAMP_NTZ micros (declare NTZ,
+    cast to session-tz timestamp), tz'd TIMESTAMP micros (declare
+    TimestampType, passthrough), and legacy TIMESTAMP(NANOS) (decodes as
+    long under nanosAsLong; declare LongType, truncate to micros). Pins
+    the session zone to UTC first: the NTZ→TZ cast is value-preserving
+    only under UTC, and unlike load_events this path may run first."""
     from pyspark.sql import types as T
 
     from tinyflux_spark.streaming import ingest as st
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    )["ts"]
+    ts_field = {
+        "bigint": T.LongType(),
+        "timestamp": T.TimestampType(),
+    }.get(probe, T.TimestampNTZType())
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("ts", ts_field),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -518,7 +537,26 @@ def q26_stream_hourly_rollup(spark, sf_dir):
     )
     stream = st.point_stream_from_files(
         spark, sf_dir, schema, path_glob="events.parquet"
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    if probe == "bigint":
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    if probe == "timestamp":
+        return stream
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def q26_stream_hourly_rollup(spark, sf_dir):
+    """Structured Streaming path: the same hourly rollup as q15 computed
+    by a streaming query over a finite file source (availableNow,
+    complete mode) — verifying the batch/stream unification. Oracle:
+    identical SQL to q15."""
+    import uuid
+
+    from tinyflux_spark.streaming import ingest as st
+
+    stream = _stream_event_source(spark, sf_dir)
     rollup = st.windowed_rollup(
         stream,
         "ts",
@@ -658,28 +696,10 @@ def q36_stream_ewma(spark, sf_dir):
     same (ts)-ordered series."""
     import uuid
 
-    from pyspark.sql import types as T
-
     from tinyflux_spark.streaming import ingest as st
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampNTZType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        st.point_stream_from_files(
-            spark, sf_dir, schema, path_glob="events.parquet"
-        )
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .select(
-            F.col("user_id").cast("string").alias("user_id"), "ts", "value"
-        )
+    stream = _stream_event_source(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"), "ts", "value"
     )
     out = st.stateful_ewma(stream, "user_id", "ts", "value", alpha=0.3)
     name = f"q36_out_{uuid.uuid4().hex[:8]}"
@@ -696,7 +716,7 @@ def q36_stream_ewma(spark, sf_dir):
 
 T_DML_HI = datetime(2024, 1, 12, tzinfo=timezone.utc)
 
-_RO_STORE_CACHE: dict = {}
+_RO_STORE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _dml_slice(spark, sf_dir):
@@ -782,10 +802,10 @@ def q38_get_contains(spark, sf_dir):
 
 def _ro_store(spark, sf_dir):
     """Shared read-only DML-slice store (same cache as q38)."""
-    key = (id(spark), sf_dir)
-    if key not in _RO_STORE_CACHE:
-        _RO_STORE_CACHE[key] = _fresh_dml_store(spark, sf_dir)
-    return _RO_STORE_CACHE[key]
+    per_session = _RO_STORE_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        per_session[sf_dir] = _fresh_dml_store(spark, sf_dir)
+    return per_session[sf_dir]
 
 
 _DML_WHERE = (

@@ -81,6 +81,19 @@ def test_csv_int_float_quirk():
     assert isinstance(q.fields["big"], float)
 
 
+def test_csv_timeless_point_refuses_to_serialize():
+    # A time-less Point has no valid CSV form: the reader (ours and the
+    # reference's) parses column 0 as an ISO timestamp unconditionally,
+    # so writing one would poison the file. insert() stamps time before
+    # storage; direct serialization must raise instead.
+    p = Point()
+    assert p.time is None
+    with pytest.raises(ValueError):
+        p.to_csv_row()
+    with pytest.raises(ValueError):
+        p.to_csv_row(compact_key_prefixes=True)
+
+
 def test_csv_none_sentinel():
     p = Point(
         time=datetime(2020, 1, 1, tzinfo=timezone.utc),

@@ -158,6 +158,15 @@ def test_batch_ewma_variants_agree(spark):
     df = spark.createDataFrame(rows, ["key", "time", "value"])
     run = aggregates.ewma_running(df, "key", "time", "value", alpha=0.3)
     last = aggregates.ewma_last(df, "key", "time", "value", alpha=0.3)
+    # Boundedness guard: a key whose series exceeds max_series_rows
+    # fails with a pointer to the scalable variants.
+    import pytest
+
+    with pytest.raises(Exception) as ei:
+        aggregates.ewma_last(
+            df, "key", "time", "value", alpha=0.3, max_series_rows=2
+        ).collect()
+    assert "max_series_rows" in str(ei.value)
     run_final = {
         r["key"]: r["ewma"]
         for r in run.orderBy("key", "time")

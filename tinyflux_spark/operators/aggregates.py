@@ -219,15 +219,22 @@ def ewma_last(
     time_col: str,
     value_col: str,
     alpha: float = 0.3,
+    max_series_rows: int = 1_000_000,
 ) -> DataFrame:
     """Per-key FINAL exponentially-weighted moving average.
 
     ewma_0 = v_0; ewma_i = alpha*v_i + (1-alpha)*ewma_{i-1} over the
     key's time-ordered series. One shuffle on the key; the recurrence
-    folds over the in-row collected series (per-key series must fit a
-    row — for unbounded series use ewma_running/stateful_ewma).
-    Expressible in any engine with an ordered-list fold, so it stays
-    oracle-checkable.
+    folds over the in-row collected series, so a key's WHOLE series
+    must fit in one row. That makes this the bounded-series variant:
+    ``ewma_running`` (Arrow grouped-map, streams each key through
+    pandas) and ``streaming.stateful_ewma`` (constant state per key)
+    are the unbounded-scale paths. ``max_series_rows`` enforces the
+    boundedness at execution time — a key whose series exceeds it
+    fails with an actionable pointer to the scalable variants rather
+    than succeeding on a silently-oversized row (set ``None`` to
+    disable). Expressible in any engine with an ordered-list fold, so
+    it stays oracle-checkable.
     """
     ordered = F.transform(
         F.array_sort(
@@ -245,7 +252,27 @@ def ewma_last(
             a * v.cast("double") + (F.lit(1.0) - a) * acc
         ),
     )
-    return df.groupBy(key_col).agg(fold.alias("ewma"))
+    agg = df.groupBy(key_col).agg(
+        fold.alias("ewma"), F.count(F.lit(1)).alias("_n")
+    )
+    if max_series_rows is not None:
+        guarded = F.when(
+            F.col("_n") > int(max_series_rows),
+            F.raise_error(
+                F.concat(
+                    F.lit("ewma_last: series for key "),
+                    F.col(key_col).cast("string"),
+                    F.lit(
+                        f" exceeds max_series_rows={int(max_series_rows)};"
+                        " use ewma_running or streaming.stateful_ewma"
+                        " for unbounded series"
+                    ),
+                )
+            ).cast("double"),
+        ).otherwise(F.col("ewma"))
+    else:
+        guarded = F.col("ewma")
+    return agg.select(key_col, guarded.alias("ewma"))
 
 
 def ewma_running(

@@ -207,10 +207,19 @@ class Point:
         """Serialize to the reference CSV row layout (point.py:307-367)."""
         tp = COMPACT_TAG_PREFIX if compact_key_prefixes else TAG_PREFIX
         fp = COMPACT_FIELD_PREFIX if compact_key_prefixes else FIELD_PREFIX
+        if self._time is None:
+            # Storage rows always carry a stamped time (insert stamps
+            # time-less Points; reference database.py:1274-1278) and the
+            # reference reader — like from_csv_row — parses column 0 as
+            # an ISO timestamp unconditionally, so serializing a
+            # time-less Point would write an unreadable row. Fail at
+            # write time instead of producing a poisoned file.
+            raise ValueError(
+                "Cannot serialize a Point with no time; insert() stamps "
+                "time before storage."
+            )
         out = [
-            self._time.replace(tzinfo=None).isoformat()
-            if self._time
-            else NONE_STR,
+            self._time.replace(tzinfo=None).isoformat(),
             str(self._measurement or NONE_STR),
         ]
         for k, v in self._tags.items():
