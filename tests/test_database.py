@@ -450,3 +450,45 @@ def test_update_merge_no_session_dedup_policy(spark):
         assert p.fields == {"v": 2.0}
     finally:
         spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+
+
+def test_concurrent_handles_disjoint_seq(spark, tmp_path):
+    """Two handles on one store path appending concurrently mint
+    disjoint _seq ranges and lose no rows (the manifest bump and the
+    staged swap are flock-serialized; the reference is single-process
+    by design so this is an extension guarantee)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "mw")
+    a = TinyFluxSpark(path, spark=spark)
+    b = TinyFluxSpark(path, spark=spark)
+
+    def writer(db, base):
+        for i in range(8):
+            db.insert_multiple([
+                Point(
+                    time=T0 + timedelta(minutes=base * 1000 + i * 10 + j),
+                    measurement="m",
+                    fields={"v": float(base * 1000 + i * 10 + j)},
+                )
+                for j in range(5)
+            ])
+        return True
+
+    with ThreadPoolExecutor(2) as ex:
+        fa = ex.submit(writer, a, 0)
+        fb = ex.submit(writer, b, 1)
+        assert fa.result() and fb.result()
+
+    assert len(a) == 80
+    seqs = [
+        r["_seq"]
+        for r in a.dataframe(with_seq=True).select("_seq").collect()
+    ]
+    assert len(seqs) == 80
+    assert len(set(seqs)) == 80, "duplicate _seq minted by racing handles"
+    # values are unique too (no lost/duplicated batch)
+    vals = sorted(
+        p.fields["v"] for p in a.all(sorted=False)
+    )
+    assert len(set(vals)) == 80

@@ -53,6 +53,53 @@ def test_stream_insert_into_parquet_storage(spark, tmp_path):
     assert got is not None and got.fields["v"] >= 10.0
 
 
+def test_stream_insert_auto_compaction(spark, tmp_path):
+    """N micro-batches with compact_every_n_batches leave ≤1 file per
+    touched (measurement, pdate) directory — the fragmentation the
+    reference's MQTT append loop accumulates unboundedly."""
+    # one source file per micro-batch → maxFilesPerTrigger=1 gives one
+    # batch per file
+    src = str(tmp_path / "src")
+    n_batches = 4
+    for b in range(n_batches):
+        pts = [
+            Point(
+                time=T0 + timedelta(minutes=b * 10 + j),
+                measurement="m1" if j % 2 else "m2",
+                fields={"v": float(b * 10 + j)},
+            )
+            for j in range(5)
+        ]
+        points_to_df(spark, pts).coalesce(1).write.mode("append").parquet(src)
+    store = ParquetStorage(str(tmp_path / "db"), spark)
+    stream = ingest.point_stream_from_files(
+        spark, src, POINT_SCHEMA, max_files_per_trigger=1
+    )
+    q = ingest.stream_insert(
+        store,
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        compact_every_n_batches=n_batches,
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    db = TinyFluxSpark(storage=store, spark=spark)
+    assert len(db) == n_batches * 5
+    # ≤1 parquet file per (measurement, pdate) directory after the
+    # final compaction (all rows share one pdate per measurement here,
+    # so 1 file per measurement)
+    import os
+
+    for root, _dirs, files in os.walk(store.data_dir):
+        parts = [f for f in files if f.endswith(".parquet")]
+        if parts:
+            assert len(parts) == 1, (root, parts)
+    # insertion order survives compaction
+    vals = [p.fields["v"] for p in db.all(sorted=False)]
+    assert vals == sorted(vals)
+
+
 def test_windowed_rollup_matches_batch(spark, tmp_path):
     src, pts = mk_source(spark, tmp_path)
     stream = ingest.point_stream_from_files(spark, src, POINT_SCHEMA)

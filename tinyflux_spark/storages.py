@@ -32,7 +32,16 @@ import re
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 from typing import Iterable, List, Optional, Sequence
+
+try:  # POSIX file locking; absent on non-POSIX platforms, where the
+    # store falls back to the reference's single-process semantics
+    # (reference docs/source/design-principles.rst — TinyFlux is
+    # explicitly a single-process embedded store).
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None  # type: ignore[assignment]
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -258,6 +267,7 @@ class ParquetStorage(Storage):
         self.path = path
         self.data_dir = os.path.join(path, "data")
         self.meta_path = os.path.join(path, "_tinyflux_meta.json")
+        self.lock_path = os.path.join(path, "_tinyflux.lock")
         os.makedirs(self.data_dir, exist_ok=True)
         want = {
             "index_tags": sorted(set(index_tags or ())),
@@ -269,11 +279,15 @@ class ParquetStorage(Storage):
                 raise ValueError(
                     f"{kind} keys must match [A-Za-z0-9_]+: {bad}"
                 )
-        if not os.path.exists(self.meta_path):
-            self._write_meta({"next_seq": 0, **want})
+        with self._locked():
+            # check-then-create under the lock: two handles racing to
+            # initialize one path must agree on a single manifest.
+            if not os.path.exists(self.meta_path):
+                self._write_meta({"next_seq": 0, **want})
+        meta = self._read_meta()
+        if "index_tags" not in meta and "index_fields" not in meta:
             have = want
         else:
-            meta = self._read_meta()
             have = {
                 "index_tags": meta.get("index_tags", []),
                 "index_fields": meta.get("index_fields", []),
@@ -312,12 +326,36 @@ class ParquetStorage(Storage):
         return df
 
     # -- manifest ---------------------------------------------------------
+    @contextmanager
+    def _locked(self):
+        """Exclusive inter-process lock (``flock`` on
+        ``path/_tinyflux.lock``) serializing the manifest
+        read-modify-write and the partition-swap critical section
+        across handles — two ``TinyFluxSpark`` handles (or processes)
+        on one store path mint disjoint ``_seq`` ranges and can't
+        interleave a swap. The reference is explicitly single-process
+        (docs/source/design-principles.rst) so it needs no lock; a
+        Spark-native store invites multi-writer use. Uses a dedicated
+        lock file (not the manifest itself) so ``os.replace`` of the
+        manifest never invalidates a held lock fd."""
+        if fcntl is None:  # pragma: no cover — non-POSIX fallback
+            yield
+            return
+        # 'a' not 'w': opening must not truncate while another handle
+        # holds the lock.
+        with open(self.lock_path, "a") as lf:
+            fcntl.flock(lf.fileno(), fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf.fileno(), fcntl.LOCK_UN)
+
     def _read_meta(self) -> dict:
         with open(self.meta_path) as f:
             return json.load(f)
 
     def _write_meta(self, meta: dict) -> None:
-        tmp = self.meta_path + ".tmp"
+        tmp = self.meta_path + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self.meta_path)
@@ -326,11 +364,12 @@ class ParquetStorage(Storage):
         return self._read_meta()["next_seq"]
 
     def _bump_seq(self, n: int) -> int:
-        meta = self._read_meta()
-        start = meta["next_seq"]
-        meta["next_seq"] = start + n
-        self._write_meta(meta)
-        return start
+        with self._locked():
+            meta = self._read_meta()
+            start = meta["next_seq"]
+            meta["next_seq"] = start + n
+            self._write_meta(meta)
+            return start
 
     def _is_empty(self) -> bool:
         for _root, _dirs, files in os.walk(self.data_dir):
@@ -417,11 +456,39 @@ class ParquetStorage(Storage):
             # layout. _seq is stamped before the shuffle, so row
             # identity/order metadata is unaffected by placement.
             out = out.repartition(F.col("measurement"), F.col(PDATE_COL))
-        (
-            out.write.mode("append")
-            .partitionBy("measurement", PDATE_COL)
-            .parquet(self.data_dir)
-        )
+        # Stage-then-move: each append job commits into its own private
+        # directory, then the part files (globally-unique names) move
+        # into place under the store lock. Writing straight into
+        # data_dir would make concurrent appends share one
+        # ``_temporary/0`` committer dir — one job's cleanup deletes the
+        # other's in-flight task files — and a concurrent staged swap
+        # could rmtree a directory mid-commit. This is the same
+        # private-attempt-then-publish protocol cloud committers use.
+        stage = os.path.join(self.path, f"_append_{uuid.uuid4().hex[:8]}")
+        try:
+            (
+                out.write.mode("overwrite")
+                .partitionBy("measurement", PDATE_COL)
+                .parquet(stage)
+            )
+            with self._locked():
+                for root, _dirs, files in os.walk(stage):
+                    rel = os.path.relpath(root, stage)
+                    for f in files:
+                        if not f.endswith(".parquet"):
+                            continue
+                        dst_dir = (
+                            self.data_dir
+                            if rel == "."
+                            else os.path.join(self.data_dir, rel)
+                        )
+                        os.makedirs(dst_dir, exist_ok=True)
+                        os.replace(
+                            os.path.join(root, f),
+                            os.path.join(dst_dir, f),
+                        )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
 
     def overwrite(
         self,
@@ -450,52 +517,56 @@ class ParquetStorage(Storage):
             .partitionBy("measurement", PDATE_COL)
             .parquet(stage)
         )
-        if measurements is None and date_range is None:
-            old = self.data_dir + ".old"
-            if os.path.exists(old):
-                shutil.rmtree(old)
-            if os.path.exists(self.data_dir):
-                os.replace(self.data_dir, old)
-            os.replace(stage, self.data_dir)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-            return
-        ms = set(measurements) if measurements is not None else None
-        lo, hi = date_range if date_range is not None else (None, None)
-        # 1. remove in-scope partition dirs (covers fully-deleted ones
-        #    that have no staged replacement).
-        for mdir in os.listdir(self.data_dir):
-            if not mdir.startswith("measurement="):
-                continue
-            m = unescape_partition_value(mdir.split("=", 1)[1])
-            if ms is not None and m not in ms:
-                continue
-            mpath = os.path.join(self.data_dir, mdir)
-            if date_range is None:
-                shutil.rmtree(mpath)
-                continue
-            for pdir in os.listdir(mpath):
-                if not pdir.startswith(f"{PDATE_COL}="):
-                    continue
-                d = pdir.split("=", 1)[1]
-                if (lo is None or d >= lo) and (hi is None or d <= hi):
-                    shutil.rmtree(os.path.join(mpath, pdir))
-        # 2. move staged replacements in.
-        if os.path.exists(stage):
-            for mdir in os.listdir(stage):
+        # The staged write above runs unlocked (it touches only the
+        # private stage dir); only the swap below is the critical
+        # section another handle must not interleave with.
+        with self._locked():
+            if measurements is None and date_range is None:
+                old = self.data_dir + ".old"
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                if os.path.exists(self.data_dir):
+                    os.replace(self.data_dir, old)
+                os.replace(stage, self.data_dir)
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                return
+            ms = set(measurements) if measurements is not None else None
+            lo, hi = date_range if date_range is not None else (None, None)
+            # 1. remove in-scope partition dirs (covers fully-deleted
+            #    ones that have no staged replacement).
+            for mdir in os.listdir(self.data_dir):
                 if not mdir.startswith("measurement="):
                     continue
-                src_m = os.path.join(stage, mdir)
-                dst_m = os.path.join(self.data_dir, mdir)
-                os.makedirs(dst_m, exist_ok=True)
-                for pdir in os.listdir(src_m):
+                m = unescape_partition_value(mdir.split("=", 1)[1])
+                if ms is not None and m not in ms:
+                    continue
+                mpath = os.path.join(self.data_dir, mdir)
+                if date_range is None:
+                    shutil.rmtree(mpath)
+                    continue
+                for pdir in os.listdir(mpath):
                     if not pdir.startswith(f"{PDATE_COL}="):
                         continue
-                    dst = os.path.join(dst_m, pdir)
-                    if os.path.exists(dst):
-                        shutil.rmtree(dst)
-                    shutil.move(os.path.join(src_m, pdir), dst)
-        shutil.rmtree(stage, ignore_errors=True)
+                    d = pdir.split("=", 1)[1]
+                    if (lo is None or d >= lo) and (hi is None or d <= hi):
+                        shutil.rmtree(os.path.join(mpath, pdir))
+            # 2. move staged replacements in.
+            if os.path.exists(stage):
+                for mdir in os.listdir(stage):
+                    if not mdir.startswith("measurement="):
+                        continue
+                    src_m = os.path.join(stage, mdir)
+                    dst_m = os.path.join(self.data_dir, mdir)
+                    os.makedirs(dst_m, exist_ok=True)
+                    for pdir in os.listdir(src_m):
+                        if not pdir.startswith(f"{PDATE_COL}="):
+                            continue
+                        dst = os.path.join(dst_m, pdir)
+                        if os.path.exists(dst):
+                            shutil.rmtree(dst)
+                        shutil.move(os.path.join(src_m, pdir), dst)
+            shutil.rmtree(stage, ignore_errors=True)
 
     def parquet_file_count(self, measurement: Optional[str] = None) -> int:
         """Number of data files (scoped to one measurement if given) —
@@ -537,10 +608,17 @@ class ParquetStorage(Storage):
         return before - self.parquet_file_count(measurement)
 
     def truncate(self) -> None:
-        if os.path.exists(self.data_dir):
-            shutil.rmtree(self.data_dir)
-        os.makedirs(self.data_dir, exist_ok=True)
-        self._write_meta({"next_seq": 0})
+        with self._locked():
+            if os.path.exists(self.data_dir):
+                shutil.rmtree(self.data_dir)
+            os.makedirs(self.data_dir, exist_ok=True)
+            # Preserve the durable index configuration — truncate drops
+            # rows, not the store's shape.
+            self._write_meta({
+                "next_seq": 0,
+                "index_tags": self._index_tags,
+                "index_fields": self._index_fields,
+            })
 
     def drop_partition(self, measurement: str) -> None:
         part = os.path.join(

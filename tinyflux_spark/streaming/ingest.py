@@ -57,19 +57,38 @@ def stream_insert(
     ts_col: str = "time",
     checkpoint_dir: Optional[str] = None,
     trigger_available_now: bool = True,
+    compact_every_n_batches: Optional[int] = 32,
 ):
     """Append a canonical-schema stream into a storage backend.
 
     Returns the StreamingQuery. With ``watermark`` set, late rows beyond
     the bound are dropped (extension); default accepts all disorder
     (reference semantics).
+
+    ``compact_every_n_batches``: every Nth micro-batch ends with a
+    ``storage.compact()`` — without it a long-running ingest writes one
+    parquet file per micro-batch per touched partition forever, and the
+    per-file open/footer cost eventually dominates scans (the reference
+    hits the same fragmentation in its MQTT append loop,
+    examples/3_iot_datastore_with_mqtt.py, and sidesteps it only by
+    being a single CSV file). Compaction is partition-scoped and
+    staged-swap, so it is safe to run inline between batches; set
+    ``None`` to manage compaction externally.
     """
     df = points_stream
     if watermark:
         df = df.withWatermark(ts_col, watermark)
 
+    can_compact = hasattr(storage, "compact")
+    n_every = compact_every_n_batches
+    seen = {"batches": 0}
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         storage.append_df(batch_df)
+        if can_compact and n_every:
+            seen["batches"] += 1
+            if seen["batches"] % int(n_every) == 0:
+                storage.compact()
 
     writer = df.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir:
