@@ -1064,6 +1064,73 @@ def q51_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs).orderBy("node")
 
 
+def q53_hash_sample(spark, sf_dir):
+    """Deterministic Bernoulli sample (25%) of the documents corpus:
+    keep a doc iff the 4-hex-digit prefix of md5('s53:<doc_id>') falls
+    below the rate. A pure codegen'd filter — no shuffle, no rand() —
+    reproducible across runs, partitionings, and engines; the oracle
+    recomputes the identical md5 threshold check in SQL."""
+    from tinyflux_spark.operators.sampling import hash_sample
+
+    docs = _t("documents")(spark, sf_dir)
+    return hash_sample(docs, "doc_id", rate=0.25, salt="s53").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def q54_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality metrics per document: word and
+    word-bigram duplication fractions via split / array_distinct /
+    transform — a narrow per-row map, no explode and no shuffle."""
+    from tinyflux_spark.operators.text import repetition_stats
+
+    docs = _t("documents")(spark, sf_dir)
+    return repetition_stats(docs, "doc_id")
+
+
+def q55_source_quota(spark, sf_dir):
+    """Per-source quota sampling (domain-mix rebalancing): cap every
+    source at 10 documents chosen by deterministic md5 order. The
+    window sort distributes across sources; the oracle replays the
+    same (md5, id) ranking in SQL."""
+    from tinyflux_spark.operators.sampling import stratified_quota
+
+    docs = _t("documents")(spark, sf_dir)
+    return stratified_quota(
+        docs, "source", "doc_id", n_per_stratum=10, salt="s55"
+    ).select("doc_id", "source")
+
+
+def q56_embedding_dup_clusters(spark, sf_dir):
+    """Embedding-space duplicate clusters: q25's SRP-bucketed cosine
+    near-dup pairs closed transitively with the same HashMin label
+    propagation as q51 — text dedup and embedding dedup share one
+    clustering operator. Oracle: recursive CTE over the seeded-
+    hyperplane pair SQL."""
+    from tinyflux_spark.operators.dedup import duplicate_clusters
+    from tinyflux_spark.operators.similarity import near_dup_pairs
+
+    emb = _t("embeddings")(spark, sf_dir)
+    pairs = near_dup_pairs(emb, threshold=0.35, num_planes=2)
+    return duplicate_clusters(pairs).orderBy("node")
+
+
+def q57_length_deciles(spark, sf_dir):
+    """Exact length-decile profile of the corpus (dataset profiling):
+    value-based deciles of n_chars via a distributed histogram — the
+    cumulative window runs over |distinct lengths| rows, never the
+    corpus, so no global row sort exists in the plan."""
+    from tinyflux_spark.operators.aggregates import value_deciles
+
+    docs = _t("documents")(spark, sf_dir)
+    return value_deciles(docs, "n_chars", k=10).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_rows",
+        F.col("min_val").cast("long").alias("min_chars"),
+        F.col("max_val").cast("long").alias("max_chars"),
+    ).orderBy("bucket")
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1128,6 +1195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_csv_interop": q50_csv_interop,
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_ivf_ann_topk": q52_ivf_ann_topk,
+        "q53_hash_sample": q53_hash_sample,
+        "q54_repetition_stats": q54_repetition_stats,
+        "q55_source_quota": q55_source_quota,
+        "q56_embedding_dup_clusters": q56_embedding_dup_clusters,
+        "q57_length_deciles": q57_length_deciles,
     }
 
 
@@ -1862,5 +1934,92 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, MIN(lab) AS cluster
             FROM reach GROUP BY node ORDER BY node
+        """,
+        # rate 0.25 -> threshold hex(round(0.25 * 65536)) = '4000';
+        # lexicographic compare over fixed-width lowercase hex ==
+        # numeric compare, and both engines emit the same md5 hex.
+        "q53_hash_sample": """
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            WHERE substr(md5('s53:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '4000'
+        """,
+        "q54_repetition_stats": """
+            WITH w AS (
+                SELECT doc_id,
+                       str_split_regex(trim(text), '\\s+') AS ws
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, ws,
+                       list_transform(range(1, len(ws)),
+                                      i -> ws[i] || ' ' || ws[i+1]) AS bg
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(ws)) AS BIGINT)
+                       AS n_distinct_words,
+                   CASE WHEN len(ws) > 0 THEN
+                       ROUND(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                             / len(ws), 6)
+                   ELSE 0.0 END AS dup_word_frac,
+                   CAST(len(bg) AS BIGINT) AS n_bigrams,
+                   CAST(len(list_distinct(bg)) AS BIGINT)
+                       AS n_distinct_bigrams,
+                   CASE WHEN len(bg) > 0 THEN
+                       ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                             / len(bg), 6)
+                   ELSE 0.0 END AS dup_bigram_frac
+            FROM b
+        """,
+        "q55_source_quota": """
+            WITH r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('s55:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rk
+                FROM documents
+            )
+            SELECT doc_id, source FROM r WHERE rk <= 10
+        """,
+        "q56_embedding_dup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+                {_near_dup_oracle_sql(threshold=0.35, num_planes=2,
+                                      dim=64, seed=42)}
+            ),
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, lab) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.node
+            )
+            SELECT node, MIN(lab) AS cluster
+            FROM reach GROUP BY node ORDER BY node
+        """,
+        "q57_length_deciles": """
+            WITH h AS (
+                SELECT n_chars AS v, COUNT(*) AS c
+                FROM documents GROUP BY 1
+            ),
+            cum AS (
+                SELECT v, c,
+                       COALESCE(SUM(c) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS below,
+                       SUM(c) OVER () AS total
+                FROM h
+            )
+            SELECT CAST(LEAST(9, FLOOR(10.0 * below / total)) AS BIGINT)
+                       AS bucket,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(MIN(v) AS BIGINT) AS min_chars,
+                   CAST(MAX(v) AS BIGINT) AS max_chars
+            FROM cum GROUP BY 1 ORDER BY 1
         """,
     }

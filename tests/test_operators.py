@@ -429,3 +429,102 @@ def test_ivf_topk_deterministic_and_subset(spark):
     }
     for r in ivf_topk(corpus, q, k=5, num_centroids=8, nprobe=2).collect():
         assert exact_all[r["vec_id"]] == r["cosine_sim"]
+
+
+# ---------------------------------------------------------------------------
+# Sampling operators
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in hash_sample(
+            docs.repartition(7, F.col("source")), "doc_id", 0.5
+        ).collect()
+    )
+    assert a == b and a  # same picks regardless of layout
+    n = docs.count()
+    assert 0.3 * n < len(a) < 0.7 * n  # rate is roughly honored
+
+
+def test_hash_sample_rate_validation(spark):
+    import pytest as _pytest
+
+    from tinyflux_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for bad in (0.0, 1.0, -0.1, 2.0):
+        with _pytest.raises(ValueError):
+            hash_sample(docs, "doc_id", bad)
+
+
+def test_stratified_quota_caps_and_prefilter_consistency(spark):
+    from tinyflux_spark.operators.sampling import stratified_quota
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    picked = stratified_quota(docs, "source", "doc_id", 3).collect()
+    per = {}
+    for r in picked:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert per and all(v <= 3 for v in per.values())
+    # a generous prefilter keeps a superset of every final pick, so the
+    # result must be identical (same salt => same ordering key)
+    pre = stratified_quota(
+        docs, "source", "doc_id", 3, prefilter_rate=0.9
+    ).collect()
+    assert sorted(r["doc_id"] for r in pre) == sorted(
+        r["doc_id"] for r in picked
+    )
+
+
+def test_repetition_stats_known_values(spark):
+    from tinyflux_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 4 words, 1 distinct; 3 bigrams, 1 distinct
+            (2, "a b c d"),          # all unique
+            (3, "x"),                # single word -> no bigrams
+            (4, "a b a b"),          # bigrams: "a b","b a","a b" -> 2/3 distinct
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id").collect()}
+    assert out[1]["n_words"] == 4 and out[1]["n_distinct_words"] == 1
+    assert out[1]["dup_word_frac"] == 0.75
+    assert out[1]["n_bigrams"] == 3 and out[1]["dup_bigram_frac"] == round(1 - 1 / 3, 6)
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["n_bigrams"] == 0 and out[3]["dup_bigram_frac"] == 0.0
+    assert out[4]["n_distinct_bigrams"] == 2
+    assert out[4]["dup_bigram_frac"] == round(1 - 2 / 3, 6)
+
+
+def test_value_deciles_counts_and_bounds(spark):
+    from tinyflux_spark.operators.aggregates import value_deciles
+
+    # 100 rows valued 0..99 -> 10 buckets of 10, min/max exact
+    df = spark.createDataFrame([(i, i) for i in range(100)], ["id", "v"])
+    rows = {
+        r["bucket"]: r
+        for r in value_deciles(df, "v", k=10).collect()
+    }
+    assert sorted(rows) == list(range(10))
+    for b, r in rows.items():
+        assert r["n_rows"] == 10
+        assert r["min_val"] == b * 10 and r["max_val"] == b * 10 + 9
+    # ties share a bucket: one dominant value never splits
+    df2 = spark.createDataFrame(
+        [(i, 5) for i in range(90)] + [(90 + i, 100 + i) for i in range(10)],
+        ["id", "v"],
+    )
+    rows2 = value_deciles(df2, "v", k=10).collect()
+    five = [r for r in rows2 if r["min_val"] == 5]
+    assert len(five) == 1 and five[0]["n_rows"] == 90

@@ -306,3 +306,49 @@ def ewma_running(
         return out
 
     return df.groupBy(key_col).applyInPandas(fn, schema)
+
+
+def value_deciles(
+    df: DataFrame, value_col: str, k: int = 10
+) -> DataFrame:
+    """Exact k-quantile profile of a numeric column, distributed.
+
+    Output: one row per bucket with (bucket, n_rows, min_val, max_val),
+    where ``bucket(v) = min(k-1, floor(k * rows_strictly_below(v) /
+    total))`` — a value-based bucketing (rows sharing a value share a
+    bucket), which is the property a dataset profiler wants.
+
+    Scale design: a naive ``ntile(k) OVER (ORDER BY v)`` is a GLOBAL
+    sort — one task holds the corpus. Here the corpus is first reduced
+    to a value histogram (``groupBy(v).count()``, map-side combined;
+    |distinct values| rows, bounded for any real numeric feature), the
+    cumulative window then runs over the *histogram*, and bucket stats
+    aggregate histogram rows. The only single-partition step touches
+    |distinct| rows, never |corpus|.
+    """
+    c = F.col(value_col)
+    hist = df.groupBy(c.alias("v")).agg(F.count("*").alias("c"))
+    w_cum = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    cum = hist.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("below"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    bucket = F.least(
+        F.lit(k - 1),
+        F.floor(F.lit(k) * F.col("below") / F.col("total")),
+    )
+    return (
+        cum.select(bucket.alias("bucket"), "v", "c")
+        .groupBy("bucket")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.min("v").alias("min_val"),
+            F.max("v").alias("max_val"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is rarely trained on whole: pipelines down-sample,
+re-balance source mixes, and cap per-domain contributions. These
+operators make every such decision a *pure function of the row id* —
+re-running the pipeline (or running it on two clusters) selects the
+same rows, and the selection is expressible in ANSI SQL so the DuckDB
+oracle can replay it bit-for-bit. Nothing here uses ``rand()``: Spark's
+``sample()`` is seed-stable only for an identical partitioning, which a
+100 TB re-run does not guarantee.
+
+All expressions are built-in ``pyspark.sql.functions`` (JVM codegen, no
+Python UDFs, no shuffle for the Bernoulli path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "hash_sample", "stratified_quota"]
+
+# Number of distinct values of the 4-hex-digit hash prefix.
+_BUCKETS = 1 << 16
+
+
+def hash_bucket(id_col, salt: str = "sample") -> Column:
+    """Uniform hash key for a row id: the first 4 hex digits of
+    ``md5("<salt>:<id>")``, as a lowercase string.
+
+    String (not integer) on purpose: lexicographic compare over
+    fixed-width lowercase hex equals numeric compare, and both Spark
+    and DuckDB produce the identical md5 hex digest, so a threshold
+    check is portable across engines with zero conversion functions.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 4
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its hash bucket
+    falls below ``rate``.
+
+    The filter is a narrow codegen'd predicate — no shuffle, no state,
+    pushes down past projections — and the decision depends only on
+    (salt, id), so it is reproducible across runs, partitionings and
+    engines. Granularity is 1/65536 (the 4-hex-digit bucket).
+    """
+    if not 0.0 < rate < 1.0:
+        raise ValueError("rate must be in (0, 1)")
+    threshold = format(int(round(rate * _BUCKETS)), "04x")
+    return df.where(hash_bucket(id_col, salt) < F.lit(threshold))
+
+
+def stratified_quota(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    salt: str = "quota",
+    prefilter_rate: float | None = None,
+) -> DataFrame:
+    """Cap each stratum (source / domain / language) at
+    ``n_per_stratum`` rows, chosen by deterministic hash order.
+
+    Selection: rank rows within a stratum by ``(md5(salt:id), id)`` and
+    keep the first ``n_per_stratum``. Because the hash is uniform this
+    is a uniform random sample per stratum, yet fully reproducible.
+
+    Scale notes: the window sort distributes across strata (one task
+    per hash-partition of strata, not one global sort). For a skewed
+    stratum holding billions of rows, pass ``prefilter_rate`` to
+    Bernoulli-prune with :func:`hash_sample` (same salt, so the
+    prefilter keeps a superset of every possible final pick — the
+    ranking order and the Bernoulli threshold use the identical key)
+    before the sort; e.g. quota 10k from ~1B rows → prefilter 1e-4
+    leaves ~100k rows to sort. The result is identical as long as the
+    prefilter keeps >= n_per_stratum rows per stratum.
+    """
+    full_key = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    if prefilter_rate is not None:
+        df = hash_sample(df, id_col, prefilter_rate, salt)
+    w = Window.partitionBy(strata_col).orderBy(full_key, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

@@ -163,3 +163,55 @@ def shingle_fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 8) -
         F.col(id_col),
         F.array_min(shingles).alias("shingle_fp"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics.
+
+    Training-data quality filters drop documents whose content repeats
+    itself (boilerplate, keyword stuffing, scraper loops). Per document
+    this computes word and word-bigram duplication fractions:
+
+    * ``dup_word_frac``   = 1 - |distinct words| / |words|
+    * ``dup_bigram_frac`` = 1 - |distinct bigrams| / |bigrams|
+
+    Everything is a narrow per-row expression (split / array_distinct /
+    transform) — no explode, no shuffle, whole-stage codegen — so the
+    operator is a pure map over the corpus and scales linearly. The
+    bigram list is built from a staged words column so the split runs
+    once, not once per sequence element.
+    """
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    staged = df.select(F.col(id_col), ws.alias("_ws"))
+    bigrams = F.expr(
+        "CASE WHEN size(_ws) >= 2 THEN "
+        "transform(sequence(1, size(_ws) - 1), "
+        "i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1))) "
+        "ELSE cast(array() AS array<string>) END"
+    )
+    n_w = F.size("_ws")
+    n_dw = F.size(F.array_distinct("_ws"))
+    with_b = staged.select(
+        F.col(id_col),
+        n_w.alias("n_words"),
+        n_dw.alias("n_distinct_words"),
+        bigrams.alias("_bg"),
+    )
+    n_b = F.size("_bg")
+    n_db = F.size(F.array_distinct("_bg"))
+    frac = lambda n, d: F.when(  # noqa: E731
+        d > 0, F.round(F.lit(1.0) - n.cast("double") / d.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return with_b.select(
+        F.col(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        frac(F.col("n_distinct_words"), F.col("n_words")).alias(
+            "dup_word_frac"
+        ),
+        n_b.cast("long").alias("n_bigrams"),
+        n_db.cast("long").alias("n_distinct_bigrams"),
+        frac(n_db, n_b).alias("dup_bigram_frac"),
+    )
