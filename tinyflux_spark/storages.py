@@ -420,27 +420,70 @@ class ParquetStorage(Storage):
         # Durable batch-scoped _seq WITHOUT a global sort or shuffle:
         # monotonically_increasing_id is partition-major monotonic (not
         # dense — the order contract only needs monotonic+unique), so
-        # _seq = batch_start + mid. The id is deterministic for a stable
-        # source plan, so the stats pass and the write pass agree.
+        # _seq = batch_start + mid. Two passes run over the source —
+        # a stats pass (max id + count; column-pruned to ZERO data
+        # columns, so on parquet it reads footers, not rows) and the
+        # write pass. No cache in between: caching a bulk-load batch
+        # is exactly wrong at scale (a 1 TB batch would evict the
+        # working set to pin rows only read once more). The id is
+        # deterministic for any deterministic source plan, so both
+        # passes agree; for a NON-deterministic source the write pass
+        # could mint ids above the reserved block and collide with the
+        # next batch — the assert below turns that silent corruption
+        # into a loud failure (fix: .cache() the frame before insert).
         src = df.select("time", "measurement", "tags", "fields").withColumn(
             "_mid", F.monotonically_increasing_id()
         )
-        src = src.cache()
-        try:
-            row = src.agg(
-                F.max("_mid").alias("mx"), F.count("*").alias("n")
-            ).collect()[0]
-            if not row["n"]:
-                return
-            start = self._bump_seq(int(row["mx"]) + 1)
-            out = src.withColumn(
-                SEQ_COL, (F.col("_mid") + F.lit(start)).cast("long")
-            ).drop("_mid")
-            self._write_append(out)
-        finally:
-            src.unpersist()
+        row = src.agg(
+            F.max("_mid").alias("mx"), F.count("*").alias("n")
+        ).collect()[0]
+        if not row["n"]:
+            return
+        mx = int(row["mx"])
+        start = self._bump_seq(mx + 1)
+        guard = F.coalesce(
+            F.assert_true(
+                F.col("_mid") <= F.lit(mx),
+                F.lit(
+                    "non-deterministic source re-evaluated with more "
+                    "partitions between seq reservation and write; "
+                    "cache() the frame before inserting"
+                ),
+            ).cast("long"),
+            F.lit(0),
+        )
+        out = src.withColumn(
+            SEQ_COL,
+            (F.col("_mid") + F.lit(start) + guard).cast("long"),
+        ).drop("_mid")
+        self._write_append(out, nrows=int(row["n"]))
 
-    def _write_append(self, df_seq: DataFrame, shuffle: bool = True) -> None:
+    # Target rows per write task. The dominant batch-write cost is
+    # per-task dynamic-partition writer machinery (partition sort +
+    # one open/close per directory the task holds), not bytes: on a
+    # 100k-row load, 32 tasks ran at 66k rows/s while 12 ran at 141k.
+    # Small batches therefore get few tasks; once ceil(n / target)
+    # passes spark.sql.shuffle.partitions the cluster default caps it,
+    # so a 100 TB load still fans out to full cluster width. File
+    # count is unaffected either way: rows hash by (measurement,
+    # pdate), so each directory's rows sit in exactly one task and a
+    # batch emits one file per touched directory.
+    _ROWS_PER_WRITE_TASK = 8192
+
+    def _write_task_count(self, nrows: Optional[int]) -> Optional[int]:
+        if nrows is None or nrows <= 0:
+            return None
+        cap = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        return max(1, min(cap, -(-nrows // self._ROWS_PER_WRITE_TASK)))
+
+    def _write_append(
+        self,
+        df_seq: DataFrame,
+        shuffle: bool = True,
+        nrows: Optional[int] = None,
+    ) -> None:
         out = self._derive_index_cols(
             df_seq.select("time", "measurement", "tags", "fields", SEQ_COL)
         ).withColumn(PDATE_COL, F.date_format("time", "yyyy-MM-dd"))
@@ -455,7 +498,15 @@ class ParquetStorage(Storage):
             # one per partition dir per batch — the compaction-friendly
             # layout. _seq is stamped before the shuffle, so row
             # identity/order metadata is unaffected by placement.
-            out = out.repartition(F.col("measurement"), F.col(PDATE_COL))
+            npart = self._write_task_count(nrows)
+            if npart is not None:
+                out = out.repartition(
+                    npart, F.col("measurement"), F.col(PDATE_COL)
+                )
+            else:
+                out = out.repartition(
+                    F.col("measurement"), F.col(PDATE_COL)
+                )
         # Stage-then-move: each append job commits into its own private
         # directory, then the part files (globally-unique names) move
         # into place under the store lock. Writing straight into
