@@ -1,0 +1,94 @@
+"""End-to-end training-data preparation pipeline over the documents
+corpus: quality filter → repetition filter → near-dup clustering →
+canonical dedup → per-source quota rebalancing → deterministic
+down-sampling → token accounting.
+
+Every stage is one of the engine's oracle-gated operators; chained they
+form the shape of a real 100 TB curation run — filters are narrow
+codegen'd maps, dedup shuffles only on band/bucket keys, clustering
+touches only docs that appeared in a pair, and both sampling stages are
+pure functions of the doc id (re-running the pipeline reproduces the
+same corpus bit-for-bit).
+
+Run: python examples/5_training_data_pipeline.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tinyflux_spark.operators.dedup import (
+    dedup_keep_canonical,
+    minhash_lsh_pairs,
+)
+from tinyflux_spark.operators.sampling import hash_sample, stratified_quota
+from tinyflux_spark.operators.text import (
+    bpe_token_count,
+    quality_features,
+    repetition_stats,
+    token_count,
+)
+from tinyflux_spark.schema import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark("example5")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. Quality gate: length + repetition thresholds. Both operators
+    # are shuffle-free row maps, so this composes into ONE scan.
+    quality = quality_features(docs).select("doc_id", "n_chars_calc")
+    rep = repetition_stats(docs, "doc_id").select(
+        "doc_id", "dup_word_frac", "dup_bigram_frac"
+    )
+    keep = (
+        docs.join(quality, "doc_id")
+        .join(rep, "doc_id")
+        .where(
+            (F.col("n_chars_calc") >= 30)
+            & (F.col("dup_word_frac") <= 0.95)
+            & (F.col("dup_bigram_frac") <= 0.9)
+        )
+        .select("doc_id", "text", "source")
+    )
+    n1 = keep.count()
+
+    # 2. Near-dup dedup: MinHash+LSH candidate pairs (band equi-join,
+    # sub-quadratic), closed into clusters, one canonical doc kept per
+    # cluster.
+    pairs = minhash_lsh_pairs(keep, "doc_id", verify_threshold=0.5)
+    deduped = dedup_keep_canonical(keep, pairs, "doc_id")
+    n2 = deduped.count()
+
+    # 3. Source-mix rebalancing + reproducible down-sampling.
+    balanced = stratified_quota(deduped, "source", "doc_id", 15)
+    sampled = hash_sample(balanced, "doc_id", rate=0.8, salt="final")
+    n3 = sampled.count()
+
+    # 4. Token accounting for the surviving corpus.
+    tokens = sampled.select(
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    ).agg(
+        F.sum("ws_tokens").alias("ws_tokens"),
+        F.sum("bpe_tokens").alias("bpe_tokens"),
+    ).collect()[0]
+
+    print(f"corpus:            {n0} docs")
+    print(f"after quality:     {n1} docs")
+    print(f"after dedup:       {n2} docs")
+    print(f"after mix+sample:  {n3} docs")
+    print(
+        f"token budget:      {tokens['ws_tokens']} whitespace / "
+        f"{tokens['bpe_tokens']} bpe-ish"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -741,6 +741,7 @@ class TinyFluxSpark:
                     updated.drop("_changed"),
                     measurements=scope if scope else None,
                     date_range=date_range,
+                    nrows=updated.count(),  # cached — cheap second count
                 )
             return n_changed
         finally:
@@ -802,6 +803,7 @@ class TinyFluxSpark:
                     df.where(~pred),
                     measurements=scope if scope else None,
                     date_range=date_range,
+                    nrows=df.count() - n_removed,  # cached — cheap
                 )
             return n_removed
         finally:

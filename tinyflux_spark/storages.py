@@ -151,8 +151,13 @@ class Storage:
         df: DataFrame,
         measurements: Optional[List[str]] = None,
         date_range: Optional[tuple] = None,
+        nrows: Optional[int] = None,
     ) -> None:
         """Replace contents with ``df`` (internal schema, keeps _seq).
+
+        ``nrows``, when the caller already knows the rewrite row count,
+        sizes the write-stage task count (see ``_write_task_count``) —
+        purely a physical hint, never semantic.
 
         ``measurements`` / ``date_range=(lo, hi)`` (inclusive
         ``yyyy-MM-dd`` strings, either end None for unbounded) scope the
@@ -199,6 +204,7 @@ class MemoryStorage(Storage):
         df: DataFrame,
         measurements: Optional[List[str]] = None,
         date_range: Optional[tuple] = None,
+        nrows: Optional[int] = None,
     ) -> None:
         rows = df.orderBy(SEQ_COL).collect()
         kept = [(Point.from_row(r), r[SEQ_COL]) for r in rows]
@@ -546,6 +552,7 @@ class ParquetStorage(Storage):
         df: DataFrame,
         measurements: Optional[List[str]] = None,
         date_range: Optional[tuple] = None,
+        nrows: Optional[int] = None,
     ) -> None:
         """Staged write + swap (the reference's temp-store protocol,
         storages.py:383-400, made transactional per partition).
@@ -562,8 +569,17 @@ class ParquetStorage(Storage):
             .withColumn(PDATE_COL, F.date_format("time", "yyyy-MM-dd"))
             # Same pre-write clustering as _write_append — a scoped DML
             # rewrite re-emits each partition as one file instead of
-            # one-per-input-task, so repeated updates don't fragment.
-            .repartition(F.col("measurement"), F.col(PDATE_COL))
+            # one-per-input-task, so repeated updates don't fragment —
+            # with the same batch-size-aware task count.
+            .repartition(
+                *(
+                    [self._write_task_count(nrows)]
+                    if self._write_task_count(nrows) is not None
+                    else []
+                ),
+                F.col("measurement"),
+                F.col(PDATE_COL),
+            )
             .write.mode("overwrite")
             .partitionBy("measurement", PDATE_COL)
             .parquet(stage)
@@ -721,6 +737,7 @@ class CSVStorage(Storage):
         df: DataFrame,
         measurements: Optional[List[str]] = None,
         date_range: Optional[tuple] = None,
+        nrows: Optional[int] = None,
     ) -> None:
         if measurements is not None or date_range is not None:
             raise ValueError(
