@@ -1115,6 +1115,25 @@ def q56_embedding_dup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs).orderBy("node")
 
 
+def q58_dedup_keep_canonical(spark, sf_dir):
+    """Corpus after near-dup removal: q51's exact-Jaccard pair edges
+    closed into clusters, then every non-canonical member (node !=
+    cluster min) anti-joined away — singletons always survive. The
+    oracle replays closure + anti-join in SQL, so the end-to-end
+    'which documents remain' answer is hash-checked, not just the
+    intermediate pairs."""
+    from tinyflux_spark.operators.dedup import (
+        dedup_keep_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", threshold=0.7)
+    return dedup_keep_canonical(docs, pairs, "doc_id").select(
+        "doc_id", "source"
+    )
+
+
 def q57_length_deciles(spark, sf_dir):
     """Exact length-decile profile of the corpus (dataset profiling):
     value-based deciles of n_chars via a distributed histogram — the
@@ -1200,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_source_quota": q55_source_quota,
         "q56_embedding_dup_clusters": q56_embedding_dup_clusters,
         "q57_length_deciles": q57_length_deciles,
+        "q58_dedup_keep_canonical": q58_dedup_keep_canonical,
     }
 
 
@@ -2001,6 +2021,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, MIN(lab) AS cluster
             FROM reach GROUP BY node ORDER BY node
+        """,
+        "q58_dedup_keep_canonical": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM jac
+                WHERE jaccard >= 0.7
+                UNION
+                SELECT id_b, id_a FROM jac WHERE jaccard >= 0.7
+            ),
+            reach(node, lab) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.src, r.lab FROM e JOIN reach r ON e.dst = r.node
+            ),
+            losers AS (
+                SELECT node FROM reach GROUP BY node
+                HAVING node <> MIN(lab)
+            )
+            SELECT doc_id, source FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM losers)
         """,
         "q57_length_deciles": """
             WITH h AS (
