@@ -28,6 +28,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _lit_vec(values: Sequence[float]) -> Column:
+    """Constant double-array Column built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) ...])`` costs ~1 py4j driver roundtrip per
+    element — a 64-dim constant vector is ~65 blocking driver calls
+    before any job exists, and a 16-centroid codebook ~1000. One
+    ``F.expr("array(...)")`` parses the same literal array in a single
+    call; ``repr`` round-trips doubles exactly and the ``D`` suffix
+    keeps Spark from reading the literals as DECIMAL.
+    """
+    return F.expr(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in values) + ")"
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -64,7 +79,7 @@ def cosine_topk(
     are reproducible across engines whose float accumulation differs in
     the last ulp; ties break on id.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _lit_vec(query_vec)
     sim = cosine_similarity(F.col(vec_col), q)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -86,7 +101,7 @@ def srp_bucket(vec_col: Column, planes: np.ndarray) -> Column:
     plane matrix is inlined as literals (small: planes × dim floats)."""
     bits = []
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = _lit_vec(plane)
         bits.append(
             F.when(_dot(vec_col, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         )
@@ -142,12 +157,9 @@ def near_dup_pairs(
     almost surely share all sign bits), then verified exactly. The
     bucket equi-join replaces the |n|^2 cross product.
     """
-    import functools
-    import operator as _pyop
-
     dim = len(df.select(vec_col).first()[0])
     planes = srp_planes(dim, num_planes, seed)
-    # Two deliberate physical choices for the per-pair verify:
+    # Three deliberate physical choices for the per-pair verify:
     # 1. Norms are computed ONCE per vector and carried through the
     #    join, not recomputed per candidate pair.
     # 2. The fixed-dim vector is unpacked into `dim` scalar columns so
@@ -155,30 +167,36 @@ def near_dup_pairs(
     #    Higher-order functions (aggregate/zip_with) are interpreted,
     #    not codegen'd — on millions of candidate pairs that is the
     #    dominant cost (4x slower measured at 3M pairs x 64 dims).
+    # 3. The wide projections/dot are built as SQL expression STRINGS
+    #    (selectExpr / one F.expr), not per-column Column objects: the
+    #    Column DSL costs ~4 py4j driver roundtrips per term, ~500 for
+    #    a 64-dim plan — pure driver latency before any job starts.
+    #    The parsed plan is identical.
     b = df.select(
         F.col(id_col).alias("id"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
         _norm(F.col(vec_col)).alias("nrm"),
-        *[
-            F.col(vec_col)[i].cast("double").alias(f"_x{i}")
-            for i in range(dim)
-        ],
-    )
-    left = b.select(
+        F.col(vec_col).alias("_v"),
+    ).selectExpr(
+        "id",
         "bucket",
-        F.col("id").alias("id_a"),
-        F.col("nrm").alias("na"),
-        *[F.col(f"_x{i}").alias(f"_a{i}") for i in range(dim)],
+        "nrm",
+        *[f"CAST(_v[{i}] AS DOUBLE) AS _x{i}" for i in range(dim)],
     )
-    right = b.select(
+    left = b.selectExpr(
         "bucket",
-        F.col("id").alias("id_b"),
-        F.col("nrm").alias("nb"),
-        *[F.col(f"_x{i}").alias(f"_b{i}") for i in range(dim)],
+        "id AS id_a",
+        "nrm AS na",
+        *[f"_x{i} AS _a{i}" for i in range(dim)],
     )
-    dot = functools.reduce(
-        _pyop.add,
-        [F.col(f"_a{i}") * F.col(f"_b{i}") for i in range(dim)],
+    right = b.selectExpr(
+        "bucket",
+        "id AS id_b",
+        "nrm AS nb",
+        *[f"_x{i} AS _b{i}" for i in range(dim)],
+    )
+    dot = F.expr(
+        " + ".join(f"_a{i} * _b{i}" for i in range(dim))
     )
     pairs = (
         left.join(right, "bucket")
@@ -259,7 +277,7 @@ def ivf_assign(
     nv = _norm(vec_col)
     scores = []
     for i, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
+        c = _lit_vec(cvec)
         cn = math.sqrt(_seq_dot(cvec, cvec))
         sim = F.round(_dot(vec_col, c) / (nv * F.lit(cn)), 6)
         scores.append(
