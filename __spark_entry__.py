@@ -1064,6 +1064,36 @@ def q51_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs).orderBy("node")
 
 
+_IVF_INDEX_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def q59_ivf_indexed_topk(spark, sf_dir):
+    """The persisted-IVF serving path: the corpus's inverted lists are
+    materialized ONCE as ``_ivf_list`` partition directories (built per
+    session here; at scale a standing index), and the query scans only
+    its 4 probed directories — PartitionFilters pruning, asserted in
+    tests/test_plans.py. Same codebook and assignment math as q52, so
+    the q52 oracle gates this path bit-for-bit too."""
+    import tempfile
+
+    from tinyflux_spark.operators.similarity import (
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") != 0)
+    per_session = _IVF_INDEX_CACHE.setdefault(spark, {})
+    if sf_dir not in per_session:
+        path = tempfile.mkdtemp(prefix="tfs_ivf_")
+        ivf_write_index(corpus, path, num_centroids=16)
+        per_session[sf_dir] = path
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_topk_indexed(
+        spark, per_session[sf_dir], qvec, k=10, nprobe=4
+    )
+
+
 def q53_hash_sample(spark, sf_dir):
     """Deterministic Bernoulli sample (25%) of the documents corpus:
     keep a doc iff the 4-hex-digit prefix of md5('s53:<doc_id>') falls
@@ -1220,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_embedding_dup_clusters": q56_embedding_dup_clusters,
         "q57_length_deciles": q57_length_deciles,
         "q58_dedup_keep_canonical": q58_dedup_keep_canonical,
+        "q59_ivf_indexed_topk": q59_ivf_indexed_topk,
     }
 
 
@@ -1487,6 +1518,61 @@ _FIRST_EVENTS_SQL = """
            END AS k
     FROM (SELECT * FROM events ORDER BY event_id LIMIT 200)
 """
+
+
+# Shared by q52 (recompute) and q59 (persisted index): identical
+# codebook, assignment, probe set, and ranking by construction.
+_IVF_ORACLE_SQL = """
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+            corpus AS (SELECT * FROM emb WHERE vec_id <> 0),
+            bounds AS (
+                SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM corpus
+            ),
+            cids AS (
+                SELECT MIN(vec_id) AS cid
+                FROM corpus, bounds
+                GROUP BY ((vec_id - lo) * 16) // (hi - lo + 1)
+            ),
+            cent AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1 AS cidx,
+                       c.e AS ce
+                FROM corpus c JOIN cids ON c.vec_id = cids.cid
+            ),
+            asg AS (
+                SELECT c.vec_id, c.e,
+                       (SELECT cidx FROM cent
+                        ORDER BY ROUND(
+                            list_dot_product(c.e, ce)
+                            / (sqrt(list_dot_product(c.e, c.e))
+                               * sqrt(list_dot_product(ce, ce))), 6
+                        ) DESC, cidx
+                        LIMIT 1) AS lst
+                FROM corpus c
+            ),
+            probes AS (
+                SELECT cidx FROM cent, q
+                ORDER BY ROUND(
+                    list_dot_product(qe, ce)
+                    / (sqrt(list_dot_product(qe, qe))
+                       * sqrt(list_dot_product(ce, ce))), 6
+                ) DESC, cidx
+                LIMIT 4
+            )
+            SELECT vec_id,
+                   ROUND(list_dot_product(e, qe)
+                         / (sqrt(list_dot_product(e, e))
+                            * sqrt(list_dot_product(qe, qe))),
+                         6) AS cosine_sim
+            FROM asg, q
+            WHERE lst IN (SELECT cidx FROM probes)
+            ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1888,57 +1974,8 @@ def oracle_sql() -> dict[str, str]:
         # capped at 16), same 6dp-rounded cosine argmax assignment with
         # lower-index tie-break, same 4-list probe set, same final
         # ranking as q24.
-        "q52_ivf_ann_topk": """
-            WITH emb AS (
-                SELECT vec_id,
-                       list_transform(embedding,
-                                      x -> CAST(x AS DOUBLE)) AS e
-                FROM embeddings
-            ),
-            q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
-            corpus AS (SELECT * FROM emb WHERE vec_id <> 0),
-            bounds AS (
-                SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM corpus
-            ),
-            cids AS (
-                SELECT MIN(vec_id) AS cid
-                FROM corpus, bounds
-                GROUP BY ((vec_id - lo) * 16) // (hi - lo + 1)
-            ),
-            cent AS (
-                SELECT ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1 AS cidx,
-                       c.e AS ce
-                FROM corpus c JOIN cids ON c.vec_id = cids.cid
-            ),
-            asg AS (
-                SELECT c.vec_id, c.e,
-                       (SELECT cidx FROM cent
-                        ORDER BY ROUND(
-                            list_dot_product(c.e, ce)
-                            / (sqrt(list_dot_product(c.e, c.e))
-                               * sqrt(list_dot_product(ce, ce))), 6
-                        ) DESC, cidx
-                        LIMIT 1) AS lst
-                FROM corpus c
-            ),
-            probes AS (
-                SELECT cidx FROM cent, q
-                ORDER BY ROUND(
-                    list_dot_product(qe, ce)
-                    / (sqrt(list_dot_product(qe, qe))
-                       * sqrt(list_dot_product(ce, ce))), 6
-                ) DESC, cidx
-                LIMIT 4
-            )
-            SELECT vec_id,
-                   ROUND(list_dot_product(e, qe)
-                         / (sqrt(list_dot_product(e, e))
-                            * sqrt(list_dot_product(qe, qe))),
-                         6) AS cosine_sim
-            FROM asg, q
-            WHERE lst IN (SELECT cidx FROM probes)
-            ORDER BY cosine_sim DESC, vec_id LIMIT 10
-        """,
+        "q52_ivf_ann_topk": _IVF_ORACLE_SQL,
+        "q59_ivf_indexed_topk": _IVF_ORACLE_SQL,
         "q51_dedup_clusters": f"""
             WITH RECURSIVE {_SHINGLE_CTE},
             e AS (

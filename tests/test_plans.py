@@ -193,3 +193,60 @@ def test_whole_stage_codegen_covers_agg(spark):
     assert "codegen id" in plan
     # both the partial and final HashAggregate are inside codegen stages
     assert "HashAggregate [codegen id" in plan
+
+
+def test_ivf_index_prunes_list_partitions(spark, tmp_path):
+    from tinyflux_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    corpus = emb.where(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivf")
+    ivf_write_index(corpus, path, num_centroids=8)
+
+    res = ivf_topk_indexed(spark, path, q, k=5, nprobe=2)
+    plan = plan_of(res)
+    # the probe filter must be directory-level pruning on the list id,
+    # not a data filter over the whole corpus
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters")[1][:300]
+    assert "_ivf_list" in part
+    # identical answers to the recompute-everything operator
+    live = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ivf_topk(corpus, q, k=5, num_centroids=8, nprobe=2).collect()
+    ]
+    idx = [(r["vec_id"], r["cosine_sim"]) for r in res.collect()]
+    assert idx == live
+
+
+def test_srp_index_prunes_bucket_partitions(spark, tmp_path):
+    from tinyflux_spark.operators.similarity import (
+        srp_lsh_topk,
+        srp_topk_indexed,
+        srp_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    corpus = emb.where(F.col("vec_id") != 0)
+    path = str(tmp_path / "srp")
+    srp_write_index(corpus, path, num_planes=4)
+
+    res = srp_topk_indexed(spark, path, q, k=5, multiprobe=1)
+    plan = plan_of(res)
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters")[1][:300]
+    assert "_bucket" in part
+    live = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in srp_lsh_topk(
+            corpus, q, k=5, num_planes=4, multiprobe=1
+        ).collect()
+    ]
+    idx = [(r["vec_id"], r["cosine_sim"]) for r in res.collect()]
+    assert idx == live

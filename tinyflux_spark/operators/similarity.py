@@ -327,3 +327,158 @@ def ivf_topk(
     )
     cand = assigned.where(F.col("_ivf_list").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# ----------------------------------------------------------------------
+# Materialized ANN indexes: the 100 TB serving path
+# ----------------------------------------------------------------------
+# ivf_topk / srp_lsh_topk recompute bucket assignment per query — right
+# for one-off batch jobs, wrong for a serving corpus. These write the
+# assignment ONCE as a parquet dataset partitioned by the list/bucket
+# id, so every query is a directory-pruned scan (PartitionFilters,
+# asserted in tests/test_plans.py) of ~nprobe/K (IVF) or
+# ~(1+planes)/2^planes (SRP) of the corpus. The codebook/plane seed is
+# persisted beside the data: opening an index never touches the corpus.
+
+
+def _ivf_probes(centroids, query_vec: Sequence[float], nprobe: int):
+    """Centroid indexes of the ``nprobe`` lists nearest the query —
+    driver-side, same rounded-cosine ranking the engine-side assignment
+    uses (ties toward the lower index)."""
+    qn = math.sqrt(_seq_dot(query_vec, query_vec))
+    ranked = sorted(
+        (
+            -round(
+                _seq_dot(query_vec, cvec)
+                / (qn * math.sqrt(_seq_dot(cvec, cvec))),
+                6,
+            ),
+            i,
+        )
+        for i, cvec in centroids
+    )
+    return [i for _, i in ranked[:nprobe]]
+
+
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+):
+    """Build and persist an IVF-Flat index: inverted lists as
+    ``<path>/lists/_ivf_list=<i>/`` parquet partitions plus the codebook
+    at ``<path>/codebook.json``. Returns the codebook.
+
+    One pass over the corpus (the same distributed bucket-min codebook
+    build as ``ivf_centroids``, then a narrow assign + clustered write).
+    Rebuild when the corpus drifts; queries meanwhile touch only their
+    probed directories.
+    """
+    import json as _json
+    import os as _os
+
+    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    assigned = df.withColumn("_ivf_list", ivf_assign(F.col(vec_col), cents))
+    (
+        assigned.repartition(F.col("_ivf_list"))
+        .write.mode("overwrite")
+        .partitionBy("_ivf_list")
+        .parquet(_os.path.join(path, "lists"))
+    )
+    with open(_os.path.join(path, "codebook.json"), "w") as f:
+        _json.dump([[i, list(v)] for i, v in cents], f)
+    return cents
+
+
+def ivf_read_codebook(path: str):
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "codebook.json")) as f:
+        return [(int(i), [float(x) for x in v]) for i, v in _json.load(f)]
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k against a persisted IVF index: rank the codebook
+    driver-side, scan only the ``nprobe`` probed list directories
+    (partition pruning — never a full-corpus scan), brute-force the
+    survivors. Identical results to ``ivf_topk`` with the same
+    codebook."""
+    import os as _os
+
+    cents = ivf_read_codebook(path)
+    probes = _ivf_probes(cents, query_vec, nprobe)
+    lists = spark.read.parquet(_os.path.join(path, "lists"))
+    cand = lists.where(F.col("_ivf_list").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def srp_write_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+):
+    """Persist the SRP-LSH bucketed corpus: ``_bucket=<b>/`` parquet
+    partitions plus the (dim, planes, seed) recipe at
+    ``<path>/planes.json`` — the hyperplanes are seed-derived, so the
+    recipe, not the matrix, is the durable artifact."""
+    import json as _json
+    import os as _os
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = srp_planes(dim, num_planes, seed)
+    bucketed = df.withColumn("_bucket", srp_bucket(F.col(vec_col), planes))
+    (
+        bucketed.repartition(F.col("_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(_os.path.join(path, "buckets"))
+    )
+    with open(_os.path.join(path, "planes.json"), "w") as f:
+        _json.dump({"dim": dim, "num_planes": num_planes, "seed": seed}, f)
+
+
+def srp_topk_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Top-k against a persisted SRP index: compute the query bucket +
+    1-bit multiprobe neighborhood driver-side, scan only those bucket
+    directories. Identical results to ``srp_lsh_topk`` with the same
+    recipe."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "planes.json")) as f:
+        rec = _json.load(f)
+    planes = srp_planes(rec["dim"], rec["num_planes"], rec["seed"])
+    qv = [float(x) for x in query_vec]
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if _seq_dot(qv, plane) >= 0:
+            qbucket |= 1 << i
+    probes = {qbucket}
+    if multiprobe >= 1:
+        for i in range(rec["num_planes"]):
+            probes.add(qbucket ^ (1 << i))
+    buckets = spark.read.parquet(_os.path.join(path, "buckets"))
+    cand = buckets.where(F.col("_bucket").isin(list(probes)))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
