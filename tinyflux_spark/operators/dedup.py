@@ -453,28 +453,23 @@ def simhash(
     )
     hashes = F.transform(toks, _tok_hash)
 
-    def _bit(i: int) -> Column:
-        vote_sum = F.aggregate(
-            F.col("_h"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
+    # One parsed SQL expression for the whole signature. The Column-DSL
+    # formulation (an F.aggregate + lambda per bit, OR-folded) costs
+    # ~10 blocking py4j driver roundtrips per bit — ~1s of driver
+    # latency for 32 bits before any job starts; the string parses in
+    # one call to the identical integer-exact plan. Notes preserved
+    # from the DSL version: shiftleft (not a 1<<63 literal) because the
+    # sign bit is a legal shift target but an overflowing long literal
+    # isn't; OR-fold (not SUM) because bit values are disjoint and OR
+    # can't overflow when bit 63 (negative as a long) participates.
+    def _bit_sql(i: int) -> str:
+        return (
+            "(CASE WHEN aggregate(_h, 0L, (acc, h) -> acc + "
+            f"CAST(((shiftright(h, {i}) & 1) * 2 - 1) AS BIGINT)) > 0 "
+            f"THEN shiftleft(1L, {i}) ELSE 0L END)"
         )
-        # shiftleft (not a python-int literal): 1 << 63 overflows a
-        # LongType literal, but shifting onto the sign bit is legal.
-        return F.when(
-            vote_sum > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
 
-    from functools import reduce
-
-    # OR-fold, not sum(): bit values are disjoint, and OR can never
-    # overflow when bit 63 (negative as a long) participates.
-    sig = reduce(
-        lambda a, b: a.bitwiseOR(b),
-        (_bit(i) for i in range(bits)),
-        F.lit(0).cast("long"),
-    )
+    sig = F.expr(" | ".join(_bit_sql(i) for i in range(bits)))
     return (
         df.select(F.col(id_col).alias("id"), hashes.alias("_h"))
         .select("id", sig.alias("simhash"))
