@@ -1180,6 +1180,101 @@ def q57_length_deciles(spark, sf_dir):
     ).orderBy("bucket")
 
 
+def q60_resample_gapfill(spark, sf_dir):
+    """Irregular events regularized onto a 5-minute grid per event_type
+    (avg value per bucket), densified to every bucket in each key's span
+    and linearly interpolated across the gaps — the classic sensor
+    resample+fill the reference leaves to user Python loops
+    (reference examples/2_analytics_workflow.py). Grid built per key via
+    sequence+explode (bounded by that key's own span), fills are
+    key-partitioned windows; all bucket math in integer epoch seconds so
+    the DuckDB generate_series oracle replays it exactly."""
+    from tinyflux_spark.operators.timeseries import gap_fill, resample
+
+    ev = _t("events")(spark, sf_dir)
+    r = resample(ev, "ts", "event_type", "value", interval_sec=300)
+    # The gate ships the filled value as integer micro-units via an
+    # explicit floor(x*1e6 + 0.5): linear interpolation produces exact
+    # decimal TIES (frac=1/2 over 6dp inputs) and Spark's HALF_UP
+    # round vs DuckDB's round break them differently; floor over the
+    # bit-identical IEEE product is engine-portable.
+    out = gap_fill(r, interval_sec=300, fill="linear", round_digits=None)
+    return out.select(
+        "key",
+        "bucket_s",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("value_u"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        "is_gap",
+    )
+
+
+def q61_rolling_zscore(spark, sf_dir):
+    """Trailing-window anomaly detection: per user, each event's value
+    z-scored against the previous 20 events (history only — a spike
+    can't mask itself); rows with |z| > 2.5 flagged. One window pass
+    partitioned by user_id with a total (ts, event_id) order."""
+    from tinyflux_spark.operators.timeseries import rolling_zscore
+
+    ev = _t("events")(spark, sf_dir)
+    out = rolling_zscore(
+        ev, "ts", "user_id", "value",
+        lookback=20, threshold=2.5, order_cols=["ts", "event_id"],
+    )
+    return out.where(F.col("is_anomaly")).select(
+        "event_id", "user_id", "value", "zscore"
+    )
+
+
+def q62_top_tokens(spark, sf_dir):
+    """Corpus vocabulary heavy hitters: the 50 most frequent whitespace
+    tokens (ties broken lexicographically). Distributed wordcount —
+    map-side partial aggregation keeps shuffle volume at per-partition
+    distinct tokens; the top-k is a TakeOrdered over the vocabulary,
+    never a global sort of corpus tokens."""
+    from tinyflux_spark.operators.text import top_tokens
+
+    docs = _t("documents")(spark, sf_dir)
+    return top_tokens(docs, "text", k=50)
+
+
+def q63_scrub_pii(spark, sf_dir):
+    """PII/identifier scrub over the corpus: emails, URLs, and 6+-digit
+    runs replaced by typed placeholders in a fixed order. Output carries
+    the md5 of the scrubbed text (so the whole rewritten string is
+    value-checked without shipping it) plus the redaction count. Narrow
+    codegen'd regexp chain — no shuffle."""
+    from tinyflux_spark.operators.text import scrub_text
+
+    docs = _t("documents")(spark, sf_dir)
+    return scrub_text(docs, "doc_id").select(
+        "doc_id",
+        F.md5(F.col("scrubbed")).alias("scrub_fp"),
+        "n_redactions",
+        "was_scrubbed",
+    )
+
+
+def q64_chunk_documents(spark, sf_dir):
+    """Pre-embedding document chunking: overlapping 60-word windows with
+    12 words of overlap (stride 48). Chunk text is fingerprinted so
+    every chunk's exact content is value-checked. Split + sequence +
+    slice computed before the explode — per-document narrow work, no
+    shuffle."""
+    from tinyflux_spark.operators.text import chunk_documents
+
+    docs = _t("documents")(spark, sf_dir)
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_words=60, overlap=12
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_words",
+        F.md5(F.col("chunk_text")).alias("chunk_fp"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1251,6 +1346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_length_deciles": q57_length_deciles,
         "q58_dedup_keep_canonical": q58_dedup_keep_canonical,
         "q59_ivf_indexed_topk": q59_ivf_indexed_topk,
+        "q60_resample_gapfill": q60_resample_gapfill,
+        "q61_rolling_zscore": q61_rolling_zscore,
+        "q62_top_tokens": q62_top_tokens,
+        "q63_scrub_pii": q63_scrub_pii,
+        "q64_chunk_documents": q64_chunk_documents,
     }
 
 
@@ -2098,5 +2198,132 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(v) AS BIGINT) AS min_chars,
                    CAST(MAX(v) AS BIGINT) AS max_chars
             FROM cum GROUP BY 1 ORDER BY 1
+        """,
+        "q60_resample_gapfill": """
+            WITH r AS (
+                SELECT event_type AS key,
+                       CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+                           AS bucket_s,
+                       ROUND(AVG(value), 6) AS value,
+                       COUNT(*) AS n_obs
+                FROM events GROUP BY 1, 2
+            ),
+            b AS (
+                SELECT key, MIN(bucket_s) AS lo, MAX(bucket_s) AS hi
+                FROM r GROUP BY 1
+            ),
+            gall AS (
+                SELECT unnest(generate_series(
+                    (SELECT MIN(lo) FROM b), (SELECT MAX(hi) FROM b), 300
+                )) AS bucket_s
+            ),
+            grid AS (
+                SELECT b.key, g.bucket_s
+                FROM b JOIN gall g
+                  ON g.bucket_s BETWEEN b.lo AND b.hi
+            ),
+            d AS (
+                SELECT g.key, g.bucket_s, r.value AS obs,
+                       COALESCE(r.n_obs, 0) AS n_obs
+                FROM grid g LEFT JOIN r
+                  ON g.key = r.key AND g.bucket_s = r.bucket_s
+            ),
+            f AS (
+                SELECT key, bucket_s, obs, n_obs,
+                    last_value(CASE WHEN obs IS NOT NULL THEN bucket_s END
+                               IGNORE NULLS) OVER wp AS pb,
+                    last_value(obs IGNORE NULLS) OVER wp AS pv,
+                    first_value(CASE WHEN obs IS NOT NULL THEN bucket_s END
+                                IGNORE NULLS) OVER wn AS nb,
+                    first_value(obs IGNORE NULLS) OVER wn AS nv
+                FROM d
+                WINDOW wp AS (PARTITION BY key ORDER BY bucket_s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW),
+                       wn AS (PARTITION BY key ORDER BY bucket_s
+                              ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING)
+            )
+            SELECT key, bucket_s,
+                   CAST(floor((CASE WHEN obs IS NOT NULL THEN obs
+                         WHEN pb IS NOT NULL AND nb IS NOT NULL THEN
+                             pv + (nv - pv) *
+                             (CAST(bucket_s - pb AS DOUBLE)
+                              / CAST(nb - pb AS DOUBLE))
+                         END) * 1000000 + 0.5) AS BIGINT) AS value_u,
+                   CAST(n_obs AS BIGINT) AS n_obs,
+                   (n_obs = 0) AS is_gap
+            FROM f
+        """,
+        "q61_rolling_zscore": """
+            WITH w AS (
+                SELECT event_id, user_id, value,
+                       avg(value) OVER win AS m,
+                       stddev_samp(value) OVER win AS s,
+                       COUNT(value) OVER win AS c
+                FROM events
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_id, user_id, value,
+                   ROUND((value - m) / s, 6) AS zscore
+            FROM w
+            WHERE c >= 2 AND s > 0
+              AND abs(ROUND((value - m) / s, 6)) > 2.5
+        """,
+        "q62_top_tokens": """
+            WITH t AS (
+                SELECT unnest(str_split_regex(trim(text), '\\s+')) AS token
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT token, COUNT(*) AS n FROM t GROUP BY 1
+            ORDER BY n DESC, token LIMIT 50
+        """,
+        "q63_scrub_pii": """
+            WITH s1 AS (
+                SELECT doc_id, text,
+                    regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1,
+                    len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                        AS c1
+                FROM documents
+            ),
+            s2 AS (
+                SELECT doc_id, text, c1,
+                    regexp_replace(t1, 'https?://\\S+', '<URL>', 'g') AS t2,
+                    len(regexp_extract_all(t1, 'https?://\\S+')) AS c2
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, text, c1, c2,
+                    regexp_replace(t2, '\\d{6,}', '<NUM>', 'g') AS t3,
+                    len(regexp_extract_all(t2, '\\d{6,}')) AS c3
+                FROM s2
+            )
+            SELECT doc_id, md5(t3) AS scrub_fp,
+                   CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions,
+                   (t3 <> text) AS was_scrubbed
+            FROM s3
+        """,
+        "q64_chunk_documents": """
+            WITH w AS (
+                SELECT doc_id,
+                       str_split_regex(trim(text), '\\s+') AS ws
+                FROM documents WHERE trim(text) <> ''
+            ),
+            s AS (
+                SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws), 48)) AS st
+                FROM w WHERE len(ws) > 0
+            )
+            SELECT doc_id,
+                   CAST((st - 1) // 48 AS BIGINT) AS chunk_idx,
+                   CAST(len(list_slice(ws, st, st + 59)) AS BIGINT)
+                       AS n_chunk_words,
+                   md5(array_to_string(list_slice(ws, st, st + 59), ' '))
+                       AS chunk_fp
+            FROM s
         """,
     }

@@ -215,3 +215,111 @@ def repetition_stats(
         n_db.cast("long").alias("n_distinct_bigrams"),
         frac(n_db, n_b).alias("dup_bigram_frac"),
     )
+
+
+# PII / boilerplate scrub patterns. Kept in the common subset of Java
+# regex (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround.
+SCRUB_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://\S+", "<URL>"),
+    ("longnum", r"\d{6,}", "<NUM>"),
+]
+
+
+def scrub_text(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """PII / identifier scrubbing for training corpora: emails, URLs and
+    long digit runs replaced by typed placeholder tokens.
+
+    Returns ``(id, scrubbed, n_redactions, was_scrubbed)``. Pure
+    chained ``regexp_replace`` / ``regexp_count`` expressions — narrow,
+    codegen'd, no shuffle; applied in a fixed order (email before URL
+    before digit-run) so counts are well-defined and engine-portable.
+    """
+    c = F.col(text_col)
+    n_red = F.lit(0)
+    scrubbed = c
+    for _, pat, rep in SCRUB_PATTERNS:
+        n_red = n_red + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        n_red.cast("long").alias("n_redactions"),
+        (scrubbed != c).alias("was_scrubbed"),
+    )
+
+
+def top_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide token heavy hitters: the k most frequent whitespace
+    tokens with ties broken lexicographically.
+
+    The classic distributed wordcount: explode is a narrow map, the
+    groupBy count shuffles (token, partial_count) pairs — map-side
+    partial aggregation means shuffle volume is per-partition DISTINCT
+    tokens, not corpus tokens. The final top-k is a TakeOrdered over the
+    aggregated (vocabulary-sized) relation, never a global row sort of
+    the corpus.
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_words: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks (the standard
+    pre-embedding/pretokenization step).
+
+    Chunk i covers words [1 + i*stride, 1 + i*stride + chunk_words) with
+    stride = chunk_words - overlap; the last chunk may be short. Output
+    ``(id, chunk_idx, n_chunk_words, chunk_text)``.
+
+    Physical shape: split once per document, chunk starts via
+    ``sequence(1, n_words, stride)``, chunk text via ``slice`` +
+    ``array_join`` inside a ``transform`` — all computed BEFORE the
+    explode so the per-document work is one narrow expression; the
+    explode fan-out is bounded by each document's own length. No shuffle.
+    """
+    if overlap >= chunk_words:
+        raise ValueError("chunk_documents: overlap must be < chunk_words")
+    stride = chunk_words - overlap
+    t = F.trim(F.col(text_col))
+    ws = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    staged = df.select(F.col(id_col), ws.alias("_ws"))
+    chunks = F.expr(
+        f"CASE WHEN size(_ws) = 0 THEN "
+        f"cast(array() AS array<struct<i:int,words:array<string>>>) "
+        f"ELSE transform(sequence(1, size(_ws), {stride}), "
+        f"(s, i) -> struct(i AS i, slice(_ws, s, {chunk_words}) AS words)) "
+        f"END"
+    )
+    return (
+        staged.select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            F.col(id_col),
+            F.col("_c.i").cast("long").alias("chunk_idx"),
+            F.size("_c.words").cast("long").alias("n_chunk_words"),
+            F.array_join("_c.words", " ").alias("chunk_text"),
+        )
+    )
