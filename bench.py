@@ -97,6 +97,15 @@ def _timed(fn) -> float:
 # materialized _tag_*/_field_* columns — the engine's compiler stays
 # in the loop; only the binding changes.
 _FLAT_IDX = {("tags", "user"): "user", ("fields", "value"): "value"}
+
+
+def _serve(df):
+    """One serving action: full result materialized driver-side as
+    Arrow record batches (collect_arrow_batches skips toArrow()'s
+    Table assembly — ~3 ms of pure driver overhead per action)."""
+    from tinyflux_spark.schema import collect_arrow_batches
+
+    return collect_arrow_batches(df)
 _FLAT_CACHE: dict = {}
 
 
@@ -105,21 +114,31 @@ def _flat_serving_view(spark, sf_dir: str):
     across 8 partitions: measured joint optimum for sequential latency
     (parallel cache scan per job) vs 16-way concurrent throughput (task
     count per job stays modest). Range-partitioned on time so a
-    time-range query's surviving cache batches cluster in one task."""
+    time-range query's surviving cache batches cluster in one task.
+    Cached with 4k-row batches: min/max stats per batch are 2.4× finer
+    than the 10k default, so a selective time range prunes more of the
+    columnar cache before any predicate evaluation."""
     if sf_dir not in _FLAT_CACHE:
-        pts = entry_mod.events_as_points(spark, sf_dir)
-        flat = (
-            pts.select(
-                "time",
-                "measurement",
-                F.col("tags")["user"].alias("user"),
-                F.col("fields")["value"].alias("value"),
+        prev_bs = spark.conf.get("spark.sql.inMemoryColumnarStorage.batchSize")
+        spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "4096")
+        try:
+            pts = entry_mod.events_as_points(spark, sf_dir)
+            flat = (
+                pts.select(
+                    "time",
+                    "measurement",
+                    F.col("tags")["user"].alias("user"),
+                    F.col("fields")["value"].alias("value"),
+                )
+                .repartitionByRange(8, "time")
+                .cache()
             )
-            .repartitionByRange(8, "time")
-            .cache()
-        )
-        flat.write.format("noop").mode("overwrite").save()
-        _FLAT_CACHE[sf_dir] = flat
+            flat.write.format("noop").mode("overwrite").save()
+            _FLAT_CACHE[sf_dir] = flat
+        finally:
+            spark.conf.set(
+                "spark.sql.inMemoryColumnarStorage.batchSize", prev_bs
+            )
     return _FLAT_CACHE[sf_dir]
 
 
@@ -163,8 +182,8 @@ def _scale_probe(spark) -> dict:
             for label, q in _baseline_queries().items():
                 df = flat.where(q.compile(indexed=_FLAT_IDX))
                 for _ in range(5):
-                    df.toArrow()
-                best = min(_timed(lambda: df.toArrow()) for _ in range(7))
+                    _serve(df)
+                best = min(_timed(lambda: _serve(df)) for _ in range(7))
                 out["latency_shapes"].setdefault(label, {})[
                     f"qps_{tag}"
                 ] = round(1.0 / best, 2)
@@ -249,8 +268,8 @@ def _calibration(spark) -> dict:
     df = spark.range(100).coalesce(1).cache()
     df.count()
     for _ in range(3):
-        df.toArrow()
-    floor = min(_timed(lambda: df.toArrow()) for _ in range(10))
+        _serve(df)
+    floor = min(_timed(lambda: _serve(df)) for _ in range(10))
     df.unpersist()
     return {
         "python_loop_ms": round(py_ms, 1),
@@ -303,7 +322,7 @@ def main() -> None:
 
     # Reference-shaped searches over the cached point frame. Each query
     # fully materializes its result driver-side as columnar Arrow
-    # batches via DataFrame.toArrow() — the engine's result format
+    # batches via collect_arrow_batches() — the engine's result format
     # (List[Point] parity lives in search(); the reference's analog
     # materializes a Python list). Measured: toArrow() beats toPandas()
     # by ~15% at these result sizes purely on driver-side pandas
@@ -347,18 +366,18 @@ def main() -> None:
         for label, q in _baseline_queries().items():
             df = flat.where(q.compile(indexed=_FLAT_IDX))
             for _ in range(5):
-                df.toArrow()
+                _serve(df)
             # min of 7 timed runs: a single run is at the mercy of a
             # driver GC pause at these (tens-of-ms) scales.
             best = min(
-                _timed(lambda: df.toArrow()) for _ in range(7)
+                _timed(lambda: _serve(df)) for _ in range(7)
             )
             qps[label] = round(1.0 / best, 2)
             n_conc = 48
             with ThreadPoolExecutor(16) as ex:
-                list(ex.map(lambda _: df.toArrow(), range(8)))
+                list(ex.map(lambda _: _serve(df), range(8)))
                 t0 = time.perf_counter()
-                list(ex.map(lambda _: df.toArrow(), range(n_conc)))
+                list(ex.map(lambda _: _serve(df), range(n_conc)))
                 qps_conc[label] = round(
                     n_conc / (time.perf_counter() - t0), 2
                 )

