@@ -1275,6 +1275,40 @@ def q64_chunk_documents(spark, sf_dir):
     )
 
 
+def q65_derivative(spark, sf_dir):
+    """Per-user rate of change between consecutive events (the
+    InfluxDB ``derivative()`` analog): one lag-window pass per key.
+    The gate ships the rate as floor-quantized micro-units — dv/dt is
+    a small rational whose decimal expansion can terminate exactly on
+    the 7th digit (a round-6 tie), the same cross-engine hazard q60
+    dodges the same way."""
+    from tinyflux_spark.operators.timeseries import derivative
+
+    ev = _t("events")(spark, sf_dir)
+    out = derivative(
+        ev, "ts", "user_id", "value",
+        order_cols=["ts", "event_id"], round_digits=None,
+    )
+    return out.where(F.col("rate").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("rate") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("rate_u"),
+    )
+
+
+def q66_percentiles(spark, sf_dir):
+    """Exact per-event-type value percentiles (ANSI PERCENTILE_CONT
+    linear interpolation — reproducible, unlike approx_percentile):
+    corpus/SLA profiling. One shuffle on the 5-key groupBy; the order
+    statistics are computed per group, no global sort."""
+    from tinyflux_spark.operators.aggregates import percentile_summary
+
+    ev = _t("events")(spark, sf_dir)
+    return percentile_summary(ev, "event_type", "value")
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1351,6 +1385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_top_tokens": q62_top_tokens,
         "q63_scrub_pii": q63_scrub_pii,
         "q64_chunk_documents": q64_chunk_documents,
+        "q65_derivative": q65_derivative,
+        "q66_percentiles": q66_percentiles,
     }
 
 
@@ -2325,5 +2361,31 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_slice(ws, st, st + 59), ' '))
                        AS chunk_fp
             FROM s
+        """,
+        "q65_derivative": """
+            WITH l AS (
+                SELECT event_id, user_id, value,
+                       epoch(ts) AS t,
+                       lag(value) OVER w AS pv,
+                       lag(epoch(ts)) OVER w AS pt
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   CAST(floor(((value - pv)
+                               / CAST(floor(t) - floor(pt) AS DOUBLE)
+                               * 1.0) * 1000000 + 0.5) AS BIGINT)
+                       AS rate_u
+            FROM l
+            WHERE pt IS NOT NULL AND floor(t) - floor(pt) > 0
+        """,
+        "q66_percentiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(value, 0.50), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.75), 6) AS p75,
+                   ROUND(quantile_cont(value, 0.90), 6) AS p90,
+                   COUNT(value) AS n
+            FROM events GROUP BY event_type
         """,
     }

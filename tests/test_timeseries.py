@@ -178,3 +178,50 @@ def test_gap_fill_rejects_bad_fill(series):
     r = resample(series, "t", "k", "v", 60)
     with pytest.raises(ValueError):
         gap_fill(r, 60, fill="spline")
+
+
+def test_derivative_rates(spark):
+    from tinyflux_spark.operators.timeseries import derivative
+
+    rows = [
+        ("k", _ts(0), 10.0),
+        ("k", _ts(1), 16.0),   # +6 over 60s -> 0.1/s
+        ("k", _ts(1), 20.0),   # duplicate ts -> dt=0 -> null
+        ("k", _ts(3), 8.0),    # -12 over 120s -> -0.1/s
+    ]
+    df = spark.createDataFrame(rows, ["key", "t", "v"])
+    out = derivative(df, "t", "key", "v", order_cols=["t", "v"]).collect()
+    rates = [r["rate"] for r in sorted(out, key=lambda r: (r["t"], r["v"]))]
+    assert rates[0] is None            # first obs
+    assert rates[1] == 0.1
+    assert rates[2] is None            # dt == 0
+    assert rates[3] == -0.1
+
+    nn = derivative(
+        df, "t", "key", "v", order_cols=["t", "v"], non_negative=True
+    ).collect()
+    nn_rates = [r["rate"] for r in sorted(nn, key=lambda r: (r["t"], r["v"]))]
+    assert nn_rates[3] is None         # counter reset, not negative rate
+
+
+def test_derivative_per_minute_scaling(spark):
+    from tinyflux_spark.operators.timeseries import derivative
+
+    rows = [("k", _ts(0), 0.0), ("k", _ts(2), 1.0)]
+    df = spark.createDataFrame(rows, ["key", "t", "v"])
+    out = derivative(df, "t", "key", "v", per_seconds=60).collect()
+    assert sorted([r["rate"] for r in out], key=str) == [0.5, None]
+
+
+def test_percentile_summary_exact(spark):
+    from tinyflux_spark.operators.aggregates import percentile_summary
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 6)]      # 1..5
+        + [("b", 10.0), ("b", 20.0)],
+        ["key", "v"],
+    )
+    got = {r["key"]: r for r in percentile_summary(df, "key", "v").collect()}
+    assert got["a"]["p50"] == 3.0 and got["a"]["p25"] == 2.0
+    assert got["a"]["p90"] == 4.6         # 1 + 0.9*4 interpolated
+    assert got["b"]["p50"] == 15.0 and got["b"]["n"] == 2

@@ -352,3 +352,30 @@ def value_deciles(
             F.max("v").alias("max_val"),
         )
     )
+
+
+def percentile_summary(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    pcts=(0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Exact per-key percentiles (linear interpolation between order
+    statistics — the ANSI PERCENTILE_CONT definition both Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` implement).
+
+    Exact, not approx_percentile: profiling a training corpus or SLA
+    report wants reproducible numbers, and Spark's exact percentile
+    aggregates per group without a global sort. One shuffle on the key.
+    Column names: p25, p50, ... (percentage with the dot stripped).
+    """
+    aggs = []
+    for p in pcts:
+        label = f"p{str(float(p) * 100).rstrip('0').rstrip('.').replace('.', '_')}"
+        aggs.append(
+            F.round(F.percentile(F.col(value_col), F.lit(float(p))), 6)
+            .alias(label)
+        )
+    return df.groupBy(key_col).agg(
+        *aggs, F.count(F.col(value_col)).alias("n")
+    )

@@ -213,3 +213,38 @@ def rolling_zscore(
         F.when(F.col("zscore").isNotNull(), F.abs(F.col("zscore")) > threshold)
         .otherwise(F.lit(False)),
     )
+
+
+def derivative(
+    df: DataFrame,
+    time_col: str,
+    key_col: str,
+    value_col: str,
+    per_seconds: int = 1,
+    non_negative: bool = False,
+    order_cols: Optional[list] = None,
+    round_digits: Optional[int] = 6,
+) -> DataFrame:
+    """Per-key rate of change between consecutive observations
+    (the InfluxDB ``derivative()`` analog): ``(v - lag(v)) /
+    (t - lag(t)) * per_seconds``.
+
+    ``non_negative=True`` nulls negative rates — the standard counter
+    semantics where a drop means the counter reset, not a negative
+    rate. First observation per key has no predecessor: null rate.
+    Zero elapsed time (duplicate timestamps) yields null, not inf.
+    One lag-window pass partitioned by key; ``order_cols`` defaults to
+    ``[time_col]`` and must be total for determinism.
+    """
+    order = order_cols or [time_col]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    t = _epoch(F.col(time_col))
+    v = F.col(value_col).cast("double")
+    dt = (t - F.lag(t).over(w)).cast("double")
+    dv = v - F.lag(v).over(w)
+    rate = F.when(dt > 0, dv / dt * F.lit(float(per_seconds)))
+    if non_negative:
+        rate = F.when(rate >= 0, rate)
+    if round_digits is not None:
+        rate = F.round(rate, round_digits)
+    return df.withColumn("rate", rate)
