@@ -1309,6 +1309,25 @@ def q66_percentiles(spark, sf_dir):
     return percentile_summary(ev, "event_type", "value")
 
 
+def q67_db_sql(spark, sf_dir):
+    """ANSI SQL over the live store: db.sql() registers the canonical
+    (time, measurement, tags, fields) view and hands the statement to
+    Catalyst — the full SQL surface (joins, CTEs, windows) on top of
+    the reference's query algebra, for free on Spark. Gate: a grouped
+    aggregate with a map-key predicate, replayed on the raw slice."""
+    db = _ro_store(spark, sf_dir)
+    return db.sql(
+        """
+        SELECT measurement,
+               COUNT(*) AS n,
+               ROUND(SUM(fields['value']), 6) AS total_value
+        FROM points
+        WHERE fields['value'] >= 50
+        GROUP BY measurement
+        """
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1387,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_chunk_documents": q64_chunk_documents,
         "q65_derivative": q65_derivative,
         "q66_percentiles": q66_percentiles,
+        "q67_db_sql": q67_db_sql,
     }
 
 
@@ -2387,5 +2407,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.90), 6) AS p90,
                    COUNT(value) AS n
             FROM events GROUP BY event_type
+        """,
+        "q67_db_sql": """
+            SELECT event_type AS measurement,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS total_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10'
+              AND ts < TIMESTAMP '2024-01-12'
+              AND value >= 50
+            GROUP BY 1
         """,
     }

@@ -492,3 +492,30 @@ def test_concurrent_handles_disjoint_seq(spark, tmp_path):
         p.fields["v"] for p in a.all(sorted=False)
     )
     assert len(set(vals)) == 80
+
+
+def test_sql_surface_sees_live_writes(spark):
+    import datetime as dt
+
+    from tinyflux_spark import Point, TinyFluxSpark
+
+    with TinyFluxSpark(spark=spark) as db:
+        t = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+        db.insert_multiple(
+            Point(time=t, measurement="m", tags={"s": str(i % 2)},
+                  fields={"v": float(i)})
+            for i in range(6)
+        )
+        rows = db.sql(
+            "SELECT tags['s'] AS s, SUM(fields['v']) AS total "
+            "FROM points GROUP BY 1 ORDER BY 1"
+        ).collect()
+        assert [(r["s"], r["total"]) for r in rows] == [("0", 6.0), ("1", 9.0)]
+        # a later write is visible without re-registering anything
+        db.insert(Point(time=t, measurement="m", tags={"s": "0"},
+                        fields={"v": 100.0}))
+        total = db.sql("SELECT SUM(fields['v']) AS t FROM points").collect()
+        assert total[0]["t"] == 115.0
+        # custom view name doesn't clobber the default
+        n = db.sql("SELECT COUNT(*) AS c FROM pts", view="pts").collect()
+        assert n[0]["c"] == 7

@@ -220,6 +220,29 @@ class TinyFluxSpark:
         )
         return df if with_seq else df.drop(SEQ_COL)
 
+    def create_view(self, name: str = "points") -> str:
+        """Register the live store as a Spark temp view ``name`` with
+        the canonical schema (time, measurement, tags map, fields map)
+        for ad-hoc ``spark.sql``. Re-registering after writes refreshes
+        the view; ``sql()`` does that automatically."""
+        self.dataframe().createOrReplaceTempView(name)
+        return name
+
+    def sql(self, query: str, view: str = "points") -> DataFrame:
+        """Run a Spark SQL statement over the store.
+
+        The store is (re-)registered as temp view ``view`` on every
+        call, so the statement always sees current data — including
+        writes made since the last call. Map columns query as
+        ``tags['sensor']`` / ``fields['value']``; the full ANSI SQL /
+        Catalyst surface (joins against other registered tables, window
+        functions, CTEs) is available, which is the point: the
+        reference's query algebra is a subset, SQL is the superset the
+        Spark engine gets for free.
+        """
+        self.create_view(view)
+        return self.spark.sql(query)
+
     def close(self) -> None:
         self._storage.close()
         self._open = False
