@@ -250,3 +250,48 @@ def test_srp_index_prunes_bucket_partitions(spark, tmp_path):
     ]
     idx = [(r["vec_id"], r["cosine_sim"]) for r in res.collect()]
     assert idx == live
+
+
+def test_gap_fill_uses_running_frames_only(spark):
+    """Linear gap-fill must never plan an [current, unbounded FOLLOWING]
+    window frame: Spark rescans that frame per row (O(n^2) per key,
+    measured 28s vs 0.3s on a 43k-row grid). Both fill directions must
+    be running frames, the forward one over a descending sort."""
+    import datetime as dt
+
+    from tinyflux_spark.operators.timeseries import gap_fill, resample
+
+    df = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1, 0, m), float(m)) for m in (0, 5)],
+        ["key", "t", "v"],
+    )
+    out = gap_fill(resample(df, "t", "key", "v", 60), 60, fill="linear")
+    plan = plan_of(out)
+    assert "unboundedfollowing" not in plan.lower()
+    assert "unboundedpreceding" in plan.lower()
+
+
+def test_top_tokens_partial_aggregates_before_shuffle(spark):
+    """The wordcount shuffles per-partition partial counts (vocabulary-
+    sized), not raw corpus tokens: a partial HashAggregate must sit
+    below the exchange, and the top-k must be a TakeOrderedAndProject,
+    not a global Sort."""
+    from tinyflux_spark.operators.text import top_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(top_tokens(docs, "text", k=10))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_scrub_and_chunk_stay_narrow(spark):
+    """scrub_text and chunk_documents are pure per-row maps: no
+    Exchange of any kind in their plans."""
+    from tinyflux_spark.operators.text import chunk_documents, scrub_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "Exchange" not in plan_of(scrub_text(docs, "doc_id"))
+    assert "Exchange" not in plan_of(
+        chunk_documents(docs, "doc_id", "text", 50, 10)
+    )
