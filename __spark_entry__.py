@@ -1241,13 +1241,24 @@ def q62_top_tokens(spark, sf_dir):
 
 def q63_scrub_pii(spark, sf_dir):
     """PII/identifier scrub over the corpus: emails, URLs, and 6+-digit
-    runs replaced by typed placeholders in a fixed order. Output carries
-    the md5 of the scrubbed text (so the whole rewritten string is
-    value-checked without shipping it) plus the redaction count. Narrow
+    runs replaced by typed placeholders in a fixed order. The synthetic
+    corpus contains no such strings, so the gate appends deterministic
+    doc_id-derived PII (an email, a URL, a 7-digit id) to every row in
+    BOTH engines first — every row exercises all three replacements, and
+    the md5 of the scrubbed text value-checks the whole rewrite. Narrow
     codegen'd regexp chain — no shuffle."""
     from tinyflux_spark.operators.text import scrub_text
 
-    docs = _t("documents")(spark, sf_dir)
+    docs = _t("documents")(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org via https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ref "), (F.col("doc_id") + 1000000).cast("string"),
+        ).alias("text"),
+    )
     return scrub_text(docs, "doc_id").select(
         "doc_id",
         F.md5(F.col("scrubbed")).alias("scrub_fp"),
@@ -2336,7 +2347,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n DESC, token LIMIT 50
         """,
         "q63_scrub_pii": """
-            WITH s1 AS (
+            WITH enriched AS (
+                SELECT doc_id,
+                       text || ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.org via https://ex.org/d/'
+                            || CAST(doc_id AS VARCHAR)
+                            || ' ref ' || CAST(doc_id + 1000000 AS VARCHAR)
+                           AS text
+                FROM documents
+            ),
+            s1 AS (
                 SELECT doc_id, text,
                     regexp_replace(text,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
@@ -2344,7 +2364,7 @@ def oracle_sql() -> dict[str, str]:
                     len(regexp_extract_all(text,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                         AS c1
-                FROM documents
+                FROM enriched
             ),
             s2 AS (
                 SELECT doc_id, text, c1,
