@@ -1339,6 +1339,36 @@ def q67_db_sql(spark, sf_dir):
     )
 
 
+def q68_downsample(spark, sf_dir):
+    """Retention downsampling end-to-end (the InfluxDB retention-policy
+    + continuous-query analog the reference lacks): build a throwaway
+    parquet store from the 2-day slice, roll everything before the
+    midpoint up to one point per (measurement, tag set, hour) with
+    per-field-key avg, keep the newer day raw, and return the resulting
+    store contents. The oracle replays the rollup + raw union in SQL;
+    timestamps ship as epoch seconds."""
+    import tempfile
+    from datetime import datetime, timezone as _tz
+
+    from tinyflux_spark import TinyFluxSpark
+
+    db = TinyFluxSpark(tempfile.mkdtemp(prefix="tfs_ds_"))
+    pts = events_as_points(spark, sf_dir).where(
+        (F.col("time") >= F.lit(T_LO)) & (F.col("time") < F.lit(T_DML_HI))
+    )
+    db.insert_dataframe(pts.select("time", "measurement", "tags", "fields"))
+    db.downsample(
+        datetime(2024, 1, 11, tzinfo=_tz.utc), interval_sec=3600, agg="avg"
+    )
+    return db.dataframe().select(
+        F.unix_timestamp("time").cast("long").alias("t_s"),
+        "measurement",
+        F.col("tags")["user"].alias("user"),
+        F.round(F.col("fields")["value"], 6).alias("value"),
+        F.round(F.col("fields")["k"], 6).alias("k"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1418,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_derivative": q65_derivative,
         "q66_percentiles": q66_percentiles,
         "q67_db_sql": q67_db_sql,
+        "q68_downsample": q68_downsample,
     }
 
 
@@ -2437,5 +2468,34 @@ def oracle_sql() -> dict[str, str]:
               AND ts < TIMESTAMP '2024-01-12'
               AND value >= 50
             GROUP BY 1
+        """,
+        "q68_downsample": """
+            WITH slice AS (
+                SELECT ts, event_type AS measurement,
+                       CAST(user_id AS VARCHAR) AS user, value,
+                       CASE WHEN event_type <> 'click'
+                            THEN CAST(json_extract_string(props, '$.k')
+                                      AS DOUBLE)
+                       END AS k
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-10'
+                  AND ts < TIMESTAMP '2024-01-12'
+            ),
+            rolled AS (
+                SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                           AS t_s,
+                       measurement, user,
+                       ROUND(AVG(value), 6) AS value,
+                       ROUND(AVG(k), 6) AS k
+                FROM slice WHERE ts < TIMESTAMP '2024-01-11'
+                GROUP BY 1, 2, 3
+            ),
+            raw AS (
+                SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+                       measurement, user,
+                       ROUND(value, 6) AS value, ROUND(k, 6) AS k
+                FROM slice WHERE ts >= TIMESTAMP '2024-01-11'
+            )
+            SELECT * FROM rolled UNION ALL SELECT * FROM raw
         """,
     }

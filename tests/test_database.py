@@ -519,3 +519,81 @@ def test_sql_surface_sees_live_writes(spark):
         # custom view name doesn't clobber the default
         n = db.sql("SELECT COUNT(*) AS c FROM pts", view="pts").collect()
         assert n[0]["c"] == 7
+
+
+def _mk_downsample_store(spark, tmp_path, storage=None):
+    import datetime as dt
+
+    from tinyflux_spark import Point, TinyFluxSpark
+
+    if storage is None:
+        db = TinyFluxSpark(str(tmp_path / "ds"), spark=spark)
+    else:
+        db = TinyFluxSpark(spark=spark, storage=storage)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    pts = []
+    # day 1: sensor a gets 4 points per hour-bucket 0 and 1; sensor b 2.
+    for h, vals in [(0, [10.0, 20.0]), (1, [30.0, 50.0])]:
+        for i, v in enumerate(vals):
+            pts.append(Point(time=t0 + dt.timedelta(hours=h, minutes=10 * (i + 1)),
+                             measurement="temp", tags={"s": "a"},
+                             fields={"v": v, "hum": v / 10}))
+            pts.append(Point(time=t0 + dt.timedelta(hours=h, minutes=10 * (i + 1)),
+                             measurement="temp", tags={"s": "b"},
+                             fields={"v": v + 1}))
+    # day 3: recent points that must survive untouched
+    recent = t0 + dt.timedelta(days=2)
+    pts.append(Point(time=recent, measurement="temp", tags={"s": "a"},
+                     fields={"v": 99.0}))
+    db.insert_multiple(pts)
+    return db, t0, recent
+
+
+def test_downsample_parquet(spark, tmp_path):
+    import datetime as dt
+
+    from tinyflux_spark import TagQuery, TimeQuery
+
+    db, t0, recent = _mk_downsample_store(spark, tmp_path)
+    cutoff = t0 + dt.timedelta(days=1)
+    replaced = db.downsample(cutoff, interval_sec=3600)
+    assert replaced == 8
+    # 2 hour-buckets x 2 tag sets -> 4 rollup points + 1 recent raw
+    assert len(db) == 5
+    a = db.search(TagQuery().s == "a")
+    by_time = {p.time: p for p in a if p.time < cutoff}
+    assert by_time[t0].fields == {"hum": 1.5, "v": 15.0}
+    assert by_time[t0 + dt.timedelta(hours=1)].fields == {"hum": 4.0, "v": 40.0}
+    b = [p for p in db.search(TagQuery().s == "b") if p.time < cutoff]
+    assert sorted(p.fields["v"] for p in b) == [16.0, 41.0]
+    # tag sets survive exactly; recent point untouched
+    assert all(p.tags == {"s": "a"} for p in a)
+    raw = db.search(TimeQuery() >= cutoff)
+    assert len(raw) == 1 and raw[0].fields == {"v": 99.0}
+    db.close()
+
+
+def test_downsample_memory_and_validation(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from tinyflux_spark.storages import MemoryStorage
+
+    db, t0, recent = _mk_downsample_store(
+        spark, None, storage=MemoryStorage(spark)
+    )
+    with _pytest.raises(ValueError):
+        db.downsample(dt.datetime(2024, 1, 2), 3600)  # naive cutoff
+    with _pytest.raises(ValueError):
+        db.downsample(recent, 3600, agg="median")
+    cutoff = t0 + dt.timedelta(days=1)
+    assert db.downsample(cutoff, interval_sec=3600, agg="max") == 8
+    assert len(db) == 5
+    vals = sorted(
+        p.fields["v"] for p in db.all() if p.time < cutoff
+    )
+    assert vals == [20.0, 21.0, 50.0, 51.0]
+    # no-op on already-downsampled range at same granularity is stable
+    assert db.downsample(cutoff, interval_sec=3600, agg="max") == 4
+    assert len(db) == 5

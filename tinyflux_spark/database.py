@@ -867,6 +867,135 @@ class TinyFluxSpark:
             return self._storage.compact(measurement)
         return 0
 
+    def downsample(
+        self,
+        older_than: datetime,
+        interval_sec: int,
+        agg: str = "avg",
+        measurement: Optional[str] = None,
+    ) -> int:
+        """Retention downsampling *(extension, the InfluxDB
+        retention-policy + continuous-query analog)*: replace every
+        point older than ``older_than`` with ONE aggregated point per
+        (measurement, exact tag set, ``interval_sec`` bucket); each
+        field key is aggregated independently (``agg``: avg/min/max/
+        sum/count), so schemaless key sets survive — a key present with
+        only None values stays present-with-None. Newer points are
+        untouched. Returns the number of raw points replaced.
+
+        Physical shape: one shuffle on (measurement, tag-set, bucket)
+        with map-side partial aggregation; on parquet the rewrite is
+        scoped to the date partitions at-or-before the cutoff via the
+        same staged-swap DML uses — a year-old retention pass never
+        touches today's directories. Tag sets group as sorted
+        ``map_entries`` arrays (Spark cannot group by a map column).
+        Downsampled points are appended to the durable ``_seq`` order
+        (they are new synthetic points; their raw originals are gone).
+        """
+        if older_than.tzinfo is None:
+            raise ValueError("older_than must be timezone-aware")
+        if agg not in ("avg", "min", "max", "sum", "count"):
+            raise ValueError(f"downsample: unsupported agg {agg!r}")
+        cutoff_date = _utc_date_str(older_than)
+        parquet = isinstance(self._storage, ParquetStorage)
+        full = self._storage.read().select(
+            "time", "measurement", "tags", "fields", SEQ_COL,
+            *([PDATE_COL] if parquet else []),
+        )
+        if measurement is not None:
+            full = full.where(F.col("measurement") == measurement)
+        if parquet:
+            # partition pruning: only at-or-before-cutoff directories
+            # are read (and later swapped); everything newer is invisible
+            # to this pass.
+            full = full.where(
+                F.col(PDATE_COL) <= F.lit(cutoff_date)
+            ).drop(PDATE_COL)
+        else:
+            # same day scope by derived date: rows outside it are the
+            # storage's own "others" set during the scoped overwrite and
+            # must not also ride along in `keep` (double insertion).
+            full = full.where(
+                F.date_format("time", "yyyy-MM-dd") <= F.lit(cutoff_date)
+            )
+        cut = F.lit(older_than.astimezone(timezone.utc).replace(tzinfo=None))
+        old = full.where(F.col("time") < cut)
+        keep = full.where(F.col("time") >= cut)
+        n_old = old.count()
+        if n_old == 0:
+            return 0
+
+        b = (
+            F.floor(F.unix_timestamp("time") / interval_sec) * interval_sec
+        ).cast("long")
+        exploded = old.select(
+            "measurement",
+            F.array_sort(F.map_entries("tags")).alias("_tags"),
+            b.alias("_b"),
+            F.explode_outer("fields").alias("_fk", "_fv"),
+        )
+        agg_fn = getattr(F, agg)
+        val = agg_fn(F.col("_fv"))
+        if agg == "count":
+            val = val.cast("double")
+        per_key = exploded.groupBy("measurement", "_tags", "_b", "_fk").agg(
+            val.alias("_v")
+        )
+        rolled = (
+            per_key.groupBy("measurement", "_tags", "_b")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_fk").isNotNull(),
+                                F.struct(F.col("_fk"), F.col("_v")),
+                            )
+                        )
+                    )
+                ).alias("fields")
+            )
+            .select(
+                F.timestamp_seconds(F.col("_b")).alias("time"),
+                "measurement",
+                F.map_from_entries("_tags").alias("tags"),
+                "fields",
+            )
+            .cache()
+        )
+        try:
+            # _mid is monotonic+unique but NOT dense (partition-major),
+            # so the reserved block is max(_mid)+1 wide, same as
+            # append_df; the cache above makes _mid stable across the
+            # stats and write passes.
+            with_mid = rolled.withColumn(
+                "_mid", F.monotonically_increasing_id()
+            )
+            mx = int(with_mid.agg(F.max("_mid")).collect()[0][0])
+            start = (
+                self._storage._bump_seq(mx + 1)
+                if parquet
+                else self._storage.next_seq()
+            )
+            new_rows = with_mid.withColumn(
+                SEQ_COL, (F.col("_mid") + F.lit(start)).cast("long")
+            ).drop("_mid")
+            final = keep.select(
+                "time", "measurement", "tags", "fields", SEQ_COL
+            ).unionByName(
+                new_rows.select(
+                    "time", "measurement", "tags", "fields", SEQ_COL
+                )
+            )
+            self._storage.overwrite(
+                final,
+                measurements=[measurement] if measurement else None,
+                date_range=(None, cutoff_date),
+            )
+        finally:
+            rolled.unpersist()
+        return n_old
+
     # -- measurement handles --------------------------------------------
     def measurement(self, name: str) -> "Measurement":
         """Cached handle scoped to one measurement
