@@ -1369,6 +1369,38 @@ def q68_downsample(spark, sf_dir):
     )
 
 
+def q69_from_table(spark, sf_dir):
+    """Generic tabular->points connector: declare which source columns
+    are time / measurement / tags / fields and get the canonical frame
+    (sources.from_table) — the ingest surface for any format Spark
+    reads. Narrow projection, no shuffle; per-row measurement from a
+    category column, a tag carried under its own name, one passthrough
+    field, one computed field, and a sometimes-null field all
+    value-checked."""
+    from tinyflux_spark.sources import from_table
+
+    ev = load_events(spark, sf_dir)
+    pts = from_table(
+        ev,
+        "ts",
+        measurement=F.col("event_type"),
+        tag_cols=["user_id"],
+        field_map={
+            "value": F.col("value"),
+            "half": F.col("value") / 2,
+            "k": F.get_json_object("props", "$.k").cast("double"),
+        },
+    )
+    return pts.select(
+        F.unix_timestamp("time").cast("long").alias("t_s"),
+        "measurement",
+        F.col("tags")["user_id"].alias("user"),
+        F.col("fields")["value"].alias("value"),
+        F.round(F.col("fields")["half"], 6).alias("half"),
+        F.col("fields")["k"].alias("k"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1449,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_percentiles": q66_percentiles,
         "q67_db_sql": q67_db_sql,
         "q68_downsample": q68_downsample,
+        "q69_from_table": q69_from_table,
     }
 
 
@@ -2497,5 +2530,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM slice WHERE ts >= TIMESTAMP '2024-01-11'
             )
             SELECT * FROM rolled UNION ALL SELECT * FROM raw
+        """,
+        "q69_from_table": """
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+                   event_type AS measurement,
+                   CAST(user_id AS VARCHAR) AS user,
+                   value,
+                   ROUND(value / 2, 6) AS half,
+                   CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+            FROM events
         """,
     }

@@ -189,7 +189,12 @@ def _scale_probe(spark) -> dict:
                 ] = round(1.0 / best, 2)
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        for qname in ("q19_minhash_lsh_pairs", "q51_dedup_clusters"):
+        for qname in (
+            "q19_minhash_lsh_pairs",
+            "q51_dedup_clusters",
+            "q60_resample_gapfill",
+            "q62_top_tokens",
+        ):
             fn = entry_mod.queries()[qname]
             df = fn(spark, d)
             df.write.format("noop").mode("overwrite").save()  # warm

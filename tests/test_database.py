@@ -597,3 +597,77 @@ def test_downsample_memory_and_validation(spark):
     # no-op on already-downsampled range at same granularity is stable
     assert db.downsample(cutoff, interval_sec=3600, agg="max") == 4
     assert len(db) == 5
+
+
+def test_downsample_measurement_scoped(spark, tmp_path):
+    import datetime as dt
+
+    from tinyflux_spark import Point, TinyFluxSpark
+
+    db = TinyFluxSpark(str(tmp_path / "ds_m"), spark=spark)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    pts = []
+    for m in ("temp", "cpu"):
+        for i in range(4):
+            pts.append(Point(time=t0 + dt.timedelta(minutes=10 * i),
+                             measurement=m, tags={},
+                             fields={"v": float(i)}))
+    db.insert_multiple(pts)
+    replaced = db.measurement("temp").downsample(
+        t0 + dt.timedelta(days=1), interval_sec=3600
+    )
+    assert replaced == 4
+    assert len(db.measurement("temp")) == 1
+    assert db.measurement("temp").all()[0].fields == {"v": 1.5}
+    # the other measurement is untouched, raw points intact
+    cpu = db.measurement("cpu").all()
+    assert sorted(p.fields["v"] for p in cpu) == [0.0, 1.0, 2.0, 3.0]
+    db.close()
+
+
+def test_from_table_connector(spark, tmp_path):
+    import datetime as dt
+
+    from tinyflux_spark import TinyFluxSpark
+    from tinyflux_spark.sources import from_table, read_table
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [
+            ("2024-02-01 10:00:00", "nyc", 21.5, None),
+            ("2024-02-01 11:00:00", "sfo", 18.0, 3.0),
+        ],
+        ["when", "city", "temp", "wind"],
+    )
+    pts = from_table(
+        src,
+        "when",
+        measurement="weather",
+        tag_cols=["city"],
+        field_cols=["temp", "wind"],
+        field_map={"temp_f": F.col("temp") * 9 / 5 + 32},
+    )
+    assert pts.columns == ["time", "measurement", "tags", "fields"]
+    rows = sorted(pts.collect(), key=lambda r: r["time"])
+    assert rows[0]["measurement"] == "weather"
+    assert rows[0]["tags"] == {"city": "nyc"}
+    # null field VALUE survives as a present key with None
+    assert rows[0]["fields"] == {"temp": 21.5, "temp_f": 70.7, "wind": None}
+    # a mapped frame inserts directly
+    db = TinyFluxSpark(str(tmp_path / "conn"), spark=spark)
+    db.insert_dataframe(pts)
+    assert len(db) == 2
+    db.close()
+
+    # per-row measurement from a column + default measurement
+    pm = from_table(src, "when", measurement=F.col("city"))
+    assert {r["measurement"] for r in pm.collect()} == {"nyc", "sfo"}
+    dm = from_table(src, "when")
+    assert {r["measurement"] for r in dm.collect()} == {"_default"}
+    assert dm.collect()[0]["tags"] == {}
+
+    # read_table round-trips a CSV interchange file
+    p = str(tmp_path / "interchange.csv")
+    src.write.option("header", "true").mode("overwrite").csv(p)
+    back = read_table(spark, p, fmt="csv")
+    assert back.count() == 2 and "temp" in back.columns

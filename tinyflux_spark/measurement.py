@@ -113,3 +113,14 @@ class Measurement:
 
     def remove_all(self) -> int:
         return self._db.drop_measurement(self._name)
+
+    def downsample(
+        self,
+        older_than: datetime,
+        interval_sec: int,
+        agg: str = "avg",
+    ) -> int:
+        """Retention rollup scoped to this measurement's partitions."""
+        return self._db.downsample(
+            older_than, interval_sec, agg=agg, measurement=self._name
+        )
