@@ -225,3 +225,40 @@ def test_batch_ewma_variants_agree(spark):
         series = [v for kk, _, v in rows if kk == r["key"]]
         assert r["ewma"] == pytest.approx(_py_ewma(series)[-1])
         assert run_final[r["key"]] == pytest.approx(r["ewma"])
+
+
+def test_from_table_maps_streaming_source(spark, tmp_path):
+    """The ingest connector is a narrow projection, so it works
+    unchanged on a streaming DataFrame: raw tabular files land as
+    canonical points through readStream -> from_table -> stream_insert."""
+    from tinyflux_spark.sources import from_table
+
+    raw = spark.createDataFrame(
+        [
+            (T0 + timedelta(minutes=i), "nyc" if i % 2 else "sfo",
+             float(20 + i), i)
+            for i in range(20)
+        ],
+        ["when", "city", "temp", "seq_hint"],
+    )
+    src = str(tmp_path / "raw_src")
+    raw.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    pts = from_table(
+        stream, "when", measurement="weather",
+        tag_cols=["city"], field_cols=["temp"],
+    )
+    assert pts.isStreaming
+
+    store = ParquetStorage(str(tmp_path / "store"), spark)
+    q = ingest.stream_insert(
+        store, pts, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    db = TinyFluxSpark(storage=store, spark=spark)
+    assert len(db) == 20
+    got = db.search(FieldQuery().temp >= 30)
+    assert len(got) == 10 and all(p.measurement == "weather" for p in got)
+    assert {p.tags["city"] for p in got} == {"nyc", "sfo"}

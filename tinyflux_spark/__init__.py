@@ -22,7 +22,8 @@ from .queries import (
     TagQuery,
     TimeQuery,
 )
-from .schema import POINT_SCHEMA, get_spark, points_to_df
+from .schema import POINT_SCHEMA, collect_arrow_batches, get_spark, points_to_df
+from .sources import from_table, read_table
 from .storages import CSVStorage, MemoryStorage, ParquetStorage, Storage
 from .database import TinyFluxSpark
 from .measurement import Measurement
@@ -42,6 +43,9 @@ __all__ = [
     "POINT_SCHEMA",
     "get_spark",
     "points_to_df",
+    "collect_arrow_batches",
+    "from_table",
+    "read_table",
     "Storage",
     "MemoryStorage",
     "CSVStorage",

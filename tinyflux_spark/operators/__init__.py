@@ -9,6 +9,22 @@ similarity search, text analysis, multimodal plumbing) — as declarative
 DataFrame transforms that Catalyst can optimize end-to-end.
 """
 
-from . import aggregates, dedup, multimodal, similarity, text
+from . import (  # noqa: F401
+    aggregates,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+    timeseries,
+)
 
-__all__ = ["aggregates", "dedup", "multimodal", "similarity", "text"]
+__all__ = [
+    "aggregates",
+    "dedup",
+    "multimodal",
+    "sampling",
+    "similarity",
+    "text",
+    "timeseries",
+]
