@@ -295,3 +295,39 @@ def test_scrub_and_chunk_stay_narrow(spark):
     assert "Exchange" not in plan_of(
         chunk_documents(docs, "doc_id", "text", 50, 10)
     )
+
+
+def test_no_plan_antipatterns_across_registered_queries(spark):
+    """Sweep every registered gate query's physical plan for scale
+    anti-patterns: cartesian/nested-loop joins (an equi-join key should
+    always exist), [current, unbounded following] window frames (per-row
+    rescan), and Python row UDFs outside the operators documented as
+    arbitrary-Python surfaces (.test/.map — q47). Queries whose plan
+    is legitimately driver-composed (store builds, streaming) still
+    compile; the assertion runs on whatever DataFrame they return."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    # q47 runs the reference's arbitrary-Python .test/.map predicates —
+    # the documented UDF surface.
+    udf_ok = {"q47_map_test_predicates"}
+    bad = {}
+    for name, fn in em.queries().items():
+        df = fn(spark, sf)
+        plan = plan_of(df)
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan:
+            problems.append("BroadcastNestedLoopJoin")
+        # [unboundedpreceding, unboundedfollowing] whole-partition
+        # frames are computed once per group (O(n), fine); only a frame
+        # STARTING at currentrow and ending unbounded is rescanned per
+        # row (O(n^2) per key — the gap_fill regression class).
+        if "currentrow$(), unboundedfollowing$()" in plan.lower():
+            problems.append("per-row-rescan unbounded-following frame")
+        if "BatchEvalPython" in plan and name not in udf_ok:
+            problems.append("row-at-a-time Python UDF")
+        if problems:
+            bad[name] = problems
+    assert not bad, f"plan anti-patterns: {bad}"
