@@ -229,8 +229,11 @@ def test_dml_rewrite_is_partition_scoped(spark, tmp_path):
     )
 
     def inodes(day):
+        # resolve through the live version dir: untouched partitions
+        # carry over as hardlinks, so their inodes survive the version
+        # flip while rewritten ones get fresh files.
         pdir = os.path.join(
-            path, "data", "measurement=m", f"pdate=2020-01-0{day}"
+            d.storage.data_dir, "measurement=m", f"pdate=2020-01-0{day}"
         )
         return {
             f: os.stat(os.path.join(pdir, f)).st_ino
@@ -671,3 +674,71 @@ def test_from_table_connector(spark, tmp_path):
     src.write.option("header", "true").mode("overwrite").csv(p)
     back = read_table(spark, p, fmt="csv")
     assert back.count() == 2 and "temp" in back.columns
+
+
+def test_snapshot_isolation_across_destructive_ops(spark, tmp_path):
+    """A DataFrame planned before a destructive op keeps reading its
+    own version snapshot: the previous version dir survives one flip
+    (GC keeps current + previous), so in-flight scans don't break or
+    see half-applied rewrites."""
+    import os
+
+    from tinyflux_spark import FieldQuery
+
+    path = str(tmp_path / "mvcc")
+    d = TinyFluxSpark(path, spark=spark)
+    d.insert_multiple(
+        Point(time=datetime(2020, 1, 1, h, tzinfo=timezone.utc),
+              measurement="m", fields={"v": float(h)})
+        for h in range(10)
+    )
+    snapshot = d.dataframe()          # plans against version N's path
+    assert snapshot.count() == 10
+    assert d.remove(FieldQuery().v >= 5.0) == 5
+    # live store sees the delete; the pre-delete plan still sees 10
+    assert len(d) == 5
+    assert snapshot.count() == 10
+    versions = sorted(
+        n for n in os.listdir(path) if n.startswith("data_v")
+    )
+    assert len(versions) == 2
+    # a second destructive op GCs the oldest version
+    d.update(FieldQuery().v == 0.0, fields={"v": 100.0})
+    versions = sorted(
+        n for n in os.listdir(path) if n.startswith("data_v")
+    )
+    assert len(versions) == 2
+    assert len(d) == 5
+    d.close()
+
+
+def test_legacy_unversioned_store_migrates(spark, tmp_path):
+    """A store written before data versioning (live dir named "data",
+    manifest without data_version) opens transparently: the legacy dir
+    becomes version 0 and all operations proceed."""
+    import json
+    import os
+    import shutil
+
+    path = str(tmp_path / "legacy")
+    d = TinyFluxSpark(path, spark=spark)
+    d.insert_multiple(
+        Point(time=datetime(2020, 1, 1, h, tzinfo=timezone.utc),
+              measurement="m", fields={"v": float(h)})
+        for h in range(4)
+    )
+    d.close()
+    # demote to the pre-versioning layout
+    meta_path = os.path.join(path, "_tinyflux_meta.json")
+    meta = json.load(open(meta_path))
+    v = meta.pop("data_version")
+    json.dump(meta, open(meta_path, "w"))
+    shutil.move(
+        os.path.join(path, f"data_v{v:06d}"), os.path.join(path, "data")
+    )
+    d2 = TinyFluxSpark(path, spark=spark)
+    assert len(d2) == 4
+    assert d2.remove(FieldQuery().v >= 2.0) == 2
+    assert len(d2) == 2
+    assert not os.path.exists(os.path.join(path, "data"))
+    d2.close()

@@ -98,6 +98,11 @@ def unescape_partition_value(s: str) -> str:
     return "".join(out)
 
 
+def _vdir(version: int) -> str:
+    """Directory name of a data version (``data_v000003``)."""
+    return f"data_v{version:06d}"
+
+
 #: Keys eligible for scalar-column materialization: must be safe as a
 #: parquet column name fragment (no escaping games in the footer schema).
 _INDEXABLE_KEY = re.compile(r"^[A-Za-z0-9_]+$")
@@ -271,10 +276,9 @@ class ParquetStorage(Storage):
         """
         super().__init__(spark)
         self.path = path
-        self.data_dir = os.path.join(path, "data")
         self.meta_path = os.path.join(path, "_tinyflux_meta.json")
         self.lock_path = os.path.join(path, "_tinyflux.lock")
-        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(path, exist_ok=True)
         want = {
             "index_tags": sorted(set(index_tags or ())),
             "index_fields": sorted(set(index_fields or ())),
@@ -289,7 +293,18 @@ class ParquetStorage(Storage):
             # check-then-create under the lock: two handles racing to
             # initialize one path must agree on a single manifest.
             if not os.path.exists(self.meta_path):
-                self._write_meta({"next_seq": 0, **want})
+                self._write_meta({"next_seq": 0, "data_version": 0, **want})
+            else:
+                meta = self._read_meta()
+                if "data_version" not in meta:
+                    # migrate a pre-versioning store: its live "data"
+                    # dir becomes version 0.
+                    legacy = os.path.join(path, "data")
+                    if os.path.isdir(legacy):
+                        os.replace(legacy, os.path.join(path, _vdir(0)))
+                    meta["data_version"] = 0
+                    self._write_meta(meta)
+            os.makedirs(self.data_dir, exist_ok=True)
         meta = self._read_meta()
         if "index_tags" not in meta and "index_fields" not in meta:
             have = want
@@ -330,6 +345,67 @@ class ParquetStorage(Storage):
                 indexed_field_col(k), F.element_at(F.col("fields"), k)
             )
         return df
+
+    # -- versioned data layout (snapshot isolation) -----------------------
+    # Destructive operations (DML rewrite, compact, truncate, partition
+    # drop) never mutate the live directory. Each builds the NEXT
+    # version dir — a hardlink clone of the current one with the
+    # in-scope partitions replaced (hardlinks: parquet files are
+    # immutable here, so a clone is metadata-only) — then flips the
+    # manifest's ``data_version`` pointer under the store lock. Readers
+    # resolve the pointer when they plan, so an in-flight scan keeps a
+    # consistent snapshot: its version dir survives one further
+    # destructive op (GC keeps current + previous). Appends are additive
+    # (new files only) and publish under the same lock, so they land in
+    # whatever version is current at publish time and are never lost to
+    # a concurrent rewrite. This is the MVCC pointer-flip pattern of
+    # table formats like Delta/Iceberg, at directory granularity.
+
+    def _data_version(self) -> int:
+        return int(self._read_meta().get("data_version", 0))
+
+    @property
+    def data_dir(self) -> str:
+        """The CURRENT version's data directory (manifest-resolved)."""
+        return os.path.join(self.path, _vdir(self._data_version()))
+
+    def _clone_version(self) -> str:
+        """Hardlink-clone the live version into the next version dir
+        (uncommitted). Caller holds the store lock."""
+        cur = self.data_dir
+        nxt = os.path.join(self.path, _vdir(self._data_version() + 1))
+        if os.path.exists(nxt):
+            shutil.rmtree(nxt)
+        for root, _dirs, files in os.walk(cur):
+            rel = os.path.relpath(root, cur)
+            dst = nxt if rel == "." else os.path.join(nxt, rel)
+            os.makedirs(dst, exist_ok=True)
+            for f in files:
+                s, d = os.path.join(root, f), os.path.join(dst, f)
+                try:
+                    os.link(s, d)
+                except OSError:  # pragma: no cover — fs without links
+                    shutil.copy2(s, d)
+        return nxt
+
+    def _commit_version(self, new_dir: str) -> None:
+        """Flip the manifest pointer to ``new_dir`` and GC every version
+        older than the immediately previous one. Caller holds the lock."""
+        v = int(os.path.basename(new_dir)[len("data_v"):])
+        meta = self._read_meta()
+        meta["data_version"] = v
+        self._write_meta(meta)
+        for name in os.listdir(self.path):
+            if not name.startswith("data_v"):
+                continue
+            try:
+                mv = int(name[len("data_v"):])
+            except ValueError:
+                continue
+            if mv < v - 1:
+                shutil.rmtree(
+                    os.path.join(self.path, name), ignore_errors=True
+                )
 
     # -- manifest ---------------------------------------------------------
     @contextmanager
@@ -585,30 +661,34 @@ class ParquetStorage(Storage):
             .parquet(stage)
         )
         # The staged write above runs unlocked (it touches only the
-        # private stage dir); only the swap below is the critical
-        # section another handle must not interleave with.
+        # private stage dir, reading the then-current version snapshot);
+        # the version build + pointer flip below is the critical section
+        # another handle must not interleave with. The live directory is
+        # never mutated: the next version is assembled beside it and the
+        # manifest pointer flips atomically, so concurrent readers keep
+        # a consistent snapshot.
         with self._locked():
             if measurements is None and date_range is None:
-                old = self.data_dir + ".old"
-                if os.path.exists(old):
-                    shutil.rmtree(old)
-                if os.path.exists(self.data_dir):
-                    os.replace(self.data_dir, old)
-                os.replace(stage, self.data_dir)
-                if os.path.exists(old):
-                    shutil.rmtree(old)
+                new_dir = os.path.join(
+                    self.path, _vdir(self._data_version() + 1)
+                )
+                if os.path.exists(new_dir):
+                    shutil.rmtree(new_dir)
+                os.replace(stage, new_dir)
+                self._commit_version(new_dir)
                 return
+            new_dir = self._clone_version()
             ms = set(measurements) if measurements is not None else None
             lo, hi = date_range if date_range is not None else (None, None)
-            # 1. remove in-scope partition dirs (covers fully-deleted
-            #    ones that have no staged replacement).
-            for mdir in os.listdir(self.data_dir):
+            # 1. remove in-scope partition dirs from the clone (covers
+            #    fully-deleted ones that have no staged replacement).
+            for mdir in os.listdir(new_dir):
                 if not mdir.startswith("measurement="):
                     continue
                 m = unescape_partition_value(mdir.split("=", 1)[1])
                 if ms is not None and m not in ms:
                     continue
-                mpath = os.path.join(self.data_dir, mdir)
+                mpath = os.path.join(new_dir, mdir)
                 if date_range is None:
                     shutil.rmtree(mpath)
                     continue
@@ -618,13 +698,13 @@ class ParquetStorage(Storage):
                     d = pdir.split("=", 1)[1]
                     if (lo is None or d >= lo) and (hi is None or d <= hi):
                         shutil.rmtree(os.path.join(mpath, pdir))
-            # 2. move staged replacements in.
+            # 2. move staged replacements into the clone.
             if os.path.exists(stage):
                 for mdir in os.listdir(stage):
                     if not mdir.startswith("measurement="):
                         continue
                     src_m = os.path.join(stage, mdir)
-                    dst_m = os.path.join(self.data_dir, mdir)
+                    dst_m = os.path.join(new_dir, mdir)
                     os.makedirs(dst_m, exist_ok=True)
                     for pdir in os.listdir(src_m):
                         if not pdir.startswith(f"{PDATE_COL}="):
@@ -633,6 +713,7 @@ class ParquetStorage(Storage):
                         if os.path.exists(dst):
                             shutil.rmtree(dst)
                         shutil.move(os.path.join(src_m, pdir), dst)
+            self._commit_version(new_dir)
             shutil.rmtree(stage, ignore_errors=True)
 
     def parquet_file_count(self, measurement: Optional[str] = None) -> int:
@@ -676,24 +757,29 @@ class ParquetStorage(Storage):
 
     def truncate(self) -> None:
         with self._locked():
-            if os.path.exists(self.data_dir):
-                shutil.rmtree(self.data_dir)
-            os.makedirs(self.data_dir, exist_ok=True)
+            v = self._data_version() + 1
+            os.makedirs(os.path.join(self.path, _vdir(v)), exist_ok=True)
             # Preserve the durable index configuration — truncate drops
-            # rows, not the store's shape.
+            # rows, not the store's shape. Writing data_version with the
+            # same meta write makes the empty version live atomically.
             self._write_meta({
                 "next_seq": 0,
+                "data_version": v,
                 "index_tags": self._index_tags,
                 "index_fields": self._index_fields,
             })
+            self._commit_version(os.path.join(self.path, _vdir(v)))
 
     def drop_partition(self, measurement: str) -> None:
-        part = os.path.join(
-            self.data_dir,
-            f"measurement={escape_partition_value(measurement)}",
-        )
-        if os.path.exists(part):
-            shutil.rmtree(part)
+        with self._locked():
+            new_dir = self._clone_version()
+            part = os.path.join(
+                new_dir,
+                f"measurement={escape_partition_value(measurement)}",
+            )
+            if os.path.exists(part):
+                shutil.rmtree(part)
+            self._commit_version(new_dir)
 
 
 class CSVStorage(Storage):
