@@ -742,3 +742,50 @@ def test_legacy_unversioned_store_migrates(spark, tmp_path):
     assert len(d2) == 2
     assert not os.path.exists(os.path.join(path, "data"))
     d2.close()
+
+
+def test_concurrent_reads_never_see_partial_rewrites(spark, tmp_path):
+    """MVCC invariant under live contention: while one thread rewrites
+    the store repeatedly (full-width updates), concurrent readers must
+    always observe a complete snapshot — the full row count, never a
+    state with some partitions swapped and others missing (the failure
+    mode of in-place directory swaps)."""
+    import threading
+
+    path = str(tmp_path / "stress")
+    d = TinyFluxSpark(path, spark=spark)
+    N_ROWS = 60
+    d.insert_multiple(
+        Point(time=datetime(2020, 1, 1 + (i % 3), i % 24,
+                            tzinfo=timezone.utc),
+              measurement="m", fields={"v": float(i)})
+        for i in range(N_ROWS)
+    )
+
+    stop = threading.Event()
+    bad = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                n = d.dataframe().count()
+            except Exception as e:  # noqa: BLE001 — the failure signal
+                bad.append(repr(e))
+                return
+            if n != N_ROWS:
+                bad.append(f"saw {n} rows")
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(5):
+            d.update_all(fields={"flag": float(i)})
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not bad, bad
+    assert d.count(FieldQuery().flag == 4.0) == N_ROWS
+    d.close()
