@@ -262,3 +262,53 @@ def test_from_table_maps_streaming_source(spark, tmp_path):
     got = db.search(FieldQuery().temp >= 30)
     assert len(got) == 10 and all(p.measurement == "weather" for p in got)
     assert {p.tags["city"] for p in got} == {"nyc", "sfo"}
+
+
+def test_stream_rollup_insert_matches_batch_downsample(spark, tmp_path):
+    """The continuous query (stream_rollup_insert) and the batch
+    retention pass (db.downsample) must agree: streaming the same raw
+    points through hourly rollup produces the same aggregated point set
+    a batch downsample of those points produces."""
+    src, pts = mk_source(spark, tmp_path, n=40)
+    stream = ingest.point_stream_from_files(spark, src, POINT_SCHEMA)
+
+    target = ParquetStorage(str(tmp_path / "rollup_store"), spark)
+    q = ingest.stream_rollup_insert(
+        target, stream, "1 hour",
+        watermark="0 seconds",
+        checkpoint_dir=str(tmp_path / "ck_roll"),
+    )
+    q.awaitTermination(180)
+    if q.exception() is not None:
+        raise q.exception()
+
+    got_db = TinyFluxSpark(storage=target, spark=spark)
+    got = {
+        (p.time, p.measurement, tuple(sorted(p.tags.items()))): p.fields
+        for p in got_db.all()
+    }
+
+    # batch reference: same points, batch downsample with a cutoff past
+    # everything (so the whole set rolls up)
+    batch_db = TinyFluxSpark(str(tmp_path / "batch_store"), spark=spark)
+    batch_db.insert_multiple(pts)
+    batch_db.downsample(T0 + timedelta(days=30), interval_sec=3600)
+    want = {
+        (p.time, p.measurement, tuple(sorted(p.tags.items()))): p.fields
+        for p in batch_db.all()
+    }
+    # append mode only emits windows whose END is at or below the final
+    # watermark (= max event time here): the trailing partial hour never
+    # finalizes. On the finalized horizon the two paths must agree
+    # EXACTLY.
+    max_t = max(p.time for p in pts)
+    horizon = {
+        k: v for k, v in want.items()
+        if k[0] + timedelta(hours=1) <= max_t
+    }
+    finalized_got = {
+        k: v for k, v in got.items()
+        if k[0] + timedelta(hours=1) <= max_t
+    }
+    assert len(horizon) > 3
+    assert finalized_got == horizon

@@ -280,3 +280,104 @@ def stateful_ewma(
         if with_ttl
         else GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_rollup_insert(
+    storage: Storage,
+    points_stream: DataFrame,
+    window_duration: str,
+    agg: str = "avg",
+    watermark: str = "1 hour",
+    ts_col: str = "time",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+    shuffle_partitions: Optional[int] = 8,
+):
+    """Continuous query: maintain a DOWNSAMPLED point store from a live
+    point stream — the streaming counterpart of ``db.downsample`` (and
+    the InfluxDB continuous-query analog). One aggregated point per
+    (measurement, exact tag set, window) lands in ``storage`` when its
+    window finalizes; each field key is aggregated independently, so
+    schemaless key sets survive.
+
+    Physical shape: ONE streaming aggregation — explode fields, group by
+    (window, measurement, sorted tag entries, field key) with
+    watermark-bounded state in append mode, so every group's rows for a
+    window finalize together in the same micro-batch. The map
+    re-assembly (field rows → fields map → canonical point) happens
+    inside ``foreachBatch`` on that finalized batch, where it is plain
+    batch code — avoiding a second stateful aggregation in the stream.
+    State per key is O(1) and bounded by the watermark horizon.
+
+    ``shuffle_partitions`` temporarily overrides the session setting for
+    this query's micro-batches (each shuffle partition of a stateful op
+    is its own state store; a continuous rollup over a handful of series
+    wants few). Pass None to leave the session value.
+    """
+    agg_fn = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+              "count": F.count}.get(agg)
+    if agg_fn is None:
+        raise ValueError(f"stream_rollup_insert: unsupported agg {agg!r}")
+    df = points_stream.withWatermark(ts_col, watermark)
+    exploded = df.select(
+        F.col(ts_col).alias("_t"),
+        "measurement",
+        F.array_sort(F.map_entries("tags")).alias("_tags"),
+        F.explode_outer("fields").alias("_fk", "_fv"),
+    )
+    val = agg_fn(F.col("_fv"))
+    if agg == "count":
+        val = val.cast("double")
+    per_key = exploded.groupBy(
+        F.window("_t", window_duration).alias("_w"),
+        "measurement",
+        "_tags",
+        "_fk",
+    ).agg(val.alias("_v"))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        rolled = (
+            batch_df.groupBy("_w", "measurement", "_tags")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_fk").isNotNull(),
+                                F.struct(F.col("_fk"), F.col("_v")),
+                            )
+                        )
+                    )
+                ).alias("fields")
+            )
+            .select(
+                F.col("_w.start").alias("time"),
+                "measurement",
+                F.map_from_entries("_tags").alias("tags"),
+                "fields",
+            )
+        )
+        storage.append_df(rolled)
+
+    spark = points_stream.sparkSession
+    prev = (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        if shuffle_partitions is not None
+        else None
+    )
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        writer = (
+            per_key.writeStream.foreachBatch(sink).outputMode("append")
+        )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
