@@ -1401,6 +1401,45 @@ def q69_from_table(spark, sf_dir):
     )
 
 
+def q70_stream_rollup_store(spark, sf_dir):
+    """Continuous-query retention end-to-end: the 2-day slice streamed
+    through stream_rollup_insert lands in a SECOND store already rolled
+    up to one point per (measurement, user tag set, hour), every field
+    key aggregated independently. Append mode emits only windows whose
+    end the final watermark passed (= max event time with 0s delay), so
+    the oracle applies the same horizon. Verifies the streaming and
+    batch downsample paths against one SQL definition."""
+    import tempfile
+
+    from tinyflux_spark import TinyFluxSpark
+    from tinyflux_spark.schema import POINT_SCHEMA
+    from tinyflux_spark.storages import ParquetStorage
+    from tinyflux_spark.streaming import ingest as st
+
+    pts = events_as_points(spark, sf_dir).where(
+        (F.col("time") >= F.lit(T_LO)) & (F.col("time") < F.lit(T_DML_HI))
+    ).select("time", "measurement", "tags", "fields")
+    src_dir = tempfile.mkdtemp(prefix="tfs_q70src_")
+    pts.write.mode("overwrite").parquet(src_dir)
+    stream = st.point_stream_from_files(spark, src_dir, POINT_SCHEMA)
+    target = ParquetStorage(tempfile.mkdtemp(prefix="tfs_q70_"), spark)
+    q = st.stream_rollup_insert(
+        target, stream, "1 hour", watermark="0 seconds",
+        checkpoint_dir=tempfile.mkdtemp(prefix="tfs_q70ck_"),
+    )
+    q.awaitTermination(240)
+    if q.exception() is not None:
+        raise q.exception()
+    db = TinyFluxSpark(storage=target, spark=spark)
+    return db.dataframe().select(
+        F.unix_timestamp("time").cast("long").alias("t_s"),
+        "measurement",
+        F.col("tags")["user"].alias("user"),
+        F.round(F.col("fields")["value"], 6).alias("value"),
+        F.round(F.col("fields")["k"], 6).alias("k"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1482,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_db_sql": q67_db_sql,
         "q68_downsample": q68_downsample,
         "q69_from_table": q69_from_table,
+        "q70_stream_rollup_store": q70_stream_rollup_store,
     }
 
 
@@ -2539,5 +2579,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(value / 2, 6) AS half,
                    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
             FROM events
+        """,
+        "q70_stream_rollup_store": """
+            WITH slice AS (
+                SELECT ts, event_type AS measurement,
+                       CAST(user_id AS VARCHAR) AS user, value,
+                       CASE WHEN event_type <> 'click'
+                            THEN CAST(json_extract_string(props, '$.k')
+                                      AS DOUBLE)
+                       END AS k
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-10'
+                  AND ts < TIMESTAMP '2024-01-12'
+            ),
+            mx AS (
+                SELECT CAST(floor(epoch(MAX(ts))) AS BIGINT) AS m
+                FROM slice
+            ),
+            rolled AS (
+                SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                           AS t_s,
+                       measurement, user,
+                       ROUND(AVG(value), 6) AS value,
+                       ROUND(AVG(k), 6) AS k
+                FROM slice GROUP BY 1, 2, 3
+            )
+            SELECT r.* FROM rolled r, mx
+            WHERE r.t_s + 3600 <= mx.m
         """,
     }
