@@ -789,3 +789,40 @@ def test_concurrent_reads_never_see_partial_rewrites(spark, tmp_path):
     assert not bad, bad
     assert d.count(FieldQuery().flag == 4.0) == N_ROWS
     d.close()
+
+
+def test_time_travel_versions(spark, tmp_path):
+    """keep_versions retains MVCC snapshots for point-in-time reads:
+    each destructive op creates a new version; dataframe(version=N)
+    reads the historical state; GC trims to the retention depth."""
+    path = str(tmp_path / "tt")
+    d = TinyFluxSpark(path, spark=spark, keep_versions=4)
+    d.insert_multiple(
+        Point(time=datetime(2020, 1, 1, h, tzinfo=timezone.utc),
+              measurement="m", fields={"v": float(h)})
+        for h in range(6)
+    )
+    v0 = d.versions()[-1]
+    d.remove(FieldQuery().v >= 4.0)          # -> v0+1 (4 rows)
+    d.update_all(fields={"v": 0.0})          # -> v0+2
+    assert d.versions() == [v0, v0 + 1, v0 + 2]
+    assert d.dataframe(version=v0).count() == 6
+    assert d.dataframe(version=v0 + 1).count() == 4
+    old_vals = {
+        r["fields"]["v"] for r in d.dataframe(version=v0 + 1).collect()
+    }
+    assert old_vals == {0.0, 1.0, 2.0, 3.0}
+    assert {r["fields"]["v"] for r in d.dataframe().collect()} == {0.0}
+    # one more op GCs the oldest (depth 4: keeps v0+1..v0+3... still 4)
+    d.update_all(fields={"v": 9.0})
+    assert d.versions() == [v0, v0 + 1, v0 + 2, v0 + 3]
+    d.update_all(fields={"v": 8.0})
+    assert d.versions() == [v0 + 1, v0 + 2, v0 + 3, v0 + 4]
+    with pytest.raises(ValueError):
+        d.dataframe(version=v0)
+    d.close()
+
+
+def test_keep_versions_rejected_off_parquet(spark):
+    with pytest.raises(ValueError):
+        TinyFluxSpark(spark=spark, keep_versions=3)

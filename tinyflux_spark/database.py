@@ -167,6 +167,7 @@ class TinyFluxSpark:
         spark: Optional[SparkSession] = None,
         index_tags: Optional[Sequence[str]] = None,
         index_fields: Optional[Sequence[str]] = None,
+        keep_versions: Optional[int] = None,
     ) -> None:
         """``index_tags`` / ``index_fields`` (parquet stores only):
         materialize those map keys as scalar columns so equality/range
@@ -176,6 +177,16 @@ class TinyFluxSpark:
         """
         self.spark = spark or get_spark()
         wants_index = index_tags is not None or index_fields is not None
+        if keep_versions is not None and (
+            isinstance(storage, Storage)
+            or storage is MemoryStorage
+            or storage is CSVStorage
+            or (storage is None and path is None)
+        ):
+            raise ValueError(
+                "keep_versions applies to path-constructed parquet "
+                "stores (the MVCC versioned layout)"
+            )
         if isinstance(storage, Storage):
             if wants_index:
                 raise ValueError(
@@ -204,6 +215,11 @@ class TinyFluxSpark:
             self._storage = ParquetStorage(
                 path, self.spark,
                 index_tags=index_tags, index_fields=index_fields,
+                **(
+                    {"keep_versions": keep_versions}
+                    if keep_versions is not None
+                    else {}
+                ),
             )
         self._measurements: Dict[str, "Measurement"] = {}
         self._open = True
@@ -213,12 +229,30 @@ class TinyFluxSpark:
     def storage(self) -> Storage:
         return self._storage
 
-    def dataframe(self, with_seq: bool = False) -> DataFrame:
-        """The canonical DataFrame over the store (Spark-native surface)."""
-        df = self._storage.read().drop(
-            PDATE_COL, *self._storage.index_cols.values()
-        )
+    def dataframe(
+        self, with_seq: bool = False, version: Optional[int] = None
+    ) -> DataFrame:
+        """The canonical DataFrame over the store (Spark-native surface).
+
+        ``version`` time-travels to a retained MVCC snapshot (parquet
+        stores only; see ``versions()`` and ``keep_versions``)."""
+        if version is None:
+            df = self._storage.read()
+        elif isinstance(self._storage, ParquetStorage):
+            df = self._storage.read(version=version)
+        else:
+            raise ValueError(
+                "version time-travel requires ParquetStorage"
+            )
+        df = df.drop(PDATE_COL, *self._storage.index_cols.values())
         return df if with_seq else df.drop(SEQ_COL)
+
+    def versions(self) -> List[int]:
+        """Retained MVCC snapshot versions, oldest first (parquet
+        stores; empty for storages without a versioned layout)."""
+        if isinstance(self._storage, ParquetStorage):
+            return self._storage.list_versions()
+        return []
 
     def create_view(self, name: str = "points") -> str:
         """Register the live store as a Spark temp view ``name`` with

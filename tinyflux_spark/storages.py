@@ -261,6 +261,7 @@ class ParquetStorage(Storage):
         spark: SparkSession,
         index_tags: Optional[Sequence[str]] = None,
         index_fields: Optional[Sequence[str]] = None,
+        keep_versions: int = 2,
     ) -> None:
         """``index_tags`` / ``index_fields`` name map keys to ALSO store
         as scalar parquet columns (``_tag_<k>`` / ``_field_<k>``) derived
@@ -278,6 +279,11 @@ class ParquetStorage(Storage):
         self.path = path
         self.meta_path = os.path.join(path, "_tinyflux_meta.json")
         self.lock_path = os.path.join(path, "_tinyflux.lock")
+        # How many version dirs survive GC (current + history). 2 is
+        # the snapshot-isolation minimum; more buys time-travel depth
+        # at the cost of retained hardlink dirs. Operational, per
+        # handle: the handle performing destructive ops governs GC.
+        self.keep_versions = max(2, int(keep_versions))
         os.makedirs(path, exist_ok=True)
         want = {
             "index_tags": sorted(set(index_tags or ())),
@@ -402,7 +408,7 @@ class ParquetStorage(Storage):
                 mv = int(name[len("data_v"):])
             except ValueError:
                 continue
-            if mv < v - 1:
+            if mv <= v - self.keep_versions:
                 shutil.rmtree(
                     os.path.join(self.path, name), ignore_errors=True
                 )
@@ -454,7 +460,11 @@ class ParquetStorage(Storage):
             return start
 
     def _is_empty(self) -> bool:
-        for _root, _dirs, files in os.walk(self.data_dir):
+        return self._dir_is_empty(self.data_dir)
+
+    @staticmethod
+    def _dir_is_empty(ddir: str) -> bool:
+        for _root, _dirs, files in os.walk(ddir):
             if any(f.endswith(".parquet") for f in files):
                 return False
         return True
@@ -469,16 +479,42 @@ class ParquetStorage(Storage):
         ]
         return T.StructType(POINT_SCHEMA_PARTS.fields + extra)
 
-    def read(self) -> DataFrame:
+    def list_versions(self) -> List[int]:
+        """Version numbers still on disk, oldest first. The newest is
+        the live version; older ones are time-travel snapshots retained
+        per ``keep_versions``."""
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("data_v"):
+                try:
+                    out.append(int(name[len("data_v"):]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def read(self, version: Optional[int] = None) -> DataFrame:
         """Canonical columns + ``_seq`` + the ``pdate`` partition column
         (the DB layer injects pdate range conjuncts derived from time
         predicates, then drops the column) + any materialized ``_tag_*``
         / ``_field_*`` scalar columns (the DB layer compiles eligible
-        predicates against these, then drops them from results)."""
+        predicates against these, then drops them from results).
+
+        ``version`` time-travels to a retained snapshot (see
+        ``list_versions``); default is the live version."""
         schema = self._read_schema()
-        if self._is_empty():
+        if version is None:
+            ddir = self.data_dir
+        else:
+            ddir = os.path.join(self.path, _vdir(int(version)))
+            if not os.path.isdir(ddir):
+                raise ValueError(
+                    f"version {version} not on disk; available: "
+                    f"{self.list_versions()} (raise keep_versions to "
+                    f"retain more history)"
+                )
+        if self._dir_is_empty(ddir):
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(self.data_dir)
+        df = self.spark.read.schema(schema).parquet(ddir)
         return df.select(
             "time", "measurement", "tags", "fields", SEQ_COL, PDATE_COL,
             *sorted(self.index_cols.values()),
