@@ -36,6 +36,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Max elements per generated grid array (see gap_fill): bounds task
+#: memory for long-span keys without changing results.
+_GRID_CHUNK = 4096
+
+
 def _epoch(c: Column) -> Column:
     return F.unix_timestamp(c)
 
@@ -104,9 +109,10 @@ def gap_fill(
     * ``"linear"`` — linear interpolation between the surrounding
       observations; leading/trailing holes stay null.
 
-    Physical shape: the per-key grid is ``sequence(min_b, max_b,
-    interval)`` exploded from ONE row per key (the groupBy bounds), so
-    grid size is each key's own span — then a single left join back on
+    Physical shape: the per-key grid spans each key's own [min, max]
+    (never a global calendar), generated as chunked sequence+explode
+    pairs so no task ever materializes more than ``_GRID_CHUNK`` grid
+    elements in one array — then a single left join back on
     (key, bucket_s) and, for fills, window functions partitioned by key.
     """
     if fill not in ("none", "locf", "linear"):
@@ -114,10 +120,31 @@ def gap_fill(
     bounds = resampled.groupBy("key").agg(
         F.min("bucket_s").alias("_lo"), F.max("bucket_s").alias("_hi")
     )
-    grid = bounds.select(
+    # Two bounded explodes, not one span-sized sequence: a single
+    # sequence(lo, hi) materializes the key's ENTIRE grid as one
+    # in-memory array in one task (a 10-year key at 1s interval is a
+    # 300M-element array — task OOM). Chunking caps every array at
+    # _GRID_CHUNK elements; the row count is identical.
+    step = int(interval_sec)
+    chunk_step = step * _GRID_CHUNK
+    chunks = bounds.select(
+        "key",
+        F.col("_hi"),
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(chunk_step))
+        ).alias("_clo"),
+    )
+    grid = chunks.select(
         "key",
         F.explode(
-            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(interval_sec)))
+            F.sequence(
+                F.col("_clo"),
+                F.least(
+                    F.col("_clo") + F.lit(step * (_GRID_CHUNK - 1)),
+                    F.col("_hi"),
+                ),
+                F.lit(step),
+            )
         ).alias("bucket_s"),
     )
     dense = grid.join(
