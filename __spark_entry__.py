@@ -1423,13 +1423,21 @@ def q70_stream_rollup_store(spark, sf_dir):
     pts.write.mode("overwrite").parquet(src_dir)
     stream = st.point_stream_from_files(spark, src_dir, POINT_SCHEMA)
     target = ParquetStorage(tempfile.mkdtemp(prefix="tfs_q70_"), spark)
-    q = st.stream_rollup_insert(
-        target, stream, "1 hour", watermark="0 seconds",
-        checkpoint_dir=tempfile.mkdtemp(prefix="tfs_q70ck_"),
-    )
-    q.awaitTermination(240)
-    if q.exception() is not None:
-        raise q.exception()
+    # 8 state partitions for the stateful agg (each is its own state
+    # store); restore only after the finite query has terminated —
+    # micro-batches plan asynchronously after start().
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = st.stream_rollup_insert(
+            target, stream, "1 hour", watermark="0 seconds",
+            checkpoint_dir=tempfile.mkdtemp(prefix="tfs_q70ck_"),
+        )
+        q.awaitTermination(240)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     db = TinyFluxSpark(storage=target, spark=spark)
     return db.dataframe().select(
         F.unix_timestamp("time").cast("long").alias("t_s"),

@@ -273,14 +273,19 @@ def test_stream_rollup_insert_matches_batch_downsample(spark, tmp_path):
     stream = ingest.point_stream_from_files(spark, src, POINT_SCHEMA)
 
     target = ParquetStorage(str(tmp_path / "rollup_store"), spark)
-    q = ingest.stream_rollup_insert(
-        target, stream, "1 hour",
-        watermark="0 seconds",
-        checkpoint_dir=str(tmp_path / "ck_roll"),
-    )
-    q.awaitTermination(180)
-    if q.exception() is not None:
-        raise q.exception()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = ingest.stream_rollup_insert(
+            target, stream, "1 hour",
+            watermark="0 seconds",
+            checkpoint_dir=str(tmp_path / "ck_roll"),
+        )
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     got_db = TinyFluxSpark(storage=target, spark=spark)
     got = {

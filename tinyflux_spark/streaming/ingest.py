@@ -291,7 +291,6 @@ def stream_rollup_insert(
     ts_col: str = "time",
     checkpoint_dir: Optional[str] = None,
     trigger_available_now: bool = True,
-    shuffle_partitions: Optional[int] = 8,
 ):
     """Continuous query: maintain a DOWNSAMPLED point store from a live
     point stream — the streaming counterpart of ``db.downsample`` (and
@@ -309,10 +308,13 @@ def stream_rollup_insert(
     batch code — avoiding a second stateful aggregation in the stream.
     State per key is O(1) and bounded by the watermark horizon.
 
-    ``shuffle_partitions`` temporarily overrides the session setting for
-    this query's micro-batches (each shuffle partition of a stateful op
-    is its own state store; a continuous rollup over a handful of series
-    wants few). Pass None to leave the session value.
+    Run with a modest ``spark.sql.shuffle.partitions`` — each shuffle
+    partition of the stateful aggregation is its own state store
+    instance with per-batch snapshot/commit overhead, and a continuous
+    rollup over a handful of series wants few. Set it on the session
+    BEFORE starting and restore after the query terminates (restoring
+    right after ``start()`` would race the asynchronous first
+    micro-batch's planning).
     """
     agg_fn = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
               "count": F.count}.get(agg)
@@ -359,25 +361,9 @@ def stream_rollup_insert(
         )
         storage.append_df(rolled)
 
-    spark = points_stream.sparkSession
-    prev = (
-        spark.conf.get("spark.sql.shuffle.partitions")
-        if shuffle_partitions is not None
-        else None
-    )
-    if shuffle_partitions is not None:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(shuffle_partitions)
-        )
-    try:
-        writer = (
-            per_key.writeStream.foreachBatch(sink).outputMode("append")
-        )
-        if checkpoint_dir:
-            writer = writer.option("checkpointLocation", checkpoint_dir)
-        if trigger_available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    writer = per_key.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
