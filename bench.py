@@ -208,7 +208,60 @@ def _scale_probe(spark) -> dict:
         r["qps_ratio"] = round(r["qps_large"] / r["qps_small"], 3)
     for qname, r in out["throughput_ops"].items():
         r["sec_ratio"] = round(r["sec_large"] / r["sec_small"], 3)
+    try:
+        out["synthetic_10x"] = _synthetic_10x_probe(spark)
+    except Exception as e:  # noqa: BLE001 — evidence, not a gate
+        out["synthetic_10x"] = {"error": repr(e)[:200]}
     return out
+
+
+def _synthetic_10x_probe(spark) -> dict:
+    """Third scale point: the current SF's events/documents replicated
+    10× with shifted keys (events also shifted +31 days per replica so
+    time buckets don't collide; doc ids offset so no artificial
+    duplicate explosion), giving a measured 100× curve
+    (small → large → synthetic 10×·large) for two throughput
+    operators whose work genuinely grows with rows."""
+    synth = os.path.join(
+        tempfile.gettempdir(), f"tfs_synth10x_{os.getpid()}"
+    )
+    ev = entry_mod.load_events(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_ev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = spark.range(10).select(F.col("id").alias("_rep"))
+    (
+        ev.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("event_id") + F.col("_rep") * n_ev).alias("event_id"),
+            (
+                F.col("ts")
+                + F.make_interval(days=F.col("_rep").cast("int") * 31)
+            ).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        .write.mode("overwrite").parquet(f"{synth}/events.parquet")
+    )
+    (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("_rep") * n_doc).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        .write.mode("overwrite").parquet(f"{synth}/documents.parquet")
+    )
+    res = {"rows_events": int(n_ev) * 10, "rows_documents": int(n_doc) * 10}
+    try:
+        for qname in ("q60_resample_gapfill", "q62_top_tokens"):
+            df = entry_mod.queries()[qname](spark, synth)
+            df.write.format("noop").mode("overwrite").save()  # warm
+            sec = _timed(
+                lambda: df.write.format("noop").mode("overwrite").save()
+            )
+            res[qname] = {"sec_10x": round(sec, 4)}
+    finally:
+        shutil.rmtree(synth, ignore_errors=True)
+    return res
 
 
 def time_query(name, fn, spark) -> float:

@@ -826,3 +826,19 @@ def test_time_travel_versions(spark, tmp_path):
 def test_keep_versions_rejected_off_parquet(spark):
     with pytest.raises(ValueError):
         TinyFluxSpark(spark=spark, keep_versions=3)
+
+
+def test_downsample_csv_storage(spark, tmp_path):
+    import datetime as dt
+
+    db, t0, recent = _mk_downsample_store(
+        spark, None,
+        storage=CSVStorage(str(tmp_path / "ds.csv"), spark),
+    )
+    cutoff = t0 + dt.timedelta(days=1)
+    assert db.downsample(cutoff, interval_sec=3600) == 8
+    assert len(db) == 5
+    vals = sorted(p.fields["v"] for p in db.all() if p.time < cutoff)
+    assert vals == [15.0, 16.0, 40.0, 41.0]
+    raw = [p for p in db.all() if p.time >= cutoff]
+    assert len(raw) == 1 and raw[0].fields["v"] == 99.0

@@ -932,11 +932,14 @@ class TinyFluxSpark:
             raise ValueError(f"downsample: unsupported agg {agg!r}")
         cutoff_date = _utc_date_str(older_than)
         parquet = isinstance(self._storage, ParquetStorage)
+        # Storages without scoped overwrite (CSV) take the full-rewrite
+        # path: the frame carries every surviving row, in-scope or not.
+        scoped = parquet or isinstance(self._storage, MemoryStorage)
         full = self._storage.read().select(
             "time", "measurement", "tags", "fields", SEQ_COL,
             *([PDATE_COL] if parquet else []),
         )
-        if measurement is not None:
+        if measurement is not None and scoped:
             full = full.where(F.col("measurement") == measurement)
         if parquet:
             # partition pruning: only at-or-before-cutoff directories
@@ -945,7 +948,7 @@ class TinyFluxSpark:
             full = full.where(
                 F.col(PDATE_COL) <= F.lit(cutoff_date)
             ).drop(PDATE_COL)
-        else:
+        elif scoped:
             # same day scope by derived date: rows outside it are the
             # storage's own "others" set during the scoped overwrite and
             # must not also ride along in `keep` (double insertion).
@@ -953,8 +956,11 @@ class TinyFluxSpark:
                 F.date_format("time", "yyyy-MM-dd") <= F.lit(cutoff_date)
             )
         cut = F.lit(older_than.astimezone(timezone.utc).replace(tzinfo=None))
-        old = full.where(F.col("time") < cut)
-        keep = full.where(F.col("time") >= cut)
+        in_scope = F.col("time") < cut
+        if measurement is not None and not scoped:
+            in_scope = in_scope & (F.col("measurement") == measurement)
+        old = full.where(in_scope)
+        keep = full.where(~in_scope)
         n_old = old.count()
         if n_old == 0:
             return 0
@@ -1021,11 +1027,14 @@ class TinyFluxSpark:
                     "time", "measurement", "tags", "fields", SEQ_COL
                 )
             )
-            self._storage.overwrite(
-                final,
-                measurements=[measurement] if measurement else None,
-                date_range=(None, cutoff_date),
-            )
+            if scoped:
+                self._storage.overwrite(
+                    final,
+                    measurements=[measurement] if measurement else None,
+                    date_range=(None, cutoff_date),
+                )
+            else:
+                self._storage.overwrite(final)
         finally:
             rolled.unpersist()
         return n_old
