@@ -1448,6 +1448,43 @@ def q70_stream_rollup_store(spark, sf_dir):
     )
 
 
+def q71_time_travel(spark, sf_dir):
+    """MVCC time travel end-to-end: run two destructive ops against a
+    throwaway store (keep_versions=4), then read the ORIGINAL snapshot,
+    the intermediate snapshot, and the live state out of one store and
+    union them tagged by snapshot. The oracle replays all three states
+    as pure SELECT transformations of the slice — so the versioned
+    layout's point-in-time semantics are value-checked, not just
+    pytest-asserted."""
+    import tempfile
+
+    from tinyflux_spark import TinyFluxSpark
+
+    db = TinyFluxSpark(
+        tempfile.mkdtemp(prefix="tfs_tt_"), spark=spark, keep_versions=4
+    )
+    db.insert_dataframe(_dml_slice(spark, sf_dir))
+    v0 = db.versions()[-1]
+    db.update(FieldQuery().value > 100, fields={"flag": 1.0})
+    v1 = db.versions()[-1]
+    db.remove(FieldQuery().value > 200)
+
+    def shape(df, tag):
+        return df.select(
+            F.lit(tag).alias("snap"),
+            F.col("tags")["eid"].cast("long").alias("eid"),
+            "measurement",
+            F.col("fields")["value"].alias("value"),
+            F.col("fields")["flag"].alias("flag"),
+        )
+
+    return (
+        shape(db.dataframe(version=v0), "v0")
+        .unionByName(shape(db.dataframe(version=v1), "v1"))
+        .unionByName(shape(db.dataframe(), "live"))
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1530,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_downsample": q68_downsample,
         "q69_from_table": q69_from_table,
         "q70_stream_rollup_store": q70_stream_rollup_store,
+        "q71_time_travel": q71_time_travel,
     }
 
 
@@ -2614,5 +2652,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT r.* FROM rolled r, mx
             WHERE r.t_s + 3600 <= mx.m
+        """,
+        "q71_time_travel": """
+            WITH slice AS (
+                SELECT CAST(event_id AS BIGINT) AS eid,
+                       event_type AS measurement, value
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-10'
+                  AND ts < TIMESTAMP '2024-01-12'
+            )
+            SELECT 'v0' AS snap, eid, measurement, value,
+                   CAST(NULL AS DOUBLE) AS flag
+            FROM slice
+            UNION ALL
+            SELECT 'v1', eid, measurement, value,
+                   CASE WHEN value > 100 THEN 1.0 END
+            FROM slice
+            UNION ALL
+            SELECT 'live', eid, measurement, value,
+                   CASE WHEN value > 100 THEN 1.0 END
+            FROM slice WHERE value <= 200
         """,
     }
