@@ -105,6 +105,18 @@ def main() -> None:
         print("top-2 values per measurement via db.sql():")
         out.show(10)
 
+        # 6. Time travel: destructive ops create retained MVCC
+        #    snapshots; read the pre-delete state back.
+        v0 = db.versions()[-1]
+        from tinyflux_spark import FieldQuery
+
+        removed = db.remove(FieldQuery().value > 100)
+        print(
+            f"removed {removed} points; live={db.dataframe().count()} "
+            f"rows, snapshot v{v0}="
+            f"{db.dataframe(version=v0).count()} rows"
+        )
+
 
 if __name__ == "__main__":
     main()

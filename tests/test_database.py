@@ -842,3 +842,19 @@ def test_downsample_csv_storage(spark, tmp_path):
     assert vals == [15.0, 16.0, 40.0, 41.0]
     raw = [p for p in db.all() if p.time >= cutoff]
     assert len(raw) == 1 and raw[0].fields["v"] == 99.0
+
+
+def test_search_arrow_serving_format(spark, tmp_path):
+    import pyarrow as pa
+
+    path = str(tmp_path / "arrow_srv")
+    d = TinyFluxSpark(path, spark=spark)
+    d.insert_multiple(mk_points())
+    batches = d.search_arrow(FieldQuery().temp >= 66)
+    assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+    tbl = pa.Table.from_batches(batches)
+    assert tbl.num_rows == 6
+    assert set(tbl.column_names) == {"time", "measurement", "tags", "fields"}
+    temps = [dict(f)["temp"] for f in tbl.column("fields").to_pylist()]
+    assert all(t >= 66 for t in temps)
+    d.close()

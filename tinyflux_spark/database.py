@@ -439,6 +439,23 @@ class TinyFluxSpark:
         df = self._filtered(query, measurement)
         return df.orderBy("time", SEQ_COL) if sorted else df.orderBy(SEQ_COL)
 
+    def search_arrow(
+        self,
+        query: Query,
+        measurement: Optional[str] = None,
+        sorted: bool = True,
+    ):
+        """Matching points as a list of Arrow record batches — the
+        low-latency serving format: columnar, zero row objects, and
+        skips the driver-side Table assembly ``toArrow()`` performs
+        (a measurable share of sub-50ms actions). Feed the batches to
+        ``pyarrow.Table.from_batches`` / pandas / DuckDB as needed."""
+        from .schema import collect_arrow_batches
+
+        return collect_arrow_batches(
+            self.search_df(query, measurement, sorted).drop(SEQ_COL)
+        )
+
     def get(self, query: Query, measurement: Optional[str] = None) -> Optional[Point]:
         """First match by insertion order — NOT min-time
         (reference database.py:315-386)."""
