@@ -641,15 +641,17 @@ class ParquetStorage(Storage):
                 .parquet(stage)
             )
             with self._locked():
+                # Resolve the live version once: destructive commits
+                # also hold the lock, so it cannot flip mid-publish,
+                # and the property re-reads the manifest per access.
+                ddir = self.data_dir
                 for root, _dirs, files in os.walk(stage):
                     rel = os.path.relpath(root, stage)
                     for f in files:
                         if not f.endswith(".parquet"):
                             continue
                         dst_dir = (
-                            self.data_dir
-                            if rel == "."
-                            else os.path.join(self.data_dir, rel)
+                            ddir if rel == "." else os.path.join(ddir, rel)
                         )
                         os.makedirs(dst_dir, exist_ok=True)
                         os.replace(
