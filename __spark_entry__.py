@@ -2315,13 +2315,15 @@ def oracle_sql() -> dict[str, str]:
         "q53_hash_sample": """
             SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
             FROM documents
-            WHERE substr(md5('s53:' || CAST(doc_id AS VARCHAR)), 1, 4)
-                  < '4000'
+            WHERE substr(md5('s53:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '40000000'
         """,
         "q54_repetition_stats": """
             WITH w AS (
                 SELECT doc_id,
-                       str_split_regex(trim(text), '\\s+') AS ws
+                       CASE WHEN trim(text) = '' THEN []
+                            ELSE str_split_regex(trim(text), '\\s+')
+                       END AS ws
                 FROM documents
             ),
             b AS (

@@ -858,3 +858,48 @@ def test_search_arrow_serving_format(spark, tmp_path):
     temps = [dict(f)["temp"] for f in tbl.column("fields").to_pylist()]
     assert all(t >= 66 for t in temps)
     d.close()
+
+
+def test_legacy_store_rejects_new_index_config(spark, tmp_path):
+    """A pre-index-era manifest means 'no index columns': opening it
+    WITH an index request must raise (the columns don't exist in the
+    legacy parquet — accepting would silently match nothing)."""
+    import json
+    import os
+
+    path = str(tmp_path / "legacy_idx")
+    d = TinyFluxSpark(path, spark=spark)
+    d.insert(Point(time=T0, measurement="m", tags={"user": "u1"},
+                   fields={"v": 1.0}))
+    d.close()
+    meta_path = os.path.join(path, "_tinyflux_meta.json")
+    meta = json.load(open(meta_path))
+    meta.pop("index_tags"), meta.pop("index_fields")
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="reindexing requires a rewrite"):
+        TinyFluxSpark(path, spark=spark, index_tags=["user"])
+    # no-index open still works and still finds the row
+    d2 = TinyFluxSpark(path, spark=spark)
+    assert len(d2.search(TagQuery().user == "u1")) == 1
+    d2.close()
+
+
+def test_truncate_clears_stale_uncommitted_version(spark, tmp_path):
+    """A crash mid-clone can leave a partial data_v{N+1} on disk;
+    truncate must not resurrect it as the 'empty' store."""
+    import os
+
+    from tinyflux_spark.storages import _vdir
+
+    path = str(tmp_path / "stale")
+    d = TinyFluxSpark(path, spark=spark)
+    d.insert(Point(time=T0, measurement="m", fields={"v": 1.0}))
+    st = d.storage
+    # simulate the crashed clone
+    leftover = st._clone_version()
+    assert os.path.isdir(leftover)
+    d.remove_all()
+    assert len(d) == 0
+    d.insert(Point(time=T0, measurement="m", fields={"v": 2.0}))
+    assert [p.fields["v"] for p in d.all()] == [2.0]
+    d.close()

@@ -528,3 +528,49 @@ def test_value_deciles_counts_and_bounds(spark):
     rows2 = value_deciles(df2, "v", k=10).collect()
     five = [r for r in rows2 if r["min_val"] == 5]
     assert len(five) == 1 and five[0]["n_rows"] == 90
+
+
+def test_hash_sample_extreme_rates(spark):
+    """Rates near the bucket-granularity edges: near-1 keeps nearly
+    everything (the 4-digit predecessor overflowed and kept ~6%), and
+    degenerate rates are rejected instead of silently keeping 0/all."""
+    import pytest as _pytest
+
+    from tinyflux_spark.operators.sampling import hash_sample
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    kept = hash_sample(docs, "doc_id", 0.999999).count()
+    assert kept >= 1990
+    few = hash_sample(docs, "doc_id", 0.001).count()
+    assert few <= 20
+    with _pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 1e-12)
+
+
+def test_repetition_stats_empty_doc(spark):
+    from tinyflux_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a a")], ["id", "text"]
+    )
+    got = {r["id"]: r for r in repetition_stats(df, "id").collect()}
+    assert got[1]["n_words"] == 0 and got[1]["dup_word_frac"] == 0.0
+    assert got[2]["n_words"] == 0
+    assert got[3]["n_words"] == 2 and got[3]["dup_word_frac"] == 0.5
+
+
+def test_ivf_centroids_empty_and_type_guard(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from tinyflux_spark.operators.similarity import ivf_centroids
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    assert ivf_centroids(empty) == []
+    strs = spark.createDataFrame(
+        [("a", [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(ValueError, match="integral id"):
+        ivf_centroids(strs)

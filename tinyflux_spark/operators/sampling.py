@@ -21,11 +21,11 @@ from pyspark.sql import functions as F
 __all__ = ["hash_bucket", "hash_sample", "stratified_quota"]
 
 # Number of distinct values of the 4-hex-digit hash prefix.
-_BUCKETS = 1 << 16
+_BUCKETS = 1 << 32
 
 
 def hash_bucket(id_col, salt: str = "sample") -> Column:
-    """Uniform hash key for a row id: the first 4 hex digits of
+    """Uniform hash key for a row id: the first 8 hex digits of
     ``md5("<salt>:<id>")``, as a lowercase string.
 
     String (not integer) on purpose: lexicographic compare over
@@ -35,7 +35,7 @@ def hash_bucket(id_col, salt: str = "sample") -> Column:
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return F.substring(
-        F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 4
+        F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 8
     )
 
 
@@ -51,11 +51,21 @@ def hash_sample(
     The filter is a narrow codegen'd predicate — no shuffle, no state,
     pushes down past projections — and the decision depends only on
     (salt, id), so it is reproducible across runs, partitionings and
-    engines. Granularity is 1/65536 (the 4-hex-digit bucket).
+    engines. Granularity is 2^-32 (the 8-hex-digit bucket); a rate
+    whose rounded threshold degenerates to "keep none" or "keep all"
+    is rejected loudly rather than silently mis-sampling (the 4-digit
+    predecessor of this code overflowed its own width for rates near 1
+    and kept ~6% of rows instead of ~100%).
     """
     if not 0.0 < rate < 1.0:
         raise ValueError("rate must be in (0, 1)")
-    threshold = format(int(round(rate * _BUCKETS)), "04x")
+    t = int(round(rate * _BUCKETS))
+    if t <= 0 or t >= _BUCKETS:
+        raise ValueError(
+            f"rate {rate!r} is indistinguishable from 0 or 1 at the "
+            f"2^-32 bucket granularity"
+        )
+    threshold = format(t, "08x")
     return df.where(hash_bucket(id_col, salt) < F.lit(threshold))
 
 

@@ -242,9 +242,18 @@ def ivf_centroids(
     ``IN (K ids)`` scan. Every stage is distributed; only K rows ever
     reach the driver.
     """
+    id_type = dict(df.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"ivf_centroids requires an integral id column for its "
+            f"stride sampling; {id_col!r} is {id_type!r} — add an "
+            f"integer surrogate id first"
+        )
     bounds = df.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).collect()[0]
+    if bounds["lo"] is None:
+        return []
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     span = hi - lo + 1
     bucket = F.expr(

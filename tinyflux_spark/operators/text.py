@@ -183,7 +183,12 @@ def repetition_stats(
     bigram list is built from a staged words column so the split runs
     once, not once per sequence element.
     """
-    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = F.trim(F.col(text_col))
+    # split("") yields [""] — an empty doc would score as a one-word
+    # non-repetitive document and sail through a quality filter.
+    ws = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
     staged = df.select(F.col(id_col), ws.alias("_ws"))
     bigrams = F.expr(
         "CASE WHEN size(_ws) >= 2 THEN "

@@ -117,11 +117,14 @@ def collect_arrow_batches(df: DataFrame):
         from pyspark.rdd import _load_from_socket
         from pyspark.sql.pandas.serializers import ArrowCollectSerializer
 
-        port_token = df._jdf.collectAsArrowToPython()
-        results = list(_load_from_socket(port_token, ArrowCollectSerializer()))
-        # Stream protocol: record batches, then a list of batch order
-        # indices as the final element (partitions arrive out of order).
-        batches, batch_order = results[:-1], results[-1]
-        return [batches[i] for i in batch_order]
-    except Exception:  # noqa: BLE001 — version drift of private hooks
+        hook = df._jdf.collectAsArrowToPython
+    except (ImportError, AttributeError):
+        # Only private-hook DRIFT falls back; a genuine execution
+        # failure below must propagate, not silently re-run the whole
+        # job through toArrow().
         return df.toArrow().to_batches()
+    results = list(_load_from_socket(hook(), ArrowCollectSerializer()))
+    # Stream protocol: record batches, then a list of batch order
+    # indices as the final element (partitions arrive out of order).
+    batches, batch_order = results[:-1], results[-1]
+    return [batches[i] for i in batch_order]

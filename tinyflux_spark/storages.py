@@ -313,7 +313,16 @@ class ParquetStorage(Storage):
             os.makedirs(self.data_dir, exist_ok=True)
         meta = self._read_meta()
         if "index_tags" not in meta and "index_fields" not in meta:
-            have = want
+            # pre-index-era manifest: the store's durable config is "no
+            # index columns". Accepting a requested config here would
+            # declare _tag_*/_field_* columns the legacy parquet lacks —
+            # every indexed predicate would silently match nothing.
+            if index_tags is not None or index_fields is not None:
+                raise ValueError(
+                    f"store at {path} predates index columns; "
+                    "reindexing requires a rewrite"
+                )
+            have = {"index_tags": [], "index_fields": []}
         else:
             have = {
                 "index_tags": meta.get("index_tags", []),
@@ -796,7 +805,13 @@ class ParquetStorage(Storage):
     def truncate(self) -> None:
         with self._locked():
             v = self._data_version() + 1
-            os.makedirs(os.path.join(self.path, _vdir(v)), exist_ok=True)
+            new_dir = os.path.join(self.path, _vdir(v))
+            # A crash mid-clone can leave a partial uncommitted next
+            # version on disk; a truncate that kept it would resurrect
+            # those rows as the "empty" store.
+            if os.path.exists(new_dir):
+                shutil.rmtree(new_dir)
+            os.makedirs(new_dir, exist_ok=True)
             # Preserve the durable index configuration — truncate drops
             # rows, not the store's shape. Writing data_version with the
             # same meta write makes the empty version live atomically.
