@@ -903,3 +903,47 @@ def test_truncate_clears_stale_uncommitted_version(spark, tmp_path):
     d.insert(Point(time=T0, measurement="m", fields={"v": 2.0}))
     assert [p.fields["v"] for p in d.all()] == [2.0]
     d.close()
+
+
+def test_late_append_preserved_across_rewrite(spark, tmp_path):
+    """An append that publishes while a rewrite's staged write runs
+    must survive the version flip: the rewrite commits its transformed
+    rows PLUS the late file (rewrite-then-append linearization), never
+    silently dropping the append."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "late")
+    d = TinyFluxSpark(path, spark=spark)
+    d.insert_multiple(
+        Point(time=datetime(2020, 1, 1, h, tzinfo=timezone.utc),
+              measurement="m", fields={"v": float(h)})
+        for h in range(6)
+    )
+    st = d.storage
+    # snapshot + source plan as they exist when a rewrite begins
+    known = st._parquet_relpaths(st.data_dir)
+    keep = st.read().where(F.col("fields")["v"] < 3.0)
+    # a concurrent append publishes mid-rewrite
+    d.insert(Point(time=datetime(2020, 1, 2, tzinfo=timezone.utc),
+                   measurement="m", fields={"v": 99.0}))
+    # full-path rewrite (the worst case: stage replaces everything)
+    st.overwrite(keep, known_files=known)
+    vals = sorted(p.fields["v"] for p in d.all())
+    assert vals == [0.0, 1.0, 2.0, 99.0]
+
+    # scoped-path variant: rewrite one date partition while a late
+    # append lands in that same partition
+    known2 = st._parquet_relpaths(st.data_dir)
+    keep2 = (
+        st.read()
+        .where(F.col("pdate") == "2020-01-01")
+        .where(F.col("fields")["v"] >= 2.0)
+    )
+    d.insert(Point(time=datetime(2020, 1, 1, 23, tzinfo=timezone.utc),
+                   measurement="m", fields={"v": 50.0}))
+    st.overwrite(
+        keep2, date_range=("2020-01-01", "2020-01-01"), known_files=known2
+    )
+    vals = sorted(p.fields["v"] for p in d.all())
+    assert vals == [2.0, 50.0, 99.0]
+    d.close()

@@ -945,7 +945,9 @@ class TinyFluxSpark:
         """
         if older_than.tzinfo is None:
             raise ValueError("older_than must be timezone-aware")
-        if agg not in ("avg", "min", "max", "sum", "count"):
+        from .operators.timeseries import FIELD_AGGS
+
+        if agg not in FIELD_AGGS:
             raise ValueError(f"downsample: unsupported agg {agg!r}")
         cutoff_date = _utc_date_str(older_than)
         parquet = isinstance(self._storage, ParquetStorage)
@@ -982,36 +984,25 @@ class TinyFluxSpark:
         if n_old == 0:
             return 0
 
+        from .operators.timeseries import (
+            explode_point_fields,
+            field_agg_column,
+            reassemble_fields,
+        )
+
         b = (
             F.floor(F.unix_timestamp("time") / interval_sec) * interval_sec
         ).cast("long")
-        exploded = old.select(
-            "measurement",
-            F.array_sort(F.map_entries("tags")).alias("_tags"),
-            b.alias("_b"),
-            F.explode_outer("fields").alias("_fk", "_fv"),
+        exploded = explode_point_fields(
+            old.withColumn("_b", b), keep_cols=["_b"]
         )
-        agg_fn = getattr(F, agg)
-        val = agg_fn(F.col("_fv"))
-        if agg == "count":
-            val = val.cast("double")
         per_key = exploded.groupBy("measurement", "_tags", "_b", "_fk").agg(
-            val.alias("_v")
+            field_agg_column(agg).alias("_v")
         )
+        # Cache bounds _mid stability below; the cached frame is
+        # rollup-sized (one row per series-bucket), not corpus-sized.
         rolled = (
-            per_key.groupBy("measurement", "_tags", "_b")
-            .agg(
-                F.map_from_entries(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_fk").isNotNull(),
-                                F.struct(F.col("_fk"), F.col("_v")),
-                            )
-                        )
-                    )
-                ).alias("fields")
-            )
+            reassemble_fields(per_key, ["measurement", "_tags", "_b"])
             .select(
                 F.timestamp_seconds(F.col("_b")).alias("time"),
                 "measurement",

@@ -275,3 +275,56 @@ def derivative(
     if round_digits is not None:
         rate = F.round(rate, round_digits)
     return df.withColumn("rate", rate)
+
+
+# ----------------------------------------------------------------------
+# Schemaless per-field-key rollup plumbing, shared by the batch
+# retention pass (database.downsample) and the streaming continuous
+# query (streaming.stream_rollup_insert) so their semantics cannot
+# drift: explode a fields map into (key, value) rows, aggregate each
+# key independently, re-assemble a canonical fields map.
+# ----------------------------------------------------------------------
+
+#: Aggregates supported for per-field-key rollups.
+FIELD_AGGS = ("avg", "min", "max", "sum", "count")
+
+
+def explode_point_fields(df: DataFrame, keep_cols) -> DataFrame:
+    """Project a canonical point frame to per-field-key rows:
+    ``(*keep_cols, measurement, _tags, _fk, _fv)`` where ``_tags`` is
+    the sorted tag-entry array (maps cannot be grouping keys) and
+    ``explode_outer`` keeps empty-field points alive as a null key."""
+    return df.select(
+        *keep_cols,
+        "measurement",
+        F.array_sort(F.map_entries("tags")).alias("_tags"),
+        F.explode_outer("fields").alias("_fk", "_fv"),
+    )
+
+
+def field_agg_column(agg: str) -> Column:
+    """The per-key aggregate Column for a rollup; count casts to double
+    because fields are double-valued."""
+    if agg not in FIELD_AGGS:
+        raise ValueError(f"unsupported field agg {agg!r}")
+    val = getattr(F, agg)(F.col("_fv"))
+    return val.cast("double") if agg == "count" else val
+
+
+def reassemble_fields(df: DataFrame, group_cols) -> DataFrame:
+    """Fold aggregated per-key rows ``(*group_cols, _fk, _v)`` back
+    into one row per group with a canonical ``fields`` map. Null keys
+    (from empty-field points) are dropped by ``collect_list``; key
+    order is sorted so map layout is deterministic."""
+    return df.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_fk").isNotNull(),
+                        F.struct(F.col("_fk"), F.col("_v")),
+                    )
+                )
+            )
+        ).alias("fields")
+    )

@@ -422,6 +422,18 @@ class ParquetStorage(Storage):
                     os.path.join(self.path, name), ignore_errors=True
                 )
 
+    def _parquet_relpaths(self, ddir: str) -> set:
+        """Relative paths of every parquet data file under ``ddir``."""
+        out = set()
+        if not os.path.isdir(ddir):
+            return out
+        for root, _dirs, files in os.walk(ddir):
+            rel = os.path.relpath(root, ddir)
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.add(os.path.normpath(os.path.join(rel, f)))
+        return out
+
     # -- manifest ---------------------------------------------------------
     @contextmanager
     def _locked(self):
@@ -649,6 +661,7 @@ class ParquetStorage(Storage):
                 .partitionBy("measurement", PDATE_COL)
                 .parquet(stage)
             )
+            touched = set()
             with self._locked():
                 # Resolve the live version once: destructive commits
                 # also hold the lock, so it cannot flip mid-publish,
@@ -667,6 +680,21 @@ class ParquetStorage(Storage):
                             os.path.join(root, f),
                             os.path.join(dst_dir, f),
                         )
+                        parts = rel.split(os.sep)
+                        if len(parts) >= 2 and parts[0].startswith(
+                            "measurement="
+                        ) and parts[1].startswith(f"{PDATE_COL}="):
+                            touched.add((
+                                unescape_partition_value(
+                                    parts[0].split("=", 1)[1]
+                                ),
+                                parts[1].split("=", 1)[1],
+                            ))
+            # Which (measurement, pdate) partitions the last append
+            # published into — lets incremental maintenance (streaming
+            # auto-compaction) scope itself to fresh partitions for
+            # free, no extra Spark job.
+            self.last_touched = touched
         finally:
             shutil.rmtree(stage, ignore_errors=True)
 
@@ -676,6 +704,7 @@ class ParquetStorage(Storage):
         measurements: Optional[List[str]] = None,
         date_range: Optional[tuple] = None,
         nrows: Optional[int] = None,
+        known_files: Optional[set] = None,
     ) -> None:
         """Staged write + swap (the reference's temp-store protocol,
         storages.py:383-400, made transactional per partition).
@@ -683,7 +712,21 @@ class ParquetStorage(Storage):
         Scoped rewrites delete the in-scope partition directories, then
         move the staged replacements in — out-of-scope partitions are
         never read, rewritten, or touched.
+
+        Concurrency: appends that publish while the (long, unlocked)
+        staged write runs are PRESERVED — files present at commit that
+        were absent from ``known_files`` (default: snapshot taken here,
+        before the staged write) hardlink into the new version, which is
+        the rewrite-then-append linearization of the two concurrent
+        ops. A rewrite that lands between the caller building ``df``
+        and this call entering is the one remaining (millisecond)
+        window. A concurrent DESTRUCTIVE op committing mid-rewrite is
+        detected by the version pointer and raises rather than
+        silently clobbering either side's work.
         """
+        entry_version = self._data_version()
+        if known_files is None:
+            known_files = self._parquet_relpaths(self.data_dir)
         stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex[:8]}")
         (
             self._derive_index_cols(
@@ -715,6 +758,28 @@ class ParquetStorage(Storage):
         # manifest pointer flips atomically, so concurrent readers keep
         # a consistent snapshot.
         with self._locked():
+            if self._data_version() != entry_version:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise RuntimeError(
+                    "concurrent destructive operation committed while "
+                    "this rewrite was staging; retry the operation "
+                    "against the new state"
+                )
+            cur_dir = self.data_dir
+            late = self._parquet_relpaths(cur_dir) - known_files
+
+            def _preserve(rel_in_scope) -> None:
+                for rel in late:
+                    if not rel_in_scope(rel):
+                        continue
+                    src = os.path.join(cur_dir, rel)
+                    dst = os.path.join(new_dir, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    try:
+                        os.link(src, dst)
+                    except OSError:  # pragma: no cover
+                        shutil.copy2(src, dst)
+
             if measurements is None and date_range is None:
                 new_dir = os.path.join(
                     self.path, _vdir(self._data_version() + 1)
@@ -722,6 +787,7 @@ class ParquetStorage(Storage):
                 if os.path.exists(new_dir):
                     shutil.rmtree(new_dir)
                 os.replace(stage, new_dir)
+                _preserve(lambda rel: True)
                 self._commit_version(new_dir)
                 return
             new_dir = self._clone_version()
@@ -760,6 +826,34 @@ class ParquetStorage(Storage):
                         if os.path.exists(dst):
                             shutil.rmtree(dst)
                         shutil.move(os.path.join(src_m, pdir), dst)
+            ms_scope = ms
+            lo_hi = (lo, hi)
+
+            def _in_scope(rel: str) -> bool:
+                parts = rel.split(os.sep)
+                if len(parts) < 2 or not parts[0].startswith("measurement="):
+                    return False
+                m = unescape_partition_value(parts[0].split("=", 1)[1])
+                if ms_scope is not None and m not in ms_scope:
+                    return False
+                if date_range is not None:
+                    if len(parts) < 3 or not parts[1].startswith(
+                        f"{PDATE_COL}="
+                    ):
+                        return False
+                    d = parts[1].split("=", 1)[1]
+                    dlo, dhi = lo_hi
+                    if dlo is not None and d < dlo:
+                        return False
+                    if dhi is not None and d > dhi:
+                        return False
+                return True
+
+            # Out-of-scope late appends are already in the clone (it
+            # was taken under the lock, after they published); in-scope
+            # ones were just rmtree'd with their partition dirs — link
+            # them back in.
+            _preserve(_in_scope)
             self._commit_version(new_dir)
             shutil.rmtree(stage, ignore_errors=True)
 
@@ -779,7 +873,11 @@ class ParquetStorage(Storage):
             n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
-    def compact(self, measurement: Optional[str] = None) -> int:
+    def compact(
+        self,
+        measurement: Optional[str] = None,
+        date_range: Optional[tuple] = None,
+    ) -> int:
         """Rewrite fragmented partitions into one file per
         ``(measurement, pdate)`` directory via the staged-swap path.
 
@@ -790,6 +888,11 @@ class ParquetStorage(Storage):
         scans. Rows, ``_seq`` and materialized index columns are
         preserved exactly; only file boundaries change. Returns the
         number of files eliminated.
+
+        ``measurement`` / ``date_range=(lo, hi)`` scope the rewrite to
+        just those partitions — incremental maintenance (compact only
+        what recent ingest fragmented) instead of a full-store rewrite
+        whose cost grows with total history.
         """
         before = self.parquet_file_count(measurement)
         df = self.read()
@@ -797,9 +900,15 @@ class ParquetStorage(Storage):
         if measurement is not None:
             df = df.where(F.col("measurement") == measurement)
             scope = [measurement]
+        if date_range is not None:
+            lo, hi = date_range
+            if lo is not None:
+                df = df.where(F.col(PDATE_COL) >= lo)
+            if hi is not None:
+                df = df.where(F.col(PDATE_COL) <= hi)
         # The pre-write clustering in overwrite() yields one file per
         # partition directory.
-        self.overwrite(df, measurements=scope)
+        self.overwrite(df, measurements=scope, date_range=date_range)
         return before - self.parquet_file_count(measurement)
 
     def truncate(self) -> None:

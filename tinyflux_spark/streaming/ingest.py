@@ -82,13 +82,27 @@ def stream_insert(
     can_compact = hasattr(storage, "compact")
     n_every = compact_every_n_batches
     seen = {"batches": 0}
+    touched: set = set()
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         storage.append_df(batch_df)
         if can_compact and n_every:
+            # The storage records which (measurement, pdate) partitions
+            # the publish touched; compaction scopes itself to exactly
+            # the partitions fresh ingest fragmented — its cost tracks
+            # the ingest window, NOT total store history (an unscoped
+            # compact would rewrite a year of cold data to merge one
+            # day of new files).
+            touched.update(getattr(storage, "last_touched", ()) or ())
             seen["batches"] += 1
-            if seen["batches"] % int(n_every) == 0:
-                storage.compact()
+            if seen["batches"] % int(n_every) == 0 and touched:
+                by_m: dict = {}
+                for m, d in touched:
+                    lo, hi = by_m.get(m, (d, d))
+                    by_m[m] = (min(lo, d), max(hi, d))
+                for m, (lo, hi) in sorted(by_m.items()):
+                    storage.compact(m, date_range=(lo, hi))
+                touched.clear()
 
     writer = df.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir:
@@ -316,48 +330,34 @@ def stream_rollup_insert(
     right after ``start()`` would race the asynchronous first
     micro-batch's planning).
     """
-    agg_fn = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
-              "count": F.count}.get(agg)
-    if agg_fn is None:
+    from ..operators.timeseries import (
+        FIELD_AGGS,
+        explode_point_fields,
+        field_agg_column,
+        reassemble_fields,
+    )
+
+    if agg not in FIELD_AGGS:
         raise ValueError(f"stream_rollup_insert: unsupported agg {agg!r}")
     df = points_stream.withWatermark(ts_col, watermark)
-    exploded = df.select(
-        F.col(ts_col).alias("_t"),
-        "measurement",
-        F.array_sort(F.map_entries("tags")).alias("_tags"),
-        F.explode_outer("fields").alias("_fk", "_fv"),
+    exploded = explode_point_fields(
+        df.withColumn("_t", F.col(ts_col)), keep_cols=["_t"]
     )
-    val = agg_fn(F.col("_fv"))
-    if agg == "count":
-        val = val.cast("double")
     per_key = exploded.groupBy(
         F.window("_t", window_duration).alias("_w"),
         "measurement",
         "_tags",
         "_fk",
-    ).agg(val.alias("_v"))
+    ).agg(field_agg_column(agg).alias("_v"))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        rolled = (
-            batch_df.groupBy("_w", "measurement", "_tags")
-            .agg(
-                F.map_from_entries(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_fk").isNotNull(),
-                                F.struct(F.col("_fk"), F.col("_v")),
-                            )
-                        )
-                    )
-                ).alias("fields")
-            )
-            .select(
-                F.col("_w.start").alias("time"),
-                "measurement",
-                F.map_from_entries("_tags").alias("tags"),
-                "fields",
-            )
+        rolled = reassemble_fields(
+            batch_df, ["_w", "measurement", "_tags"]
+        ).select(
+            F.col("_w.start").alias("time"),
+            "measurement",
+            F.map_from_entries("_tags").alias("tags"),
+            "fields",
         )
         storage.append_df(rolled)
 
