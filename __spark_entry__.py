@@ -1485,6 +1485,66 @@ def q71_time_travel(spark, sf_dir):
     )
 
 
+def q72_decontaminate(spark, sf_dir):
+    """Train/test decontamination: hold out doc_id % 41 == 0 as the
+    eval set, flag every training doc sharing any 3-word-gram with it
+    (distinct shared-shingle count + the first shared shingle as
+    evidence). The eval shingle set broadcasts; the train corpus is
+    never shuffled on raw n-gram text. Production uses 8-13-grams —
+    3 here so the synthetic corpus yields a non-trivial hit set.
+    Reference has no analog (single-corpus engine); the extension is
+    the standard GPT-3-style decontamination pass."""
+    from tinyflux_spark.operators.dedup import contamination_hits
+
+    docs = _t("documents")(spark, sf_dir)
+    test = docs.where(F.col("doc_id") % 41 == 0)
+    train = docs.where(F.col("doc_id") % 41 != 0)
+    return contamination_hits(train, test, "doc_id", n=3).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "sample_shingle",
+    )
+
+
+def q73_shard_assign(spark, sf_dir):
+    """Deterministic training-shard assignment: md5-derived shard id
+    per document (8 shards), independent of row order, partitioning,
+    and engine — the split that must not drift between runs. Per-row
+    output so the oracle checks every single assignment."""
+    from tinyflux_spark.operators.sampling import shard_assign
+
+    docs = _t("documents")(spark, sf_dir)
+    return shard_assign(docs, "doc_id", 8, salt="s73").select(
+        "doc_id", F.col("shard").cast("long").alias("shard")
+    )
+
+
+def q74_pack_sequences(spark, sf_dir):
+    """Contiguous sequence packing for training batches: shard the
+    corpus (4 shards), lay docs out in deterministic hash order within
+    each shard, concatenate, cut at 256-token boundaries. Per-row
+    (pack, pack_offset) so the oracle value-checks the entire layout,
+    not just pack counts."""
+    from tinyflux_spark.operators.sampling import shard_assign
+    from tinyflux_spark.operators.text import pack_sequences, token_count
+
+    docs = _t("documents")(spark, sf_dir)
+    staged = shard_assign(docs, "doc_id", 4, salt="s74").withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    packed = pack_sequences(
+        staged, "doc_id", "n_tokens", capacity=256,
+        shard_col="shard", salt="p74",
+    )
+    return packed.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        "n_tokens",
+        "pack",
+        "pack_offset",
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1568,6 +1628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_from_table": q69_from_table,
         "q70_stream_rollup_store": q70_stream_rollup_store,
         "q71_time_travel": q71_time_travel,
+        "q72_decontaminate": q72_decontaminate,
+        "q73_shard_assign": q73_shard_assign,
+        "q74_pack_sequences": q74_pack_sequences,
     }
 
 
@@ -2674,5 +2737,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'live', eid, measurement, value,
                    CASE WHEN value > 100 THEN 1.0 END
             FROM slice WHERE value <= 200
+        """,
+        "q72_decontaminate": """
+            WITH norm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                      'g') AS t
+                FROM documents
+            ),
+            words AS (
+                SELECT doc_id, string_split(t, ' ') AS w FROM norm
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(
+                           w[CAST(i AS INT):CAST(i + 2 AS INT)],
+                           ' ') AS shingle
+                FROM words,
+                     UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS r(i)
+            ),
+            test_g AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0
+            )
+            SELECT s.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_hits,
+                   MIN(s.shingle) AS sample_shingle
+            FROM sh s JOIN test_g USING (shingle)
+            WHERE s.doc_id % 41 <> 0
+            GROUP BY s.doc_id
+        """,
+        "q73_shard_assign": """
+            SELECT doc_id,
+                   CAST(CAST(concat('0x',
+                        substr(md5('s73:' || CAST(doc_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) % 8 AS BIGINT) AS shard
+            FROM documents
+        """,
+        "q74_pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(CAST(concat('0x',
+                            substr(md5('s74:' ||
+                                       CAST(doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 4 AS BIGINT)
+                           AS shard,
+                       CAST(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\\s+'))
+                       END AS BIGINT) AS n_tokens,
+                       md5('p74:' || CAST(doc_id AS VARCHAR)) AS ok
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, shard, n_tokens,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY ok, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW
+                       ) - n_tokens AS start
+                FROM t
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(start // 256 AS BIGINT) AS pack,
+                   CAST(start % 256 AS BIGINT) AS pack_offset
+            FROM c
         """,
     }

@@ -41,7 +41,7 @@ HEAVY = {
     "q27_simhash_hamming_pairs", "q32_frame_sample_plan",
     "q33_media_features", "q36_stream_ewma",
     "q37_dml_update_unset_remove", "q38_get_contains",
-    "q51_dedup_clusters",
+    "q51_dedup_clusters", "q72_decontaminate",
 }
 
 # Mutable result document: the SIGTERM/SIGINT handler dumps whatever is

@@ -1,7 +1,8 @@
 """End-to-end training-data preparation pipeline over the documents
 corpus: quality filter → repetition filter → near-dup clustering →
-canonical dedup → per-source quota rebalancing → deterministic
-down-sampling → token accounting.
+canonical dedup → eval-set decontamination → per-source quota
+rebalancing → deterministic down-sampling → shard assignment →
+sequence packing → token accounting.
 
 Every stage is one of the engine's oracle-gated operators; chained they
 form the shape of a real 100 TB curation run — filters are narrow
@@ -21,12 +22,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from tinyflux_spark.operators.dedup import (
+    contamination_hits,
     dedup_keep_canonical,
     minhash_lsh_pairs,
 )
-from tinyflux_spark.operators.sampling import hash_sample, stratified_quota
+from tinyflux_spark.operators.sampling import (
+    hash_sample,
+    shard_assign,
+    stratified_quota,
+)
 from tinyflux_spark.operators.text import (
     bpe_token_count,
+    pack_sequences,
     quality_features,
     repetition_stats,
     token_count,
@@ -66,12 +73,39 @@ def main() -> None:
     deduped = dedup_keep_canonical(keep, pairs, "doc_id")
     n2 = deduped.count()
 
-    # 3. Source-mix rebalancing + reproducible down-sampling.
-    balanced = stratified_quota(deduped, "source", "doc_id", 15)
-    sampled = hash_sample(balanced, "doc_id", rate=0.8, salt="final")
-    n3 = sampled.count()
+    # 3. Decontamination: drop any training doc sharing a word n-gram
+    # with the held-out eval slice (the eval shingle set broadcasts;
+    # the corpus is never shuffled on raw n-gram text). Production
+    # uses n = 8..13; the synthetic corpus needs n=3 to show hits.
+    eval_set = docs.where(F.col("doc_id") % 41 == 0)
+    tainted = contamination_hits(
+        deduped.where(F.col("doc_id") % 41 != 0),
+        eval_set, "doc_id", n=3,
+    ).select(F.col("id").alias("doc_id"))
+    clean = deduped.join(F.broadcast(tainted), "doc_id", "left_anti")
+    n3 = clean.count()
 
-    # 4. Token accounting for the surviving corpus.
+    # 4. Source-mix rebalancing + reproducible down-sampling.
+    balanced = stratified_quota(clean, "source", "doc_id", 15)
+    sampled = hash_sample(balanced, "doc_id", rate=0.8, salt="final")
+    n4 = sampled.count()
+
+    # 5. Training layout: deterministic shards, then contiguous
+    # sequence packing within each shard (concat-and-chunk at a fixed
+    # token capacity; the per-shard hash order doubles as the corpus
+    # shuffle). One window per shard — shard count is the sort
+    # parallelism knob at 100 TB.
+    staged = shard_assign(sampled, "doc_id", 4).withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    packed = pack_sequences(staged, "doc_id", "n_tokens", capacity=256)
+    layout = packed.groupBy("shard").agg(
+        F.countDistinct("pack").alias("packs"),
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    ).orderBy("shard")
+
+    # 6. Token accounting for the surviving corpus.
     tokens = sampled.select(
         token_count("text").alias("ws_tokens"),
         bpe_token_count("text").alias("bpe_tokens"),
@@ -83,7 +117,13 @@ def main() -> None:
     print(f"corpus:            {n0} docs")
     print(f"after quality:     {n1} docs")
     print(f"after dedup:       {n2} docs")
-    print(f"after mix+sample:  {n3} docs")
+    print(f"after decontam:    {n3} docs")
+    print(f"after mix+sample:  {n4} docs")
+    for r in layout.collect():
+        print(
+            f"shard {r['shard']}: {r['docs']} docs → {r['packs']} packs "
+            f"of 256 tokens ({r['tokens']} tokens)"
+        )
     print(
         f"token budget:      {tokens['ws_tokens']} whitespace / "
         f"{tokens['bpe_tokens']} bpe-ish"

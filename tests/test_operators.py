@@ -574,3 +574,98 @@ def test_ivf_centroids_empty_and_type_guard(spark):
     )
     with _pytest.raises(ValueError, match="integral id"):
         ivf_centroids(strs)
+
+
+def test_shard_assign_deterministic_balanced_in_range(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from tinyflux_spark.operators.sampling import shard_assign
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"]: r["shard"]
+         for r in shard_assign(docs, "doc_id", 8).collect()}
+    b = {r["doc_id"]: r["shard"]
+         for r in shard_assign(
+             docs.repartition(5, _F.col("source")), "doc_id", 8
+         ).collect()}
+    assert a == b and len(a) == docs.count()  # layout-invariant
+    assert set(a.values()) <= set(range(8))
+    per = [list(a.values()).count(s) for s in range(8)]
+    n = len(a)
+    assert all(0.4 * n / 8 < c < 1.8 * n / 8 for c in per)  # balanced-ish
+    # different salt => a different (still deterministic) split
+    c = {r["doc_id"]: r["shard"]
+         for r in shard_assign(docs, "doc_id", 8, salt="other").collect()}
+    assert c != a
+    with _pytest.raises(ValueError):
+        shard_assign(docs, "doc_id", 0)
+
+
+def test_pack_sequences_layout_model(spark):
+    import hashlib
+
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from tinyflux_spark.operators.sampling import shard_assign
+    from tinyflux_spark.operators.text import pack_sequences, token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    staged = shard_assign(docs, "doc_id", 4, salt="s").withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    rows = pack_sequences(
+        staged, "doc_id", "n_tokens", capacity=128, salt="p"
+    ).select("doc_id", "shard", "n_tokens", "pack", "pack_offset").collect()
+
+    # Python model: per shard, order by (md5('p:'+id), id), concatenate,
+    # cut at 128-token boundaries.
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    got = {(r["doc_id"]): (r["pack"], r["pack_offset"]) for r in rows}
+    for shard, members in by_shard.items():
+        key = lambda r: (  # noqa: E731
+            hashlib.md5(f"p:{r['doc_id']}".encode()).hexdigest(),
+            r["doc_id"],
+        )
+        start = 0
+        for r in sorted(members, key=key):
+            assert got[r["doc_id"]] == (start // 128, start % 128), (
+                shard, r["doc_id"])
+            start += r["n_tokens"]
+    # every doc appears exactly once
+    assert len(got) == docs.count()
+    with _pytest.raises(ValueError):
+        pack_sequences(staged, "doc_id", "n_tokens", capacity=0)
+
+
+def test_contamination_hits_flags_shared_ngrams_only(spark):
+    from tinyflux_spark.operators.dedup import contamination_hits
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different wording here with nothing shared"),
+            (3, "QUICK   Brown fox appears in this one too"),
+        ],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps today")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: r
+        for r in contamination_hits(
+            train, test, "doc_id", n=3
+        ).collect()
+    }
+    # doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps"
+    assert got[1]["n_hits"] == 3
+    assert got[1]["sample_shingle"] == "brown fox jumps"
+    # doc 3 shares "quick brown fox" (case/whitespace-normalized)
+    assert got[3]["n_hits"] == 1
+    # doc 2 shares nothing and is absent
+    assert 2 not in got

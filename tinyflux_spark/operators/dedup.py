@@ -628,3 +628,44 @@ def dedup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def contamination_hits(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 13,
+    unit: str = "word",
+) -> DataFrame:
+    """Train/test decontamination: flag training documents that share
+    any text n-gram with a held-out evaluation set.
+
+    Returns one row per contaminated training document:
+    ``(id, n_hits, sample_shingle)`` — ``n_hits`` counts the distinct
+    shared shingles, ``sample_shingle`` is the lexicographically first
+    one (evidence for manual review). Training docs with zero overlap
+    are absent (the common case; the result is the removal list).
+
+    Scale design: the eval set is small (thousands of docs) against a
+    100 TB train corpus, so its DISTINCT shingle set broadcasts and the
+    train side is shingle-generate → broadcast hash join → partial
+    count — the corpus is never shuffled on raw n-gram text, and docs
+    with no overlap produce zero join output. Production pipelines use
+    n = 8..13 word-grams (the GPT-3-style 13-gram decontamination
+    rule); smaller n flags more aggressively.
+    """
+    test_g = (
+        exploded_shingles(test, id_col, text_col, n=n, unit=unit)
+        .select("shingle")
+        .distinct()
+    )
+    train_g = exploded_shingles(train, id_col, text_col, n=n, unit=unit)
+    return (
+        train_g.join(F.broadcast(test_g), "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("shingle").alias("sample_shingle"),
+        )
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_sample", "stratified_quota"]
+__all__ = ["hash_bucket", "hash_sample", "shard_assign", "stratified_quota"]
 
 # Number of distinct values of the 4-hex-digit hash prefix.
 _BUCKETS = 1 << 32
@@ -67,6 +67,32 @@ def hash_sample(
         )
     threshold = format(t, "08x")
     return df.where(hash_bucket(id_col, salt) < F.lit(threshold))
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard id for corpus sharding / training-mix
+    assignment: ``md5("<salt>:<id>")``'s first 8 hex digits as an
+    integer, mod ``n_shards``.
+
+    Writing a 100 TB corpus as N training shards (or splitting
+    train/validation/test) must not depend on row order, partitioning,
+    or a seeded RNG — a re-run that assigns even one doc differently
+    silently leaks data across splits. This is a pure narrow projection
+    (one md5 per row, no shuffle); because md5 is uniform the shards are
+    balanced to ~1/sqrt(rows-per-shard) relative error, and the same
+    expression evaluates identically in any engine with md5 (the DuckDB
+    oracle replays it bit-for-bit).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    bucket_int = F.conv(hash_bucket(id_col, salt), 16, 10).cast("bigint")
+    return df.withColumn(out_col, bucket_int % n_shards)
 
 
 def stratified_quota(

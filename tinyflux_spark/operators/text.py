@@ -284,6 +284,60 @@ def top_tokens(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    capacity: int,
+    shard_col: str = "shard",
+    salt: str = "pack",
+) -> DataFrame:
+    """Contiguous greedy sequence packing: lay documents out in
+    deterministic hash order within each shard, concatenate, and cut at
+    ``capacity``-token boundaries — each doc's pack is
+    ``floor(start_offset / capacity)``.
+
+    Adds ``pack`` (pack index within the shard) and ``pack_offset``
+    (the doc's start offset inside its pack). This is the streaming
+    "concat-and-chunk" packing used to build fixed-length training
+    sequences; a doc longer than ``capacity`` starts in its pack and
+    spills into the next (real pipelines truncate or split it — that
+    decision stays with the caller, the offsets make it computable).
+
+    Scale design: one window per shard — ``partitionBy(shard)`` with a
+    deterministic ``(md5(salt:id), id)`` order, so the sort distributes
+    across shards and no task ever sees more than one shard
+    (shards-per-corpus is the parallelism knob; 100 TB / 10k shards =
+    10 GB sorts). The hash order doubles as the corpus shuffle that
+    training-data layouts need — adjacent source documents land in
+    different packs.
+    """
+    from pyspark.sql import Window
+
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    order_key = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tok = F.col(tokens_col).cast("long")
+    start = (F.sum(tok).over(w) - tok).alias("_start")
+    staged = df.withColumn("_start", start)
+    return (
+        staged.withColumn(
+            "pack", F.floor(F.col("_start") / capacity).cast("long")
+        )
+        .withColumn(
+            "pack_offset", (F.col("_start") % capacity).cast("long")
+        )
+        .drop("_start")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,
