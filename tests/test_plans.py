@@ -311,6 +311,14 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
     # q47 runs the reference's arbitrary-Python .test/.map predicates —
     # the documented UDF surface.
     udf_ok = {"q47_map_test_predicates"}
+    # Single-partition exchanges whose input is provably bounded:
+    # q06 merges per-task partial counts (rows = task count), q12's
+    # window runs over daily aggregates (rows = distinct days), q57's
+    # over the value histogram (rows = distinct values). Anything else
+    # funneling through one task is a scale bug.
+    single_partition_ok = {
+        "q06_count", "q12_daily_revenue_ma7", "q57_length_deciles",
+    }
     bad = {}
     for name, fn in em.queries().items():
         df = fn(spark, sf)
@@ -320,6 +328,8 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
             problems.append("CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan:
             problems.append("BroadcastNestedLoopJoin")
+        if "SinglePartition" in plan and name not in single_partition_ok:
+            problems.append("unexpected SinglePartition exchange")
         # [unboundedpreceding, unboundedfollowing] whole-partition
         # frames are computed once per group (O(n), fine); only a frame
         # STARTING at currentrow and ending unbounded is rescanned per
