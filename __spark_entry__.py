@@ -1545,6 +1545,25 @@ def q74_pack_sequences(spark, sf_dir):
     )
 
 
+def q75_ivf_batch_topk(spark, sf_dir):
+    """Batch ANN: top-5 IVF neighbors for EVERY query in a batch
+    (vec_id % 100 == 0) in one plan — probe lists selected engine-side
+    per query, the exploded query batch broadcast against the corpus
+    assignment (the corpus itself is never shuffled), per-query top-k
+    as a window over candidates only. The oracle replays the codebook,
+    assignment, per-query probes, and ranking in SQL."""
+    from tinyflux_spark.operators.similarity import ivf_topk_batch
+
+    emb = _t("embeddings")(spark, sf_dir)
+    return ivf_topk_batch(
+        emb,
+        emb.where(F.col("vec_id") % 100 == 0),
+        k=5,
+        num_centroids=16,
+        nprobe=4,
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1631,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_decontaminate": q72_decontaminate,
         "q73_shard_assign": q73_shard_assign,
         "q74_pack_sequences": q74_pack_sequences,
+        "q75_ivf_batch_topk": q75_ivf_batch_topk,
     }
 
 
@@ -2801,5 +2821,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start // 256 AS BIGINT) AS pack,
                    CAST(start % 256 AS BIGINT) AS pack_offset
             FROM c
+        """,
+        "q75_ivf_batch_topk": """
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id AS qid, e AS qe FROM emb
+                WHERE vec_id % 100 = 0
+            ),
+            bounds AS (
+                SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM emb
+            ),
+            cids AS (
+                SELECT MIN(vec_id) AS cid
+                FROM emb, bounds
+                GROUP BY ((vec_id - lo) * 16) // (hi - lo + 1)
+            ),
+            cent AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1
+                           AS cidx,
+                       c.e AS ce
+                FROM emb c JOIN cids ON c.vec_id = cids.cid
+            ),
+            asg AS (
+                SELECT c.vec_id, c.e,
+                       (SELECT cidx FROM cent
+                        ORDER BY ROUND(
+                            list_dot_product(c.e, ce)
+                            / (sqrt(list_dot_product(c.e, c.e))
+                               * sqrt(list_dot_product(ce, ce))), 6
+                        ) DESC, cidx
+                        LIMIT 1) AS lst
+                FROM emb c
+            ),
+            qprobe AS (
+                SELECT qid, cidx,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY ROUND(
+                               list_dot_product(qe, ce)
+                               / (sqrt(list_dot_product(qe, qe))
+                                  * sqrt(list_dot_product(ce, ce))),
+                               6) DESC, cidx
+                       ) AS pr
+                FROM q, cent
+            ),
+            cand AS (
+                SELECT q.qid AS query_id, a.vec_id,
+                       ROUND(list_dot_product(a.e, q.qe)
+                             / (sqrt(list_dot_product(a.e, a.e))
+                                * sqrt(list_dot_product(q.qe, q.qe))),
+                             6) AS cosine_sim
+                FROM asg a
+                JOIN (SELECT qid, cidx FROM qprobe WHERE pr <= 4) p
+                  ON a.lst = p.cidx
+                JOIN q ON q.qid = p.qid
+                WHERE a.vec_id <> q.qid
+            )
+            SELECT query_id, vec_id, cosine_sim,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, vec_id) AS rank
+                FROM cand
+            )
+            WHERE rank <= 5
         """,
     }

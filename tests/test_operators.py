@@ -669,3 +669,60 @@ def test_contamination_hits_flags_shared_ngrams_only(spark):
     assert got[3]["n_hits"] == 1
     # doc 2 shares nothing and is absent
     assert 2 not in got
+
+
+def test_ivf_topk_batch_matches_per_query_path(spark):
+    from pyspark.sql import functions as _F
+
+    from tinyflux_spark.operators.similarity import ivf_topk, ivf_topk_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(_F.col("vec_id") % 100 == 0)
+    batch = ivf_topk_batch(emb, queries, k=5, nprobe=4)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine_sim"])
+        )
+    assert sorted(got) == [0, 100, 200, 300, 400]
+    for qid, rows in got.items():
+        # per-query single-vector path over the same corpus minus self
+        qvec = emb.where(_F.col("vec_id") == qid).collect()[0]["embedding"]
+        single = ivf_topk(
+            emb.where(_F.col("vec_id") != qid), qvec, k=5, nprobe=4
+        ).collect()
+        # codebooks differ (corpus-minus-self vs full corpus) so exact
+        # list membership can shift; ranks must be 1..5 and sims sorted
+        ranks = sorted(r[0] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5], (qid, ranks)
+        sims = [r[2] for r in sorted(rows)]
+        assert sims == sorted(sims, reverse=True), (qid, sims)
+        # self never appears
+        assert all(r[1] != qid for r in rows)
+
+
+def test_ivf_topk_batch_full_probe_is_exact(spark):
+    """With nprobe == num_centroids every list is scanned, so the batch
+    result must equal brute-force cosine top-k for every query."""
+    from pyspark.sql import functions as _F
+
+    from tinyflux_spark.operators.similarity import cosine_topk, ivf_topk_batch
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(200).cache()
+    queries = emb.where(_F.col("vec_id") % 100 == 0)
+    batch = ivf_topk_batch(
+        emb, queries, k=3, num_centroids=4, nprobe=4
+    )
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid in got:
+        qvec = emb.where(_F.col("vec_id") == qid).collect()[0]["embedding"]
+        exact = cosine_topk(
+            emb.where(_F.col("vec_id") != qid), qvec, k=3
+        ).collect()
+        assert [v for _, v in sorted(got[qid])] == [
+            r["vec_id"] for r in exact
+        ], qid

@@ -338,6 +338,91 @@ def ivf_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    query_vec_col: Optional[str] = None,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch IVF-Flat ANN: top-``k`` corpus neighbors for EVERY query
+    row at once — the retrieval shape real pipelines run (kNN graphs,
+    dedup-by-ANN, hard-negative mining), where issuing ``ivf_topk``
+    per query would re-scan the corpus |queries| times.
+
+    Probe selection happens engine-side per query row (the same
+    rounded-cosine ranking with ties toward the lower centroid index
+    that ``ivf_assign`` / the driver path use), each query explodes to
+    its ``nprobe`` list ids, and the exploded query set joins the
+    assigned corpus on the list id.
+
+    Scale shape: the query batch is small relative to the corpus, so
+    the query side BROADCASTS — the corpus is never shuffled at all
+    (broadcast hash join against the assignment, which at scale is the
+    materialized ``_ivf_list`` partition column, making the join a
+    partition-pruned scan of the probed lists). The only shuffle is the
+    per-query top-k window over candidates (~ nprobe/K of the corpus
+    per query). Output: (query_id, id, cosine_sim, rank).
+
+    Returns ``rank`` 1..k per query ordered by (cosine_sim DESC, id);
+    ``exclude_self`` drops a corpus row whose id equals the query id
+    (queries drawn from the corpus itself).
+    """
+    from pyspark.sql import Window
+
+    qid = query_id_col or id_col
+    qvc = query_vec_col or vec_col
+    cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
+    if not cents:
+        raise ValueError("ivf_topk_batch: empty corpus")
+    assigned = corpus.withColumn(
+        "_ivf_list", ivf_assign(F.col(vec_col), cents)
+    )
+    qv = F.col(qvc)
+    qn = _norm(qv)
+    scored = []
+    for i, cvec in cents:
+        c = _lit_vec(cvec)
+        cn = math.sqrt(_seq_dot(cvec, cvec))
+        sim = F.round(_dot(qv, c) / (qn * F.lit(cn)), 6)
+        # ascending sort over (-sim, idx): best centroid first, ties
+        # toward the lower index — identical to _ivf_probes.
+        scored.append(F.struct((-sim).alias("ns"), F.lit(i).alias("i")))
+    probes = F.slice(F.array_sort(F.array(*scored)), 1, nprobe)
+    q_exp = queries.select(
+        F.col(qid).alias("_qid"),
+        qv.alias("_qvec"),
+        F.explode(F.transform(probes, lambda s: s["i"])).alias(
+            "_ivf_list"
+        ),
+    )
+    joined = assigned.join(F.broadcast(q_exp), "_ivf_list")
+    if exclude_self:
+        joined = joined.where(F.col(id_col) != F.col("_qid"))
+    sim = F.round(
+        _dot(F.col(vec_col), F.col("_qvec"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        joined.select(
+            F.col("_qid").alias("query_id"),
+            F.col(id_col),
+            sim.alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 # ----------------------------------------------------------------------
 # Materialized ANN indexes: the 100 TB serving path
 # ----------------------------------------------------------------------
