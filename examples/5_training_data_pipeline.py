@@ -78,11 +78,11 @@ def main() -> None:
     # the corpus is never shuffled on raw n-gram text). Production
     # uses n = 8..13; the synthetic corpus needs n=3 to show hits.
     eval_set = docs.where(F.col("doc_id") % 41 == 0)
+    train = deduped.where(F.col("doc_id") % 41 != 0)  # eval never trains
     tainted = contamination_hits(
-        deduped.where(F.col("doc_id") % 41 != 0),
-        eval_set, "doc_id", n=3,
+        train, eval_set, "doc_id", n=3
     ).select(F.col("id").alias("doc_id"))
-    clean = deduped.join(F.broadcast(tainted), "doc_id", "left_anti")
+    clean = train.join(F.broadcast(tainted), "doc_id", "left_anti")
     n3 = clean.count()
 
     # 4. Source-mix rebalancing + reproducible down-sampling.

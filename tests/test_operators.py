@@ -726,3 +726,17 @@ def test_ivf_topk_batch_full_probe_is_exact(spark):
         assert [v for _, v in sorted(got[qid])] == [
             r["vec_id"] for r in exact
         ], qid
+
+
+def test_ivf_topk_batch_rejects_degenerate_params(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from tinyflux_spark.operators.similarity import ivf_topk_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(_F.col("vec_id") == 0)
+    with _pytest.raises(ValueError, match="nprobe"):
+        ivf_topk_batch(emb, q, k=5, nprobe=0)
+    with _pytest.raises(ValueError, match="k must"):
+        ivf_topk_batch(emb, q, k=0, nprobe=4)

@@ -377,12 +377,20 @@ def ivf_topk_batch(
 
     qid = query_id_col or id_col
     qvc = query_vec_col or vec_col
+    if k <= 0:
+        raise ValueError("ivf_topk_batch: k must be positive")
+    if nprobe <= 0:
+        raise ValueError("ivf_topk_batch: nprobe must be positive")
     cents = ivf_centroids(corpus, id_col, vec_col, num_centroids)
     if not cents:
         raise ValueError("ivf_topk_batch: empty corpus")
+    # Norms computed ONCE per corpus row / per query row and carried
+    # through the join — the aggregate fold is interpreted, so folding
+    # it per candidate PAIR would redo each corpus row's norm once per
+    # matching query (same rationale as near_dup_pairs).
     assigned = corpus.withColumn(
         "_ivf_list", ivf_assign(F.col(vec_col), cents)
-    )
+    ).withColumn("_nrm", _norm(F.col(vec_col)))
     qv = F.col(qvc)
     qn = _norm(qv)
     scored = []
@@ -397,6 +405,7 @@ def ivf_topk_batch(
     q_exp = queries.select(
         F.col(qid).alias("_qid"),
         qv.alias("_qvec"),
+        _norm(qv).alias("_qnrm"),
         F.explode(F.transform(probes, lambda s: s["i"])).alias(
             "_ivf_list"
         ),
@@ -406,7 +415,7 @@ def ivf_topk_batch(
         joined = joined.where(F.col(id_col) != F.col("_qid"))
     sim = F.round(
         _dot(F.col(vec_col), F.col("_qvec"))
-        / (_norm(F.col(vec_col)) * _norm(F.col("_qvec"))),
+        / (F.col("_nrm") * F.col("_qnrm")),
         6,
     )
     w = Window.partitionBy("query_id").orderBy(
