@@ -1564,6 +1564,28 @@ def q75_ivf_batch_topk(spark, sf_dir):
     )
 
 
+def q76_quality_filter(spark, sf_dir):
+    """Composite Gopher-style quality gate: per-doc keep/drop plus the
+    sorted list of violated rule names (the audit trail real filters
+    log). One narrow codegen pass — token count, punct/digit ratios,
+    mean token length, word/bigram duplication — no joins, no shuffle.
+    Thresholds tuned so the synthetic corpus splits meaningfully; the
+    oracle replays every rule including the 6dp rounding."""
+    from tinyflux_spark.operators.text import quality_filter
+
+    docs = _t("documents")(spark, sf_dir)
+    return quality_filter(
+        docs,
+        "doc_id",
+        min_tokens=20,
+        max_tokens=90,
+        max_punct_ratio=0.10,
+        max_digit_ratio=0.20,
+        max_dup_word_frac=0.65,
+        max_dup_bigram_frac=0.50,
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1651,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_shard_assign": q73_shard_assign,
         "q74_pack_sequences": q74_pack_sequences,
         "q75_ivf_batch_topk": q75_ivf_batch_topk,
+        "q76_quality_filter": q76_quality_filter,
     }
 
 
@@ -2891,5 +2914,71 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand
             )
             WHERE rank <= 5
+        """,
+        "q76_quality_filter": """
+            WITH f AS (
+                SELECT doc_id,
+                    CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text),
+                                                     '\\s+'))
+                    END AS n_tokens,
+                    ROUND(len(regexp_extract_all(text, '[.,;:!?]'))
+                          / greatest(length(text), 1), 6)
+                        AS punct_ratio,
+                    ROUND(len(regexp_extract_all(text, '[0-9]'))
+                          / greatest(length(text), 1), 6)
+                        AS digit_ratio,
+                    ROUND((length(text)
+                           - len(regexp_extract_all(text, '\\s')))
+                          / greatest(CASE WHEN trim(text) = '' THEN 0
+                               ELSE len(string_split_regex(trim(text),
+                                                           '\\s+'))
+                            END, 1), 6) AS mean_token_len,
+                    CASE WHEN trim(text) = '' THEN []
+                         ELSE str_split_regex(trim(text), '\\s+')
+                    END AS ws
+                FROM documents
+            ),
+            r AS (
+                SELECT *,
+                    CASE WHEN len(ws) > 0 THEN
+                        ROUND(1.0 - CAST(len(list_distinct(ws))
+                                         AS DOUBLE) / len(ws), 6)
+                    ELSE 0.0 END AS dup_word_frac,
+                    list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1]) AS bg
+                FROM f
+            ),
+            r2 AS (
+                SELECT *,
+                    CASE WHEN len(bg) > 0 THEN
+                        ROUND(1.0 - CAST(len(list_distinct(bg))
+                                         AS DOUBLE) / len(bg), 6)
+                    ELSE 0.0 END AS dup_bigram_frac
+                FROM r
+            ),
+            verdict AS (
+                SELECT doc_id,
+                    list_sort(list_filter([
+                        CASE WHEN n_tokens < 20
+                             THEN 'too_few_tokens' END,
+                        CASE WHEN n_tokens > 90
+                             THEN 'too_many_tokens' END,
+                        CASE WHEN punct_ratio > 0.10
+                             THEN 'punct_ratio' END,
+                        CASE WHEN digit_ratio > 0.20
+                             THEN 'digit_ratio' END,
+                        CASE WHEN dup_word_frac > 0.65
+                             THEN 'dup_words' END,
+                        CASE WHEN dup_bigram_frac > 0.50
+                             THEN 'dup_bigrams' END,
+                        CASE WHEN mean_token_len < 2.0
+                               OR mean_token_len > 12.0
+                             THEN 'token_len' END
+                    ], x -> x IS NOT NULL)) AS reasons
+                FROM r2
+            )
+            SELECT doc_id, len(reasons) = 0 AS keep, reasons
+            FROM verdict
         """,
     }

@@ -740,3 +740,34 @@ def test_ivf_topk_batch_rejects_degenerate_params(spark):
         ivf_topk_batch(emb, q, k=5, nprobe=0)
     with _pytest.raises(ValueError, match="k must"):
         ivf_topk_batch(emb, q, k=0, nprobe=4)
+
+
+def test_quality_filter_reasons(spark):
+    from tinyflux_spark.operators.text import quality_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+            (3, "hi"),
+            (4, "!!! ??? ... ;;; ::: ,,, !!! ??? ... ;;;"),
+            (5, "01234 56789 01234 56789 98765 43210 11111 22222"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["keep"], list(r["reasons"]))
+        for r in quality_filter(
+            df, "doc_id",
+            min_tokens=5, max_tokens=100,
+            max_punct_ratio=0.10, max_digit_ratio=0.20,
+            max_dup_word_frac=0.50, max_dup_bigram_frac=0.90,
+        ).collect()
+    }
+    assert got[1] == (True, [])
+    assert got[2][0] is False and "dup_words" in got[2][1]
+    assert got[3][0] is False and "too_few_tokens" in got[3][1]
+    assert got[4][0] is False and "punct_ratio" in got[4][1]
+    assert got[5][0] is False and "digit_ratio" in got[5][1]
+    # multiple violations all reported, sorted
+    assert got[4][1] == sorted(got[4][1])

@@ -284,6 +284,94 @@ def top_tokens(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.10,
+    max_digit_ratio: float = 0.20,
+    max_dup_word_frac: float = 0.50,
+    max_dup_bigram_frac: float = 0.35,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+) -> DataFrame:
+    """Composite Gopher-style quality gate: per-document keep/drop with
+    the full list of violated rules as evidence.
+
+    Real curation pipelines don't apply quality signals one at a time —
+    they evaluate a rule set per document and keep the docs that pass
+    all of it, logging WHICH rules each dropped doc violated (for
+    tuning thresholds and auditing what a filter removed). Output:
+    ``(id, keep, reasons)`` where ``reasons`` is the sorted array of
+    violated rule names (empty ⇔ ``keep``).
+
+    One narrow pass — every signal (token count, punctuation / digit
+    ratios, mean token length, Gopher word / bigram duplication
+    fractions) is a per-row codegen expression over one scan; no joins,
+    no shuffle, scales linearly. Ratios are rounded to 6dp before
+    threshold comparison so the decision is bit-identical across
+    engines (the DuckDB oracle replays every rule).
+    """
+    qf = quality_features(
+        df.select(F.col(id_col), F.col(text_col)), text_col
+    )
+    t = F.trim(F.col(text_col))
+    ws = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    staged = qf.withColumn("_ws", ws).withColumn(
+        "_bg",
+        F.expr(
+            "CASE WHEN size(_ws) >= 2 THEN "
+            "transform(sequence(1, size(_ws) - 1), "
+            "i -> concat(element_at(_ws, i), ' ', "
+            "element_at(_ws, i + 1))) "
+            "ELSE cast(array() AS array<string>) END"
+        ),
+    )
+    frac = lambda n, d: F.when(  # noqa: E731
+        d > 0,
+        F.round(F.lit(1.0) - n.cast("double") / d.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    dup_w = frac(F.size(F.array_distinct("_ws")), F.size("_ws"))
+    dup_b = frac(F.size(F.array_distinct("_bg")), F.size("_bg"))
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    rules = [
+        ("too_few_tokens", F.col("n_tokens") < min_tokens),
+        ("too_many_tokens", F.col("n_tokens") > max_tokens),
+        ("punct_ratio", r6(F.col("punct_ratio")) > max_punct_ratio),
+        ("digit_ratio", r6(F.col("digit_ratio")) > max_digit_ratio),
+        ("dup_words", dup_w > max_dup_word_frac),
+        ("dup_bigrams", dup_b > max_dup_bigram_frac),
+        (
+            "token_len",
+            (r6(F.col("mean_token_len")) < min_mean_token_len)
+            | (r6(F.col("mean_token_len")) > max_mean_token_len),
+        ),
+    ]
+    reasons = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(cond, F.lit(name)).cast("string")
+                    for name, cond in rules
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        reasons.alias("reasons"),
+    ).select(
+        id_col,
+        (F.size("reasons") == 0).alias("keep"),
+        "reasons",
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
