@@ -771,3 +771,97 @@ def test_quality_filter_reasons(spark):
     assert got[5][0] is False and "digit_ratio" in got[5][1]
     # multiple violations all reported, sorted
     assert got[4][1] == sorted(got[4][1])
+
+
+def test_quality_filter_matches_python_model(spark):
+    """Property: quality_filter's keep/reasons equal a plain-Python
+    spec over random ASCII documents (same dual-evaluation strategy as
+    test_property_queries.py)."""
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tinyflux_spark.operators.text import quality_filter
+
+    P = dict(
+        min_tokens=3, max_tokens=12,
+        max_punct_ratio=0.08, max_digit_ratio=0.15,
+        max_dup_word_frac=0.4, max_dup_bigram_frac=0.3,
+        min_mean_token_len=2.0, max_mean_token_len=6.0,
+    )
+
+    token = st.one_of(
+        st.from_regex(r"[a-z]{1,6}", fullmatch=True),
+        st.sampled_from(["cat", "dog", "7", "42", "!", "?.,", "a1b2"]),
+    )
+    docs_strategy = st.lists(
+        st.lists(token, min_size=0, max_size=16).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+
+    def model(doc):
+        t = doc.strip()
+        toks = re.split(r"\s+", t) if t != "" else []
+        n_tokens = len(toks)
+        n_chars = len(doc)
+        punct = len(re.findall(r"[.,;:!?]", doc))
+        digit = len(re.findall(r"[0-9]", doc))
+        ws = len(re.findall(r"\s", doc))
+
+        def r6(x):
+            # HALF_UP like Spark's round() (Python round is HALF_EVEN)
+            import decimal
+            return float(
+                decimal.Decimal(x).quantize(
+                    decimal.Decimal("0.000001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+
+        punct_ratio = r6(punct / max(n_chars, 1))
+        digit_ratio = r6(digit / max(n_chars, 1))
+        mtl = r6((n_chars - ws) / max(n_tokens, 1))
+        dup_w = (
+            r6(1 - len(set(toks)) / len(toks)) if toks else 0.0
+        )
+        bgs = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        dup_b = r6(1 - len(set(bgs)) / len(bgs)) if bgs else 0.0
+        reasons = sorted(
+            name
+            for name, bad in [
+                ("too_few_tokens", n_tokens < P["min_tokens"]),
+                ("too_many_tokens", n_tokens > P["max_tokens"]),
+                ("punct_ratio", punct_ratio > P["max_punct_ratio"]),
+                ("digit_ratio", digit_ratio > P["max_digit_ratio"]),
+                ("dup_words", dup_w > P["max_dup_word_frac"]),
+                ("dup_bigrams", dup_b > P["max_dup_bigram_frac"]),
+                (
+                    "token_len",
+                    mtl < P["min_mean_token_len"]
+                    or mtl > P["max_mean_token_len"],
+                ),
+            ]
+            if bad
+        )
+        return (len(reasons) == 0, reasons)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(docs_strategy)
+    def run(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: (r["keep"], list(r["reasons"]))
+            for r in quality_filter(df, "doc_id", **P).collect()
+        }
+        for i, doc in enumerate(texts):
+            assert got[i] == model(doc), (doc, got[i], model(doc))
+
+    run()
