@@ -23,11 +23,15 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 def main() -> None:
     spark = get_spark("example2")
+    # Handle both testdata ts vintages: TIMESTAMP(NANOS) decodes as
+    # long under nanosAsLong (truncate to micros); TIMESTAMP_NTZ
+    # micros casts directly (session tz pinned UTC by get_spark).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
     # Hourly rollup per event type (tumbling window).
     hourly = aggregates.time_bucket(
