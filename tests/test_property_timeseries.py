@@ -7,6 +7,7 @@ Python model is the spec, Spark is the implementation under test.
 """
 
 import datetime as dt
+import decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -16,6 +17,16 @@ from tinyflux_spark.operators.timeseries import derivative, gap_fill, resample
 
 BASE = dt.datetime(2024, 1, 1)
 INTERVAL = 60
+
+
+def _round6(x):
+    """HALF_UP at 6 digits, like Spark's ``F.round`` (builtin ``round``
+    is HALF_EVEN and disagrees on ties such as 1/128 = 0.0078125)."""
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 series_strategy = st.lists(
     st.tuples(
@@ -141,5 +152,5 @@ def test_derivative_matches_python_model(spark, rows):
             assert rate is None
         else:
             ps, pv = rows[i - 1]
-            expect = round((v - pv) / (s - ps), 6)
+            expect = _round6((v - pv) / (s - ps))
             assert abs(rate - expect) < 1e-9
