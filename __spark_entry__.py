@@ -1597,57 +1597,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the driver's CORRECTNESS artifact records
+    # only the FIRST 50 entries. The order rotates each round so every
+    # query periodically lands in that window (round 4: q51-q76 first —
+    # they have never had driver rows — then the 24 most
+    # semantics-critical of q01-q50: the query-algebra rows, DML rows,
+    # and the operators modified this round). tools/check_gate.py
+    # remains the per-commit guard over all 76.
     return {
-        "q01_search_time_range": q01_search_time_range,
-        "q02_search_tag_eq": q02_search_tag_eq,
-        "q03_search_field_range": q03_search_field_range,
-        "q04_search_compound": q04_search_compound,
-        "q05_search_measurement_regex": q05_search_measurement_regex,
-        "q06_count": q06_count,
-        "q07_field_missing_key": q07_field_missing_key,
-        "q08_not_exists": q08_not_exists,
-        "q09_get_measurements": q09_get_measurements,
-        "q10_select_projection": q10_select_projection,
-        "q11_agg_pricing_summary": q11_agg_pricing_summary,
-        "q12_daily_revenue_ma7": q12_daily_revenue_ma7,
-        "q13_topk_users_per_type": q13_topk_users_per_type,
-        "q14_region_revenue": q14_region_revenue,
-        "q15_hourly_window": q15_hourly_window,
-        "q16_asof_join": q16_asof_join,
-        "q17_dedup_exact": q17_dedup_exact,
-        "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
-        "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
-        "q20_simhash": q20_simhash,
-        "q21_text_quality": q21_text_quality,
-        "q22_lang_id": q22_lang_id,
-        "q23_doc_fingerprint": q23_doc_fingerprint,
-        "q24_ann_cosine_topk": q24_ann_cosine_topk,
-        "q25_embedding_near_dup": q25_embedding_near_dup,
-        "q26_stream_hourly_rollup": q26_stream_hourly_rollup,
-        "q27_simhash_hamming_pairs": q27_simhash_hamming_pairs,
-        "q28_sessionize": q28_sessionize,
-        "q29_ewma_last": q29_ewma_last,
-        "q30_token_stats": q30_token_stats,
-        "q31_srp_ann_topk": q31_srp_ann_topk,
-        "q32_frame_sample_plan": q32_frame_sample_plan,
-        "q33_media_features": q33_media_features,
-        "q34_get_field_keys": q34_get_field_keys,
-        "q35_get_tag_values": q35_get_tag_values,
-        "q36_stream_ewma": q36_stream_ewma,
-        "q37_dml_update_unset_remove": q37_dml_update_unset_remove,
-        "q38_get_contains": q38_get_contains,
-        "q39_get_tag_keys": q39_get_tag_keys,
-        "q40_get_field_values": q40_get_field_values,
-        "q41_get_timestamps": q41_get_timestamps,
-        "q42_all_len_iter": q42_all_len_iter,
-        "q43_update_all": q43_update_all,
-        "q44_remove_all": q44_remove_all,
-        "q45_drop_measurement": q45_drop_measurement,
-        "q46_insert_point_path": q46_insert_point_path,
-        "q47_map_test_predicates": q47_map_test_predicates,
-        "q48_search_predicate": q48_search_predicate,
-        "q49_measurement_handle": q49_measurement_handle,
-        "q50_csv_interop": q50_csv_interop,
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_ivf_ann_topk": q52_ivf_ann_topk,
         "q53_hash_sample": q53_hash_sample,
@@ -1674,6 +1631,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_pack_sequences": q74_pack_sequences,
         "q75_ivf_batch_topk": q75_ivf_batch_topk,
         "q76_quality_filter": q76_quality_filter,
+        "q01_search_time_range": q01_search_time_range,
+        "q02_search_tag_eq": q02_search_tag_eq,
+        "q03_search_field_range": q03_search_field_range,
+        "q04_search_compound": q04_search_compound,
+        "q05_search_measurement_regex": q05_search_measurement_regex,
+        "q06_count": q06_count,
+        "q07_field_missing_key": q07_field_missing_key,
+        "q08_not_exists": q08_not_exists,
+        "q10_select_projection": q10_select_projection,
+        "q17_dedup_exact": q17_dedup_exact,
+        "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
+        "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
+        "q33_media_features": q33_media_features,
+        "q37_dml_update_unset_remove": q37_dml_update_unset_remove,
+        "q38_get_contains": q38_get_contains,
+        "q42_all_len_iter": q42_all_len_iter,
+        "q43_update_all": q43_update_all,
+        "q44_remove_all": q44_remove_all,
+        "q45_drop_measurement": q45_drop_measurement,
+        "q46_insert_point_path": q46_insert_point_path,
+        "q47_map_test_predicates": q47_map_test_predicates,
+        "q48_search_predicate": q48_search_predicate,
+        "q49_measurement_handle": q49_measurement_handle,
+        "q50_csv_interop": q50_csv_interop,
+        # --- driver window boundary (entries below rotate back in r5) ---
+        "q09_get_measurements": q09_get_measurements,
+        "q11_agg_pricing_summary": q11_agg_pricing_summary,
+        "q12_daily_revenue_ma7": q12_daily_revenue_ma7,
+        "q13_topk_users_per_type": q13_topk_users_per_type,
+        "q14_region_revenue": q14_region_revenue,
+        "q15_hourly_window": q15_hourly_window,
+        "q16_asof_join": q16_asof_join,
+        "q20_simhash": q20_simhash,
+        "q21_text_quality": q21_text_quality,
+        "q22_lang_id": q22_lang_id,
+        "q23_doc_fingerprint": q23_doc_fingerprint,
+        "q24_ann_cosine_topk": q24_ann_cosine_topk,
+        "q25_embedding_near_dup": q25_embedding_near_dup,
+        "q26_stream_hourly_rollup": q26_stream_hourly_rollup,
+        "q27_simhash_hamming_pairs": q27_simhash_hamming_pairs,
+        "q28_sessionize": q28_sessionize,
+        "q29_ewma_last": q29_ewma_last,
+        "q30_token_stats": q30_token_stats,
+        "q31_srp_ann_topk": q31_srp_ann_topk,
+        "q32_frame_sample_plan": q32_frame_sample_plan,
+        "q34_get_field_keys": q34_get_field_keys,
+        "q35_get_tag_values": q35_get_tag_values,
+        "q36_stream_ewma": q36_stream_ewma,
+        "q39_get_tag_keys": q39_get_tag_keys,
+        "q40_get_field_values": q40_get_field_values,
+        "q41_get_timestamps": q41_get_timestamps,
     }
 
 
