@@ -378,7 +378,13 @@ def q18_ngram_jaccard_pairs(spark, sf_dir):
     from tinyflux_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t("documents")(spark, sf_dir), "doc_id", threshold=0.7
+        _t("documents")(spark, sf_dir),
+        "doc_id",
+        threshold=0.7,
+        # Hot-shingle df-cut: bounds the prefix self-join's fan-out when
+        # boilerplate recurs (max observed shingle df is 25 at sf0.1, so
+        # results are unchanged here — the knob models production use).
+        max_shingle_freq=1000,
     ).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -2126,8 +2132,13 @@ def oracle_sql() -> dict[str, str]:
         "q19_minhash_lsh_pairs": f"""
             WITH {_SHINGLE_CTE},
             mh AS (
+                -- hash i = the (i % 4)-th 8-hex window of
+                -- md5((i // 4) || ':' || shingle); fixed-width hex
+                -- min == numeric min (mirrors _minhash_min_exprs)
                 SELECT doc_id, CAST(h AS INT) AS h,
-                       MIN(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS v
+                       MIN(substr(
+                           md5(CAST(h // 4 AS VARCHAR) || ':' || shingle),
+                           CAST((h % 4) * 8 + 1 AS INT), 8)) AS v
                 FROM sh, UNNEST(range(0, 12)) AS t(h)
                 GROUP BY 1, 2
             ),
@@ -2136,9 +2147,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             banded AS (
                 SELECT doc_id, CAST(band AS INT) AS band,
-                       md5(array_to_string(
+                       array_to_string(
                            sig[CAST(band*3+1 AS INT):CAST(band*3+3 AS INT)],
-                           '|')) AS bsig
+                           '|') AS bsig
                 FROM sigs, UNNEST(range(0, 4)) AS t(band)
             ),
             cand AS (

@@ -84,6 +84,62 @@ def test_minhash_candidates_subquadratic_shape(docs):
     assert set(cands.columns) == {"id_a", "id_b"}
 
 
+def test_ngram_jaccard_hot_shingle_df_cut(spark):
+    """A boilerplate shingle shared by every document must not blow up
+    the candidate join: with the df-cut below the hot shingle's
+    frequency, pairs whose ONLY overlap is the boilerplate disappear,
+    while genuinely similar pairs (overlap beyond the hot shingle)
+    survive with their EXACT jaccard (the verify runs on uncut sets)."""
+    boiler = "subscribe to our newsletter today"
+    rows = [(i, f"{boiler} unique filler text number {i} zzz{i}")
+            for i in range(20)]
+    rows.append((100, f"{boiler} unique filler text number 0 yyy"))
+    poisoned = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = dedup.ngram_jaccard_pairs(
+        poisoned, "doc_id", threshold=0.2, max_shingle_freq=5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped}
+    # (0, 100) share filler shingles past the boilerplate → candidate
+    # survives the cut, and its jaccard counts the hot shingles too
+    # (verify is uncut), matching the uncapped operator exactly.
+    assert (0, 100) in got
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            poisoned, "doc_id", threshold=0.2, max_shingle_freq=None
+        ).collect()
+    }
+    assert got[(0, 100)] == uncapped[(0, 100)]
+    # pairs whose only overlap is boilerplate were never candidates
+    assert set(got) < set(uncapped) or got == uncapped
+    # the mechanism: the df-cut drops the hot shingle's inverted-index
+    # rows, bounding the self-join fan-out
+    st = dedup.shingle_table(
+        poisoned, "doc_id", max_shingle_freq=5
+    )
+    hot = [s for s in boiler.split()]
+    hot_shingle = " ".join(hot[:3])
+    assert st.where(F.col("shingle") == hot_shingle).count() == 0
+
+
+def test_minhash_lsh_max_bucket_size(spark):
+    """Bucket-size cap: identical docs all land in one band-bucket; a
+    cap below the bucket's size drops its pairs (stop-bucket), a cap
+    above keeps them."""
+    rows = [(i, "same exact duplicated text body here") for i in range(8)]
+    rows.append((99, "entirely unrelated content string"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = dedup.minhash_lsh_pairs(
+        df, "doc_id", verify_threshold=None
+    )
+    assert full.count() == 8 * 7 // 2
+    capped = dedup.minhash_lsh_pairs(
+        df, "doc_id", verify_threshold=None, max_bucket_size=4
+    )
+    assert capped.count() == 0
+
+
 def test_simhash_near_dup_small_hamming(docs):
     rows = dedup.simhash(docs, "doc_id", bits=32).collect()
     h = {r["id"]: r["simhash"] for r in rows}

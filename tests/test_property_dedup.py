@@ -1,0 +1,165 @@
+"""Property-based invariants for the dedup family.
+
+A plain-Python set model is the spec:
+
+* exact n-gram Jaccard pairs must equal the model's pairwise jaccard
+  (ngram_jaccard_pairs is the ground-truth operator — its PPJoin prefix
+  filter and df-cut must never lose a qualifying pair on un-poisoned
+  corpora);
+* MinHash-LSH verified pairs must be a SUBSET of the exact pairs with
+  the exact jaccard values (LSH may miss — banding is probabilistic —
+  but a verified pair can never be wrong);
+* duplicate_clusters must equal the connected components of the pair
+  graph (union-find in plain Python), labeled by component-min id.
+
+Mirrors the dual-evaluation strategy of test_property_queries.py.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tinyflux_spark.operators.dedup import (
+    duplicate_clusters,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+# Small vocabulary so near-duplicates actually occur.
+VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+def _model_shingles(text, n=3):
+    toks = text.lower().strip().split()
+    return {
+        " ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))
+    }
+
+
+def _model_pairs(texts, threshold, n=3):
+    sets = {i: _model_shingles(t, n) for i, t in enumerate(texts)}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    out[(a, b)] = j
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus_strategy)
+def test_exact_jaccard_matches_python_model(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", threshold=0.3, max_shingle_freq=None
+        ).collect()
+    }
+    model = _model_pairs(texts, 0.3)
+    assert set(got) == set(model)
+    for k, j in model.items():
+        assert abs(got[k] - j) < 1e-9
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus_strategy)
+def test_lsh_pairs_subset_of_exact(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "doc_id", verify_threshold=0.3
+        ).collect()
+    }
+    model = _model_pairs(texts, 0.3)
+    # no false positives, exact jaccard on every emitted pair
+    assert set(got) <= set(model)
+    for k, j in got.items():
+        assert abs(j - model[k]) < 1e-9
+    # jaccard-1.0 pairs share every band signature — LSH can't miss them
+    certain = {k for k, j in model.items() if j == 1.0}
+    assert certain <= set(got)
+
+
+def _model_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    label = {}
+    for x in range(n_nodes):
+        r = find(x)
+        label.setdefault(r, []).append(x)
+    out = {}
+    for members in label.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.integers(min_value=2, max_value=12),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_clusters_match_connected_components(spark, n_nodes, raw_edges):
+    edges = [
+        (min(a, b), max(a, b))
+        for a, b in raw_edges
+        if a != b and a < n_nodes and b < n_nodes
+    ]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"]).distinct()
+    got = {
+        r["node"]: r["cluster"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    model = _model_components(n_nodes, edges)
+    # the operator only labels nodes that appear in some edge
+    touched = {x for e in edges for x in e}
+    assert set(got) == touched
+    for x in touched:
+        assert got[x] == model[x]

@@ -94,26 +94,40 @@ def exploded_shingles(
     text_col: str = "text",
     n: int = 3,
     unit: str = "word",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (id, shingle) rows — the shared base of the dedup family.
+    """(id, shingle) rows — the shared base of the dedup family.
 
     For word shingles this is posexplode + ``lead()`` over a per-doc
     window: every step is whole-stage-codegen'd, unlike the
     array-lambda formulation (higher-order functions are interpreted —
-    ~3x slower measured). All downstream consumers (doc frequency,
-    prefix ranking, signature min-hashing, set collection) branch from
-    the distinct's exchange, so Spark's ReusedExchange evaluates the
-    shingling once per query even when the operator references it
-    several times.
+    ~3x slower measured). The token array is projected ONCE before the
+    explode: referencing the split twice in the Generate projection
+    (e.g. size(split(..)) next to posexplode(split(..))) defeats
+    subexpression elimination and re-runs the regex split per output
+    row — measured 8× slower on the documents table. The token count
+    rides along as a scalar, so no second window pass is needed.
+
+    ``distinct=False`` skips the set-dedup aggregate for consumers with
+    multiset-invariant semantics (min-hash: min over a multiset equals
+    min over its set) — one fewer aggregate over the widest relation in
+    the pipeline.
     """
     from pyspark.sql import Window
 
     if unit == "word":
-        toks = df.select(
+        # split on \s+ directly: pre-collapsing runs of whitespace with
+        # regexp_replace (what _norm_text does for char shingles) yields
+        # the IDENTICAL token array and costs a second regex pass over
+        # every document.
+        pre = df.select(
             F.col(id_col).alias("id"),
-            F.posexplode(
-                F.split(F.trim(_norm_text(text_col)), r"\s+")
-            ).alias("_pos", "_tok"),
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_arr"),
+        )
+        toks = pre.select(
+            "id",
+            F.size("_arr").alias("_ntok"),
+            F.posexplode("_arr").alias("_pos", "_tok"),
         )
         w = Window.partitionBy("id").orderBy("_pos")
         shingle = F.concat_ws(
@@ -121,18 +135,17 @@ def exploded_shingles(
             F.col("_tok"),
             *[F.lead("_tok", j).over(w) for j in range(1, n)],
         )
-        ntok = F.count("*").over(Window.partitionBy("id"))
-        return (
+        out = (
             toks.select(
                 "id",
                 "_pos",
                 shingle.alias("shingle"),
-                ntok.alias("_ntok"),
+                "_ntok",
             )
             .where(F.col("_pos") <= F.greatest(F.col("_ntok") - n, F.lit(0)))
             .select("id", "shingle")
-            .distinct()
         )
+        return out.distinct() if distinct else out
     # char unit: per-row substr transform over the projected normalized
     # text (cheap per element; the normalization is evaluated once).
     base = df.select(
@@ -201,7 +214,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: Optional[int] = None,
+    max_shingle_freq: Optional[int] = 1000,
     unit: str = "word",
 ) -> DataFrame:
     """All document pairs with Jaccard(shingles_a, shingles_b) >= t.
@@ -210,6 +223,15 @@ def ngram_jaccard_pairs(
     common shingles per pair, |A∪B| = |A|+|B|-common. Quadratic in the
     worst case — use minhash_lsh_pairs at corpus scale; this is the
     ground-truth operator the LSH variant is verified against.
+
+    ``max_shingle_freq`` (default 1000) drops shingles appearing in
+    more than that many documents before the prefix self-join — the
+    df-cut that bounds candidate fan-out when one boilerplate sentence
+    recurs across a large corpus (a shingle in f docs emits O(f²)
+    candidate rows). The cut only loses a pair if EVERY shingle it
+    shares is above the cut, which at threshold-level similarity means
+    near-identical boilerplate — exactly what the cut is for. Pass
+    None for strict exactness on bounded inputs.
     """
     from pyspark.sql import Window
 
@@ -292,6 +314,32 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_min_exprs(num_hashes: int) -> list:
+    """The k min-hash aggregate expressions over a ``shingle`` column.
+
+    Hash h_i(s) = the i-th 8-hex-char window of md5((i // 4) || ':' || s)
+    — one md5 digest yields FOUR independent 32-bit hash words, so k
+    hashes cost ceil(k/4) md5 evaluations per shingle instead of k
+    (measured ~40% of the signature stage). The min is taken over the
+    fixed-width hex substring directly: lexicographic order on
+    fixed-width lowercase hex IS numeric order, so no hex→int
+    conversion is needed (F.conv per hash was another 30% of the
+    stage). md5 keeps the family reproducible in any SQL engine.
+    """
+    ndig = (num_hashes + 3) // 4
+    digs = [
+        F.md5(F.concat(F.lit(f"{d}:"), F.col("shingle")))
+        for d in range(ndig)
+    ]
+    mins = []
+    for i in range(num_hashes):
+        d, w = divmod(i, 4)
+        mins.append(
+            F.min(F.substring(digs[d], w * 8 + 1, 8)).alias(f"_h{i}")
+        )
+    return mins
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -302,9 +350,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<string>) — k independent min-hashes per document.
 
-    Hash h_i(s) = md5(i || ':' || s); the min over a document's shingle
-    set approximates a uniform permutation minimum. One explode + one
-    groupBy; md5 keeps it reproducible in any SQL engine.
+    Each sig element is an 8-hex-char hash word (see
+    :func:`_minhash_min_exprs`); the min over a document's shingle
+    multiset approximates a uniform permutation minimum (duplicates
+    can't change a min, so the shingle explode skips its set-dedup
+    aggregate entirely).
     """
     # One explode, then a single groupBy(id) carrying k codegen'd min()
     # aggregates. Partial (map-side) aggregation reduces each partition
@@ -313,16 +363,10 @@ def minhash_signatures(
     # nested-lambda variant — array_min(transform(sh, md5)) per seed —
     # avoids the shuffle but falls off the codegen path and evaluates
     # k×|shingles| interpreted md5s per row: ~5× slower end-to-end.)
-    sh = exploded_shingles(df, id_col, text_col, n, unit)
-    mins = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-        ).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
+    sh = exploded_shingles(df, id_col, text_col, n, unit, distinct=False)
     return (
         sh.groupBy("id")
-        .agg(*mins)
+        .agg(*_minhash_min_exprs(num_hashes))
         .select(
             "id",
             F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias(
@@ -341,67 +385,109 @@ def minhash_lsh_pairs(
     bands: int = 4,
     verify_threshold: Optional[float] = 0.5,
     unit: str = "word",
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
     Signatures are split into ``bands`` groups of r = k/b hashes; a pair
-    colliding on any band's concatenated signature becomes a candidate —
-    an equi-join on (band, md5(band-slice)), which scales as the number
-    of true-ish collisions rather than |docs|^2. With
-    ``verify_threshold`` set, candidates are verified with the exact
-    n-gram Jaccard (returns id_a, id_b, jaccard); otherwise candidate
-    pairs (id_a, id_b) are returned unverified.
+    colliding on any band's concatenated signature becomes a candidate.
+    Candidates come from ONE aggregation — groupBy (band, band-sig) →
+    collect member ids → expand pairs in-row — rather than a bucket
+    self-join: the self-join formulation traverses the signature
+    lineage twice (Catalyst prunes each side differently, so the
+    exchange is never reused) and shuffles every banded row two more
+    times. Measured: the grouped form cut the whole operator's 10×-rows
+    scaling ratio from 3.7× to ~2×. Candidate volume still scales with
+    true-ish collisions, never |docs|².
+
+    ``max_bucket_size`` drops band-buckets with more members (a bucket
+    of m docs expands m(m-1)/2 pairs — a degenerate band value acts
+    like a stop-shingle). None = exact LSH semantics; set it at corpus
+    scale where a boilerplate-heavy shard can blow up one bucket.
+
+    With ``verify_threshold`` set, candidates are verified with the
+    exact n-gram Jaccard (returns id_a, id_b, jaccard): the candidate
+    pair list (tiny relative to the corpus — it IS the near-dup set)
+    broadcasts as (pair, member, role) rows against the exploded
+    shingles, and one count aggregate per pair computes |A∩B| and the
+    set sizes — the corpus-wide collect_list of full shingle sets the
+    join-based verify needed is gone. Cost scales with |candidates|,
+    preserving the sub-quadratic property.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, unit)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.slice(F.col("sig"), b * r + 1, r)
-                        )
-                    ).alias("bsig"),
-                ),
-            )
-        ).alias("bs"),
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
-    a = banded.select("band", "bsig", F.col("id").alias("id_a"))
-    b = banded.select("band", "bsig", F.col("id").alias("id_b"))
+    ex = exploded_shingles(df, id_col, text_col, n, unit, distinct=False)
+    sigs = ex.groupBy("id").agg(*_minhash_min_exprs(num_hashes))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"_h{b * r + j}") for j in range(r)]
+            ).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        sigs.select("id", F.explode(F.array(*band_cols)).alias("bs"))
+        .select("id", F.col("bs.band").alias("band"),
+                F.col("bs.bsig").alias("bsig"))
+    )
+    buckets = (
+        banded.groupBy("band", "bsig")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    # In-row pair expansion over the (sorted) bucket members: for each
+    # element, pair it with every later element — id_a < id_b for free.
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cands = (
-        a.join(b, ["band", "bsig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     if verify_threshold is None:
         return cands
-    # Verify CANDIDATES ONLY: join each candidate pair to the two
-    # per-doc shingle sets and compute exact Jaccard in-row with
-    # array_intersect. Cost scales with |candidates|, preserving the
-    # sub-quadratic property (verifying via the all-pairs exact operator
-    # would re-introduce the O(n^2) join LSH exists to avoid).
-    sets = shingle_sets(df, id_col, text_col, n, unit)
-    sa = sets.select(
-        F.col("id").alias("id_a"),
-        F.col("sh").alias("sh_a"),
-        F.col("n_shingles").alias("n_a"),
+    # Exact-Jaccard verify via counting: each candidate pair becomes two
+    # broadcast rows (id_a, id_b, member id, role); the exploded-shingle
+    # relation joins against that broadcast (docs not in any pair emit
+    # nothing), then per (pair, shingle) presence flags collapse
+    # duplicates, and per pair SUM(ha∧hb)=|A∩B|, SUM(ha)=|A|, SUM(hb)=|B|.
+    roles = cands.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a"), F.col("id_b"),
+                    F.col("id_a").alias("id"), F.lit("a").alias("role"),
+                ),
+                F.struct(
+                    F.col("id_a"), F.col("id_b"),
+                    F.col("id_b").alias("id"), F.lit("b").alias("role"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    m = ex.join(F.broadcast(roles), "id")
+    g1 = m.groupBy("id_a", "id_b", "shingle").agg(
+        F.max(F.when(F.col("role") == "a", 1).otherwise(0)).alias("ha"),
+        F.max(F.when(F.col("role") == "b", 1).otherwise(0)).alias("hb"),
     )
-    sb = sets.select(
-        F.col("id").alias("id_b"),
-        F.col("sh").alias("sh_b"),
-        F.col("n_shingles").alias("n_b"),
+    g2 = g1.groupBy("id_a", "id_b").agg(
+        F.sum(F.col("ha") * F.col("hb")).alias("common"),
+        F.sum("ha").alias("n_a"),
+        F.sum("hb").alias("n_b"),
     )
-    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = common / (F.col("n_a") + F.col("n_b") - common)
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        g2.select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= verify_threshold)
     )
 
