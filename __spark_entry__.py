@@ -651,17 +651,21 @@ def q32_frame_sample_plan(spark, sf_dir):
 
 def q33_media_features(spark, sf_dir):
     """Multimodal feature extraction through mapInPandas (Arrow batches,
-    bytes projected away before any shuffle). Decode is the documented
-    deterministic STUB — an md5-hex-fold signal the oracle replays in
-    SQL, so the Arrow plumbing is hash-checked end-to-end."""
+    bytes projected away before any shuffle) with the REAL decode path:
+    the table holds genuine PNG bytes (zlib IDAT + CRC chunks) of a
+    closed-form pixel pattern, media_decode parses and unfilters them,
+    and each feature is the mean of one pixel row. The oracle
+    recomputes the pixels from the generative formula in SQL — a wrong
+    byte anywhere in encode or decode breaks the hash match."""
     from tinyflux_spark.operators.multimodal import (
         FEATURE_DIM,
         extract_features,
+        media_decode,
         synthetic_media,
     )
 
-    media = synthetic_media(spark, n=64, kind="image")
-    out = extract_features(media)
+    media = synthetic_media(spark, n=64, kind="image", codec="png")
+    out = extract_features(media, decode=media_decode)
     return out.select(
         "media_id",
         "kind",
@@ -1911,36 +1915,45 @@ def _srp_ann_oracle_sql(num_planes: int = 4, dim: int = 64,
 
 
 def _media_features_oracle_sql(n: int = 64) -> str:
-    """Replays q33's whole pipeline in SQL: synthetic_media's payload
-    (sha256("image:{i}").digest() * 8 → hex = repeat(sha256 hex, 8)),
-    the md5-hex-fold stub decode (multimodal._stub_decode), and the
-    4-samples-per-feature mean pooling. f0 pools samples 0..3; f_last
-    pools samples 60..63. Every sample is (32-bit int)/2^32 — exact in
-    double — and the 4-term sums associate left-to-right in both
-    engines, so the hash compare is bit-exact."""
-    from tinyflux_spark.operators.multimodal import FEATURE_DIM
+    """Replays q33 in SQL from the generative pixel formula: the Spark
+    side decodes REAL PNG bytes (zlib inflate + unfilter) of
+    synthetic_pixels(i) where pixel(r,c) = (i*31 + r*8 + c*7) % 256;
+    the oracle recomputes every pixel from that formula and pools the
+    same row means. Pixel sums are integers (exact in double) and the
+    /16.0 division is a power of two, so the compare is bit-exact —
+    any wrong byte in the PNG encode or decode path breaks it. The
+    per-item PNG byte lengths are an ENCODER property (zlib stream
+    length), not SQL-computable: they're generated here from the same
+    encoder and inlined as literals."""
+    from tinyflux_spark.operators.multimodal import (
+        FEATURE_DIM,
+        encode_png,
+        synthetic_media,  # noqa: F401 — documents provenance
+        synthetic_pixels,
+    )
 
-    def h(j: int) -> str:
-        return (
-            _hex_to_int_sql(f"md5('{j}:' || hx)", 8) + " / 4294967296.0"
-        )
-
-    def pooled(row: int) -> str:
-        return (
-            "(" + " + ".join(h(4 * row + s) for s in range(4)) + ") / 4.0"
-        )
-
+    nb = ", ".join(
+        f"({i}, {len(encode_png(synthetic_pixels(i)))})" for i in range(n)
+    )
+    last = FEATURE_DIM - 1
     return f"""
-        WITH m AS (
-            SELECT CAST(i AS BIGINT) AS media_id, 'image' AS kind,
-                   repeat(sha256('image:' || CAST(i AS VARCHAR)), 8) AS hx
-            FROM range({n}) t(i)
-        )
-        SELECT media_id, kind,
-               ROUND({pooled(0)}, 6) AS f0,
-               ROUND({pooled(FEATURE_DIM - 1)}, 6) AS f_last,
-               CAST(256 AS BIGINT) AS n_bytes
-        FROM m
+        WITH px AS (
+            SELECT CAST(i AS BIGINT) AS media_id, r, c,
+                   (i*31 + r*8 + c*7) % 256 AS p
+            FROM range({n}) t(i), range(16) t2(r), range(16) t3(c)
+        ),
+        feat AS (
+            SELECT media_id,
+                   SUM(CASE WHEN r = 0 THEN p END) / 16.0 AS s0,
+                   SUM(CASE WHEN r = {last} THEN p END) / 16.0 AS s_last
+            FROM px GROUP BY 1
+        ),
+        nb(media_id, n_bytes) AS (VALUES {nb})
+        SELECT f.media_id, 'image' AS kind,
+               ROUND(s0, 6) AS f0,
+               ROUND(s_last, 6) AS f_last,
+               CAST(n_bytes AS BIGINT) AS n_bytes
+        FROM feat f JOIN nb ON f.media_id = nb.media_id
     """
 
 

@@ -137,3 +137,36 @@ def test_compact_prefix_file_cross_reads(spark, tmp_path):
     assert pts[0].tags == {"k": "v"}
     assert pts[0].fields == {"x": 2.5}
     rdb.close()
+
+
+def test_index_storage_shims_run_reference_snippet(spark, tmp_path):
+    """A reference-style maintenance snippet — touching db.index.valid,
+    index emptiness, len(db.index), db.reindex(), m.index and m.storage
+    — runs unmodified against this engine (reference database.py:118-126
+    and 687-714, measurement.py:64-82; here the index handle is the
+    always-valid CompatIndex over the parquet layout)."""
+    path = str(tmp_path / "shimdb")
+    db = TinyFluxSpark(path, spark=spark)
+
+    # --- snippet a reference user could have written, verbatim ---
+    assert db.index.valid
+    assert db.index.empty
+    db.insert(
+        Point(
+            time=datetime(2024, 4, 1, tzinfo=timezone.utc),
+            measurement="m",
+            tags={"site": "a"},
+            fields={"v": 1.0},
+        )
+    )
+    if not db.index.valid:
+        db.reindex()
+    assert len(db.index) == len(db) == 1
+    assert not db.index.empty
+    m = db.measurement("m", auto_index=True)  # kwargs pass-through
+    assert m.index is not None and m.index.valid
+    assert m.storage is db.storage
+    db.reindex()  # maintenance no-op alias for compact()
+    assert len(db) == 1
+    # --- end snippet ---
+    db.close()

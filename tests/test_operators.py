@@ -311,6 +311,83 @@ def test_extract_features_strict_raises(spark):
         multimodal.extract_features(media, strict=True).collect()
 
 
+def test_png_roundtrip_all_encoder_filters():
+    """Real PNG codec: encode → decode is the identity for every
+    encoder filter type; the decoder unfilters each independently."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    encodings = [
+        multimodal.encode_png(px, filter_type=ft) for ft in (0, 1, 2)
+    ]
+    for data in encodings:
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        assert (multimodal.decode_png(data) == px).all()
+    # filters produce different streams of the same image
+    assert len({e for e in encodings}) == 3
+
+
+def test_wav_roundtrip():
+    samples = multimodal.synthetic_samples(3)
+    data = multimodal.encode_wav(samples)
+    assert data[:4] == b"RIFF"
+    assert (multimodal.decode_wav(data) == samples).all()
+    # WAV size is closed-form: 44-byte header + 2 bytes/sample
+    assert len(data) == 44 + 2 * len(samples)
+
+
+def test_media_decode_dispatch():
+    px = multimodal.synthetic_pixels(5)
+    img = multimodal.media_decode(multimodal.encode_png(px), "image")
+    assert (img == px.reshape(-1).astype(float)).all()
+    au = multimodal.media_decode(
+        multimodal.encode_wav(multimodal.synthetic_samples(5)), "audio"
+    )
+    assert (au == multimodal.synthetic_samples(5).astype(float)).all()
+    with pytest.raises(ValueError):
+        multimodal.media_decode(b"\x00garbage", "image")
+
+
+def test_extract_features_real_decode(spark):
+    """End-to-end real decode through mapInPandas: features of the PNG
+    table equal the row means of the generative pixel pattern, and the
+    WAV table decodes to its sample-group means."""
+    media = multimodal.synthetic_media(spark, n=6, kind="image", codec="png")
+    out = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(
+            media, decode=multimodal.media_decode
+        ).collect()
+    }
+    for i in range(6):
+        px = multimodal.synthetic_pixels(i).astype(float)
+        for r in range(multimodal.FEATURE_DIM):
+            assert out[i][r] == px[r].mean()
+    audio = multimodal.synthetic_media(spark, n=4, kind="audio", codec="wav")
+    got = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(
+            audio, decode=multimodal.media_decode
+        ).collect()
+    }
+    for i in range(4):
+        s = multimodal.synthetic_samples(i).astype(float)
+        grouped = s.reshape(multimodal.FEATURE_DIM, -1).mean(axis=1)
+        assert got[i] == grouped.tolist()
+
+
+def test_media_bytes_never_shuffled(spark):
+    """The binary column must be projected away before any exchange:
+    aggregate the real-decode features and assert no plan node above or
+    below an Exchange carries the bytes column."""
+    media = multimodal.synthetic_media(spark, n=8, kind="image", codec="png")
+    feats = multimodal.extract_features(media, decode=multimodal.media_decode)
+    agg = feats.groupBy("kind").agg(F.avg(F.col("feature")[0]).alias("m"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes" not in line
+
+
 def test_frame_sample(spark):
     media = multimodal.synthetic_media(spark, n=3, kind="video")
     out = multimodal.frame_sample(media, every_n=10, max_frames=4).collect()

@@ -341,3 +341,32 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         if problems:
             bad[name] = problems
     assert not bad, f"plan anti-patterns: {bad}"
+
+
+def test_collect_arrow_batches_fallback_matches_fast_path(spark, monkeypatch):
+    """collect_arrow_batches rides private PySpark hooks
+    (_load_from_socket + collectAsArrowToPython); this pins the
+    contract: when the hooks drift away (simulated by deleting the
+    import target) the public toArrow() fallback returns the identical
+    data, so hook drift degrades latency, never correctness."""
+    import pyarrow as pa
+    import pyspark.rdd
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.schema import collect_arrow_batches
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("y"),
+        F.concat(F.lit("r"), F.col("id")).alias("s"),
+    )
+    fast = collect_arrow_batches(df)
+    assert all(isinstance(b, pa.RecordBatch) for b in fast)
+
+    monkeypatch.delattr(pyspark.rdd, "_load_from_socket")
+    slow = collect_arrow_batches(df)
+    assert all(isinstance(b, pa.RecordBatch) for b in slow)
+
+    t_fast = pa.Table.from_batches(fast)
+    t_slow = pa.Table.from_batches(slow)
+    assert t_fast.schema.equals(t_slow.schema)
+    assert t_fast.sort_by("id").to_pydict() == t_slow.sort_by("id").to_pydict()

@@ -317,3 +317,107 @@ def test_stream_rollup_insert_matches_batch_downsample(spark, tmp_path):
     }
     assert len(horizon) > 3
     assert finalized_got == horizon
+
+
+def test_out_of_order_policies_match_batch_equivalents(spark, tmp_path):
+    """Disorder stress: a finite source whose third micro-batch is LATE
+    beyond the watermark. The two policies the engine offers must both
+    match their batch equivalents (the reference accepts out-of-order
+    appends and merely invalidates its index — SURVEY §2.2; the
+    watermark policy is the scale extension):
+
+    * accept-all (stream_insert, no watermark): every row lands, in
+      ARRIVAL order (insertion-order APIs see arrival, not event time),
+      equal to a batch insert of the same rows.
+    * watermark drop (windowed_rollup + 30 min watermark, append mode):
+      the closed window's aggregate equals the batch aggregate over the
+      on-time rows only — the late row is dropped from state, and the
+      accept-all batch answer over ALL rows provably differs.
+    """
+    import glob
+    import os
+
+    src = str(tmp_path / "ooo_src")
+    batches = [
+        # b1: on-time rows 10:00..10:30
+        [Point(time=T0 + timedelta(hours=10, minutes=10 * j),
+               measurement="m", fields={"v": float(j)})
+         for j in range(4)],
+        # b2: 12:00 — starts advancing the watermark past the
+        # 10:00-11:00 window's end
+        [Point(time=T0 + timedelta(hours=12), measurement="m",
+               fields={"v": 100.0})],
+        # b3: 20:00 — a second advancing batch. Spark filters a batch's
+        # late input against the watermark computed BEFORE that batch
+        # (the drop guarantee is one-sided: data later than the
+        # watermark "may or may not" be dropped at the boundary), so
+        # the late row must arrive two batches after the event time
+        # that outdates it to be deterministically dropped.
+        [Point(time=T0 + timedelta(hours=20), measurement="m",
+               fields={"v": 200.0})],
+        # b4: LATE row inside the long-closed 10:00 window
+        [Point(time=T0 + timedelta(hours=10, minutes=15),
+               measurement="m", fields={"v": 999.0})],
+        # b5: on-time tail so the post-late trigger runs state eviction
+        [Point(time=T0 + timedelta(hours=21), measurement="m",
+               fields={"v": 201.0})],
+    ]
+    stamp = 1_700_000_000
+    seen: set = set()
+    for pts in batches:
+        points_to_df(spark, pts).coalesce(1).write.mode("append").parquet(src)
+        for f in sorted(glob.glob(f"{src}/*.parquet")):
+            if f not in seen:
+                os.utime(f, (stamp, stamp))
+                seen.add(f)
+                stamp += 100  # strictly increasing arrival order
+
+    all_pts = [p for b in batches for p in b]
+
+    # -- policy 1: accept-all ingest (reference semantics) --
+    store = ParquetStorage(str(tmp_path / "ooo_db"), spark)
+    stream = ingest.point_stream_from_files(
+        spark, src, POINT_SCHEMA, max_files_per_trigger=1
+    )
+    q = ingest.stream_insert(
+        store, stream, checkpoint_dir=str(tmp_path / "ooo_ckpt")
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    db = TinyFluxSpark(storage=store, spark=spark)
+    assert len(db) == len(all_pts)
+    # arrival order preserved: the late row sits AFTER the 12:00 row
+    arrival_vals = [p.fields["v"] for p in db.all(sorted=False)]
+    assert arrival_vals == [p.fields["v"] for p in all_pts]
+    # batch equivalent: same point set
+    assert sorted(arrival_vals) == sorted(
+        p.fields["v"] for p in all_pts
+    )
+
+    # -- policy 2: watermark drop in the windowed rollup --
+    stream2 = ingest.point_stream_from_files(
+        spark, src, POINT_SCHEMA, max_files_per_trigger=1
+    )
+    rollup = ingest.windowed_rollup(
+        stream2,
+        "time",
+        "1 hour",
+        [F.count("*").alias("n"), F.sum(F.col("fields")["v"]).alias("sv")],
+        group_cols=["measurement"],
+        watermark="30 minutes",
+    )
+    ingest.run_to_memory(rollup, "ooo_rollup", output_mode="append")
+    got = {
+        r["window"]["start"].replace(tzinfo=timezone.utc): (r["n"], r["sv"])
+        for r in spark.table("ooo_rollup").collect()
+    }
+    w10 = T0 + timedelta(hours=10)
+    assert w10 in got, got
+    on_time = [p for p in batches[0]]
+    want_n = len(on_time)
+    want_sv = sum(p.fields["v"] for p in on_time)
+    # matches the batch aggregate over on-time rows only...
+    assert got[w10] == (want_n, want_sv)
+    # ...and provably differs from the accept-all batch answer
+    accept_all_sv = want_sv + 999.0
+    assert got[w10][1] != accept_all_sv

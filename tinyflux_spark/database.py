@@ -1048,11 +1048,60 @@ class TinyFluxSpark:
         return n_old
 
     # -- measurement handles --------------------------------------------
-    def measurement(self, name: str) -> "Measurement":
+    def measurement(self, name: str, **kwargs) -> "Measurement":
         """Cached handle scoped to one measurement
-        (reference database.py:658-685)."""
+        (reference database.py:658-685; like the reference, extra
+        kwargs are accepted for drop-in compatibility and ignored —
+        the handle shares the database's storage)."""
         if name not in self._measurements:
             from .measurement import Measurement
 
             self._measurements[name] = Measurement(name, self)
         return self._measurements[name]
+
+    @property
+    def index(self) -> "CompatIndex":
+        """Drop-in stand-in for the reference's in-memory Index handle
+        (reference database.py:123-126, index.py:100-165). This engine
+        has no separate index to hold or invalidate — its 'index' is
+        the parquet layout itself (partition directories + column
+        stats, SURVEY §4), which every mutation keeps current via
+        staged partition swaps — so the handle reports always-valid."""
+        return CompatIndex(self)
+
+    def reindex(self) -> None:
+        """Reference-compat alias (reference database.py:687-714): the
+        equivalent maintenance operation here is :meth:`compact`, which
+        rewrites each partition's accumulated small files so scans and
+        min/max pruning stay tight."""
+        self.compact()
+
+
+class CompatIndex:
+    """Reference-compatible Index handle (reference index.py:100-165).
+
+    The reference maintains an in-memory index over its storage that
+    out-of-order writes invalidate; this engine's equivalent structure
+    is the parquet partition layout plus per-file column statistics,
+    which mutations rebuild atomically — so ``valid`` is always True
+    and ``reindex()`` never has stale state to repair. The handle
+    exists so reference code touching ``db.index.valid`` /
+    ``db.index.empty`` / ``len(db.index)`` runs unmodified.
+    """
+
+    def __init__(self, db: "TinyFluxSpark") -> None:
+        self._db = db
+
+    @property
+    def valid(self) -> bool:
+        return True
+
+    @property
+    def empty(self) -> bool:
+        return len(self._db) == 0
+
+    def __len__(self) -> int:
+        return len(self._db)
+
+    def __repr__(self) -> str:  # mirrors reference index.py repr shape
+        return f"<CompatIndex _all_points={len(self)} valid=True>"

@@ -27,6 +27,18 @@ class Measurement:
     def name(self) -> str:
         return self._name
 
+    @property
+    def index(self):
+        """Reference-compat: the database's index handle (reference
+        measurement.py:64-72)."""
+        return self._db.index
+
+    @property
+    def storage(self):
+        """Reference-compat: the database's storage instance (reference
+        measurement.py:74-82)."""
+        return self._db.storage
+
     def __repr__(self) -> str:
         return f"<Measurement name={self._name}>"
 

@@ -3,12 +3,17 @@ columns with typed metadata.
 
 The Spark-side machinery here is real and tested — schema, partition-
 preserving ``mapInPandas`` operators with Arrow batch transfer, UDF
-signatures, batch shapes. The actual media codecs are NOT (no
-PIL/ffmpeg/librosa in this environment): ``decode=`` defaults to a
-clearly-marked stub that either raises ``NotImplementedError``
-(``strict=True``) or produces a deterministic fake derived from the
-bytes, so pipelines are exercisable end-to-end today and the codec can
-be dropped in later without touching the plumbing.
+signatures, batch shapes. Two decode modes ship:
+
+* :func:`media_decode` — a REAL codec path built on the standard
+  library: PNG (zlib inflate + scanline unfiltering, all five PNG
+  filter types) and WAV (RIFF parse via the ``wave`` module). No
+  third-party imaging/audio package exists in this environment, so the
+  container formats exercised are the stdlib-codable ones; JPEG/MP4
+  decode would drop into the same dispatcher.
+* ``_stub_decode`` — the deterministic md5-fold fake, kept as the
+  oracle-replayable mode (``decode=None, strict=False``) for pipelines
+  that need a SQL-replayable signal without real bytes.
 
 At scale: media rows are large (MBs); operators keep ``bytes`` out of
 shuffles — feature extraction projects to small vectors *before* any
@@ -19,6 +24,10 @@ batches stay within executor memory.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from typing import Callable, Iterator, Optional
 
 import numpy as np
@@ -57,6 +66,149 @@ def _stub_decode(data: bytes, kind: str) -> np.ndarray:
             for j in range(4 * FEATURE_DIM)
         ]
     )
+
+
+# ---------------------------------------------------------------------
+# Real stdlib codecs: PNG (8-bit grayscale) and WAV (PCM int16 mono).
+# ---------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """Encode a 2-D list/array of 8-bit grayscale pixels as a real PNG
+    (signature, IHDR, one zlib IDAT, IEND — readable by any viewer).
+    ``filter_type`` applies PNG scanline filter 0 (None), 1 (Sub) or
+    2 (Up) to every row — the encoded stream differs but decodes to the
+    same pixels, which the round-trip tests use to exercise the
+    decoder's unfiltering paths."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.uint8)
+    for r in range(h):
+        row = px[r]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub: delta vs left neighbor
+            left = np.concatenate(([0], row[:-1])).astype(np.uint8)
+            filt = (row.astype(np.int16) - left).astype(np.uint8)
+        elif filter_type == 2:  # Up: delta vs row above
+            filt = (row.astype(np.int16) - prev).astype(np.uint8)
+        else:
+            raise ValueError("encoder supports filter types 0, 1, 2")
+        raw.append(filter_type)
+        raw.extend(filt.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit grayscale PNG to an (h, w) uint8 array: chunk
+    walk, zlib inflate, and per-scanline unfiltering for all five PNG
+    filter types (None/Sub/Up/Average/Paeth)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if depth != 8 or ctype != 0:
+                raise ValueError("decoder supports 8-bit grayscale only")
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    out = np.zeros((h, w), dtype=np.uint8)
+    stride = w + 1
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        ft, scan = line[0], np.frombuffer(line[1:], dtype=np.uint8).copy()
+        up = out[r - 1] if r else np.zeros(w, dtype=np.uint8)
+        if ft == 0:
+            out[r] = scan
+        elif ft == 1:  # Sub
+            acc = 0
+            for c in range(w):
+                acc = (int(scan[c]) + acc) & 0xFF
+                out[r, c] = acc
+        elif ft == 2:  # Up
+            out[r] = (scan.astype(np.int16) + up).astype(np.uint8)
+        elif ft == 3:  # Average
+            for c in range(w):
+                left = int(out[r, c - 1]) if c else 0
+                out[r, c] = (int(scan[c]) + (left + int(up[c])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for c in range(w):
+                a = int(out[r, c - 1]) if c else 0
+                b, cc = int(up[c]), (int(out[r - 1, c - 1]) if r and c else 0)
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                out[r, c] = (int(scan[c]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+    return out
+
+
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """Encode int16 samples as a real mono PCM WAV via the stdlib
+    ``wave`` module."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(
+            np.asarray(samples, dtype="<i2").tobytes()
+        )
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> np.ndarray:
+    """Decode a PCM WAV to its int16 samples (mono; first channel)."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("decoder supports 16-bit PCM only")
+        frames = wf.readframes(wf.getnframes())
+        arr = np.frombuffer(frames, dtype="<i2")
+        if wf.getnchannels() > 1:
+            arr = arr[:: wf.getnchannels()]
+    return arr
+
+
+def media_decode(data: bytes, kind: str) -> np.ndarray:
+    """REAL decode dispatcher: container sniffed from magic bytes
+    (PNG signature / RIFF), signal returned as raw sample values
+    (grayscale pixels 0..255 row-major; int16 audio samples) as float64
+    — integers exact in double, so downstream pooled means are
+    bit-reproducible in any engine."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data).reshape(-1).astype(np.float64)
+    if data[:4] == b"RIFF":
+        return decode_wav(data).astype(np.float64)
+    raise ValueError(f"unrecognized media container for kind={kind!r}")
 
 
 def extract_features(
@@ -164,11 +316,40 @@ def resize_plan(df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
-def synthetic_media(spark, n: int = 32, kind: str = "image") -> DataFrame:
-    """Deterministic fake media table for tests (no codecs needed)."""
+def synthetic_pixels(i: int, size: int = 16) -> np.ndarray:
+    """The deterministic test pattern for media item ``i``: pixel(r, c)
+    = (i*31 + r*8 + c*7) mod 256 — closed-form, so a SQL oracle can
+    recompute every pixel without a PNG codec."""
+    r = np.arange(size).reshape(-1, 1)
+    c = np.arange(size).reshape(1, -1)
+    return ((i * 31 + r * 8 + c * 7) % 256).astype(np.uint8)
+
+
+def synthetic_samples(i: int, n_samples: int = 64) -> np.ndarray:
+    """Deterministic int16 audio pattern: s(j) = (i*73 + j*29) mod 4096
+    - 2048."""
+    j = np.arange(n_samples)
+    return ((i * 73 + j * 29) % 4096 - 2048).astype(np.int16)
+
+
+def synthetic_media(
+    spark, n: int = 32, kind: str = "image", codec: str = "hash"
+) -> DataFrame:
+    """Deterministic media table for tests.
+
+    ``codec="hash"`` keeps the legacy opaque payload (sha256-derived
+    bytes the stub decode folds). ``codec="png"`` / ``codec="wav"``
+    emit REAL container bytes — encode_png/encode_wav of the
+    closed-form synthetic patterns — for exercising the real decode
+    path end-to-end."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"{kind}:{i}".encode()).digest() * 8
+        if codec == "png":
+            payload = encode_png(synthetic_pixels(i))
+        elif codec == "wav":
+            payload = encode_wav(synthetic_samples(i))
+        else:
+            payload = hashlib.sha256(f"{kind}:{i}".encode()).digest() * 8
         rows.append(
             (
                 i,
