@@ -1596,6 +1596,58 @@ def q76_quality_filter(spark, sf_dir):
     )
 
 
+def q77_bm25_scores(spark, sf_dir):
+    """BM25 relevance of every document against a fixed query-term bag.
+    The IN-filter on query terms applies at the token explode, so only
+    matching (doc, term) rows reach a shuffle; corpus stats (N, avgdl)
+    and per-term document frequencies are tiny broadcast aggregates."""
+    from tinyflux_spark.operators.text import bm25_scores
+
+    docs = _t("documents")(spark, sf_dir)
+    out = bm25_scores(docs, ["hash", "join", "vector"], "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_matched_terms",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q78_quantize_embeddings(spark, sf_dir):
+    """Scalar int8 max-abs quantization of the embedding column — the
+    4x storage/serving compression step for a 100 TB vector table.
+    Fully narrow (one higher-order pass per row, no shuffle); outputs
+    flattened to scalars so the cross-engine compare is type-exact."""
+    from tinyflux_spark.operators.similarity import quantize_embeddings
+
+    emb = _t("embeddings")(spark, sf_dir)
+    q = quantize_embeddings(emb, "embedding", "vec_id")
+    sum_abs_q = F.aggregate(
+        "q", F.lit(0).cast("long"), lambda acc, v: acc + F.abs(v)
+    )
+    return q.select(
+        F.col("id").alias("vec_id"),
+        F.round("scale", 6).alias("scale"),
+        F.col("q")[0].alias("q0"),
+        F.col("q")[1].alias("q1"),
+        F.element_at("q", -1).alias("q_last"),
+        F.col("n_clipped").cast("long").alias("n_clipped"),
+        sum_abs_q.alias("sum_abs_q"),
+    )
+
+
+def q79_edit_distance_pairs(spark, sf_dir):
+    """Character-level near-dup pairs: SimHash pigeonhole bands generate
+    candidates, exact Levenshtein (threshold early-exit) verifies
+    distance <= 100 on normalized text — catches typo/OCR-noise dups
+    that word-shingle Jaccard under-scores."""
+    from tinyflux_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t("documents")(spark, sf_dir)
+    return edit_distance_pairs(
+        docs, "doc_id", max_distance=100, bits=32, max_hamming=3
+    ).select("id_a", "id_b", F.col("edit_distance").cast("int").alias("edit_distance"))
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1692,6 +1744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_get_tag_keys": q39_get_tag_keys,
         "q40_get_field_values": q40_get_field_values,
         "q41_get_timestamps": q41_get_timestamps,
+        "q77_bm25_scores": q77_bm25_scores,
+        "q78_quantize_embeddings": q78_quantize_embeddings,
+        "q79_edit_distance_pairs": q79_edit_distance_pairs,
     }
 
 
@@ -3012,5 +3067,93 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, len(reasons) = 0 AS keep, reasons
             FROM verdict
+        """,
+        # BM25 with +1-smoothed idf; arithmetic written in the exact
+        # association order the Spark expression evaluates so the
+        # float results match bit-for-bit before the 6dp round.
+        "q77_bm25_scores": """
+            WITH base AS (
+                SELECT doc_id,
+                       len(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS dl,
+                       string_split_regex(lower(trim(text)), '\\s+')
+                           AS toks
+                FROM documents
+            ),
+            stats AS (
+                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base
+            ),
+            tf AS (
+                SELECT doc_id, dl, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, dl, UNNEST(toks) AS term FROM base)
+                WHERE term IN ('hash', 'join', 'vector')
+                GROUP BY 1, 2, 3
+            ),
+            dfreq AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS term_df
+                FROM tf GROUP BY 1
+            )
+            SELECT doc_id, COUNT(*) AS n_matched_terms,
+                   ROUND(SUM(
+                       ln(1.0 + (n_docs - term_df + 0.5) / (term_df + 0.5))
+                       * ((tf * (1.2 + 1))
+                          / (tf + 1.2 * ((1 - 0.75)
+                                         + (0.75 * dl) / avgdl)))
+                   ), 6) AS score
+            FROM tf JOIN dfreq USING (term), stats
+            GROUP BY doc_id
+        """,
+        "q78_quantize_embeddings": """
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) AS scale
+                FROM emb
+            ),
+            qq AS (
+                SELECT vec_id, scale,
+                       list_transform(e, x ->
+                           CASE WHEN scale = 0 THEN 0
+                                ELSE CAST(ROUND(x / scale * 127, 0) AS INT)
+                           END) AS q
+                FROM s
+            )
+            SELECT vec_id, ROUND(scale, 6) AS scale,
+                   q[1] AS q0, q[2] AS q1, q[len(q)] AS q_last,
+                   CAST(len(list_filter(q, v -> abs(v) = 127))
+                        AS BIGINT) AS n_clipped,
+                   CAST(list_sum(list_transform(q, v -> abs(v)))
+                        AS BIGINT) AS sum_abs_q
+            FROM qq
+        """,
+        "q79_edit_distance_pairs": f"""
+            WITH {_simhash_sig_cte()},
+            banded AS (
+                SELECT doc_id, simhash, CAST(band AS INT) AS band,
+                       (simhash >> (CAST(band AS INT) * 8)) & 255 AS bval
+                FROM sigs, UNNEST(range(0, 4)) AS t(band)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.simhash AS sig_a, b.simhash AS sig_b
+                FROM banded a
+                JOIN banded b ON a.band = b.band AND a.bval = b.bval
+                WHERE a.doc_id < b.doc_id
+            ),
+            ham AS (
+                SELECT id_a, id_b FROM cand
+                WHERE bit_count(xor(sig_a, sig_b)) <= 3
+            )
+            SELECT id_a, id_b,
+                   CAST(levenshtein(na.t, nb.t) AS INT) AS edit_distance
+            FROM ham
+            JOIN norm na ON na.doc_id = id_a
+            JOIN norm nb ON nb.doc_id = id_b
+            WHERE levenshtein(na.t, nb.t) <= 100
         """,
     }

@@ -479,6 +479,19 @@ def main() -> None:
         derived["calibration"] = _calibration(spark)
     except Exception as e:  # noqa: BLE001 — telemetry only
         derived["calibration"] = {"error": repr(e)[:120]}
+    if isinstance(derived.get("calibration"), dict) and derived[
+        "calibration"
+    ].get("spark_action_floor_ms"):
+        floor_ms = derived["calibration"]["spark_action_floor_ms"]
+        derived["floor_note"] = (
+            "sequential qps is bounded by Spark's per-action dispatch "
+            f"floor (calibration.spark_action_floor_ms={floor_ms} on "
+            f"this run -> ceiling ~{round(1000.0 / floor_ms)} qps even "
+            "for an empty result); the in-process reference pays no "
+            "such floor at 100k rows. Overlapped throughput "
+            "(query_qps_concurrent16) is the figure a multi-client or "
+            "cluster deployment sees."
+        )
     if ingest is not None:
         derived["bulk_ingest_pts_per_sec"] = round(ingest["pts_per_sec"], 1)
         derived["bulk_ingest_rows"] = ingest["rows"]

@@ -998,3 +998,86 @@ def test_quality_filter_matches_python_model(spark):
             assert got[i] == model(doc), (doc, got[i], model(doc))
 
     run()
+
+
+# ---------------- extension round 4: bm25 / quantize / edit distance --
+
+def test_bm25_scores_match_python_model(spark):
+    """BM25 against a hand-computed model on a tiny corpus."""
+    import math
+
+    corpus = [
+        (0, "hash join hash probe build"),
+        (1, "vector scan filter"),
+        (2, "nothing relevant here"),
+        (3, "hash"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    out = {
+        r["id"]: (r["n_matched_terms"], r["score"])
+        for r in text.bm25_scores(df, ["hash", "vector"], "doc_id").collect()
+    }
+    # doc 2 has zero matches -> absent
+    assert set(out) == {0, 1, 3}
+    n_docs, k1, b = 4, 1.2, 0.75
+    dls = {i: len(t.split()) for i, t in corpus}
+    avgdl = sum(dls.values()) / n_docs
+    dfreq = {"hash": 2, "vector": 1}
+    tfs = {0: {"hash": 2}, 1: {"vector": 1}, 3: {"hash": 1}}
+
+    def idf(t):
+        return math.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+
+    for i, terms in tfs.items():
+        want = sum(
+            idf(t)
+            * (tf * (k1 + 1))
+            / (tf + k1 * ((1 - b) + (b * dls[i]) / avgdl))
+            for t, tf in terms.items()
+        )
+        assert out[i][0] == len(terms)
+        assert abs(out[i][1] - want) < 1e-9
+
+
+def test_quantize_embeddings_roundtrip_properties(spark):
+    rows = [
+        (0, [0.5, -1.0, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),   # zero vector -> scale 0, q all 0
+        (2, [2.0, 2.0, -2.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["id"]: r for r in similarity.quantize_embeddings(
+        df, "embedding", "vec_id").collect()}
+    assert out[0]["scale"] == 1.0
+    assert out[0]["q"] == [64, -127, 32, 0]  # round(0.5*127)=63.5->64
+    assert out[0]["n_clipped"] == 1
+    assert out[1]["scale"] == 0.0 and out[1]["q"] == [0, 0, 0, 0]
+    assert out[2]["q"] == [127, 127, -127, 64]
+    assert out[2]["n_clipped"] == 3
+    # dequantization error bounded by scale / (2 * 127)
+    for r in rows:
+        vec, q, scale = r[1], out[r[0]]["q"], out[r[0]]["scale"]
+        for x, qi in zip(vec, q):
+            deq = qi * scale / 127 if scale else 0.0
+            assert abs(x - deq) <= scale / 254 + 1e-12
+
+
+def test_edit_distance_pairs_detects_typos(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fax jumps over the lazy dog tonight"),  # 1 edit
+        (2, "completely different content on another topic entirely"),
+        (3, "the quick brown fox jumps over the lazy dog tonight"),  # exact
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in dedup.edit_distance_pairs(
+            df, "doc_id", max_distance=5
+        ).collect()
+    }
+    assert out.get((0, 3)) == 0      # identical
+    assert out.get((0, 1)) == 1      # one substitution
+    assert out.get((1, 3)) == 1
+    # unrelated doc never paired within the distance budget
+    assert all(2 not in k for k in out)

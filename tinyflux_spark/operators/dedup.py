@@ -755,3 +755,41 @@ def contamination_hits(
             F.min("shingle").alias("sample_shingle"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_distance: int = 40,
+    bits: int = 32,
+    max_hamming: int = 3,
+    use_md5: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs by EDIT DISTANCE: SimHash pigeonhole bands
+    generate candidates, then exact Levenshtein (Spark's built-in, with
+    the early-exit threshold) verifies ``distance <= max_distance`` on
+    the normalized texts. Returns (id_a, id_b, edit_distance).
+
+    The character-level complement to the token-level Jaccard family:
+    catches small in-word edits (typos, OCR noise) that word-shingle
+    overlap scores poorly. Scale shape: candidates come from the
+    banded signature equi-join (never |docs|²) and the O(len·len)
+    Levenshtein runs on candidate pairs only, with the threshold
+    variant bailing out after ``max_distance`` diagonal deviations.
+    """
+    cand = simhash_pairs(
+        df, id_col, text_col, bits, max_hamming, use_md5
+    ).select("id_a", "id_b")
+    texts = df.select(
+        F.col(id_col).alias("_tid"), _norm_text(text_col).alias("_t")
+    )
+    a = texts.select(F.col("_tid").alias("id_a"), F.col("_t").alias("t_a"))
+    b = texts.select(F.col("_tid").alias("id_b"), F.col("_t").alias("t_b"))
+    lev = F.levenshtein(F.col("t_a"), F.col("t_b"), max_distance)
+    return (
+        a.join(F.broadcast(cand), "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", lev.alias("edit_distance"))
+        .where(F.col("edit_distance") >= 0)
+    )

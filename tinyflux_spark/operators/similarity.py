@@ -585,3 +585,39 @@ def srp_topk_indexed(
     buckets = spark.read.parquet(_os.path.join(path, "buckets"))
     cand = buckets.where(F.col("_bucket").isin(list(probes)))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Scalar (symmetric max-abs) int quantization of an embedding
+    column — the serving/storage compression step for a 100 TB vector
+    table (4 bytes → 1 byte per dimension at bits=8, decoded as
+    x ≈ q * scale / qmax).
+
+    Returns ``(id, scale, q: array<int>, n_clipped)`` where scale is
+    the vector's max |x|, q_i = round(x_i / scale * qmax) in
+    [-qmax, qmax], and n_clipped counts saturated dimensions (|q| ==
+    qmax — with max-abs scaling only the argmax dimensions saturate).
+    Fully narrow: one higher-order-function pass per row, no shuffle,
+    no UDF; an all-zero vector quantizes to scale 0 and all-zero q.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, F.abs))
+    q = F.transform(
+        e,
+        lambda x: F.when(scale == 0, F.lit(0)).otherwise(
+            F.round(x / scale * qmax, 0).cast("int")
+        ),
+    )
+    n_clipped = F.size(F.filter(q, lambda v: F.abs(v) == qmax))
+    return df.select(
+        F.col(id_col).alias("id"),
+        scale.alias("scale"),
+        q.alias("q"),
+        n_clipped.alias("n_clipped"),
+    )

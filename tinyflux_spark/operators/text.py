@@ -470,3 +470,67 @@ def chunk_documents(
             F.array_join("_c.words", " ").alias("chunk_text"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms:
+    ``(id, n_matched_terms, score)``; zero-match documents are absent
+    (the result is a ranking candidate set, like contamination_hits).
+
+    Uses the standard Robertson/Sparck-Jones formulation with the
+    +1-smoothed idf: idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Scale shape: the query-term IN-filter applies at the token explode —
+    only matching (doc, term) rows ever reach a shuffle, so the corpus
+    cost is one tokenize pass regardless of |query|. Corpus statistics
+    (N, avgdl) are a one-row aggregate and per-term document
+    frequencies are |query|-row aggregates; both broadcast back. No
+    collect(), no corpus-wide wide rows.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(toks).alias("dl"),
+        toks.alias("_toks"),
+    )
+    # one-row corpus stats; broadcast to every downstream row
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("id", "dl", F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("id").alias("term_df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("term_df") + 0.5)
+        / (F.col("term_df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_matched_terms"),
+            F.sum(contrib).alias("score"),
+        )
+    )
