@@ -239,13 +239,6 @@ def ngram_jaccard_pairs(
     sh = ex.withColumn(
         "n_shingles", F.count("*").over(Window.partitionBy("id"))
     )
-    if max_shingle_freq is not None:
-        freq_cut = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        sh = (
-            sh.join(
-                freq_cut.where(F.col("_df") <= max_shingle_freq), "shingle"
-            ).drop("_df")
-        )
 
     # Prefix filtering (AllPairs/PPJoin): two docs with Jaccard >= t MUST
     # share a shingle within each one's first (n - ceil(t*n) + 1)
@@ -254,8 +247,18 @@ def ngram_jaccard_pairs(
     # join fans out on rare keys instead of stop-shingles — this is what
     # turns the O(sum df^2) hot-key blow-up into candidates proportional
     # to true near-duplicates. Exact: no false negatives.
+    #
+    # ONE document-frequency aggregate serves both the df-cut and the
+    # rarity ordering (they were two identical groupBys before): the cut
+    # filters inverted-index rows before ranking, and ordering by the
+    # PRE-cut frequency is still a consistent global order, which is all
+    # prefix filtering requires. n_shingles stays pre-cut so the length
+    # filter and prefix bound reflect true set sizes.
     freq = sh.groupBy("shingle").agg(F.count("*").alias("_gdf"))
-    ranked = sh.join(freq, "shingle").withColumn(
+    ranked = sh.join(freq, "shingle")
+    if max_shingle_freq is not None:
+        ranked = ranked.where(F.col("_gdf") <= max_shingle_freq)
+    ranked = ranked.withColumn(
         "_pos",
         F.row_number().over(
             Window.partitionBy("id").orderBy("_gdf", "shingle")
