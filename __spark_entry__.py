@@ -1648,6 +1648,24 @@ def q79_edit_distance_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.col("edit_distance").cast("int").alias("edit_distance"))
 
 
+def q80_incremental_dedup_join(spark, sf_dir):
+    """Incremental-ingest dedup: near-dup pairs BETWEEN a 'new shard'
+    (doc_id % 5 == 0) and the 'existing corpus' (the rest) via the
+    asymmetric MinHash-LSH join — the corpus side never self-joins and
+    its signatures are reusable across ingest batches."""
+    from tinyflux_spark.operators.dedup import minhash_lsh_join
+
+    docs = _t("documents")(spark, sf_dir)
+    left = docs.where(F.col("doc_id") % 5 == 0)
+    right = docs.where(F.col("doc_id") % 5 != 0)
+    return minhash_lsh_join(
+        left, right, "doc_id", num_hashes=12, bands=4,
+        verify_threshold=0.7,
+    ).select(
+        "id_left", "id_right", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1747,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_bm25_scores": q77_bm25_scores,
         "q78_quantize_embeddings": q78_quantize_embeddings,
         "q79_edit_distance_pairs": q79_edit_distance_pairs,
+        "q80_incremental_dedup_join": q80_incremental_dedup_join,
     }
 
 
@@ -1782,6 +1801,32 @@ jac AS (
     JOIN cnt ca ON ca.doc_id = id_a
     JOIN cnt cb ON cb.doc_id = id_b
 )"""
+
+
+# Banded MinHash signature CTEs (consumes `sh` from _SHINGLE_CTE; ends
+# in banded(doc_id, band, bsig)). Hash i = the (i % 4)-th 8-hex window
+# of md5((i // 4) || ':' || shingle); fixed-width lowercase hex min ==
+# numeric min (mirrors dedup._minhash_min_exprs). Shared by the q19
+# self-dedup and q80 incremental-join oracles so the family can't
+# drift between them.
+_MINHASH_BAND_CTE = """mh AS (
+                SELECT doc_id, CAST(h AS INT) AS h,
+                       MIN(substr(
+                           md5(CAST(h // 4 AS VARCHAR) || ':' || shingle),
+                           CAST((h % 4) * 8 + 1 AS INT), 8)) AS v
+                FROM sh, UNNEST(range(0, 12)) AS t(h)
+                GROUP BY 1, 2
+            ),
+            sigs AS (
+                SELECT doc_id, list(v ORDER BY h) AS sig FROM mh GROUP BY 1
+            ),
+            banded AS (
+                SELECT doc_id, CAST(band AS INT) AS band,
+                       array_to_string(
+                           sig[CAST(band*3+1 AS INT):CAST(band*3+3 AS INT)],
+                           '|') AS bsig
+                FROM sigs, UNNEST(range(0, 4)) AS t(band)
+            )"""
 
 
 def _hex_to_int_sql(hex_expr: str, digits: int) -> str:
@@ -2199,27 +2244,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q19_minhash_lsh_pairs": f"""
             WITH {_SHINGLE_CTE},
-            mh AS (
-                -- hash i = the (i % 4)-th 8-hex window of
-                -- md5((i // 4) || ':' || shingle); fixed-width hex
-                -- min == numeric min (mirrors _minhash_min_exprs)
-                SELECT doc_id, CAST(h AS INT) AS h,
-                       MIN(substr(
-                           md5(CAST(h // 4 AS VARCHAR) || ':' || shingle),
-                           CAST((h % 4) * 8 + 1 AS INT), 8)) AS v
-                FROM sh, UNNEST(range(0, 12)) AS t(h)
-                GROUP BY 1, 2
-            ),
-            sigs AS (
-                SELECT doc_id, list(v ORDER BY h) AS sig FROM mh GROUP BY 1
-            ),
-            banded AS (
-                SELECT doc_id, CAST(band AS INT) AS band,
-                       array_to_string(
-                           sig[CAST(band*3+1 AS INT):CAST(band*3+3 AS INT)],
-                           '|') AS bsig
-                FROM sigs, UNNEST(range(0, 4)) AS t(band)
-            ),
+            {_MINHASH_BAND_CTE},
             cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM banded a
@@ -3155,5 +3180,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN norm na ON na.doc_id = id_a
             JOIN norm nb ON nb.doc_id = id_b
             WHERE levenshtein(na.t, nb.t) <= 100
+        """,
+        # Same signature family as q19 (shared CTE); candidates are the
+        # left×right band collisions, jaccard comes from the exact
+        # all-pairs CTE keyed by (min, max).
+        "q80_incremental_dedup_join": f"""
+            WITH {_SHINGLE_CTE},
+            {_MINHASH_BAND_CTE},
+            cand AS (
+                SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right
+                FROM banded l
+                JOIN banded r ON l.band = r.band AND l.bsig = r.bsig
+                WHERE l.doc_id % 5 = 0 AND r.doc_id % 5 <> 0
+            )
+            SELECT c.id_left, c.id_right, j.jaccard
+            FROM cand c
+            JOIN jac j ON j.id_a = least(c.id_left, c.id_right)
+                      AND j.id_b = greatest(c.id_left, c.id_right)
+            WHERE j.jaccard >= 0.7
         """,
     }

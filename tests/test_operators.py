@@ -1081,3 +1081,38 @@ def test_edit_distance_pairs_detects_typos(spark):
     assert out.get((1, 3)) == 1
     # unrelated doc never paired within the distance budget
     assert all(2 not in k for k in out)
+
+
+def test_minhash_lsh_join_incremental(spark):
+    """Asymmetric LSH join: finds cross-corpus near-dups only — no
+    left×left or right×right pairs — and matches the symmetric
+    operator's verified jaccard for the same pair."""
+    left = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "entirely unrelated content about query planners"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_left"], r["id_right"]): r["jaccard"]
+        for r in dedup.minhash_lsh_join(
+            left, right, "doc_id", verify_threshold=0.5
+        ).collect()
+    }
+    assert (100, 0) in out and out[(100, 0)] == 1.0
+    assert all(k[0] == 100 for k in out)   # left ids only on the left
+    # cross-check against the symmetric operator over the union
+    sym = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            left.unionByName(right), "doc_id", verify_threshold=0.5
+        ).collect()
+    }
+    for (l, r_), j in out.items():
+        assert sym[(min(l, r_), max(l, r_))] == j

@@ -796,3 +796,100 @@ def edit_distance_pairs(
         .select("id_a", "id_b", lev.alias("edit_distance"))
         .where(F.col("edit_distance") >= 0)
     )
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    verify_threshold: Optional[float] = 0.5,
+    unit: str = "word",
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora — the incremental-ingest
+    form of :func:`minhash_lsh_pairs`: check a new shard (``left``)
+    against the existing corpus (``right``) without ever self-joining
+    the corpus. Ids must be unique across left ∪ right. Returns
+    ``(id_left, id_right, jaccard)`` (or unverified candidate pairs
+    with ``verify_threshold=None``).
+
+    Scale shape: signatures are computed per side with the SAME hash
+    family (so the right side's signatures can be precomputed/persisted
+    once and reused every ingest batch); candidates come from a
+    left×right band equi-join that fans out on collisions, never
+    |left|·|right|; the exact-Jaccard verify touches candidate docs
+    only via the broadcast (pair, member, role) pattern.
+    """
+    r = num_hashes // bands
+
+    def _banded(df: DataFrame) -> DataFrame:
+        ex = exploded_shingles(df, id_col, text_col, n, unit,
+                               distinct=False)
+        sigs = ex.groupBy("id").agg(*_minhash_min_exprs(num_hashes))
+        band_cols = [
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"_h{bnd * r + j}") for j in range(r)]
+                ).alias("bsig"),
+            )
+            for bnd in range(bands)
+        ]
+        return (
+            sigs.select("id", F.explode(F.array(*band_cols)).alias("bs"))
+            .select("id", F.col("bs.band").alias("band"),
+                    F.col("bs.bsig").alias("bsig"))
+        )
+
+    bl = _banded(left).select(
+        "band", "bsig", F.col("id").alias("id_left")
+    )
+    br = _banded(right).select(
+        "band", "bsig", F.col("id").alias("id_right")
+    )
+    cands = (
+        bl.join(br, ["band", "bsig"])
+        .select("id_left", "id_right")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cands
+    roles = cands.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_left"), F.col("id_right"),
+                    F.col("id_left").alias("id"),
+                    F.lit("a").alias("role"),
+                ),
+                F.struct(
+                    F.col("id_left"), F.col("id_right"),
+                    F.col("id_right").alias("id"),
+                    F.lit("b").alias("role"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    ex_all = exploded_shingles(
+        left, id_col, text_col, n, unit, distinct=False
+    ).unionByName(
+        exploded_shingles(right, id_col, text_col, n, unit, distinct=False)
+    )
+    m = ex_all.join(F.broadcast(roles), "id")
+    g1 = m.groupBy("id_left", "id_right", "shingle").agg(
+        F.max(F.when(F.col("role") == "a", 1).otherwise(0)).alias("ha"),
+        F.max(F.when(F.col("role") == "b", 1).otherwise(0)).alias("hb"),
+    )
+    g2 = g1.groupBy("id_left", "id_right").agg(
+        F.sum(F.col("ha") * F.col("hb")).alias("common"),
+        F.sum("ha").alias("n_a"),
+        F.sum("hb").alias("n_b"),
+    )
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        g2.select("id_left", "id_right", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= verify_threshold)
+    )
