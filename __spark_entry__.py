@@ -1636,15 +1636,17 @@ def q78_quantize_embeddings(spark, sf_dir):
 
 
 def q79_edit_distance_pairs(spark, sf_dir):
-    """Character-level near-dup pairs: SimHash pigeonhole bands generate
-    candidates, exact Levenshtein (threshold early-exit) verifies
-    distance <= 100 on normalized text — catches typo/OCR-noise dups
-    that word-shingle Jaccard under-scores."""
+    """Character-level near-dup pairs: 64-bit SimHash pigeonhole bands
+    generate candidates (32-bit banding admits ~260x more false
+    candidates on this table, each paying an O(len·len) verify), exact
+    Levenshtein (threshold early-exit) verifies distance <= 100 on
+    normalized text — catches typo/OCR-noise dups that word-shingle
+    Jaccard under-scores."""
     from tinyflux_spark.operators.dedup import edit_distance_pairs
 
     docs = _t("documents")(spark, sf_dir)
     return edit_distance_pairs(
-        docs, "doc_id", max_distance=100, bits=32, max_hamming=3
+        docs, "doc_id", max_distance=100, bits=64, max_hamming=3
     ).select("id_a", "id_b", F.col("edit_distance").cast("int").alias("edit_distance"))
 
 
@@ -3156,30 +3158,77 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_abs_q
             FROM qq
         """,
+        # 64-bit SimHash in BIGINT-safe halves (bit 63 would overflow a
+        # signed shift-sum): lo32 holds token-hash bits 0..31 (md5 hex
+        # chars 9-16), hi32 bits 32..63 (chars 1-8) — mirroring the
+        # Spark hi<<32|lo assembly. Bands of 16 bits; hamming is the
+        # popcount sum over both halves.
         "q79_edit_distance_pairs": f"""
-            WITH {_simhash_sig_cte()},
+            WITH {_NORM_CTE},
+            toks AS (
+                SELECT doc_id, tok FROM (
+                    SELECT doc_id,
+                           UNNEST(string_split_regex(trim(t), '\\s+'))
+                               AS tok
+                    FROM norm
+                ) WHERE tok <> ''
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       {_hex_to_int_sql("substr(md5(tok), 1, 8)", 8)}
+                           AS hhi,
+                       {_hex_to_int_sql("substr(md5(tok), 9, 8)", 8)}
+                           AS hlo
+                FROM toks
+            ),
+            votes AS (
+                SELECT doc_id, CAST(bit AS INT) AS bit,
+                       SUM((((CASE WHEN bit < 32 THEN hlo ELSE hhi END)
+                             >> (CAST(bit AS INT) % 32)) & 1) * 2 - 1)
+                           AS s
+                FROM hashed, UNNEST(range(0, 64)) AS t(bit)
+                GROUP BY 1, 2
+            ),
+            sigs AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN s > 0 AND bit < 32
+                           THEN (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS lo32,
+                       CAST(SUM(CASE WHEN s > 0 AND bit >= 32
+                           THEN (CAST(1 AS BIGINT) << (bit - 32))
+                           ELSE 0 END) AS BIGINT) AS hi32
+                FROM votes GROUP BY doc_id
+            ),
             banded AS (
-                SELECT doc_id, simhash, CAST(band AS INT) AS band,
-                       (simhash >> (CAST(band AS INT) * 8)) & 255 AS bval
+                SELECT doc_id, lo32, hi32, CAST(band AS INT) AS band,
+                       CASE WHEN band < 2
+                            THEN (lo32 >> (CAST(band AS INT) * 16))
+                                 & 65535
+                            ELSE (hi32 >> ((CAST(band AS INT) - 2) * 16))
+                                 & 65535
+                       END AS bval
                 FROM sigs, UNNEST(range(0, 4)) AS t(band)
             ),
             cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                       a.simhash AS sig_a, b.simhash AS sig_b
+                       a.lo32 AS lo_a, a.hi32 AS hi_a,
+                       b.lo32 AS lo_b, b.hi32 AS hi_b
                 FROM banded a
                 JOIN banded b ON a.band = b.band AND a.bval = b.bval
                 WHERE a.doc_id < b.doc_id
             ),
             ham AS (
                 SELECT id_a, id_b FROM cand
-                WHERE bit_count(xor(sig_a, sig_b)) <= 3
+                WHERE bit_count(xor(lo_a, lo_b))
+                      + bit_count(xor(hi_a, hi_b)) <= 3
             )
             SELECT id_a, id_b,
                    CAST(levenshtein(na.t, nb.t) AS INT) AS edit_distance
             FROM ham
             JOIN norm na ON na.doc_id = id_a
             JOIN norm nb ON nb.doc_id = id_b
-            WHERE levenshtein(na.t, nb.t) <= 100
+            WHERE abs(length(na.t) - length(nb.t)) <= 100
+              AND levenshtein(na.t, nb.t) <= 100
         """,
         # Same signature family as q19 (shared CTE); candidates are the
         # left×right band collisions, jaccard comes from the exact

@@ -1070,10 +1070,14 @@ def test_edit_distance_pairs_detects_typos(spark):
         (3, "the quick brown fox jumps over the lazy dog tonight"),  # exact
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # bits=32 on this 10-token toy corpus: with so few tokens the
+    # per-bit vote margins are tiny, so a one-word edit flips more than
+    # max_hamming of a 64-bit signature's bits; 32 bits keeps the
+    # banding recall high where the default 64 targets real documents.
     out = {
         (r["id_a"], r["id_b"]): r["edit_distance"]
         for r in dedup.edit_distance_pairs(
-            df, "doc_id", max_distance=5
+            df, "doc_id", max_distance=5, bits=32
         ).collect()
     }
     assert out.get((0, 3)) == 0      # identical

@@ -510,10 +510,19 @@ def simhash(
     False uses xxhash64 (faster, Spark-only). Similar docs differ in few
     bits (hamming distance).
     """
-    # Signature is per-document: hash the in-row token array once, then
-    # for each bit sum the ±1 votes with F.aggregate over the hash
-    # array. Fully narrow — no explode, no shuffle (the alternative
-    # explodes |tokens| × bits rows through two groupBys).
+    # Explode tokens (one narrow Generate), hash each ONCE, then one
+    # groupBy(id) carrying `bits` codegen'd SUM(±1) vote aggregates —
+    # partial (map-side) aggregation reduces each partition to `bits`
+    # counters per doc before the exchange. This replaced an in-row
+    # formulation (per-bit F.aggregate lambdas over the token-hash
+    # array): higher-order functions are interpreted, and 64 array
+    # folds per row measured 3× slower than the codegen'd sums.
+    # explode_outer keeps empty documents in the output (signature 0,
+    # matching the fold's empty-accumulator result). shiftleft (not a
+    # 1<<63 literal) because the sign bit is a legal shift target but
+    # an overflowing long literal isn't; OR-fold (not SUM) because bit
+    # values are disjoint and OR can't overflow when bit 63 (negative
+    # as a long) participates.
     if bits > 64 or bits % 4:
         raise ValueError("bits must be a multiple of 4, at most 64")
 
@@ -538,31 +547,29 @@ def simhash(
         return F.xxhash64(tok)
 
     toks = F.filter(
-        F.split(F.trim(_norm_text(text_col)), r"\s+"), lambda t: t != ""
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
     )
-    hashes = F.transform(toks, _tok_hash)
-
-    # One parsed SQL expression for the whole signature. The Column-DSL
-    # formulation (an F.aggregate + lambda per bit, OR-folded) costs
-    # ~10 blocking py4j driver roundtrips per bit — ~1s of driver
-    # latency for 32 bits before any job starts; the string parses in
-    # one call to the identical integer-exact plan. Notes preserved
-    # from the DSL version: shiftleft (not a 1<<63 literal) because the
-    # sign bit is a legal shift target but an overflowing long literal
-    # isn't; OR-fold (not SUM) because bit values are disjoint and OR
-    # can't overflow when bit 63 (negative as a long) participates.
-    def _bit_sql(i: int) -> str:
-        return (
-            "(CASE WHEN aggregate(_h, 0L, (acc, h) -> acc + "
-            f"CAST(((shiftright(h, {i}) & 1) * 2 - 1) AS BIGINT)) > 0 "
-            f"THEN shiftleft(1L, {i}) ELSE 0L END)"
-        )
-
-    sig = F.expr(" | ".join(_bit_sql(i) for i in range(bits)))
-    return (
-        df.select(F.col(id_col).alias("id"), hashes.alias("_h"))
-        .select("id", sig.alias("simhash"))
+    hashed = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_a"))
+        .select("id", F.explode_outer("_a").alias("_tok"))
+        .select("id", _tok_hash(F.col("_tok")).alias("_h"))
     )
+    votes = [
+        F.sum(
+            F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_s{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy("id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        term = F.when(
+            F.col(f"_s{i}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -765,7 +772,7 @@ def edit_distance_pairs(
     id_col: str,
     text_col: str = "text",
     max_distance: int = 40,
-    bits: int = 32,
+    bits: int = 64,
     max_hamming: int = 3,
     use_md5: bool = True,
 ) -> DataFrame:
@@ -777,9 +784,13 @@ def edit_distance_pairs(
     The character-level complement to the token-level Jaccard family:
     catches small in-word edits (typos, OCR noise) that word-shingle
     overlap scores poorly. Scale shape: candidates come from the
-    banded signature equi-join (never |docs|²) and the O(len·len)
-    Levenshtein runs on candidate pairs only, with the threshold
-    variant bailing out after ``max_distance`` diagonal deviations.
+    banded signature equi-join (never |docs|²); 64-bit signatures are
+    the default because candidate volume is the whole cost model here
+    (32-bit banding admitted 260× more candidates on the documents
+    table — the O(len·len) Levenshtein amplifies every false
+    candidate). A length-difference prefilter (an exact lower bound on
+    edit distance) drops pairs before the DP, and the threshold
+    variant bails out once the distance provably exceeds the budget.
     """
     cand = simhash_pairs(
         df, id_col, text_col, bits, max_hamming, use_md5
@@ -793,6 +804,11 @@ def edit_distance_pairs(
     return (
         a.join(F.broadcast(cand), "id_a")
         .join(b, "id_b")
+        # |len(a) - len(b)| lower-bounds the edit distance: an exact,
+        # O(1) cut before the O(len·max_distance) DP.
+        .where(
+            F.abs(F.length("t_a") - F.length("t_b")) <= max_distance
+        )
         .select("id_a", "id_b", lev.alias("edit_distance"))
         .where(F.col("edit_distance") >= 0)
     )
