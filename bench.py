@@ -42,6 +42,8 @@ HEAVY = {
     "q33_media_features", "q36_stream_ewma",
     "q37_dml_update_unset_remove", "q38_get_contains",
     "q51_dedup_clusters", "q72_decontaminate",
+    "q78_quantize_embeddings", "q79_edit_distance_pairs",
+    "q80_incremental_dedup_join",
 }
 
 # Mutable result document: the SIGTERM/SIGINT handler dumps whatever is
