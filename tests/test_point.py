@@ -105,3 +105,25 @@ def test_csv_none_sentinel():
     q = Point.from_csv_row(row)
     assert q.tags["t"] is None
     assert q.fields["f"] is None
+
+
+def test_utils_freeze_reference_contract():
+    """freeze/FrozenDict drop-in surface (reference utils.py:7-58):
+    nested structures become hashable, equality with plain dicts holds,
+    and mutation raises."""
+    import pytest
+
+    from tinyflux_spark.utils import FrozenDict, freeze
+
+    frozen = freeze({"a": [1, 2, {"b": {3}}], "c": 4})
+    assert isinstance(frozen, FrozenDict)
+    assert frozen == {"a": (1, 2, FrozenDict(b=frozenset({3}))), "c": 4}
+    assert hash(frozen) == hash(freeze({"c": 4, "a": [1, 2, {"b": {3}}]}))
+    assert {frozen: "usable as a key"}[frozen] == "usable as a key"
+    with pytest.raises(TypeError):
+        frozen["a"] = 1
+    with pytest.raises(TypeError):
+        frozen.update({"x": 1})
+    with pytest.raises(TypeError):
+        del frozen["c"]
+    assert freeze(7) == 7 and freeze("s") == "s"
