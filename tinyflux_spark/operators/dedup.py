@@ -418,7 +418,18 @@ def minhash_lsh_pairs(
     preserving the sub-quadratic property.
     """
     r = num_hashes // bands
-    ex = exploded_shingles(df, id_col, text_col, n, unit, distinct=False)
+    # Explicit isnotnull(id) pre-filter: the verify join below infers
+    # it on ITS branch only, and that one pushed filter makes the two
+    # otherwise-identical shingle subtrees canonically unequal — which
+    # silently disabled exchange reuse, so the corpus was scanned,
+    # exploded and shuffle-written twice. With the filter on both
+    # branches, AQE reuses the exchange and the corpus pays one scan.
+    # (Null-id docs can never appear in a pair; dropping them up front
+    # is semantically free.)
+    ex = exploded_shingles(
+        df.where(F.col(id_col).isNotNull()),
+        id_col, text_col, n, unit, distinct=False,
+    )
     sigs = ex.groupBy("id").agg(*_minhash_min_exprs(num_hashes))
     band_cols = [
         F.struct(
@@ -842,7 +853,11 @@ def minhash_lsh_join(
     r = num_hashes // bands
 
     def _banded(df: DataFrame) -> DataFrame:
-        ex = exploded_shingles(df, id_col, text_col, n, unit,
+        # same isnotnull(id) alignment as minhash_lsh_pairs: keeps each
+        # side's shingle subtree canonically equal to its verify-branch
+        # twin so AQE reuses the exchange (one scan per side).
+        ex = exploded_shingles(df.where(F.col(id_col).isNotNull()),
+                               id_col, text_col, n, unit,
                                distinct=False)
         sigs = ex.groupBy("id").agg(*_minhash_min_exprs(num_hashes))
         band_cols = [
@@ -890,9 +905,13 @@ def minhash_lsh_join(
         ).alias("r")
     ).select("r.*")
     ex_all = exploded_shingles(
-        left, id_col, text_col, n, unit, distinct=False
+        left.where(F.col(id_col).isNotNull()),
+        id_col, text_col, n, unit, distinct=False,
     ).unionByName(
-        exploded_shingles(right, id_col, text_col, n, unit, distinct=False)
+        exploded_shingles(
+            right.where(F.col(id_col).isNotNull()),
+            id_col, text_col, n, unit, distinct=False,
+        )
     )
     m = ex_all.join(F.broadcast(roles), "id")
     g1 = m.groupBy("id_left", "id_right", "shingle").agg(
