@@ -421,3 +421,70 @@ def test_out_of_order_policies_match_batch_equivalents(spark, tmp_path):
     # ...and provably differs from the accept-all batch answer
     accept_all_sv = want_sv + 999.0
     assert got[w10][1] != accept_all_sv
+
+
+def test_stateless_curation_operators_compose_with_streams(spark, tmp_path):
+    """The narrow text-curation operators (quality_filter, scrub_text,
+    lang_id) are pure per-row maps, so they must run unchanged on a
+    readStream source and emit exactly the batch results — the
+    operator-compositionality contract that lets one pipeline definition
+    serve both the backfill (batch) and the live feed (stream)."""
+    from pyspark.sql import types as T
+
+    from tinyflux_spark.operators.text import (
+        lang_id,
+        quality_filter,
+        scrub_text,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog " * 4),
+        (1, "a b a b a b a b a b a b a b a b a b a b a b a b"),
+        (2, "contact me at alice@example.com or 555-123-4567 now " * 3),
+        (3, "El rápido zorro marrón salta sobre el perro perezoso " * 3),
+    ]
+    src = str(tmp_path / "curation_src")
+    df = spark.createDataFrame(rows, schema)
+    df.write.mode("overwrite").parquet(src)
+
+    def pipeline(d):
+        qf = quality_filter(
+            d, "doc_id", min_tokens=5, max_tokens=200,
+        ).select("doc_id", "keep", "reasons")
+        sc = scrub_text(d, "doc_id").select("doc_id", "scrubbed")
+        li = d.select("doc_id", lang_id("text").alias("lang_guess"))
+        return qf.join(sc, "doc_id").join(li, "doc_id")
+
+    batch = {
+        r["doc_id"]: (r["keep"], tuple(r["reasons"]), r["scrubbed"],
+                      r["lang_guess"])
+        for r in pipeline(df).collect()
+    }
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    # stateless ops need no watermark/output-mode ceremony: run the
+    # same pipeline via foreachBatch over the finite stream
+    got = {}
+
+    def sink(bdf, _epoch):
+        for r in pipeline(bdf).collect():
+            got[r["doc_id"]] = (
+                r["keep"], tuple(r["reasons"]), r["scrubbed"],
+                r["lang_guess"],
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "curation_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    assert got == batch and len(got) == 4
