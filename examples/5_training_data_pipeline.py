@@ -129,6 +129,31 @@ def main() -> None:
         f"{tokens['bpe_tokens']} bpe-ish"
     )
 
+    # 7. Incremental ingest: near-dup check a NEW shard against the
+    # curated corpus without self-joining the corpus (its signatures
+    # are reusable every batch), then keyword-rank and compress.
+    from tinyflux_spark.operators.dedup import minhash_lsh_join
+    from tinyflux_spark.operators.similarity import quantize_embeddings
+    from tinyflux_spark.operators.text import bm25_scores
+
+    new_shard = sampled.limit(20).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    incoming_dups = minhash_lsh_join(
+        new_shard, sampled, "doc_id", verify_threshold=0.7
+    ).count()
+    print(f"incremental batch: {incoming_dups} near-dups vs corpus")
+
+    ranked = bm25_scores(sampled, ["hash", "join", "vector"], "doc_id")
+    top = ranked.orderBy(F.desc("score")).limit(3).collect()
+    print("bm25 top-3:", [(r["id"], round(r["score"], 3)) for r in top])
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q8 = quantize_embeddings(emb, "embedding", "vec_id")
+    clip = q8.agg(F.avg("n_clipped").alias("c")).collect()[0]["c"]
+    print(f"int8 quantization: {emb.count()} vectors, "
+          f"avg {clip:.2f} clipped dims (4x smaller serving table)")
+
 
 if __name__ == "__main__":
     main()
