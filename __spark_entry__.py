@@ -1668,6 +1668,24 @@ def q80_incremental_dedup_join(spark, sf_dir):
     )
 
 
+def q81_corpus_profile(spark, sf_dir):
+    """Corpus data card: per-(lang, source) document counts, token
+    totals, exact mean/median tokens, character volume, and the
+    exact-duplicate rate — one all-codegen aggregation pass over
+    low-cardinality keys (the summary every curation run publishes)."""
+    from tinyflux_spark.operators.text import corpus_profile
+
+    docs = _t("documents")(spark, sf_dir)
+    out = corpus_profile(docs, "doc_id", "text", ("lang", "source"))
+    return out.select(
+        "lang", "source", "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "mean_tokens", "median_tokens",
+        F.col("total_chars").cast("long").alias("total_chars"),
+        "distinct_docs", "exact_dup_rate",
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1768,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_quantize_embeddings": q78_quantize_embeddings,
         "q79_edit_distance_pairs": q79_edit_distance_pairs,
         "q80_incremental_dedup_join": q80_incremental_dedup_join,
+        "q81_corpus_profile": q81_corpus_profile,
     }
 
 
@@ -3247,5 +3266,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN jac j ON j.id_a = least(c.id_left, c.id_right)
                       AND j.id_b = greatest(c.id_left, c.id_right)
             WHERE j.jaccard >= 0.7
+        """,
+        # quantile_cont == Spark's exact interpolated percentile; at
+        # p=0.5 over ints the interpolation is a representable .5
+        # midpoint, so the compare is bit-exact.
+        "q81_corpus_profile": """
+            WITH base AS (
+                SELECT lang, source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(
+                                lower(trim(text)), '\\s+')) END AS n_tokens,
+                       length(text) AS n_chars,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                          'g')) AS fp
+                FROM documents
+            )
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(n_tokens), 6) AS mean_tokens,
+                   quantile_cont(n_tokens, 0.5) AS median_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   COUNT(DISTINCT fp) AS distinct_docs,
+                   ROUND(1 - COUNT(DISTINCT fp) / COUNT(*), 6)
+                       AS exact_dup_rate
+            FROM base GROUP BY 1, 2
         """,
     }

@@ -1120,3 +1120,29 @@ def test_minhash_lsh_join_incremental(spark):
     }
     for (l, r_), j in out.items():
         assert sym[(min(l, r_), max(l, r_))] == j
+
+
+def test_corpus_profile_card(spark):
+    rows = [
+        (0, "a b c d", "en", "web"),
+        (1, "a b c d", "en", "web"),      # exact dup of 0
+        (2, "x y", "en", "web"),
+        (3, "uno dos tres", "es", "book"),
+        (4, "", "es", "book"),            # empty doc: 0 tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {
+        (r["lang"], r["source"]): r
+        for r in text.corpus_profile(df).collect()
+    }
+    web = out[("en", "web")]
+    assert web["n_docs"] == 3
+    assert web["total_tokens"] == 4 + 4 + 2
+    assert web["median_tokens"] == 4.0
+    assert web["distinct_docs"] == 2          # docs 0/1 collapse
+    assert web["exact_dup_rate"] == round(1 - 2 / 3, 6)
+    book = out[("es", "book")]
+    assert book["n_docs"] == 2
+    assert book["total_tokens"] == 3
+    assert book["median_tokens"] == 1.5       # interpolated midpoint
+    assert book["exact_dup_rate"] == 0.0

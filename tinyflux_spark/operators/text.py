@@ -540,3 +540,47 @@ def bm25_scores(
             F.sum(contrib).alias("score"),
         )
     )
+
+
+def corpus_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols=("lang", "source"),
+) -> DataFrame:
+    """Per-group corpus data card: the summary table every curation run
+    publishes alongside the dataset. One aggregation pass computes, per
+    group: document count, token totals, mean/median tokens per doc,
+    character volume, and the exact-duplicate rate (1 - distinct
+    normalized fingerprints / docs).
+
+    Scale shape: a single groupBy on low-cardinality keys with all-
+    codegen aggregates; the distinct-fingerprint count is Spark's
+    partial-distinct aggregation (no second shuffle of raw text — only
+    md5s travel). The median is exact (ints interpolate to .5 at worst,
+    both representable), not a sketch, because a data card is a
+    publishable artifact.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    t = F.trim(F.col(text_col))
+    n_tokens = F.when(t == "", F.lit(0)).otherwise(F.size(toks))
+    base = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.md5(
+            F.regexp_replace(F.lower(t), r"\s+", " ")
+        ).alias("fp"),
+    )
+    return base.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.percentile("n_tokens", 0.5).alias("median_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("fp").alias("distinct_docs"),
+        F.round(
+            1 - F.countDistinct("fp") / F.count("*"), 6
+        ).alias("exact_dup_rate"),
+    )
