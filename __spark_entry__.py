@@ -1686,6 +1686,75 @@ def q81_corpus_profile(spark, sf_dir):
     )
 
 
+def q82_remove_boilerplate(spark, sf_dir):
+    """C4-style corpus-level boilerplate removal at token granularity
+    (the corpus has no newline structure, so the span unit is the
+    token — a corpus-driven stopword/df-cut for index builds): delete
+    every span whose document frequency reaches 50% of the corpus.
+    Count pass shuffles only (md5, doc_id); the hot set broadcasts;
+    the single corpus-text shuffle is the per-document regroup."""
+    from tinyflux_spark.operators.text import remove_boilerplate_spans
+
+    docs = _t("documents")(spark, sf_dir)
+    out = remove_boilerplate_spans(
+        docs, "doc_id", "text", min_doc_frac=0.5
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "clean_text", "n_removed", "n_kept"
+    )
+
+
+def q83_temperature_sample(spark, sf_dir):
+    """Temperature-based language re-balancing (alpha = 0.5): each
+    language keeps rows at sqrt(n_min / n_lang), pulling the mix
+    toward p ∝ n^0.5 while keeping the smallest language whole. The
+    per-row keep decision is the deterministic md5 threshold, computed
+    per group from IEEE-exact sqrt — the oracle replays it bit-for-bit;
+    the corpus never shuffles (rate table broadcasts in)."""
+    from tinyflux_spark.operators.sampling import temperature_sample
+
+    docs = _t("documents")(spark, sf_dir)
+    out = temperature_sample(docs, "lang", "doc_id", alpha=0.5, salt="t83")
+    return out.select(
+        "doc_id", "lang", "source",
+        F.col("group_rows").cast("long").alias("group_rows"),
+        F.round("keep_rate", 6).alias("keep_rate"),
+    )
+
+
+def q84_interval_join(spark, sf_dir):
+    """Shipments in transit on each order date, via the bucketed range
+    join: transit intervals are [ship_day, ship_day + qty%28 + 3]
+    (deterministic integer arithmetic both engines replay), exploded
+    into 32-day bins and equi-joined against the broadcast distinct
+    order-date side — no shuffle for the join itself, no nested-loop
+    plan, residual BETWEEN on candidates only."""
+    from tinyflux_spark.operators.aggregates import interval_join
+
+    epoch = F.lit("1992-01-01")
+    points = (
+        _t("orders")(spark, sf_dir)
+        .select(F.datediff("o_orderdate", epoch).alias("order_day"))
+        .distinct()
+    )
+    intervals = _t("lineitem")(spark, sf_dir).select(
+        F.col("l_suppkey").alias("supp"),
+        F.datediff("l_shipdate", epoch).alias("start_day"),
+        (
+            F.datediff("l_shipdate", epoch)
+            + F.col("l_quantity").cast("int") % 28 + 3
+        ).alias("end_day"),
+    )
+    out = interval_join(
+        points, intervals, "order_day", "start_day", "end_day",
+        bin_width=32, broadcast_points=True,
+    )
+    return out.groupBy("order_day").agg(
+        F.count("*").alias("n_in_transit"),
+        F.countDistinct("supp").alias("n_suppliers"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1787,6 +1856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_edit_distance_pairs": q79_edit_distance_pairs,
         "q80_incremental_dedup_join": q80_incremental_dedup_join,
         "q81_corpus_profile": q81_corpus_profile,
+        "q82_remove_boilerplate": q82_remove_boilerplate,
+        "q83_temperature_sample": q83_temperature_sample,
+        "q84_interval_join": q84_interval_join,
     }
 
 
@@ -3290,5 +3362,94 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1 - COUNT(DISTINCT fp) / COUNT(*), 6)
                        AS exact_dup_rate
             FROM base GROUP BY 1, 2
+        """,
+        # Parallel unnests zip in DuckDB, so (span, pos) mirrors
+        # Spark's posexplode; string_agg(ORDER BY pos) restores span
+        # order and skips the CASE's NULLs exactly as concat_ws skips
+        # collect_list's.
+        "q82_remove_boilerplate": """
+            WITH s AS (
+                SELECT doc_id,
+                       string_split_regex(text, '\\s+') AS arr
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id, unnest(arr) AS span,
+                       unnest(range(1, len(arr) + 1)) AS pos
+                FROM s
+            ),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n_total FROM l),
+            hot AS (
+                SELECT md5(span) AS fp
+                FROM l WHERE length(trim(span)) >= 1
+                GROUP BY 1
+                HAVING COUNT(DISTINCT doc_id)
+                       >= (SELECT n_total FROM n) * 0.5
+            )
+            SELECT doc_id,
+                   COALESCE(string_agg(
+                       CASE WHEN md5(span) NOT IN (SELECT fp FROM hot)
+                            THEN span END, ' ' ORDER BY pos), '')
+                       AS clean_text,
+                   COUNT(*) FILTER (
+                       WHERE md5(span) IN (SELECT fp FROM hot))
+                       AS n_removed,
+                   COUNT(*) FILTER (
+                       WHERE md5(span) NOT IN (SELECT fp FROM hot))
+                       AS n_kept
+            FROM l GROUP BY doc_id
+        """,
+        # sqrt of an exact integer ratio is IEEE-correctly-rounded in
+        # both engines, so keep_rate and its 2^32 threshold are
+        # bit-identical; rate-1 groups short-circuit past the
+        # (lpad-truncated) threshold exactly as the Spark filter does.
+        "q83_temperature_sample": """
+            WITH c AS (
+                SELECT lang, COUNT(*) AS group_rows
+                FROM documents GROUP BY 1
+            ),
+            m AS (SELECT MIN(group_rows) AS n_min FROM c),
+            r AS (
+                SELECT lang, group_rows,
+                       sqrt(CAST((SELECT n_min FROM m) AS DOUBLE)
+                            / CAST(group_rows AS DOUBLE)) AS keep_rate
+                FROM c
+            ),
+            r2 AS (
+                SELECT lang, group_rows, keep_rate,
+                       lpad(lower(to_hex(CAST(round(
+                           keep_rate * 4294967296.0) AS BIGINT))),
+                           8, '0') AS th
+                FROM r
+            )
+            SELECT d.doc_id, d.lang, d.source,
+                   CAST(r2.group_rows AS BIGINT) AS group_rows,
+                   ROUND(r2.keep_rate, 6) AS keep_rate
+            FROM documents d JOIN r2 USING (lang)
+            WHERE r2.keep_rate >= 1.0
+               OR substr(md5('t83:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                  < r2.th
+        """,
+        # The naive BETWEEN join the bucketed range join must equal.
+        "q84_interval_join": """
+            WITH p AS (
+                SELECT DISTINCT date_diff('day', TIMESTAMP '1992-01-01',
+                                          o_orderdate) AS order_day
+                FROM orders
+            ),
+            i AS (
+                SELECT l_suppkey AS supp,
+                       date_diff('day', TIMESTAMP '1992-01-01',
+                                 l_shipdate) AS start_day,
+                       date_diff('day', TIMESTAMP '1992-01-01',
+                                 l_shipdate)
+                       + CAST(l_quantity AS INT) % 28 + 3 AS end_day
+                FROM lineitem
+            )
+            SELECT p.order_day, COUNT(*) AS n_in_transit,
+                   COUNT(DISTINCT i.supp) AS n_suppliers
+            FROM p JOIN i
+              ON p.order_day BETWEEN i.start_day AND i.end_day
+            GROUP BY 1
         """,
     }

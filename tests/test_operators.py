@@ -10,6 +10,7 @@ from tinyflux_spark.operators import (
     aggregates,
     dedup,
     multimodal,
+    sampling,
     similarity,
     text,
 )
@@ -1146,3 +1147,71 @@ def test_corpus_profile_card(spark):
     assert book["total_tokens"] == 3
     assert book["median_tokens"] == 1.5       # interpolated midpoint
     assert book["exact_dup_rate"] == 0.0
+
+
+def test_remove_boilerplate_spans_lines(spark):
+    nav = "Home | About | Contact"
+    rows = [
+        (0, nav + "\nunique alpha text\nCookie notice"),
+        (1, nav + "\ndifferent beta body\nCookie notice"),
+        (2, nav + "\n\ngamma paragraph"),       # keeps its empty line
+        (3, nav),                               # everything removed
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in text.remove_boilerplate_spans(
+            df, "doc_id", "text", delimiter="\n", joiner="\n",
+            min_doc_frac=0.5,
+        ).collect()
+    }
+    assert len(out) == 4                        # no doc rows lost
+    assert out[0]["clean_text"] == "unique alpha text"
+    assert out[0]["n_removed"] == 2 and out[0]["n_kept"] == 1
+    assert out[1]["clean_text"] == "different beta body"
+    # empty spans are never boilerplate, and order survives removal
+    assert out[2]["clean_text"] == "\ngamma paragraph"
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    import hashlib
+
+    rows = [(i, "big") for i in range(400)] + [
+        (i, "small") for i in range(400, 500)
+    ]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = sampling.temperature_sample(df, "grp", "id", alpha=0.5,
+                                      salt="tt").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r)
+    # the smallest group is kept whole at rate exactly 1
+    assert len(by_grp["small"]) == 100
+    assert all(r["keep_rate"] == 1.0 for r in by_grp["small"])
+    # the big group's rate is sqrt(n_min/n), and membership replays
+    # the md5 threshold exactly (pure function of (salt, id))
+    rate = math.sqrt(100 / 400)
+    thr = format(int(round(rate * (1 << 32))), "08x")
+    expect = {
+        i for i in range(400)
+        if hashlib.md5(f"tt:{i}".encode()).hexdigest()[:8] < thr
+    }
+    got = {r["id"] for r in by_grp["big"]}
+    assert got == expect
+    assert all(r["keep_rate"] == rate for r in by_grp["big"])
+    again = {
+        r["id"]
+        for r in sampling.temperature_sample(
+            df.repartition(7), "grp", "id", alpha=0.5, salt="tt"
+        ).collect()
+    }
+    assert again == {r["id"] for r in out}
+
+
+def test_temperature_sample_alpha_one_noop(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)], ["id", "grp"]
+    )
+    kept = sampling.temperature_sample(df, "grp", "id", alpha=1.0)
+    assert kept.count() == 60

@@ -321,12 +321,21 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # q77: the (n_docs, avgdl) corpus-stats aggregate is one row by
         # construction; its final-agg exchange is the bounded kind.
         "q77_bm25_scores",
+        # q82/q83: the total-doc-count / global-min-group-size
+        # aggregates are one row by construction (same bounded kind).
+        "q82_remove_boilerplate", "q83_temperature_sample",
     }
     # Keyless broadcast joins whose build side is provably one row:
     # q77 crossJoins the one-row corpus-stats aggregate into the
     # per-term rows — a 1-row BNLJ build is the correct plan, unlike a
     # data-sized nested-loop join.
-    bnlj_ok = {"q77_bm25_scores"}
+    bnlj_ok = {
+        "q77_bm25_scores",
+        # q82: 1-row total-doc-count build crossJoined into the span
+        # document-frequency table; q83: 1-row global-min build
+        # crossJoined into the per-group count table.
+        "q82_remove_boilerplate", "q83_temperature_sample",
+    }
     bad = {}
     for name, fn in em.queries().items():
         df = fn(spark, sf)

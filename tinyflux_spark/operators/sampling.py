@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_sample", "shard_assign", "stratified_quota"]
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "shard_assign",
+    "stratified_quota",
+    "temperature_sample",
+]
 
 # Number of distinct values of the 4-hex-digit hash prefix.
 _BUCKETS = 1 << 32
@@ -131,3 +137,65 @@ def stratified_quota(
         .where(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture re-balancing: down-sample each group
+    (language, source, domain) toward the mix ``p_g ∝ n_g^alpha`` used
+    for multilingual/multi-source training sets. Each group keeps rows
+    at rate ``(n_min / n_g)^(1 - alpha)``, so the smallest group is
+    kept whole (rate exactly 1), alpha=1 is a no-op, and alpha→0
+    equalizes all groups to ~n_min rows.
+
+    The per-row decision reuses :func:`hash_bucket`'s deterministic md5
+    threshold — reproducible across runs, partitionings and engines,
+    per-group instead of global. Plan shape: one tiny group-count
+    aggregate, a one-row global min cross-joined into it (bounded build
+    sides by construction), the resulting per-group rate table
+    broadcast-joined into the corpus, then a narrow codegen filter —
+    the corpus itself never shuffles.
+
+    At ``alpha=0.5`` (the common temperature) the rate is computed with
+    IEEE-exact ``sqrt`` of an exact integer ratio, so any IEEE engine
+    derives the bit-identical threshold — the DuckDB oracle replays it.
+    Other alphas go through ``pow``, which libms may round differently
+    in the last ulp; the decision could then differ for at most a
+    ~2^-32 sliver of ids per group.
+
+    Returns the kept rows with ``group_rows`` (the group's input size)
+    and ``keep_rate`` appended.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("group_rows"))
+    n_min = counts.agg(F.min("group_rows").alias("_n_min"))
+    ratio = F.col("_n_min") / F.col("group_rows")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    thresh = F.lpad(
+        F.lower(
+            F.hex(F.round(F.col("keep_rate") * _BUCKETS).cast("bigint"))
+        ),
+        8,
+        "0",
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(group_col, "group_rows", rate.alias("keep_rate"))
+        .withColumn("_thresh", thresh)
+    )
+    kept = df.join(F.broadcast(rates), group_col).where(
+        # rate-1 groups keep everything regardless of _thresh, whose
+        # 2^32 value would not survive the 8-hex lpad truncation.
+        (F.col("keep_rate") >= 1.0)
+        | (hash_bucket(id_col, salt) < F.col("_thresh"))
+    )
+    return kept.drop("_thresh")

@@ -584,3 +584,74 @@ def corpus_profile(
             1 - F.countDistinct("fp") / F.count("*"), 6
         ).alias("exact_dup_rate"),
     )
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = r"\s+",
+    joiner: str = " ",
+    min_doc_frac: float = 0.5,
+    min_span_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level boilerplate removal, the C4 cleanup rule: split
+    every document into spans (lines by default in C4; any regex
+    delimiter here), measure each span's document frequency across the
+    corpus, and delete spans that occur in at least ``min_doc_frac`` of
+    all documents (nav bars, cookie banners, license footers — or, at
+    token granularity, a corpus-driven stopword cut for index builds).
+
+    Two passes, like every production implementation:
+
+    1. *Count*: explode spans, aggregate document frequency per span
+       **fingerprint** — only (md5, doc_id) pairs reach the shuffle,
+       never span text. The total-document count is a one-row aggregate
+       cross-joined in (bounded build side by construction).
+    2. *Rewrite*: re-explode, left-anti mark against the broadcast hot
+       set (boilerplate is small by definition — spans above a 10%+
+       document frequency number in the thousands, not billions), and
+       regroup by document, restoring span order via the explode
+       position. The regroup is the single corpus-text shuffle; at
+       100 TB persist the exploded span table between the passes
+       instead of recomputing the split.
+
+    Spans shorter than ``min_span_chars`` after trimming (e.g. empty
+    lines) are never counted as boilerplate and are always kept.
+
+    Returns one row per input document: ``id``, ``clean_text`` (spans
+    rejoined with ``joiner``), ``n_removed``, ``n_kept``.
+    """
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+            "pos", "span"
+        ),
+    ).withColumn("fp", F.md5("span"))
+
+    n_docs = spans.agg(F.countDistinct("id").alias("_n_total"))
+    dfreq = (
+        spans.where(F.length(F.trim("span")) >= min_span_chars)
+        .groupBy("fp")
+        .agg(F.countDistinct("id").alias("_df"))
+    )
+    hot = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .where(F.col("_df") >= F.col("_n_total") * min_doc_frac)
+        .select("fp", F.lit(True).alias("_hot"))
+    )
+
+    flagged = spans.join(F.broadcast(hot), "fp", "left")
+    keep = F.col("_hot").isNull()
+    ordered = F.array_sort(
+        F.collect_list(F.when(keep, F.struct("pos", "span")))
+    )
+    return flagged.groupBy("id").agg(
+        F.concat_ws(
+            joiner, F.transform(ordered, lambda x: x["span"])
+        ).alias("clean_text"),
+        F.coalesce(
+            F.sum(F.when(~keep, F.lit(1))), F.lit(0)
+        ).cast("long").alias("n_removed"),
+        F.count(F.when(keep, F.lit(1))).alias("n_kept"),
+    )
