@@ -1755,6 +1755,24 @@ def q84_interval_join(spark, sf_dir):
     )
 
 
+def q85_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality signal: average per-token unigram
+    log-probability of every document under the corpus's own unigram
+    distribution (the cheap stand-in for KenLM perplexity filtering).
+    Per-token logp is quantized to DECIMAL(20,12) in the vocabulary so
+    the per-document sum is exact and order-independent — the same
+    float-sum determinism rule as decimal_sum."""
+    from tinyflux_spark.operators.text import unigram_logprob
+
+    docs = _t("documents")(spark, sf_dir)
+    out = unigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("avg_logp", 6).alias("avg_logp"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1859,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_remove_boilerplate": q82_remove_boilerplate,
         "q83_temperature_sample": q83_temperature_sample,
         "q84_interval_join": q84_interval_join,
+        "q85_unigram_logprob": q85_unigram_logprob,
     }
 
 

@@ -1215,3 +1215,38 @@ def test_temperature_sample_alpha_one_noop(spark):
     )
     kept = sampling.temperature_sample(df, "grp", "id", alpha=1.0)
     assert kept.count() == 60
+
+
+def test_interval_join_matches_bruteforce(spark):
+    # points/intervals straddling bin boundaries, touching endpoints,
+    # zero-length and inverted intervals
+    pts = [(p,) for p in [0, 5, 9, 10, 11, 25, 40, 99]]
+    ivs = [
+        (0, 0, 0),      # zero-length, matches point 0 only
+        (1, 3, 12),     # spans the 10-bin boundary
+        (2, 10, 10),
+        (3, 8, 41),     # spans four bins
+        (4, 50, 45),    # inverted: drops out
+        (5, 90, 120),
+    ]
+    p = spark.createDataFrame(pts, ["t"])
+    iv = spark.createDataFrame(ivs, ["iv_id", "s", "e"])
+    got = sorted(
+        (r["iv_id"], r["t"])
+        for r in aggregates.interval_join(
+            p, iv, "t", "s", "e", bin_width=10
+        ).collect()
+    )
+    expect = sorted(
+        (i, t)
+        for (i, s, e) in ivs
+        for (t,) in pts
+        if s <= t <= e
+    )
+    assert got == expect                 # exactly once per pair, no dups
+    with pytest.raises(ValueError):
+        aggregates.interval_join(p, iv, "t", "s", "e", bin_width=0)
+    with pytest.raises(ValueError):
+        aggregates.interval_join(
+            p.withColumn("s", F.lit(1)), iv, "t", "s", "e", bin_width=10
+        )

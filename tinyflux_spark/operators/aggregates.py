@@ -379,3 +379,66 @@ def percentile_summary(
     return df.groupBy(key_col).agg(
         *aggs, F.count(F.col(value_col)).alias("n")
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    keys: Sequence[str] = (),
+    broadcast_points: bool = False,
+) -> DataFrame:
+    """Inner-join each point row to every interval row whose
+    ``[start_col, end_col]`` range contains its ``point_col`` value
+    (optionally also matching equi ``keys``) — the "what was active at
+    time t" join (points in maintenance windows, events in sessions,
+    shipments in transit on a date).
+
+    The naive formulation — ``ON p BETWEEN s AND e`` with no equi key —
+    is a nested-loop O(|points| x |intervals|) plan that dies at scale.
+    This is the bucketed range join instead: quantize the domain into
+    ``bin_width``-sized bins, explode each interval into the bins it
+    covers, and equi-join on the bin. A point lies in exactly one bin,
+    so every qualifying (point, interval) pair meets in exactly that
+    bin — once, no dedup pass. The residual ``BETWEEN`` filter runs on
+    candidates only.
+
+    Cost model: intervals replicate ceil(span / bin_width) + 1 times,
+    so pick ``bin_width`` near the typical interval span (replication
+    ~2x). ``broadcast_points=True`` broadcasts the point side (right
+    for a distinct-dates or window-list side), making the join
+    shuffle-free; otherwise both sides shuffle on (keys..., bin) and
+    AQE handles bin skew.
+
+    Columns: all point columns plus all interval columns; the two
+    sides must not share column names outside ``keys``. Inverted
+    intervals (end < start) are dropped, matching ``BETWEEN``.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    overlap = set(points.columns) & set(intervals.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"point/interval column collision outside keys: {overlap}"
+        )
+    p = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / bin_width).cast("long")
+    )
+    iv = intervals.where(F.col(end_col) >= F.col(start_col)).withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_width).cast("long"),
+                F.floor(F.col(end_col) / bin_width).cast("long"),
+            )
+        ),
+    )
+    if broadcast_points:
+        p = F.broadcast(p)
+    joined = iv.join(p, [*keys, "_bin"]).where(
+        F.col(point_col).between(F.col(start_col), F.col(end_col))
+    )
+    return joined.drop("_bin")
