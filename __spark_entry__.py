@@ -1773,6 +1773,64 @@ def q85_unigram_logprob(spark, sf_dir):
     )
 
 
+def q86_salted_join(spark, sf_dir):
+    """Skew-safe large×large equi-join: lineitem ⋈ orders on orderkey
+    through the salting rewrite (left rows pick one of 8 salts, right
+    rows replicate to all 8, join on (key, salt)) — the tool for a hot
+    key flooding one shuffle partition when neither side broadcasts.
+    The oracle is the plain unsalted join: salting must be invisible
+    in the result. Revenue sums route through DECIMAL so the compare
+    is exact, not float-order luck."""
+    from tinyflux_spark.operators.aggregates import salted_join
+
+    li = _t("lineitem")(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t("orders")(spark, sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, orders, ["l_orderkey"], n_salts=8)
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)")
+           - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum(revenue).cast("double").alias("revenue"),
+    )
+
+
+def q87_version_diff(spark, sf_dir):
+    """MVCC change feed (CDC): run update + remove against a throwaway
+    versioned store, then db.diff(v0) — every row 'changed' or
+    'removed' going from the original snapshot to live, keyed by the
+    durable _seq so an update is one changed row, never remove+add.
+    The oracle replays both delta classes as pure SELECTs over the
+    slice; unchanged rows must be absent."""
+    import tempfile
+
+    from tinyflux_spark import TinyFluxSpark
+
+    db = TinyFluxSpark(
+        tempfile.mkdtemp(prefix="tfs_diff_"), spark=spark, keep_versions=4
+    )
+    db.insert_dataframe(_dml_slice(spark, sf_dir))
+    v0 = db.versions()[-1]
+    db.update(FieldQuery().value > 100, fields={"flag": 1.0})
+    db.remove(FieldQuery().value > 200)
+
+    d = db.diff(v0)
+    return d.select(
+        "op",
+        F.col("tags")["eid"].cast("long").alias("eid"),
+        "measurement",
+        F.col("fields")["value"].alias("value"),
+        F.col("fields")["flag"].alias("flag"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1878,6 +1936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_temperature_sample": q83_temperature_sample,
         "q84_interval_join": q84_interval_join,
         "q85_unigram_logprob": q85_unigram_logprob,
+        "q86_salted_join": q86_salted_join,
+        "q87_version_diff": q87_version_diff,
     }
 
 
@@ -3470,5 +3530,67 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN i
               ON p.order_day BETWEEN i.start_day AND i.end_day
             GROUP BY 1
+        """,
+        # ln() is bit-identical across both engines' libms on these
+        # count ratios (verified corpus-wide); quantizing each token's
+        # logp to DECIMAL(20,12) before the per-doc sum makes the
+        # average order-independent, so the compare is exact.
+        "q85_unigram_logprob": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(
+                           lower(trim(text)), '\\s+')) AS tok
+                FROM documents
+            ),
+            tt AS (SELECT doc_id, tok FROM t WHERE length(tok) >= 1),
+            v AS (SELECT tok, COUNT(*) AS cnt FROM tt GROUP BY 1),
+            n AS (SELECT SUM(cnt) AS total FROM v),
+            vq AS (
+                SELECT tok,
+                       CAST(ln(CAST(cnt AS DOUBLE)
+                               / (SELECT total FROM n))
+                            AS DECIMAL(20,12)) AS lp
+                FROM v
+            )
+            SELECT tt.doc_id, COUNT(*) AS n_tokens,
+                   ROUND(CAST(SUM(vq.lp) AS DOUBLE) / COUNT(*), 6)
+                       AS avg_logp
+            FROM tt JOIN vq USING (tok)
+            GROUP BY 1
+        """,
+        # The plain unsalted join: the salting rewrite must be
+        # invisible in the result.
+        "q86_salted_join": """
+            SELECT o.o_orderpriority,
+                   COUNT(*) AS n_items,
+                   COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2))
+                           - CAST(l.l_discount AS DECIMAL(3,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        # The two delta classes replayed as SELECTs: updated-and-kept
+        # rows surface as 'changed' with the NEW payload; rows the
+        # remove dropped surface as 'removed' with the OLD payload
+        # (flag never materialized for them in v0). Unchanged rows
+        # (value <= 100) must be absent.
+        "q87_version_diff": """
+            WITH slice AS (
+                SELECT CAST(event_id AS BIGINT) AS eid,
+                       event_type AS measurement, value
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-10'
+                  AND ts < TIMESTAMP '2024-01-12'
+            )
+            SELECT 'changed' AS op, eid, measurement, value,
+                   1.0 AS flag
+            FROM slice WHERE value > 100 AND value <= 200
+            UNION ALL
+            SELECT 'removed', eid, measurement, value,
+                   CAST(NULL AS DOUBLE)
+            FROM slice WHERE value > 200
         """,
     }

@@ -823,6 +823,42 @@ def test_time_travel_versions(spark, tmp_path):
     d.close()
 
 
+def test_version_diff_cdc(spark, tmp_path):
+    """db.diff(v_old, v_new) is the CDC view of the versioned layout:
+    an update is one 'changed' row under its durable _seq (never a
+    remove+add pair), a remove is 'removed' with the old payload, an
+    insert after v_old is 'added', unchanged rows are absent, and
+    diff of a version against itself is empty."""
+    path = str(tmp_path / "cdc")
+    d = TinyFluxSpark(path, spark=spark, keep_versions=6)
+    d.insert_multiple(
+        Point(time=datetime(2020, 1, 1, h, tzinfo=timezone.utc),
+              measurement="m", tags={"h": str(h)}, fields={"v": float(h)})
+        for h in range(4)
+    )
+    v0 = d.versions()[-1]
+    d.update(FieldQuery().v == 2.0, fields={"v": 20.0})
+    d.remove(FieldQuery().v == 3.0)
+    d.insert(
+        Point(time=datetime(2020, 1, 2, tzinfo=timezone.utc),
+              measurement="m", tags={"h": "new"}, fields={"v": 9.0})
+    )
+    out = {
+        (r["op"], r["tags"]["h"]): r["fields"]["v"]
+        for r in d.diff(v0).collect()
+    }
+    assert out == {
+        ("changed", "2"): 20.0,   # new payload
+        ("removed", "3"): 3.0,    # old payload
+        ("added", "new"): 9.0,
+    }
+    assert d.diff(v0, v0).count() == 0
+    # explicit two-version form: v0 -> v0+1 sees only the update
+    ops = {r["op"] for r in d.diff(v0, v0 + 1).collect()}
+    assert ops == {"changed"}
+    d.close()
+
+
 def test_keep_versions_rejected_off_parquet(spark):
     with pytest.raises(ValueError):
         TinyFluxSpark(spark=spark, keep_versions=3)

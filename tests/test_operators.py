@@ -1250,3 +1250,67 @@ def test_interval_join_matches_bruteforce(spark):
         aggregates.interval_join(
             p.withColumn("s", F.lit(1)), iv, "t", "s", "e", bin_width=10
         )
+
+
+def test_unigram_logprob_model(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = [(0, "a a a b"), (1, "b c"), (2, "")]  # empty doc drops out
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r for r in text.unigram_logprob(df).collect()
+    }
+    counts, total = {"a": 3, "b": 2, "c": 1}, 6
+
+    def lp(tok):
+        # the operator's DECIMAL(20,12) quantization, replayed
+        return Decimal(math.log(counts[tok] / total)).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+
+    assert set(out) == {0, 1}
+    assert out[0]["n_tokens"] == 4
+    assert out[0]["avg_logp"] == float(
+        (lp("a") * 3 + lp("b")) / 4
+    )
+    assert out[1]["avg_logp"] == float((lp("b") + lp("c")) / 2)
+    # repartitioning must not move the score by even an ulp
+    again = {
+        r["id"]: r["avg_logp"]
+        for r in text.unigram_logprob(df.repartition(5)).collect()
+    }
+    assert again == {k: v["avg_logp"] for k, v in out.items()}
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (9, "orphan")],
+        ["k", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], ["k", "rv"]
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in aggregates.salted_join(
+                left, right, ["k"], n_salts=5, how=how
+            ).collect()
+        )
+        want = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in left.join(right, ["k"], how).collect()
+        )
+        assert got == want, how
+    # n_salts=1 degenerates to the plain join
+    assert aggregates.salted_join(left, right, ["k"], n_salts=1).count() == 5
+    # the salt must be part of the physical join key
+    plan = (
+        aggregates.salted_join(left, right, ["k"], n_salts=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_salt" in plan
+    with pytest.raises(ValueError):
+        aggregates.salted_join(left, right, ["k"], n_salts=0)
+    with pytest.raises(ValueError):
+        aggregates.salted_join(left, right, ["k"], how="full")

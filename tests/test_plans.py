@@ -321,9 +321,11 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # q77: the (n_docs, avgdl) corpus-stats aggregate is one row by
         # construction; its final-agg exchange is the bounded kind.
         "q77_bm25_scores",
-        # q82/q83: the total-doc-count / global-min-group-size
-        # aggregates are one row by construction (same bounded kind).
+        # q82/q83/q85: the total-doc-count / global-min-group-size /
+        # total-token-count aggregates are one row by construction
+        # (same bounded kind).
         "q82_remove_boilerplate", "q83_temperature_sample",
+        "q85_unigram_logprob",
     }
     # Keyless broadcast joins whose build side is provably one row:
     # q77 crossJoins the one-row corpus-stats aggregate into the
@@ -333,8 +335,10 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         "q77_bm25_scores",
         # q82: 1-row total-doc-count build crossJoined into the span
         # document-frequency table; q83: 1-row global-min build
-        # crossJoined into the per-group count table.
+        # crossJoined into the per-group count table; q85: 1-row
+        # total-token-count build crossJoined into the vocabulary.
         "q82_remove_boilerplate", "q83_temperature_sample",
+        "q85_unigram_logprob",
     }
     bad = {}
     for name, fn in em.queries().items():

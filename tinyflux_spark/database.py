@@ -254,6 +254,72 @@ class TinyFluxSpark:
             return self._storage.list_versions()
         return []
 
+    def diff(
+        self, version_a: int, version_b: Optional[int] = None
+    ) -> DataFrame:
+        """Row-level change feed between two MVCC snapshots (the CDC
+        view of the versioned layout): every point ``added``,
+        ``removed``, or ``changed`` going from snapshot ``version_a``
+        to ``version_b`` (default: the live state). Unchanged rows are
+        absent, so downstream incremental consumers (index refresh,
+        rollup invalidation, audit) process deltas, not the store.
+
+        Identity is the durable ``_seq`` stamped at ingest — updates
+        rewrite a row's payload but keep its ``_seq``, so a payload
+        difference under the same ``_seq`` is a ``changed`` row, not a
+        remove+add pair. Map payloads compare via sorted entry arrays
+        (map equality is entry-order-blind, as the reference's dict
+        equality is).
+
+        Plan shape: one full-outer sort-merge join on the uniform
+        bigint ``_seq`` — a single balanced shuffle per side; payloads
+        for ``added``/``changed`` come from the new side, ``removed``
+        from the old side.
+
+        Returns ``op, seq, time, measurement, tags, fields``.
+        """
+        a = self.dataframe(with_seq=True, version=version_a)
+        b = self.dataframe(with_seq=True, version=version_b)
+        canon = lambda c: F.array_sort(F.map_entries(c))  # noqa: E731
+        a2 = a.select(
+            F.col(SEQ_COL).alias("_sa"),
+            *[F.col(c).alias(f"{c}_a") for c in
+              ("time", "measurement", "tags", "fields")],
+        )
+        b2 = b.select(
+            F.col(SEQ_COL).alias("_sb"),
+            *[F.col(c).alias(f"{c}_b") for c in
+              ("time", "measurement", "tags", "fields")],
+        )
+        j = a2.join(b2, a2["_sa"] == b2["_sb"], "full_outer")
+        same = (
+            F.col("time_a").eqNullSafe(F.col("time_b"))
+            & F.col("measurement_a").eqNullSafe(F.col("measurement_b"))
+            & canon(F.col("tags_a")).eqNullSafe(canon(F.col("tags_b")))
+            & canon(F.col("fields_a")).eqNullSafe(
+                canon(F.col("fields_b"))
+            )
+        )
+        op = (
+            F.when(F.col("_sa").isNull(), F.lit("added"))
+            .when(F.col("_sb").isNull(), F.lit("removed"))
+            .when(~same, F.lit("changed"))
+        )
+        new_side = F.col("_sa").isNull() | F.col("_sb").isNotNull()
+        pick = lambda c: F.when(  # noqa: E731
+            new_side, F.col(f"{c}_b")
+        ).otherwise(F.col(f"{c}_a"))
+        return (
+            j.select(op.alias("op"), "*")
+            .where(F.col("op").isNotNull())
+            .select(
+                "op",
+                F.coalesce(F.col("_sb"), F.col("_sa")).alias("seq"),
+                *[pick(c).alias(c) for c in
+                  ("time", "measurement", "tags", "fields")],
+            )
+        )
+
     def create_view(self, name: str = "points") -> str:
         """Register the live store as a Spark temp view ``name`` with
         the canonical schema (time, measurement, tags map, fields map)

@@ -442,3 +442,50 @@ def interval_join(
         F.col(point_col).between(F.col(start_col), F.col(end_col))
     )
     return joined.drop("_bin")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for when BOTH sides are too large to
+    broadcast and the join key is skewed: a hot key (one giant
+    customer, one dominant event type) otherwise lands its entire row
+    mass in a single shuffle partition and the stage runs at the speed
+    of that one straggler task.
+
+    Classic salting: every left row picks one of ``n_salts`` salt
+    values (from a hash of the full row — layout-invariant, and since
+    the salt only routes rows, not results, any distribution is
+    correct); every right row is replicated to ALL ``n_salts`` values;
+    the join runs on ``(keys..., salt)``, spreading each hot key over
+    ``n_salts`` partitions. Each left row meets each matching right
+    row exactly once (at the left row's salt copy), so the result
+    equals the unsalted join for ``inner`` and ``left`` — at the price
+    of an ``n_salts``x replication of the right side's shuffle volume.
+    Use it when AQE's skew-join split (which only splits oversized
+    partitions post-shuffle) is unavailable or insufficient; prefer
+    ``broadcast`` whenever one side fits.
+
+    ``how``: ``inner`` or ``left`` (semantics preserved: an unmatched
+    left row exists once, under its one salt).
+    """
+    if n_salts <= 0:
+        raise ValueError("n_salts must be positive")
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    keys = list(on)
+    lsalt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+    ).cast("int")
+    l_df = left.withColumn("_salt", lsalt)
+    r_df = right.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>")
+        ),
+    )
+    return l_df.join(r_df, [*keys, "_salt"], how).drop("_salt")

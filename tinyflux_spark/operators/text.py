@@ -655,3 +655,54 @@ def remove_boilerplate_spans(
         ).cast("long").alias("n_removed"),
         F.count(F.when(keep, F.lit(1))).alias("n_kept"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_len: int = 1,
+) -> DataFrame:
+    """CCNet-style language-model quality signal: score every document
+    by its average per-token unigram log-probability under the corpus's
+    own unigram distribution. Gibberish and boilerplate-free natural
+    text separate cleanly on this score, which is the cheap stand-in
+    for the KenLM perplexity filter in web-corpus pipelines (documents
+    are then bucketed head/middle/tail by score).
+
+    Plan shape: one token-count aggregation builds the vocabulary (the
+    only shuffle of token strings), the one-row total cross-joins in
+    (bounded build by construction), and the scored join broadcasts the
+    vocabulary back onto the exploded tokens — web-scale vocabularies
+    up to ~10M terms broadcast fine; beyond that Spark falls back to a
+    shuffle join on the token key.
+
+    Determinism: a float sum over a document's tokens is
+    order-sensitive in the last ulp and partial aggregation makes the
+    order nondeterministic (the ``decimal_sum`` class of bug), so each
+    token's log-probability is quantized to DECIMAL(20,12) in the
+    vocabulary first — the per-document sum is then exact and
+    order-independent, and the oracle replays it bit-for-bit.
+
+    Returns one row per document that has at least one token of
+    ``min_token_len``+ chars: ``id``, ``n_tokens``, ``avg_logp``.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    ).where(F.length("tok") >= min_token_len)
+
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").alias("_total"))
+    vq = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.log(F.col("_cnt") / F.col("_total"))
+        .cast("decimal(20,12)")
+        .alias("_lp"),
+    )
+    return toks.join(F.broadcast(vq), "tok").groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logp"),
+    )
