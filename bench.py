@@ -196,6 +196,8 @@ def _scale_probe(spark) -> dict:
             "q51_dedup_clusters",
             "q60_resample_gapfill",
             "q62_top_tokens",
+            "q82_remove_boilerplate",
+            "q84_interval_join",
         ):
             fn = entry_mod.queries()[qname]
             df = fn(spark, d)
@@ -210,13 +212,20 @@ def _scale_probe(spark) -> dict:
                 )
                 for _ in range(2)
             )
-            out["throughput_ops"].setdefault(qname, {})[
-                f"sec_{tag}"
-            ] = round(sec, 4)
+            rec = out["throughput_ops"].setdefault(qname, {})
+            rec[f"sec_{tag}"] = round(sec, 4)
+            # output volume for the same run: a sec_ratio only reads as
+            # a scaling claim next to how much the RESULT grew (a join
+            # or pair op legitimately produces ~rows_ratio more output)
+            rec[f"rows_{tag}"] = df.count()
     for label, r in out["latency_shapes"].items():
         r["qps_ratio"] = round(r["qps_large"] / r["qps_small"], 3)
     for qname, r in out["throughput_ops"].items():
         r["sec_ratio"] = round(r["sec_large"] / r["sec_small"], 3)
+        if r.get("rows_small"):
+            r["out_rows_ratio"] = round(
+                r["rows_large"] / r["rows_small"], 3
+            )
     try:
         out["synthetic_10x"] = _synthetic_10x_probe(spark)
     except Exception as e:  # noqa: BLE001 — evidence, not a gate
