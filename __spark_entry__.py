@@ -1726,7 +1726,7 @@ def q84_interval_join(spark, sf_dir):
     """Shipments in transit on each order date, via the bucketed range
     join: transit intervals are [ship_day, ship_day + qty%28 + 3]
     (deterministic integer arithmetic both engines replay), exploded
-    into 32-day bins and equi-joined against the broadcast distinct
+    into 16-day bins and equi-joined against the broadcast distinct
     order-date side — no shuffle for the join itself, no nested-loop
     plan, residual BETWEEN on candidates only."""
     from tinyflux_spark.operators.aggregates import interval_join
@@ -1747,11 +1747,16 @@ def q84_interval_join(spark, sf_dir):
     )
     out = interval_join(
         points, intervals, "order_day", "start_day", "end_day",
-        bin_width=32, broadcast_points=True,
+        bin_width=16, broadcast_points=True,
     )
+    # All aggregates partial-aggregable on purpose: the timed work is
+    # the bucketed join (the operator under test), not an orthogonal
+    # 9.5M-row distinct shuffle (a countDistinct here measured 6x the
+    # join's own cost at sf0.1).
     return out.groupBy("order_day").agg(
         F.count("*").alias("n_in_transit"),
-        F.countDistinct("supp").alias("n_suppliers"),
+        F.min("supp").alias("min_supp"),
+        F.max("supp").alias("max_supp"),
     )
 
 
@@ -3526,7 +3531,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem
             )
             SELECT p.order_day, COUNT(*) AS n_in_transit,
-                   COUNT(DISTINCT i.supp) AS n_suppliers
+                   MIN(i.supp) AS min_supp, MAX(i.supp) AS max_supp
             FROM p JOIN i
               ON p.order_day BETWEEN i.start_day AND i.end_day
             GROUP BY 1
