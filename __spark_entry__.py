@@ -1836,6 +1836,34 @@ def q87_version_diff(spark, sf_dir):
     )
 
 
+def q88_merge_intervals(spark, sf_dir):
+    """Supplier transit coverage: coalesce each supplier's overlapping
+    shipment-transit intervals (same deterministic synthesis as q84)
+    into maximal busy periods, then profile per supplier — period
+    count, total covered days, longest period. Two running window
+    frames + one aggregation, all partitioned by supplier; the oracle
+    replays the identical running-max/running-sum logic in SQL."""
+    from tinyflux_spark.operators.aggregates import merge_intervals
+
+    epoch = F.lit("1992-01-01")
+    intervals = _t("lineitem")(spark, sf_dir).select(
+        F.col("l_suppkey").alias("supp"),
+        F.datediff("l_shipdate", epoch).alias("start_day"),
+        (
+            F.datediff("l_shipdate", epoch)
+            + F.col("l_quantity").cast("int") % 28 + 3
+        ).alias("end_day"),
+    )
+    merged = merge_intervals(intervals, "supp", "start_day", "end_day")
+    span = F.col("end") - F.col("start") + 1
+    return merged.groupBy(F.col("key").alias("supp")).agg(
+        F.count("*").alias("n_periods"),
+        F.sum(span).alias("covered_days"),
+        F.max(span).alias("longest_days"),
+        F.sum("n_merged").alias("n_shipments"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1943,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_unigram_logprob": q85_unigram_logprob,
         "q86_salted_join": q86_salted_join,
         "q87_version_diff": q87_version_diff,
+        "q88_merge_intervals": q88_merge_intervals,
     }
 
 
@@ -3597,5 +3626,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'removed', eid, measurement, value,
                    CAST(NULL AS DOUBLE)
             FROM slice WHERE value > 200
+        """,
+        # Identical running-max / running-sum period construction in
+        # SQL window functions; all-integer arithmetic, so exact.
+        "q88_merge_intervals": """
+            WITH i AS (
+                SELECT l_suppkey AS supp,
+                       date_diff('day', TIMESTAMP '1992-01-01',
+                                 l_shipdate) AS s,
+                       date_diff('day', TIMESTAMP '1992-01-01',
+                                 l_shipdate)
+                       + CAST(l_quantity AS INT) % 28 + 3 AS e
+                FROM lineitem
+            ),
+            o AS (
+                SELECT supp, s, e,
+                       MAX(e) OVER (PARTITION BY supp ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pme
+                FROM i WHERE e >= s
+            ),
+            g AS (
+                SELECT supp, s, e,
+                       SUM(CASE WHEN pme IS NULL OR s > pme
+                                THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY supp ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS grp
+                FROM o
+            ),
+            m AS (
+                SELECT supp, grp, MIN(s) AS ms, MAX(e) AS me,
+                       COUNT(*) AS n_merged
+                FROM g GROUP BY 1, 2
+            )
+            SELECT supp, COUNT(*) AS n_periods,
+                   CAST(SUM(me - ms + 1) AS BIGINT) AS covered_days,
+                   MAX(me - ms + 1) AS longest_days,
+                   CAST(SUM(n_merged) AS BIGINT) AS n_shipments
+            FROM m GROUP BY 1
         """,
     }

@@ -1314,3 +1314,38 @@ def test_salted_join_equals_plain_join(spark):
         aggregates.salted_join(left, right, ["k"], n_salts=0)
     with pytest.raises(ValueError):
         aggregates.salted_join(left, right, ["k"], how="full")
+
+
+def test_merge_intervals_semantics(spark):
+    ivs = [
+        ("a", 1, 3), ("a", 2, 5), ("a", 5, 6),   # chain into [1,6]
+        ("a", 8, 8),                             # point interval
+        ("a", 10, 20), ("a", 12, 14),            # contained
+        ("b", 1, 2), ("b", 4, 5),                # gap of 1 day
+        ("b", 9, 7),                             # inverted: dropped
+    ]
+    df = spark.createDataFrame(ivs, ["k", "s", "e"])
+    got = sorted(
+        (r["key"], r["start"], r["end"], r["n_merged"])
+        for r in aggregates.merge_intervals(df, "k", "s", "e").collect()
+    )
+    assert got == [
+        ("a", 1, 6, 3), ("a", 8, 8, 1), ("a", 10, 20, 2),
+        ("b", 1, 2, 1), ("b", 4, 5, 1),
+    ]
+    # b's periods are 1 intervening day apart (start - prev_end = 2),
+    # so gap=1 keeps them separate and gap=2 welds them
+    got_gap1 = sorted(
+        (r["key"], r["start"], r["end"])
+        for r in aggregates.merge_intervals(df, "k", "s", "e", gap=1)
+        .collect()
+        if r["key"] == "b"
+    )
+    assert got_gap1 == [("b", 1, 2), ("b", 4, 5)]
+    got_gap2 = sorted(
+        (r["key"], r["start"], r["end"])
+        for r in aggregates.merge_intervals(df, "k", "s", "e", gap=2)
+        .collect()
+        if r["key"] == "b"
+    )
+    assert got_gap2 == [("b", 1, 5)]

@@ -91,3 +91,52 @@ def test_salted_join_equals_plain_join(spark, lrows, rrows, n_salts, how):
         for r in left.join(right, ["k"], how).collect()
     )
     assert got == want
+
+
+def _model_merge(ivs, gap=0):
+    """Reference interval union: sort per key, sweep with running max."""
+    out = []
+    by_key = {}
+    for k, s, e in ivs:
+        if e >= s:
+            by_key.setdefault(k, []).append((s, e))
+    for k, rows in by_key.items():
+        rows.sort()
+        cur_s, cur_e, n = rows[0][0], rows[0][1], 1
+        for s, e in rows[1:]:
+            if s > cur_e + gap:
+                out.append((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e, n = max(cur_e, e), n + 1
+        out.append((k, cur_s, cur_e, n))
+    return sorted(out)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(0, 2),                     # key
+            st.integers(-20, 40),                  # start
+            st.integers(-5, 15),                   # span (may invert)
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    gap=st.sampled_from([0, 2]),
+)
+def test_merge_intervals_equals_sweep_model(spark, ivs, gap):
+    from tinyflux_spark.operators.aggregates import merge_intervals
+
+    rows = [(str(k), s, s + sp) for k, s, sp in ivs]
+    df = spark.createDataFrame(rows, "k: string, s: long, e: long")
+    got = sorted(
+        (r["key"], r["start"], r["end"], r["n_merged"])
+        for r in merge_intervals(df, "k", "s", "e", gap=gap).collect()
+    )
+    assert got == _model_merge(rows, gap)

@@ -489,3 +489,51 @@ def salted_join(
         ),
     )
     return l_df.join(r_df, [*keys, "_salt"], how).drop("_salt")
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    gap: int = 0,
+) -> DataFrame:
+    """Coalesce each key's overlapping (or within-``gap``-adjacent)
+    intervals into maximal disjoint periods — the classic interval-union
+    pass behind uptime/coverage analysis, sensor-online windows,
+    maintenance-window normalization, and pre-densifying inputs for
+    :func:`interval_join` (fewer, wider intervals → less bin
+    replication).
+
+    An interval opens a new period iff its start exceeds the running
+    maximum end of every earlier interval (ordered by start) by more
+    than ``gap``. Both window frames are running frames — O(n) linear
+    state per key, one shuffle on ``key_col``, no per-row rescan — and
+    the period id is a running sum, so the whole pass is two window
+    functions and one aggregation.
+
+    Inverted rows (end < start) are dropped. Returns one row per
+    merged period: ``key, period, start, end, n_merged``.
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_end.isNull()
+        | (F.col(start_col) > prev_max_end + gap),
+        1,
+    ).otherwise(0)
+    grp = F.sum(opens).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.where(F.col(end_col) >= F.col(start_col))
+        .withColumn("_period", grp)
+        .groupBy(F.col(key_col).alias("key"), F.col("_period").alias("period"))
+        .agg(
+            F.min(start_col).alias("start"),
+            F.max(end_col).alias("end"),
+            F.count("*").alias("n_merged"),
+        )
+    )
