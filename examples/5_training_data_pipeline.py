@@ -1,8 +1,9 @@
 """End-to-end training-data preparation pipeline over the documents
-corpus: quality filter → repetition filter → near-dup clustering →
-canonical dedup → eval-set decontamination → per-source quota
-rebalancing → deterministic down-sampling → shard assignment →
-sequence packing → token accounting.
+corpus: data card → quality + repetition + LM-score filters → near-dup
+clustering → canonical dedup → eval-set decontamination → language
+temperature re-balancing → per-source quota → deterministic
+down-sampling → shard assignment → sequence packing → token
+accounting.
 
 Every stage is one of the engine's oracle-gated operators; chained they
 form the shape of a real 100 TB curation run — filters are narrow
@@ -30,13 +31,16 @@ from tinyflux_spark.operators.sampling import (
     hash_sample,
     shard_assign,
     stratified_quota,
+    temperature_sample,
 )
 from tinyflux_spark.operators.text import (
     bpe_token_count,
+    corpus_profile,
     pack_sequences,
     quality_features,
     repetition_stats,
     token_count,
+    unigram_logprob,
 )
 from tinyflux_spark.schema import get_spark
 
@@ -48,21 +52,41 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n0 = docs.count()
 
-    # 1. Quality gate: length + repetition thresholds. Both operators
-    # are shuffle-free row maps, so this composes into ONE scan.
+    # 0. Data card: the per-(lang, source) profile a curation run
+    # publishes before touching anything — one codegen aggregation.
+    card = corpus_profile(docs).agg(
+        F.sum("n_docs").alias("docs"),
+        F.sum("total_tokens").alias("tokens"),
+        F.round(F.avg("exact_dup_rate"), 4).alias("avg_dup_rate"),
+    ).collect()[0]
+    print(
+        f"data card (pre):   {card['docs']} docs, "
+        f"{card['tokens']} tokens, dup rate {card['avg_dup_rate']}"
+    )
+
+    # 1. Quality gate: length + repetition thresholds + LM score (the
+    # CCNet-style perplexity stand-in: average unigram log-prob under
+    # the corpus's own distribution; gibberish scores far below the
+    # herd). The row maps are shuffle-free; the LM score adds one
+    # vocabulary aggregation + broadcast join.
     quality = quality_features(docs).select("doc_id", "n_chars_calc")
     rep = repetition_stats(docs, "doc_id").select(
         "doc_id", "dup_word_frac", "dup_bigram_frac"
     )
+    lm = unigram_logprob(docs).select(
+        F.col("id").alias("doc_id"), "avg_logp"
+    )
     keep = (
         docs.join(quality, "doc_id")
         .join(rep, "doc_id")
+        .join(lm, "doc_id")
         .where(
             (F.col("n_chars_calc") >= 30)
             & (F.col("dup_word_frac") <= 0.95)
             & (F.col("dup_bigram_frac") <= 0.9)
+            & (F.col("avg_logp") >= -8.0)
         )
-        .select("doc_id", "text", "source")
+        .select("doc_id", "text", "lang", "source")
     )
     n1 = keep.count()
 
@@ -85,8 +109,13 @@ def main() -> None:
     clean = train.join(F.broadcast(tainted), "doc_id", "left_anti")
     n3 = clean.count()
 
-    # 4. Source-mix rebalancing + reproducible down-sampling.
-    balanced = stratified_quota(clean, "source", "doc_id", 15)
+    # 4. Mix rebalancing: language-level temperature sampling (pull
+    # the mix toward p ∝ n^0.5, smallest language kept whole), then
+    # per-source quotas, then a final reproducible down-sample. All
+    # three are pure functions of the doc id — the rate/quota tables
+    # broadcast, the corpus never shuffles.
+    tempered = temperature_sample(clean, "lang", "doc_id", alpha=0.5)
+    balanced = stratified_quota(tempered, "source", "doc_id", 15)
     sampled = hash_sample(balanced, "doc_id", rate=0.8, salt="final")
     n4 = sampled.count()
 
