@@ -1864,6 +1864,24 @@ def q88_merge_intervals(spark, sf_dir):
     )
 
 
+def q89_excise_duplicate_spans(spark, sf_dir):
+    """Exact-substring dedup at the 13-gram excision rule: every word
+    13-gram occurring in >= 2 distinct docs keeps its globally-first
+    occurrence; all other occurrences are cut OUT of their documents
+    (memorized boilerplate leaves, the document stays). Composition of
+    the engine's own primitives — hash-only gram shuffle, one
+    first-occurrence aggregation, merge_intervals for the excision
+    ranges, keyed interval_join (never a nested-loop BETWEEN) for the
+    token cut. Row count is preserved."""
+    from tinyflux_spark.operators.dedup import excise_duplicate_spans
+
+    docs = _t("documents")(spark, sf_dir)
+    out = excise_duplicate_spans(docs, "doc_id", "text", n=13, min_docs=2)
+    return out.select(
+        F.col("id").alias("doc_id"), "clean_text", "n_removed", "n_spans"
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1972,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_salted_join": q86_salted_join,
         "q87_version_diff": q87_version_diff,
         "q88_merge_intervals": q88_merge_intervals,
+        "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
     }
 
 
@@ -3664,5 +3683,85 @@ def oracle_sql() -> dict[str, str]:
                    MAX(me - ms + 1) AS longest_days,
                    CAST(SUM(n_merged) AS BIGINT) AS n_shipments
             FROM m GROUP BY 1
+        """,
+        # Same pipeline in SQL: 13-gram fingerprints (1-based list
+        # slicing == Spark's slice(arr, i+1, 13)), global first
+        # occurrence by (doc, pos), q88-style running-window range
+        # merge, and a NOT EXISTS range cut over tokens.
+        "q89_excise_duplicate_spans": """
+            WITH base AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)),
+                                          '\\s+') AS arr
+                FROM documents
+            ),
+            gram AS (
+                SELECT doc_id, CAST(i AS INT) AS pos,
+                       md5(array_to_string(
+                           arr[CAST(i AS INT):CAST(i + 12 AS INT)],
+                           ' ')) AS fp
+                FROM base,
+                     UNNEST(range(1, len(arr) - 13 + 2)) AS r(i)
+                WHERE len(arr) >= 13
+            ),
+            marked AS (
+                SELECT doc_id, pos,
+                       ROW_NUMBER() OVER (PARTITION BY fp
+                                          ORDER BY doc_id, pos) AS rn,
+                       COUNT(DISTINCT doc_id) OVER (PARTITION BY fp)
+                           AS ndocs
+                FROM gram
+            ),
+            cuts AS (
+                SELECT doc_id, pos AS s, pos + 12 AS e
+                FROM marked WHERE ndocs >= 2 AND rn > 1
+            ),
+            o AS (
+                SELECT doc_id, s, e,
+                       MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pme
+                FROM cuts
+            ),
+            gg AS (
+                SELECT doc_id, s, e,
+                       SUM(CASE WHEN pme IS NULL OR s > pme
+                                THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS grp
+                FROM o
+            ),
+            m AS (
+                SELECT doc_id, grp, MIN(s) AS ms, MAX(e) AS me
+                FROM gg GROUP BY 1, 2
+            ),
+            tok AS (
+                SELECT doc_id, unnest(arr) AS tk,
+                       unnest(range(1, len(arr) + 1)) AS pos
+                FROM base
+            ),
+            kept AS (
+                SELECT t.doc_id, t.tk, t.pos
+                FROM tok t
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM m
+                    WHERE m.doc_id = t.doc_id
+                      AND t.pos BETWEEN m.ms AND m.me)
+            ),
+            reb AS (
+                SELECT doc_id,
+                       string_agg(tk, ' ' ORDER BY pos) AS clean_text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY 1
+            ),
+            sp AS (SELECT doc_id, COUNT(*) AS n_spans FROM m GROUP BY 1)
+            SELECT b.doc_id,
+                   COALESCE(r.clean_text, '') AS clean_text,
+                   CAST(len(b.arr) - COALESCE(r.n_kept, 0) AS BIGINT)
+                       AS n_removed,
+                   CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans
+            FROM base b
+            LEFT JOIN reb r USING (doc_id)
+            LEFT JOIN sp USING (doc_id)
         """,
     }

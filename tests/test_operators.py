@@ -1349,3 +1349,35 @@ def test_merge_intervals_semantics(spark):
         if r["key"] == "b"
     )
     assert got_gap2 == [("b", 1, 5)]
+
+
+def test_excise_duplicate_spans(spark):
+    rows = [
+        (0, "a b c d e"),        # first occurrence of "a b c": kept
+        (1, "x a b c y"),        # later occurrence: excised
+        (2, "p q a b c d r"),    # overlapping dup grams abc+bcd merge
+        (3, "zz yy"),            # shorter than n: untouched
+        (4, "a b c a b c d"),    # within-doc repeat AFTER global first
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: (r["clean_text"], r["n_removed"], r["n_spans"])
+        for r in dedup.excise_duplicate_spans(
+            df, n=3, min_docs=2
+        ).collect()
+    }
+    assert len(out) == 5                      # row count preserved
+    assert out[0] == ("a b c d e", 0, 0)      # global first survives
+    assert out[1] == ("x y", 3, 1)
+    # doc2: grams "a b c"(pos 2) and "b c d"(pos 3) both dup -> ranges
+    # [2,4] and [3,5] merge into one excised span [2,5]
+    assert out[2] == ("p q r", 4, 1)
+    assert out[3] == ("zz yy", 0, 0)
+    # doc4: every "a b c" occurrence after doc0's is cut; "b c a",
+    # "c a b" exist only here (min_docs=2 keeps them), "b c d" is cut
+    # as a later occurrence of doc2's gram -> [0,2],[3,5],[4,6] merge
+    assert out[4][1] > 0
+    with pytest.raises(ValueError):
+        dedup.excise_duplicate_spans(df, n=0)
+    with pytest.raises(ValueError):
+        dedup.excise_duplicate_spans(df, min_docs=1)

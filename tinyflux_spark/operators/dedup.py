@@ -928,3 +928,113 @@ def minhash_lsh_join(
         g2.select("id_left", "id_right", jac.alias("jaccard"))
         .where(F.col("jaccard") >= verify_threshold)
     )
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication at word-gram granularity (the
+    "deduplicating training data" excision rule): find every word
+    ``n``-gram that occurs in at least ``min_docs`` distinct documents,
+    keep its globally-first occurrence (ordered by ``(doc, position)``),
+    and cut every other occurrence OUT of its document — the memorized
+    boilerplate leaves, the document stays.
+
+    Pipeline (a composition of this engine's own primitives):
+
+    1. gram occurrences ``(doc, pos, md5(fp))`` via one in-row
+       transform + explode — only hashes and positions shuffle;
+    2. per-fingerprint first-occurrence + distinct-doc count in one
+       aggregation; non-first occurrences of cross-doc grams become
+       excision ranges ``[pos, pos+n-1]``;
+    3. overlapping ranges per doc collapse via
+       :func:`~tinyflux_spark.operators.aggregates.merge_intervals`
+       (running-frame windows, linear state per doc);
+    4. tokens inside a merged range are identified with the bucketed
+       :func:`~tinyflux_spark.operators.aggregates.interval_join`
+       keyed by doc (bin width 2n — no nested-loop BETWEEN plan),
+       anti-joined away, and the survivors reassemble in position
+       order.
+
+    Documents shorter than ``n`` tokens are untouched; a document whose
+    every token is excised survives as an empty string (row count is
+    preserved). Returns ``id, clean_text, n_removed, n_spans``.
+    """
+    from .aggregates import interval_join, merge_intervals
+
+    if n <= 0 or min_docs < 2:
+        raise ValueError("need n >= 1 and min_docs >= 2")
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), arr.alias("_arr"))
+
+    gram_structs = F.transform(
+        F.sequence(F.lit(0), F.size("_arr") - n),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice("_arr", i + 1, n))).alias(
+                "fp"
+            ),
+        ),
+    )
+    occ = (
+        base.where(F.size("_arr") >= n)
+        .select("id", F.explode(gram_structs).alias("g"))
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+    )
+    firsts = occ.groupBy("fp").agg(
+        F.min(F.struct("id", "pos")).alias("first"),
+        F.countDistinct("id").alias("_ndocs"),
+    ).where(F.col("_ndocs") >= min_docs)
+    cut_ranges = (
+        occ.join(firsts, "fp")
+        .where(
+            ~(
+                (F.col("id") == F.col("first.id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("id", F.col("pos").alias("s"), (F.col("pos") + n - 1).alias("e"))
+    )
+    merged = merge_intervals(cut_ranges, "id", "s", "e").select(
+        F.col("key").alias("id"), "start", "end"
+    )
+
+    toks = base.select(
+        "id", F.posexplode("_arr").alias("pos", "tok")
+    )
+    hit = interval_join(
+        toks.select("id", "pos"), merged, "pos", "start", "end",
+        bin_width=2 * n, keys=["id"],
+    ).select("id", "pos")
+    kept = toks.join(hit, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    span_counts = merged.groupBy("id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("end") - F.col("start") + 1).alias("_n_cut"),
+    )
+    return (
+        base.select("id", F.size("_arr").alias("_n_toks"))
+        .join(rebuilt, "id", "left")
+        .join(span_counts, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_n_toks") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+    )
