@@ -163,3 +163,59 @@ def test_clusters_match_connected_components(spark, n_nodes, raw_edges):
     assert set(got) == touched
     for x in touched:
         assert got[x] == model[x]
+
+
+def _model_excise(texts, n, min_docs=2):
+    """Brute-force excision spec: gram occurrences, global first per
+    fingerprint, per-doc range union, positional token cut."""
+    import re
+
+    arrs = {i: re.split(r"\s+", t.lower().strip()) for i, t in texts}
+    occ = {}
+    for i, arr in arrs.items():
+        for p in range(max(len(arr) - n + 1, 0)):
+            occ.setdefault(tuple(arr[p : p + n]), []).append((i, p))
+    cuts = {}
+    for fp, hits in occ.items():
+        if len({d for d, _ in hits}) < min_docs:
+            continue
+        first = min(hits)
+        for d, p in hits:
+            if (d, p) != first:
+                cuts.setdefault(d, []).append((p, p + n - 1))
+    out = {}
+    for i, arr in arrs.items():
+        ranges = []
+        for s, e in sorted(cuts.get(i, [])):
+            if ranges and s <= ranges[-1][1]:
+                ranges[-1] = (ranges[-1][0], max(ranges[-1][1], e))
+            else:
+                ranges.append((s, e))
+        kept = [
+            tk for p, tk in enumerate(arr)
+            if not any(s <= p <= e for s, e in ranges)
+        ]
+        out[i] = (
+            " ".join(kept), len(arr) - len(kept), len(ranges)
+        )
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpus_strategy, n=st.sampled_from([2, 3]))
+def test_excise_duplicate_spans_matches_model(spark, corpus, n):
+    from tinyflux_spark.operators.dedup import excise_duplicate_spans
+
+    texts = list(enumerate(corpus))
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        r["id"]: (r["clean_text"], r["n_removed"], r["n_spans"])
+        for r in excise_duplicate_spans(
+            df, "doc_id", "text", n=n, min_docs=2
+        ).collect()
+    }
+    assert got == _model_excise(texts, n)
