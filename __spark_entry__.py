@@ -1882,6 +1882,34 @@ def q89_excise_duplicate_spans(spark, sf_dir):
     )
 
 
+def q90_rollup_card(spark, sf_dir):
+    """Hierarchical data card in ONE aggregation pass: per-(lang,
+    source) stats plus per-lang subtotals plus the corpus grand total
+    via GROUP BY ROLLUP — Catalyst's Expand computes every grouping
+    level in a single shuffle instead of one job per level (the
+    hypertable-rollup shape). grouping_id disambiguates real NULL keys
+    from subtotal rows; token sums stay integer-exact."""
+    docs = _t("documents")(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    base = docs.select("lang", "source", n_tokens.alias("n_tokens"))
+    return (
+        base.rollup("lang", "source")
+        .agg(
+            F.grouping_id().cast("long").alias("level"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .select(
+            "level", "lang", "source", "n_docs", "total_tokens",
+            "max_tokens",
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1991,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_version_diff": q87_version_diff,
         "q88_merge_intervals": q88_merge_intervals,
         "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
+        "q90_rollup_card": q90_rollup_card,
     }
 
 
@@ -3763,5 +3792,22 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN reb r USING (doc_id)
             LEFT JOIN sp USING (doc_id)
+        """,
+        # GROUPING(lang, source) == Spark's grouping_id() bit layout
+        # (lang is the high bit in both engines' declared order).
+        "q90_rollup_card": """
+            WITH base AS (
+                SELECT lang, source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(
+                                lower(trim(text)), '\\s+')) END
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT CAST(GROUPING(lang, source) AS BIGINT) AS level,
+                   lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+            FROM base GROUP BY ROLLUP(lang, source)
         """,
     }

@@ -1381,3 +1381,28 @@ def test_excise_duplicate_spans(spark):
         dedup.excise_duplicate_spans(df, n=0)
     with pytest.raises(ValueError):
         dedup.excise_duplicate_spans(df, min_docs=1)
+
+
+def test_rollup_card_levels(spark):
+    import __spark_entry__ as em
+
+    rows = {
+        (r["level"], r["lang"], r["source"]): (
+            r["n_docs"], r["total_tokens"]
+        )
+        for r in em.q90_rollup_card(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    leaves = {k: v for k, v in rows.items() if k[0] == 0}
+    subtotals = {k: v for k, v in rows.items() if k[0] == 1}
+    grand = {k: v for k, v in rows.items() if k[0] == 3}
+    assert len(grand) == 1 and list(grand)[0][1:] == (None, None)
+    # every level must reconcile: leaves roll into subtotals, subtotals
+    # into the grand total — one Expand pass, three consistent levels
+    for (lvl, lang, _), _v in subtotals.items():
+        leaf_docs = sum(
+            v[0] for (l0, lg, _s), v in leaves.items() if lg == lang
+        )
+        assert subtotals[(lvl, lang, None)][0] == leaf_docs
+    assert list(grand.values())[0][0] == sum(v[0] for v in leaves.values())
+    assert list(grand.values())[0][1] == sum(v[1] for v in leaves.values())
