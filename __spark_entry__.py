@@ -1584,7 +1584,7 @@ def q76_quality_filter(spark, sf_dir):
     from tinyflux_spark.operators.text import quality_filter
 
     docs = _t("documents")(spark, sf_dir)
-    return quality_filter(
+    out = quality_filter(
         docs,
         "doc_id",
         min_tokens=20,
@@ -1594,6 +1594,10 @@ def q76_quality_filter(spark, sf_dir):
         max_dup_word_frac=0.65,
         max_dup_bigram_frac=0.50,
     )
+    # Gate contract: scalar-only output columns (the driver's result
+    # canonicalizer cannot sort array cells — the q35 lesson). The
+    # operator keeps its array<string> API; the gate entry flattens.
+    return out.withColumn("reasons", F.array_join("reasons", "|"))
 
 
 def q77_bm25_scores(spark, sf_dir):
@@ -1722,13 +1726,16 @@ def q83_temperature_sample(spark, sf_dir):
     )
 
 
-def q84_interval_join(spark, sf_dir):
+def q84_interval_join(spark, sf_dir, bin_width=16):
     """Shipments in transit on each order date, via the bucketed range
     join: transit intervals are [ship_day, ship_day + qty%28 + 3]
     (deterministic integer arithmetic both engines replay), exploded
     into 16-day bins and equi-joined against the broadcast distinct
     order-date side — no shuffle for the join itself, no nested-loop
-    plan, residual BETWEEN on candidates only."""
+    plan, residual BETWEEN on candidates only. ``bin_width`` is
+    exposed so bench.py can record the cost model's bin-width
+    sensitivity (spans average ~16 days; 0.5×/2× widths bracket it);
+    the result is bin-width-invariant."""
     from tinyflux_spark.operators.aggregates import interval_join
 
     epoch = F.lit("1992-01-01")
@@ -1747,7 +1754,7 @@ def q84_interval_join(spark, sf_dir):
     )
     out = interval_join(
         points, intervals, "order_day", "start_day", "end_day",
-        bin_width=16, broadcast_points=True,
+        bin_width=bin_width, broadcast_points=True,
     )
     # All aggregates partial-aggregable on purpose: the timed work is
     # the bucketed join (the operator under test), not an orthogonal
@@ -1923,63 +1930,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS artifact records
     # only the FIRST 50 entries. The order rotates each round so every
-    # query periodically lands in that window (round 4: q51-q76 first —
-    # they have never had driver rows — then the 24 most
-    # semantics-critical of q01-q50: the query-algebra rows, DML rows,
-    # and the operators modified this round). tools/check_gate.py
-    # remains the per-commit guard over all 76.
+    # query periodically lands in that window. Round 5: the 40 queries
+    # that have never had (or lost) a driver row — q09, q11-q16,
+    # q20-q32, q34-q36, q39-q41, q77-q90 — lead, completing hard-signal
+    # coverage of the whole registry; then q76 (r4's one red row, now
+    # flattened to scalar output) and 9 semantics-critical repeats
+    # (query algebra, DML, CSV interop, and the dedup operators whose
+    # oracles/defaults changed this round: q18/q19).
+    # tools/check_gate.py remains the per-commit guard over all 90.
     return {
-        "q51_dedup_clusters": q51_dedup_clusters,
-        "q52_ivf_ann_topk": q52_ivf_ann_topk,
-        "q53_hash_sample": q53_hash_sample,
-        "q54_repetition_stats": q54_repetition_stats,
-        "q55_source_quota": q55_source_quota,
-        "q56_embedding_dup_clusters": q56_embedding_dup_clusters,
-        "q57_length_deciles": q57_length_deciles,
-        "q58_dedup_keep_canonical": q58_dedup_keep_canonical,
-        "q59_ivf_indexed_topk": q59_ivf_indexed_topk,
-        "q60_resample_gapfill": q60_resample_gapfill,
-        "q61_rolling_zscore": q61_rolling_zscore,
-        "q62_top_tokens": q62_top_tokens,
-        "q63_scrub_pii": q63_scrub_pii,
-        "q64_chunk_documents": q64_chunk_documents,
-        "q65_derivative": q65_derivative,
-        "q66_percentiles": q66_percentiles,
-        "q67_db_sql": q67_db_sql,
-        "q68_downsample": q68_downsample,
-        "q69_from_table": q69_from_table,
-        "q70_stream_rollup_store": q70_stream_rollup_store,
-        "q71_time_travel": q71_time_travel,
-        "q72_decontaminate": q72_decontaminate,
-        "q73_shard_assign": q73_shard_assign,
-        "q74_pack_sequences": q74_pack_sequences,
-        "q75_ivf_batch_topk": q75_ivf_batch_topk,
-        "q76_quality_filter": q76_quality_filter,
-        "q01_search_time_range": q01_search_time_range,
-        "q02_search_tag_eq": q02_search_tag_eq,
-        "q03_search_field_range": q03_search_field_range,
-        "q04_search_compound": q04_search_compound,
-        "q05_search_measurement_regex": q05_search_measurement_regex,
-        "q06_count": q06_count,
-        "q07_field_missing_key": q07_field_missing_key,
-        "q08_not_exists": q08_not_exists,
-        "q10_select_projection": q10_select_projection,
-        "q17_dedup_exact": q17_dedup_exact,
-        "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
-        "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
-        "q33_media_features": q33_media_features,
-        "q37_dml_update_unset_remove": q37_dml_update_unset_remove,
-        "q38_get_contains": q38_get_contains,
-        "q42_all_len_iter": q42_all_len_iter,
-        "q43_update_all": q43_update_all,
-        "q44_remove_all": q44_remove_all,
-        "q45_drop_measurement": q45_drop_measurement,
-        "q46_insert_point_path": q46_insert_point_path,
-        "q47_map_test_predicates": q47_map_test_predicates,
-        "q48_search_predicate": q48_search_predicate,
-        "q49_measurement_handle": q49_measurement_handle,
-        "q50_csv_interop": q50_csv_interop,
-        # --- driver window boundary (entries below rotate back in r5) ---
         "q09_get_measurements": q09_get_measurements,
         "q11_agg_pricing_summary": q11_agg_pricing_summary,
         "q12_daily_revenue_ma7": q12_daily_revenue_ma7,
@@ -2020,6 +1979,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_merge_intervals": q88_merge_intervals,
         "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
         "q90_rollup_card": q90_rollup_card,
+        "q76_quality_filter": q76_quality_filter,
+        "q01_search_time_range": q01_search_time_range,
+        "q04_search_compound": q04_search_compound,
+        "q06_count": q06_count,
+        "q17_dedup_exact": q17_dedup_exact,
+        "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
+        "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
+        "q37_dml_update_unset_remove": q37_dml_update_unset_remove,
+        "q47_map_test_predicates": q47_map_test_predicates,
+        "q50_csv_interop": q50_csv_interop,
+        # --- driver window boundary (50 above; below all have r3/r4
+        # driver-green rows and stay gated by tools/check_gate.py) ---
+        "q02_search_tag_eq": q02_search_tag_eq,
+        "q03_search_field_range": q03_search_field_range,
+        "q05_search_measurement_regex": q05_search_measurement_regex,
+        "q07_field_missing_key": q07_field_missing_key,
+        "q08_not_exists": q08_not_exists,
+        "q10_select_projection": q10_select_projection,
+        "q33_media_features": q33_media_features,
+        "q38_get_contains": q38_get_contains,
+        "q42_all_len_iter": q42_all_len_iter,
+        "q43_update_all": q43_update_all,
+        "q44_remove_all": q44_remove_all,
+        "q45_drop_measurement": q45_drop_measurement,
+        "q46_insert_point_path": q46_insert_point_path,
+        "q48_search_predicate": q48_search_predicate,
+        "q49_measurement_handle": q49_measurement_handle,
+        "q51_dedup_clusters": q51_dedup_clusters,
+        "q52_ivf_ann_topk": q52_ivf_ann_topk,
+        "q53_hash_sample": q53_hash_sample,
+        "q54_repetition_stats": q54_repetition_stats,
+        "q55_source_quota": q55_source_quota,
+        "q56_embedding_dup_clusters": q56_embedding_dup_clusters,
+        "q57_length_deciles": q57_length_deciles,
+        "q58_dedup_keep_canonical": q58_dedup_keep_canonical,
+        "q59_ivf_indexed_topk": q59_ivf_indexed_topk,
+        "q60_resample_gapfill": q60_resample_gapfill,
+        "q61_rolling_zscore": q61_rolling_zscore,
+        "q62_top_tokens": q62_top_tokens,
+        "q63_scrub_pii": q63_scrub_pii,
+        "q64_chunk_documents": q64_chunk_documents,
+        "q65_derivative": q65_derivative,
+        "q66_percentiles": q66_percentiles,
+        "q67_db_sql": q67_db_sql,
+        "q68_downsample": q68_downsample,
+        "q69_from_table": q69_from_table,
+        "q70_stream_rollup_store": q70_stream_rollup_store,
+        "q71_time_travel": q71_time_travel,
+        "q72_decontaminate": q72_decontaminate,
+        "q73_shard_assign": q73_shard_assign,
+        "q74_pack_sequences": q74_pack_sequences,
+        "q75_ivf_batch_topk": q75_ivf_batch_topk,
     }
 
 
@@ -2492,9 +2503,30 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_dups
             FROM norm GROUP BY 1
         """,
+        # q18 models the entry's explicit df-cut (max_shingle_freq=1000)
+        # EXACTLY: the engine verifies candidates against the full
+        # uncut shingle sets, and its prefix bound provably emits a
+        # pair iff it shares >= 1 under-cut shingle and its FULL
+        # jaccard >= t (proof in ngram_jaccard_pairs' docstring). At
+        # the test SFs max shingle df is 25, so the cut is inert — the
+        # oracle still carries it so engine and oracle stay identical
+        # at ANY corpus scale.
         "q18_ngram_jaccard_pairs": f"""
-            WITH {_SHINGLE_CTE}
-            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.7
+            WITH {_SHINGLE_CTE},
+            dfreq AS (
+                SELECT shingle, COUNT(*) AS sdf FROM sh GROUP BY 1
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a
+                JOIN sh b USING (shingle)
+                JOIN dfreq USING (shingle)
+                WHERE a.doc_id < b.doc_id AND sdf <= 1000
+            )
+            SELECT j.id_a, j.id_b, j.jaccard
+            FROM jac j JOIN cand c
+              ON c.id_a = j.id_a AND c.id_b = j.id_b
+            WHERE j.jaccard >= 0.7
         """,
         "q19_minhash_lsh_pairs": f"""
             WITH {_SHINGLE_CTE},
@@ -3344,7 +3376,8 @@ def oracle_sql() -> dict[str, str]:
                     ], x -> x IS NOT NULL)) AS reasons
                 FROM r2
             )
-            SELECT doc_id, len(reasons) = 0 AS keep, reasons
+            SELECT doc_id, len(reasons) = 0 AS keep,
+                   COALESCE(array_to_string(reasons, '|'), '') AS reasons
             FROM verdict
         """,
         # BM25 with +1-smoothed idf; arithmetic written in the exact
@@ -3577,10 +3610,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM c
             ),
             r2 AS (
+                -- least(..., 2^32-1) mirrors the engine's clamp: a
+                -- near-1 rate in a >2^32-row group must not round to
+                -- the 9-hex-char 2^32 and get lpad-truncated.
                 SELECT lang, group_rows, keep_rate,
-                       lpad(lower(to_hex(CAST(round(
-                           keep_rate * 4294967296.0) AS BIGINT))),
-                           8, '0') AS th
+                       lpad(lower(to_hex(least(CAST(round(
+                           keep_rate * 4294967296.0) AS BIGINT),
+                           4294967295))), 8, '0') AS th
                 FROM r
             )
             SELECT d.doc_id, d.lang, d.source,

@@ -43,7 +43,8 @@ HEAVY = {
     "q37_dml_update_unset_remove", "q38_get_contains",
     "q51_dedup_clusters", "q72_decontaminate",
     "q78_quantize_embeddings", "q79_edit_distance_pairs",
-    "q80_incremental_dedup_join",
+    "q80_incremental_dedup_join", "q86_salted_join",
+    "q89_excise_duplicate_spans",
 }
 
 # Mutable result document: the SIGTERM/SIGINT handler dumps whatever is
@@ -144,6 +145,25 @@ def _flat_serving_view(spark, sf_dir: str):
     return _FLAT_CACHE[sf_dir]
 
 
+_SHAPE_DF: dict = {}
+
+
+def _shape_frames(spark, sf_dir: str) -> dict:
+    """The four reference-shape serving DataFrames, built ONCE per SF
+    and reused across every measurement window and the scale probe —
+    a DataFrame's analyzed/optimized plan is computed lazily once per
+    object, so reusing the object makes each timed `_serve` pure
+    execution (dispatch + scan + Arrow), with zero per-iteration
+    analysis cost."""
+    if sf_dir not in _SHAPE_DF:
+        flat = _flat_serving_view(spark, sf_dir)
+        _SHAPE_DF[sf_dir] = {
+            label: flat.where(q.compile(indexed=_FLAT_IDX))
+            for label, q in _baseline_queries().items()
+        }
+    return _SHAPE_DF[sf_dir]
+
+
 def _adjacent_smaller_sf(sf_dir: str):
     """The next testdata scale down from ``sf_dir`` (sf0.1 → sf0.01 →
     sf0.001), or None if it doesn't exist on disk."""
@@ -177,12 +197,10 @@ def _scale_probe(spark) -> dict:
     }
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     for d in (small, SF_DIR):
-        flat = _flat_serving_view(spark, d)
         tag = "small" if d == small else "large"
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            for label, q in _baseline_queries().items():
-                df = flat.where(q.compile(indexed=_FLAT_IDX))
+            for label, df in _shape_frames(spark, d).items():
                 for _ in range(5):
                     _serve(df)
                 best = min(_timed(lambda: _serve(df)) for _ in range(7))
@@ -196,22 +214,34 @@ def _scale_probe(spark) -> dict:
             "q51_dedup_clusters",
             "q60_resample_gapfill",
             "q62_top_tokens",
+            "q80_incremental_dedup_join",
             "q82_remove_boilerplate",
             "q84_interval_join",
+            "q86_salted_join",
+            "q89_excise_duplicate_spans",
         ):
             fn = entry_mod.queries()[qname]
             df = fn(spark, d)
             df.write.format("noop").mode("overwrite").save()  # warm
             # best of 2: the ratio is a scaling-curve claim, so a
             # single GC pause at one SF must not fabricate a slope.
-            sec = min(
-                _timed(
+            # EAGER_PER_RUN queries rebuild inside the timed lambda so
+            # the curve includes their build-time materialization.
+            run = (
+                (
+                    lambda: fn(spark, d)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                if qname in EAGER_PER_RUN
+                else (
                     lambda: df.write.format("noop")
                     .mode("overwrite")
                     .save()
                 )
-                for _ in range(2)
             )
+            sec = min(_timed(run) for _ in range(2))
             rec = out["throughput_ops"].setdefault(qname, {})
             rec[f"sec_{tag}"] = round(sec, 4)
             # output volume for the same run: a sec_ratio only reads as
@@ -230,6 +260,106 @@ def _scale_probe(spark) -> dict:
         out["synthetic_10x"] = _synthetic_10x_probe(spark)
     except Exception as e:  # noqa: BLE001 — evidence, not a gate
         out["synthetic_10x"] = {"error": repr(e)[:200]}
+    return out
+
+
+def _bin_width_probe(spark) -> dict:
+    """interval_join's documented cost model, measured: intervals
+    replicate ceil(span / bin_width) + 1 times, so the q84 spans
+    (avg ~16 days) should run fastest near bin_width=16, paying more
+    interval replication at 8 and more candidate fan-in per bin at 32.
+    Three timed points (0.5x / 1x / 2x the typical span) pin the curve
+    instead of a hand-picked constant. Results are identical at every
+    width (the residual BETWEEN makes bin_width purely physical)."""
+    out = {}
+    for w in (8, 16, 32):
+        df = entry_mod.q84_interval_join(spark, SF_DIR, bin_width=w)
+        df.write.format("noop").mode("overwrite").save()  # warm
+        sec = min(
+            _timed(
+                lambda: df.write.format("noop").mode("overwrite").save()
+            )
+            for _ in range(2)
+        )
+        out[f"bin_width_{w}"] = round(sec, 4)
+    return out
+
+
+def _skew_join_probe(spark) -> dict:
+    """Measured AQE-skew-split vs salting comparison (the docstring on
+    salted_join prescribes when to prefer each; this records the data).
+    A deliberately skewed large×large equi-join — 60% of the events
+    rows collapse onto ONE hot key, the rest spread over 100k keys —
+    runs three ways with broadcast disabled (the right side would
+    otherwise broadcast and dodge the skew entirely): sort-merge with
+    AQE's skew-join split, sort-merge with AQE off (the straggler
+    baseline), and salted_join(n_salts=8). All three must agree on the
+    aggregate; the timings show the rewrite's price/benefit on this
+    host. At cluster scale the no-AQE straggler grows with the hot
+    key's row mass while the other two stay balanced."""
+    from tinyflux_spark.operators.aggregates import salted_join
+
+    ev = entry_mod.load_events(spark, SF_DIR)
+    # x8 replication: at sf0.1 the raw 1M rows finish in ~50 ms per
+    # join — too fast for the straggler to surface above dispatch
+    # noise. 8M rows put ~5M on the hot key: one ~5M-row sort-merge
+    # partition vs 32 balanced ones is visible wall-clock.
+    reps = spark.range(8).select(F.col("id").alias("_rep"))
+    left = ev.crossJoin(F.broadcast(reps)).select(
+        F.when(F.col("event_id") % 10 < 6, F.lit(0))
+        .otherwise(F.col("event_id") % 100000)
+        .cast("long")
+        .alias("k"),
+        "value",
+    )
+    right = spark.range(100000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("w")
+    )
+    builds = {
+        "smj_aqe_skew": lambda: left.join(right, "k"),
+        "smj_no_aqe": lambda: left.join(right, "k"),
+        "salted_8": lambda: salted_join(left, right, ["k"], n_salts=8),
+    }
+    aqe_for = {"smj_aqe_skew": "true", "smj_no_aqe": "false",
+               "salted_8": "false"}
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    prev = {k: spark.conf.get(k) for k in keys}
+    out: dict = {}
+    counts = set()
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        for mode, build in builds.items():
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_for[mode])
+
+            # Rebuild the plan for every run: repeated actions on ONE
+            # DataFrame object reuse its shuffle map stages, which
+            # would time only the final reduce (~45 ms) instead of the
+            # join. A fresh lineage re-shuffles.
+            # decimal sum: exact and order-independent, so the three
+            # modes' checksums compare without float-sum drift.
+            def agg_run(build=build):
+                return build().groupBy().agg(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        F.col("value").cast("decimal(18,6)")
+                        + F.col("w").cast("decimal(18,6)")
+                    ).alias("s"),
+                ).collect()
+
+            rows = agg_run()  # warm
+            counts.add((rows[0]["n"], str(rows[0]["s"])))
+            out[mode] = round(
+                min(_timed(agg_run) for _ in range(2)), 4
+            )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    out["results_agree"] = len(counts) == 1
     return out
 
 
@@ -282,6 +412,16 @@ def _synthetic_10x_probe(spark) -> dict:
     return res
 
 
+# Queries that do their dominant work EAGERLY at DataFrame-build time
+# as a per-run materialization (q89's gram-table localCheckpoint):
+# timing only the downstream action would hide the real cost, so these
+# are rebuilt inside the timed window. (Entries whose eager build is a
+# one-time STORE construction — q37 DML, q59 index, q70/q71 — stay on
+# the build-once convention: their timed read models steady-state
+# serving of a standing store.)
+EAGER_PER_RUN = {"q89_excise_duplicate_spans"}
+
+
 def time_query(name, fn, spark) -> float:
     """Build the plan once, warm up, time one execution — the reference
     times query *execution* against a prebuilt query object
@@ -290,8 +430,11 @@ def time_query(name, fn, spark) -> float:
     df = fn(spark, SF_DIR)
     for _ in range(1 if name in HEAVY else WARMUPS):
         df.write.format("noop").mode("overwrite").save()
+    rebuild = name in EAGER_PER_RUN
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    (fn(spark, SF_DIR) if rebuild else df).write.format("noop").mode(
+        "overwrite"
+    ).save()
     return time.perf_counter() - t0
 
 
@@ -415,9 +558,7 @@ def main() -> None:
                 min(_timed(probe.count) for _ in range(5)) * 1000, 2
             )
             probe.unpersist()
-            flat = _flat_serving_view(spark, SF_DIR)
-            for label, q in _baseline_queries().items():
-                df = flat.where(q.compile(indexed=_FLAT_IDX))
+            for label, df in _shape_frames(spark, SF_DIR).items():
                 for _ in range(5):
                     _serve(df)
                 # min of 7 timed runs: a single run is at the mercy of
@@ -528,6 +669,16 @@ def main() -> None:
         derived["scaling"] = _scale_probe(spark)
     except Exception as e:  # noqa: BLE001
         errors["scaling"] = repr(e)[:200]
+
+    try:
+        derived["interval_join_bin_width"] = _bin_width_probe(spark)
+    except Exception as e:  # noqa: BLE001
+        errors["bin_width_probe"] = repr(e)[:200]
+
+    try:
+        derived["skew_join_comparison"] = _skew_join_probe(spark)
+    except Exception as e:  # noqa: BLE001
+        errors["skew_join_probe"] = repr(e)[:200]
 
     # DML round-trip wall time, end to end (store build + 2 updates +
     # remove + read-back). Reported separately: the reference baseline

@@ -327,6 +327,114 @@ def test_png_roundtrip_all_encoder_filters():
     assert len({e for e in encodings}) == 3
 
 
+def test_png_roundtrip_color_types():
+    """Color PNG support: RGB, palette (PLTE), gray+alpha and RGBA all
+    round-trip through every encoder filter type — the Sub filter's
+    left neighbor sits bpp bytes back, so bpp = 2/3/4 exercise the
+    byte-depth-aware unfiltering the grayscale path never hits."""
+    rng = np.random.default_rng(11)
+    for channels in (2, 3, 4):
+        px = rng.integers(0, 256, size=(9, 7, channels), dtype=np.uint8)
+        for ft in (0, 1, 2):
+            got = multimodal.decode_png(
+                multimodal.encode_png(px, filter_type=ft)
+            )
+            assert got.shape == px.shape
+            assert (got == px).all(), (channels, ft)
+    # palette: indices + PLTE expand to the palette's RGB rows
+    idx = rng.integers(0, 5, size=(8, 8), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    for ft in (0, 1, 2):
+        got = multimodal.decode_png(
+            multimodal.encode_png(idx, filter_type=ft, palette=pal)
+        )
+        assert got.shape == (8, 8, 3)
+        assert (got == pal[idx]).all()
+
+
+def _png_manual_filters(px, filters, palette=None):
+    """A PNG whose rows carry the given per-row filter types (3 =
+    Average, 4 = Paeth included), filtered per the spec from the
+    reconstructed (= original) neighbors — exists to drive the decoder
+    over filter rows the encoder never emits."""
+    import struct
+    import zlib
+
+    arr = np.asarray(px, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        bpp, flat = 1, arr.astype(int)
+        ctype = 3 if palette is not None else 0
+    else:
+        h, w, bpp = arr.shape
+        flat = arr.reshape(h, w * bpp).astype(int)
+        ctype = {2: 4, 3: 2, 4: 6}[bpp]
+    raw = bytearray()
+    for r, ft in enumerate(filters):
+        raw.append(ft)
+        for c in range(w * bpp):
+            x = flat[r, c]
+            a = flat[r, c - bpp] if c >= bpp else 0
+            b = flat[r - 1, c] if r else 0
+            cc = flat[r - 1, c - bpp] if r and c >= bpp else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x - a
+            elif ft == 2:
+                v = x - b
+            elif ft == 3:
+                v = x - (a + b) // 2
+            elif ft == 4:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = (
+                    a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                )
+                v = x - pred
+            raw.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + multimodal._png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += multimodal._png_chunk(
+            b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes()
+        )
+    return (
+        out
+        + multimodal._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_average_and_paeth_filters():
+    """Decoder-only filters (Average=3, Paeth=4), which real encoders
+    emit but ours doesn't: hand-filtered streams mixing all five types
+    per image must reconstruct exactly, for grayscale (bpp=1) and RGB
+    (bpp=3)."""
+    rng = np.random.default_rng(13)
+    filters = [3, 4, 0, 1, 2, 4, 3]
+    gray = rng.integers(0, 256, size=(7, 11), dtype=np.uint8)
+    assert (
+        multimodal.decode_png(_png_manual_filters(gray, filters)) == gray
+    ).all()
+    rgb = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    got = multimodal.decode_png(_png_manual_filters(rgb, filters))
+    assert (got == rgb).all()
+
+
+def test_png_decode_rejects_unsupported():
+    px = np.zeros((4, 4), dtype=np.uint8)
+    data = bytearray(multimodal.encode_png(px))
+    # flip IHDR interlace byte (offset: 8 sig + 8 chunk hdr + 12)
+    data[8 + 8 + 12] = 1
+    with pytest.raises(ValueError, match="Adam7"):
+        multimodal.decode_png(bytes(data))
+    data = bytearray(multimodal.encode_png(px))
+    data[8 + 8 + 8] = 16  # depth byte
+    with pytest.raises(ValueError, match="8-bit"):
+        multimodal.decode_png(bytes(data))
+
+
 def test_wav_roundtrip():
     samples = multimodal.synthetic_samples(3)
     data = multimodal.encode_wav(samples)
@@ -1250,6 +1358,18 @@ def test_interval_join_matches_bruteforce(spark):
         aggregates.interval_join(
             p.withColumn("s", F.lit(1)), iv, "t", "s", "e", bin_width=10
         )
+    # reserved internal column: withColumn would silently overwrite a
+    # caller's _bin and mis-route the join — must raise instead
+    with pytest.raises(ValueError, match="_bin"):
+        aggregates.interval_join(
+            p.withColumn("_bin", F.lit(1)), iv, "t", "s", "e",
+            bin_width=10,
+        )
+    with pytest.raises(ValueError, match="_bin"):
+        aggregates.interval_join(
+            p, iv.withColumn("_bin", F.lit(1)), "t", "s", "e",
+            bin_width=10,
+        )
 
 
 def test_unigram_logprob_model(spark):
@@ -1314,6 +1434,32 @@ def test_salted_join_equals_plain_join(spark):
         aggregates.salted_join(left, right, ["k"], n_salts=0)
     with pytest.raises(ValueError):
         aggregates.salted_join(left, right, ["k"], how="full")
+    # reserved internal column: a caller _salt would be silently
+    # overwritten (and the left hash would salt the overwritten value)
+    with pytest.raises(ValueError, match="_salt"):
+        aggregates.salted_join(
+            left.withColumn("_salt", F.lit(0)), right, ["k"]
+        )
+    with pytest.raises(ValueError, match="_salt"):
+        aggregates.salted_join(
+            left, right.withColumn("_salt", F.lit(0)), ["k"]
+        )
+
+
+def test_rate_threshold_hex_clamps_near_one(spark):
+    """A keep rate one ulp below 1 rounds to exactly 2^32 (9 hex
+    chars); the clamp must pin it to ffffffff instead of letting
+    lpad truncate it to 2^28 (~1/16 keep rate)."""
+    rows = spark.createDataFrame(
+        [(1.0 - 2.0 ** -40,), (1.0,), (0.5,), (0.0,)], ["r"]
+    )
+    got = [
+        r[0]
+        for r in rows.select(
+            sampling.rate_threshold_hex(F.col("r")).alias("t")
+        ).collect()
+    ]
+    assert got == ["ffffffff", "ffffffff", "80000000", "00000000"]
 
 
 def test_merge_intervals_semantics(spark):

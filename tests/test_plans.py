@@ -364,6 +364,43 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
     assert not bad, f"plan anti-patterns: {bad}"
 
 
+def test_registered_queries_return_scalar_only_columns(spark):
+    """Entry contract: every gate query's output schema is scalar-only.
+    The driver's result canonicalizer does pandas sort_values over
+    object columns and crashes on array/map/struct cells — this burned
+    q35 in round 1 and q76 in round 4 (both fixed by flattening in the
+    gate entry while the operator keeps its typed API). This sweep
+    plus the matching check in tools/check_gate.py closes the class."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in em.queries().items():
+        df = fn(spark, sf)
+        nonscalar = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if nonscalar:
+            bad[name] = nonscalar
+    assert not bad, (
+        f"non-scalar gate output columns (flatten with array_join "
+        f"etc. in the entry): {bad}"
+    )
+    # The local gate applies the same rule (tools/check_gate.py):
+    # a deliberately array-returning frame must be flagged there too.
+    from tools.check_gate import nonscalar_columns
+
+    arr_df = spark.range(1).select(
+        F.col("id"), F.array(F.lit("a"), F.lit("b")).alias("xs")
+    )
+    assert nonscalar_columns(arr_df.schema) == ["xs"]
+    assert nonscalar_columns(arr_df.select("id").schema) == []
+
+
 def test_collect_arrow_batches_fallback_matches_fast_path(spark, monkeypatch):
     """collect_arrow_batches rides private PySpark hooks
     (_load_from_socket + collectAsArrowToPython); this pins the

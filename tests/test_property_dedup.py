@@ -103,6 +103,43 @@ def test_lsh_pairs_subset_of_exact(spark, texts):
     assert certain <= set(got)
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(corpus_strategy, st.integers(min_value=1, max_value=4))
+def test_df_cut_semantics_exact(spark, texts, cut):
+    """The df-cut's contract (which the q18 oracle replays in SQL):
+    with max_shingle_freq=cut, a pair is emitted IFF its FULL jaccard
+    >= t AND the docs share at least one shingle whose corpus document
+    frequency is <= cut — and the emitted jaccard is the full uncut
+    value. The tiny vocabulary makes hot shingles (df > cut) common,
+    so the cut is genuinely active here."""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", threshold=0.3, max_shingle_freq=cut
+        ).collect()
+    }
+    sets = {i: _model_shingles(t) for i, t in enumerate(texts)}
+    dfreq = {}
+    for s in sets.values():
+        for sh in s:
+            dfreq[sh] = dfreq.get(sh, 0) + 1
+    model = {
+        k: j
+        for k, j in _model_pairs(texts, 0.3).items()
+        if any(dfreq[sh] <= cut for sh in sets[k[0]] & sets[k[1]])
+    }
+    assert set(got) == set(model)
+    for k, j in model.items():
+        assert abs(got[k] - j) < 1e-9
+
+
 def _model_components(n_nodes, edges):
     parent = list(range(n_nodes))
 

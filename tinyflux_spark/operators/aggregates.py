@@ -424,6 +424,15 @@ def interval_join(
         raise ValueError(
             f"point/interval column collision outside keys: {overlap}"
         )
+    # "_bin" is this operator's internal routing column; withColumn
+    # would silently OVERWRITE a caller column of the same name and
+    # produce wrong join results instead of an error.
+    taken = set(points.columns) | set(intervals.columns)
+    if "_bin" in taken:
+        raise ValueError(
+            "'_bin' is reserved by interval_join; rename the input "
+            "column"
+        )
     p = points.withColumn(
         "_bin", F.floor(F.col(point_col) / bin_width).cast("long")
     )
@@ -477,6 +486,15 @@ def salted_join(
         raise ValueError("n_salts must be positive")
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner'|'left'")
+    # "_salt" is this operator's internal routing column; withColumn
+    # would silently OVERWRITE a caller column of the same name (and
+    # the left side's salt would then hash over the overwritten value)
+    # — wrong join results instead of an error.
+    if "_salt" in set(left.columns) | set(right.columns):
+        raise ValueError(
+            "'_salt' is reserved by salted_join; rename the input "
+            "column"
+        )
     keys = list(on)
     lsalt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)

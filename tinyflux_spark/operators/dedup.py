@@ -214,7 +214,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: Optional[int] = 1000,
+    max_shingle_freq: Optional[int] = None,
     unit: str = "word",
 ) -> DataFrame:
     """All document pairs with Jaccard(shingles_a, shingles_b) >= t.
@@ -222,16 +222,25 @@ def ngram_jaccard_pairs(
     Exact (no hashing): inverted-index self-join on shingle, count
     common shingles per pair, |A∪B| = |A|+|B|-common. Quadratic in the
     worst case — use minhash_lsh_pairs at corpus scale; this is the
-    ground-truth operator the LSH variant is verified against.
+    ground-truth operator the LSH variant is verified against, so the
+    library DEFAULT is exact (``max_shingle_freq=None``) — a silent
+    df-cut here would poison every caller that treats this as ground
+    truth (duplicate_clusters / dedup_keep_canonical callers included).
 
-    ``max_shingle_freq`` (default 1000) drops shingles appearing in
-    more than that many documents before the prefix self-join — the
+    ``max_shingle_freq`` (opt-in, e.g. 1000) drops shingles appearing
+    in more than that many documents before the prefix self-join — the
     df-cut that bounds candidate fan-out when one boilerplate sentence
     recurs across a large corpus (a shingle in f docs emits O(f²)
-    candidate rows). The cut only loses a pair if EVERY shingle it
-    shares is above the cut, which at threshold-level similarity means
-    near-identical boilerplate — exactly what the cut is for. Pass
-    None for strict exactness on bounded inputs.
+    candidate rows). Its semantics are EXACT and modelable: candidates
+    are still verified against the full uncut shingle sets, and the
+    prefix bound (|A| - ceil(t|A|) + 2, computed from PRE-cut sizes
+    but applied over the post-cut set) provably catches every pair
+    with J >= t that shares at least one under-cut shingle — because
+    J >= t gives |A∩B| >= t|A|, so |A'| - |A'∩B'| + 1 <= |A| - |A∩B|
+    + 1 <= |A|(1-t) + 1 <= prefix_len (removed shared-hot shingles
+    shrink the post-cut set at least as fast as the post-cut overlap).
+    Hence: a pair is emitted iff it shares >= 1 shingle with df <= cut
+    and its FULL jaccard >= t — the property the q18 oracle replays.
     """
     from pyspark.sql import Window
 
@@ -936,6 +945,7 @@ def excise_duplicate_spans(
     text_col: str = "text",
     n: int = 5,
     min_docs: int = 2,
+    persist_grams: bool = True,
 ) -> DataFrame:
     """Exact-substring deduplication at word-gram granularity (the
     "deduplicating training data" excision rule): find every word
@@ -985,6 +995,14 @@ def excise_duplicate_spans(
         .select("id", F.explode(gram_structs).alias("g"))
         .select("id", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
     )
+    if persist_grams:
+        # occ feeds BOTH the first-occurrence aggregate and the
+        # cut-range join below; without materialization the md5-gram
+        # explode (the dominant cost) runs twice. Eager localCheckpoint
+        # — the same pattern duplicate_clusters uses — computes the
+        # (id, pos, fp) table once; it holds only hashes and positions,
+        # ~a few % of corpus bytes. Opt out for a purely-lazy plan.
+        occ = occ.localCheckpoint(eager=True)
     firsts = occ.groupBy("fp").agg(
         F.min(F.struct("id", "pos")).alias("first"),
         F.countDistinct("id").alias("_ndocs"),

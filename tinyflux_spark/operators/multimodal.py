@@ -6,11 +6,13 @@ preserving ``mapInPandas`` operators with Arrow batch transfer, UDF
 signatures, batch shapes. Two decode modes ship:
 
 * :func:`media_decode` — a REAL codec path built on the standard
-  library: PNG (zlib inflate + scanline unfiltering, all five PNG
-  filter types) and WAV (RIFF parse via the ``wave`` module). No
-  third-party imaging/audio package exists in this environment, so the
-  container formats exercised are the stdlib-codable ones; JPEG/MP4
-  decode would drop into the same dispatcher.
+  library: PNG (zlib inflate + bpp-aware scanline unfiltering for all
+  five PNG filter types, every 8-bit color type — grayscale, RGB,
+  palette/PLTE, gray+alpha, RGBA) and WAV (RIFF parse via the ``wave``
+  module). No third-party imaging/audio package exists in this
+  environment, so the container formats exercised are the
+  stdlib-codable ones; JPEG/MP4 decode would drop into the same
+  dispatcher.
 * ``_stub_decode`` — the deterministic md5-fold fake, kept as the
   oracle-replayable mode (``decode=None, strict=False``) for pipelines
   that need a SQL-replayable signal without real bytes.
@@ -69,7 +71,8 @@ def _stub_decode(data: bytes, kind: str) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------
-# Real stdlib codecs: PNG (8-bit grayscale) and WAV (PCM int16 mono).
+# Real stdlib codecs: PNG (8-bit, all five color types) and WAV
+# (PCM int16 mono).
 # ---------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -84,23 +87,45 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels, filter_type: int = 0) -> bytes:
-    """Encode a 2-D list/array of 8-bit grayscale pixels as a real PNG
-    (signature, IHDR, one zlib IDAT, IEND — readable by any viewer).
-    ``filter_type`` applies PNG scanline filter 0 (None), 1 (Sub) or
-    2 (Up) to every row — the encoded stream differs but decodes to the
-    same pixels, which the round-trip tests use to exercise the
-    decoder's unfiltering paths."""
+# channels per PNG color type: gray, RGB, palette-index, gray+alpha,
+# RGB+alpha
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(pixels, filter_type: int = 0, palette=None) -> bytes:
+    """Encode 8-bit pixels as a real PNG (signature, IHDR, [PLTE], one
+    zlib IDAT, IEND — readable by any viewer).
+
+    Shape selects the color type: (h, w) → grayscale (ctype 0) or —
+    with ``palette``, a list/array of (r, g, b) rows — palette indices
+    (ctype 3, PLTE chunk); (h, w, 2) → gray+alpha (4); (h, w, 3) → RGB
+    (2); (h, w, 4) → RGBA (6). ``filter_type`` applies PNG scanline
+    filter 0 (None), 1 (Sub, bpp-offset left neighbor) or 2 (Up) to
+    every row — the encoded stream differs but decodes to the same
+    pixels, which the round-trip tests use to exercise the decoder's
+    unfiltering paths."""
     px = np.asarray(pixels, dtype=np.uint8)
-    h, w = px.shape
+    if px.ndim == 2:
+        h, w = px.shape
+        ctype = 3 if palette is not None else 0
+        bpp = 1
+        flat = px
+    elif px.ndim == 3:
+        h, w, bpp = px.shape
+        ctype = {2: 4, 3: 2, 4: 6}[bpp]
+        flat = px.reshape(h, w * bpp)
+    else:
+        raise ValueError("pixels must be (h, w) or (h, w, channels)")
     raw = bytearray()
-    prev = np.zeros(w, dtype=np.uint8)
+    prev = np.zeros(w * bpp, dtype=np.uint8)
     for r in range(h):
-        row = px[r]
+        row = flat[r]
         if filter_type == 0:
             filt = row
-        elif filter_type == 1:  # Sub: delta vs left neighbor
-            left = np.concatenate(([0], row[:-1])).astype(np.uint8)
+        elif filter_type == 1:  # Sub: delta vs left neighbor, bpp back
+            left = np.concatenate(
+                (np.zeros(bpp, dtype=np.uint8), row[:-bpp])
+            )
             filt = (row.astype(np.int16) - left).astype(np.uint8)
         elif filter_type == 2:  # Up: delta vs row above
             filt = (row.astype(np.int16) - prev).astype(np.uint8)
@@ -109,67 +134,96 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
         raw.append(filter_type)
         raw.extend(filt.tobytes())
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if ctype == 3:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+            raise ValueError("palette must be (<=256, 3) uint8")
+        chunks += _png_chunk(b"PLTE", pal.tobytes())
     return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
+        chunks
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit grayscale PNG to an (h, w) uint8 array: chunk
-    walk, zlib inflate, and per-scanline unfiltering for all five PNG
-    filter types (None/Sub/Up/Average/Paeth)."""
+    """Decode an 8-bit PNG to a uint8 array: chunk walk, zlib inflate,
+    per-scanline unfiltering for all five PNG filter types
+    (None/Sub/Up/Average/Paeth) at the color type's byte depth, and
+    PLTE lookup for palette images.
+
+    Supports every 8-bit color type — 0 grayscale → (h, w); 3 palette
+    → (h, w, 3) after PLTE expansion; 2 RGB / 4 gray+alpha / 6 RGBA →
+    (h, w, channels). Filters predict from the byte ``bpp`` positions
+    left (the per-channel left neighbor), per the PNG spec. Interlaced
+    (Adam7) and non-8-bit depths are rejected loudly."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, None
     idat = bytearray()
+    plte = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
-            if depth != 8 or ctype != 0:
-                raise ValueError("decoder supports 8-bit grayscale only")
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if depth != 8:
+                raise ValueError("decoder supports 8-bit channels only")
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"unknown PNG color type {ctype}")
+            if interlace:
+                raise ValueError("decoder does not support Adam7")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
             break
         pos += 12 + length
     raw = zlib.decompress(bytes(idat))
-    out = np.zeros((h, w), dtype=np.uint8)
-    stride = w + 1
+    bpp = _PNG_CHANNELS[ctype]
+    rb = w * bpp  # row bytes
+    out = np.zeros((h, rb), dtype=np.uint8)
+    stride = rb + 1
     for r in range(h):
         line = raw[r * stride : (r + 1) * stride]
         ft, scan = line[0], np.frombuffer(line[1:], dtype=np.uint8).copy()
-        up = out[r - 1] if r else np.zeros(w, dtype=np.uint8)
+        up = out[r - 1] if r else np.zeros(rb, dtype=np.uint8)
         if ft == 0:
             out[r] = scan
         elif ft == 1:  # Sub
-            acc = 0
-            for c in range(w):
-                acc = (int(scan[c]) + acc) & 0xFF
-                out[r, c] = acc
+            for c in range(rb):
+                left = int(out[r, c - bpp]) if c >= bpp else 0
+                out[r, c] = (int(scan[c]) + left) & 0xFF
         elif ft == 2:  # Up
             out[r] = (scan.astype(np.int16) + up).astype(np.uint8)
         elif ft == 3:  # Average
-            for c in range(w):
-                left = int(out[r, c - 1]) if c else 0
+            for c in range(rb):
+                left = int(out[r, c - bpp]) if c >= bpp else 0
                 out[r, c] = (int(scan[c]) + (left + int(up[c])) // 2) & 0xFF
         elif ft == 4:  # Paeth
-            for c in range(w):
-                a = int(out[r, c - 1]) if c else 0
-                b, cc = int(up[c]), (int(out[r - 1, c - 1]) if r and c else 0)
+            for c in range(rb):
+                a = int(out[r, c - bpp]) if c >= bpp else 0
+                b = int(up[c])
+                cc = int(out[r - 1, c - bpp]) if r and c >= bpp else 0
                 p = a + b - cc
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
                 out[r, c] = (int(scan[c]) + pred) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter {ft}")
-    return out
+    if ctype == 0:
+        return out
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE chunk")
+        return plte[out]  # (h, w) indices -> (h, w, 3)
+    return out.reshape(h, w, bpp)
 
 
 def encode_wav(samples, rate: int = 8000) -> bytes:
@@ -201,7 +255,8 @@ def decode_wav(data: bytes) -> np.ndarray:
 def media_decode(data: bytes, kind: str) -> np.ndarray:
     """REAL decode dispatcher: container sniffed from magic bytes
     (PNG signature / RIFF), signal returned as raw sample values
-    (grayscale pixels 0..255 row-major; int16 audio samples) as float64
+    (pixel channel bytes 0..255 row-major — grayscale, RGB, expanded
+    palette, or alpha channels alike; int16 audio samples) as float64
     — integers exact in double, so downstream pooled means are
     bit-reproducible in any engine."""
     if data[:8] == _PNG_SIG:

@@ -45,6 +45,30 @@ def hash_bucket(id_col, salt: str = "sample") -> Column:
     )
 
 
+def rate_threshold_hex(rate_col: Column) -> Column:
+    """A keep rate in [0, 1] as its fixed-width 8-hex-char threshold,
+    comparable against :func:`hash_bucket` output.
+
+    Clamped to 2^32 - 1 before hex-encoding: a rate just below 1
+    (e.g. n_min/n_g in a >2^32-row group) rounds to exactly 2^32,
+    whose hex is 9 chars — lpad(..., 8) would truncate that to 2^28
+    and the effective keep rate would collapse from ~1.0 to ~1/16.
+    Callers that keep-all on rate >= 1 only cover the exact-1 case.
+    """
+    return F.lpad(
+        F.lower(
+            F.hex(
+                F.least(
+                    F.round(rate_col * _BUCKETS).cast("bigint"),
+                    F.lit(_BUCKETS - 1),
+                )
+            )
+        ),
+        8,
+        "0",
+    )
+
+
 def hash_sample(
     df: DataFrame,
     id_col: str,
@@ -180,13 +204,7 @@ def temperature_sample(
         rate = F.sqrt(ratio)
     else:
         rate = F.pow(ratio, F.lit(1.0 - alpha))
-    thresh = F.lpad(
-        F.lower(
-            F.hex(F.round(F.col("keep_rate") * _BUCKETS).cast("bigint"))
-        ),
-        8,
-        "0",
-    )
+    thresh = rate_threshold_hex(F.col("keep_rate"))
     rates = (
         counts.crossJoin(F.broadcast(n_min))
         .select(group_col, "group_rows", rate.alias("keep_rate"))

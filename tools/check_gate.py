@@ -25,6 +25,18 @@ TABLES = [
 ]
 
 
+def nonscalar_columns(schema):
+    """Names of array/map/struct-typed fields — outputs the driver's
+    result canonicalizer cannot sort (the q35/q76 failure class)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def norm_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
@@ -72,7 +84,22 @@ def main():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf_spark = fn(spark, sf_dir)
+            # Driver-canon strictness: the driver's canonicalizer does
+            # pandas sort_values over object columns and crashes on
+            # array/map/struct cells (q35 in r1, q76 in r4). Fail HERE
+            # so entry authors hit the wall locally, not in the round
+            # artifact.
+            bad = nonscalar_columns(sdf_spark.schema)
+            if bad:
+                failures.append(name)
+                print(
+                    f"FAIL {name}: non-scalar output columns {bad} — the "
+                    "driver canonicalizer cannot sort array/map/struct "
+                    "cells; flatten in the gate entry (e.g. F.array_join)"
+                )
+                continue
+            sdf = sdf_spark.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
