@@ -1917,6 +1917,30 @@ def q90_rollup_card(spark, sf_dir):
     )
 
 
+def q91_bigram_logprob(spark, sf_dir):
+    """Stupid-Backoff bigram LM score (Brants 2007) of EVERY document
+    against the corpus's English slice — the step up from q85's
+    unigram model toward CCNet's KenLM filter. English docs score on
+    seen bigrams; non-English docs fall through the backoff
+    (alpha x unigram) and OOV (alpha / total) paths, so all three
+    scoring branches are exercised and backoff_frac itself separates
+    the languages. Same DECIMAL(20,12) per-bigram quantization as q85
+    — sums exact and order-independent, oracle replays bit-for-bit."""
+    from tinyflux_spark.operators.text import bigram_logprob
+
+    docs = _t("documents")(spark, sf_dir)
+    out = bigram_logprob(
+        docs, "doc_id", "text",
+        ref=docs.where(F.col("lang") == "en"), alpha=0.4,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        "backoff_frac",
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -1937,7 +1961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # flattened to scalar output) and 9 semantics-critical repeats
     # (query algebra, DML, CSV interop, and the dedup operators whose
     # oracles/defaults changed this round: q18/q19).
-    # tools/check_gate.py remains the per-commit guard over all 90.
+    # tools/check_gate.py remains the per-commit guard over all 91
+    # (q91, added in round 5, sits below the window until it rotates).
     return {
         "q09_get_measurements": q09_get_measurements,
         "q11_agg_pricing_summary": q11_agg_pricing_summary,
@@ -2031,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_shard_assign": q73_shard_assign,
         "q74_pack_sequences": q74_pack_sequences,
         "q75_ivf_batch_topk": q75_ivf_batch_topk,
+        "q91_bigram_logprob": q91_bigram_logprob,
     }
 
 
@@ -3845,5 +3871,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                    CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
             FROM base GROUP BY ROLLUP(lang, source)
+        """,
+        # Stupid Backoff replay: each branch's logp is quantized to
+        # DECIMAL(20,12) exactly as the engine does (ln over IEEE-exact
+        # ratios is bit-identical; the decimal sum is order-free).
+        # DuckDB lists are 1-indexed and range(1, n) is [1, n), so
+        # (ws[i], ws[i+1]) enumerates exactly the len-1 bigrams.
+        "q91_bigram_logprob": """
+            WITH tw AS (
+                SELECT doc_id, lang,
+                       list_filter(
+                           string_split_regex(lower(trim(text)),
+                                              '\\s+'),
+                           t -> length(t) >= 1) AS ws
+                FROM documents
+            ),
+            rt AS (SELECT ws FROM tw WHERE lang = 'en'),
+            uni AS (
+                SELECT tok, COUNT(*) AS c1
+                FROM (SELECT unnest(ws) AS tok FROM rt)
+                GROUP BY 1
+            ),
+            tot AS (SELECT SUM(c1) AS total FROM uni),
+            big AS (
+                SELECT w1, w2, COUNT(*) AS c2
+                FROM (
+                    SELECT ws[CAST(i AS INT)] AS w1,
+                           ws[CAST(i + 1 AS INT)] AS w2
+                    FROM rt, UNNEST(range(1, len(ws))) AS r(i)
+                )
+                GROUP BY 1, 2
+            ),
+            cond AS (
+                SELECT w1, w2,
+                       CAST(ln(CAST(c2 AS DOUBLE) / c1)
+                            AS DECIMAL(20,12)) AS lp2
+                FROM big JOIN uni ON uni.tok = big.w1
+            ),
+            back AS (
+                SELECT tok AS w2,
+                       CAST(ln(0.4 * (CAST(c1 AS DOUBLE)
+                                      / (SELECT total FROM tot)))
+                            AS DECIMAL(20,12)) AS lpb
+                FROM uni
+            ),
+            db AS (
+                SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+                       ws[CAST(i + 1 AS INT)] AS w2
+                FROM tw, UNNEST(range(1, len(ws))) AS r(i)
+            ),
+            sc AS (
+                SELECT doc_id,
+                       COALESCE(cond.lp2, back.lpb,
+                                CAST(ln(0.4 / (SELECT total FROM tot))
+                                     AS DECIMAL(20,12))) AS lp,
+                       CASE WHEN cond.lp2 IS NULL THEN 1 ELSE 0
+                       END AS miss
+                FROM db
+                LEFT JOIN cond USING (w1, w2)
+                LEFT JOIN back USING (w2)
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)
+                       AS avg_logp,
+                   ROUND(CAST(SUM(miss) AS DOUBLE) / COUNT(*), 6)
+                       AS backoff_frac
+            FROM sc GROUP BY 1
         """,
     }

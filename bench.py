@@ -44,7 +44,7 @@ HEAVY = {
     "q51_dedup_clusters", "q72_decontaminate",
     "q78_quantize_embeddings", "q79_edit_distance_pairs",
     "q80_incremental_dedup_join", "q86_salted_join",
-    "q89_excise_duplicate_spans",
+    "q89_excise_duplicate_spans", "q91_bigram_logprob",
 }
 
 # Mutable result document: the SIGTERM/SIGINT handler dumps whatever is

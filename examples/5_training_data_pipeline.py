@@ -34,6 +34,7 @@ from tinyflux_spark.operators.sampling import (
     temperature_sample,
 )
 from tinyflux_spark.operators.text import (
+    bigram_logprob,
     bpe_token_count,
     corpus_profile,
     pack_sequences,
@@ -89,6 +90,17 @@ def main() -> None:
         .select("doc_id", "text", "lang", "source")
     )
     n1 = keep.count()
+
+    # 1b. Bigram Stupid-Backoff against a reference slice (the step up
+    # toward CCNet's KenLM filter): scoring everything against the
+    # English corpus makes backoff_frac a language-consistency signal —
+    # in-language text hits seen bigrams, the rest falls to the
+    # backoff/OOV floor.
+    bg = bigram_logprob(docs, ref=docs.where(F.col("lang") == "en"))
+    drift = bg.agg(
+        F.round(F.avg("backoff_frac"), 4).alias("avg_backoff")
+    ).collect()[0]
+    print(f"bigram LM:         avg backoff_frac {drift['avg_backoff']}")
 
     # 2. Near-dup dedup: MinHash+LSH candidate pairs (band equi-join,
     # sub-quadratic), closed into clusters, one canonical doc kept per

@@ -1402,6 +1402,64 @@ def test_unigram_logprob_model(spark):
     assert again == {k: v["avg_logp"] for k, v in out.items()}
 
 
+def test_bigram_logprob_model(spark):
+    """Stupid Backoff replayed in plain Python: seen bigrams score
+    c2/c1, unseen-bigram-but-known-token backs off to alpha*c1/total,
+    OOV tokens hit the alpha/total floor — each branch quantized to
+    DECIMAL(20,12) before the order-free per-doc sum."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = [(0, "a b a b c"), (1, "a b"), (2, "x a"), (3, "z")]
+    ref_rows = [(10, "a b a b"), (11, "b c a")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    out = {
+        r["id"]: (r["n_bigrams"], r["avg_logp"], r["backoff_frac"])
+        for r in text.bigram_logprob(df, ref=ref, alpha=0.4).collect()
+    }
+
+    uni, big = {}, {}
+    for _, t in ref_rows:
+        ts = t.split()
+        for tok in ts:
+            uni[tok] = uni.get(tok, 0) + 1
+        for i in range(len(ts) - 1):
+            big[(ts[i], ts[i + 1])] = big.get((ts[i], ts[i + 1]), 0) + 1
+    total = sum(uni.values())
+
+    def q(x):
+        return Decimal(x).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+
+    def lp(w1, w2):
+        if (w1, w2) in big:
+            return q(math.log(big[(w1, w2)] / uni[w1])), 0
+        if w2 in uni:
+            return q(math.log(0.4 * (uni[w2] / total))), 1
+        return q(math.log(0.4 / total)), 1
+
+    model = {}
+    for i, t in rows:
+        ts = t.split()
+        if len(ts) < 2:
+            continue  # single-token docs have no bigram row
+        lps = [lp(ts[j], ts[j + 1]) for j in range(len(ts) - 1)]
+        s = sum(x for x, _ in lps)
+        m = sum(b for _, b in lps)
+        model[i] = (len(lps), float(s) / len(lps), round(m / len(lps), 6))
+    assert set(out) == set(model)
+    for k, want in model.items():
+        assert out[k][0] == want[0]
+        assert abs(out[k][1] - want[1]) < 1e-12
+        assert out[k][2] == want[2]
+    # self-scoring default (ref=None): every bigram is seen, backoff 0
+    self_scored = text.bigram_logprob(df).collect()
+    assert all(r["backoff_frac"] == 0.0 for r in self_scored)
+    with pytest.raises(ValueError):
+        text.bigram_logprob(df, alpha=0.0)
+
+
 def test_salted_join_equals_plain_join(spark):
     left = spark.createDataFrame(
         [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (9, "orphan")],

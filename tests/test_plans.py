@@ -326,6 +326,9 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # (same bounded kind).
         "q82_remove_boilerplate", "q83_temperature_sample",
         "q85_unigram_logprob",
+        # q91: the reference corpus' total-token-count aggregate is
+        # one row by construction (q85's bounded kind).
+        "q91_bigram_logprob",
     }
     # Keyless broadcast joins whose build side is provably one row:
     # q77 crossJoins the one-row corpus-stats aggregate into the
@@ -339,6 +342,9 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # total-token-count build crossJoined into the vocabulary.
         "q82_remove_boilerplate", "q83_temperature_sample",
         "q85_unigram_logprob",
+        # q91: same 1-row total build, crossJoined twice (backoff
+        # table and OOV floor).
+        "q91_bigram_logprob",
     }
     bad = {}
     for name, fn in em.queries().items():

@@ -15,7 +15,7 @@ Mirrors the dual-evaluation strategy of test_property_queries.py.
 import hashlib
 import math
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from tinyflux_spark.operators.sampling import temperature_sample
@@ -103,3 +103,87 @@ def test_temperature_sample_matches_model(spark, sizes, salt):
         if h < thr:
             expect.add(rid)
     assert got == expect
+
+
+# Tiny token vocabulary so bigrams genuinely repeat and OOV occurs.
+_BG_VOCAB = ["aa", "bb", "cc", "dd", "zz"]
+
+bg_corpus = st.lists(
+    st.lists(st.sampled_from(_BG_VOCAB), min_size=0, max_size=6).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=bg_corpus, ref_texts=bg_corpus)
+def test_bigram_logprob_matches_model(spark, texts, ref_texts):
+    """Stupid Backoff vs the plain-Python spec on arbitrary corpora:
+    seen bigram -> c2/c1, unseen bigram with known second token ->
+    alpha*c1/total, OOV -> alpha/total; every branch DECIMAL-quantized
+    before the order-free per-document mean; docs with < 2 tokens
+    absent."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from tinyflux_spark.operators.text import bigram_logprob
+
+    # an empty reference vocabulary is the documented degenerate case
+    # (scores come back null); the model spec needs a nonempty ref
+    assume(any(t.split() for t in ref_texts))
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    ref = spark.createDataFrame(
+        list(enumerate(ref_texts)), ["doc_id", "text"]
+    )
+    got = {
+        r["id"]: (r["n_bigrams"], r["avg_logp"], r["backoff_frac"])
+        for r in bigram_logprob(df, ref=ref, alpha=0.4).collect()
+    }
+
+    uni, big = {}, {}
+    for t in ref_texts:
+        ts = t.split()
+        for tok in ts:
+            uni[tok] = uni.get(tok, 0) + 1
+        for i in range(len(ts) - 1):
+            big[(ts[i], ts[i + 1])] = big.get((ts[i], ts[i + 1]), 0) + 1
+    total = sum(uni.values())
+
+    def q(x):
+        return Decimal(x).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+
+    model = {}
+    for i, t in enumerate(texts):
+        ts = t.split()
+        if len(ts) < 2:
+            continue
+        lps, miss = [], 0
+        for j in range(len(ts) - 1):
+            w1, w2 = ts[j], ts[j + 1]
+            if (w1, w2) in big:
+                lps.append(q(math.log(big[(w1, w2)] / uni[w1])))
+            elif w2 in uni:
+                lps.append(q(math.log(0.4 * (uni[w2] / total))))
+                miss += 1
+            else:
+                lps.append(q(math.log(0.4 / total)))
+                miss += 1
+        model[i] = (
+            len(lps),
+            float(sum(lps)) / len(lps),
+            round(miss / len(lps), 6),
+        )
+    assert set(got) == set(model)
+    for k, want in model.items():
+        assert got[k][0] == want[0]
+        assert abs(got[k][1] - want[1]) < 1e-12
+        assert got[k][2] == want[2]

@@ -706,3 +706,135 @@ def unigram_logprob(
         F.count("*").alias("n_tokens"),
         (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logp"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref: DataFrame = None,
+    alpha: float = 0.4,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Bigram Stupid-Backoff LM score (Brants et al. 2007, "Large
+    Language Models in Machine Translation") — the step up from
+    :func:`unigram_logprob` toward the CCNet KenLM filter: each
+    document is scored by the average log-probability of its token
+    bigrams under a reference corpus's bigram counts, backing off to
+    ``alpha`` x the unigram probability when the bigram is unseen and
+    to ``alpha / total_tokens`` when even the second token is
+    out-of-vocabulary.
+
+    score(w2 | w1) = c(w1 w2) / c(w1)         if the bigram is in ref
+                   = alpha * c(w2) / total    elif w2 is in ref
+                   = alpha * 1 / total        else (OOV floor)
+
+    ``ref`` defaults to ``df`` (self-scoring, like unigram_logprob);
+    pass a held-out or filtered corpus (e.g. the English slice) to make
+    the backoff paths meaningful — repetitive/boilerplate text scores
+    high, cross-lingual and gibberish text falls to the backoff/OOV
+    floor, and ``backoff_frac`` itself is a usable quality signal.
+
+    Plan shape: token arrays built in-row (one projection), bigram and
+    unigram counts are two aggregations over the reference explode
+    (token-string shuffles, linear); the conditional table joins doc
+    bigrams on (w1, w2) — an equi-join Spark broadcasts while the
+    bigram table is small and shuffles at web scale, either way linear;
+    the 1-row total cross-joins in (bounded build by construction).
+
+    Determinism: same DECIMAL(20,12) quantization rule as
+    unigram_logprob — ln() over IEEE-exact count ratios is measured
+    bit-identical across engines, each per-bigram logp is quantized
+    before the per-document sum, so the sum is exact and
+    order-independent and a SQL oracle replays it bit-for-bit.
+
+    Returns one row per document with >= 2 kept tokens: ``id``,
+    ``n_bigrams``, ``avg_logp``, ``backoff_frac`` (fraction of bigrams
+    that missed the bigram table, 6dp). Degenerate case: a reference
+    corpus with an empty vocabulary has no distribution to score under
+    — ``avg_logp`` comes back null (the lazy plan cannot raise without
+    forcing an action on ``ref``).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    ref_df = df if ref is None else ref
+
+    def tok_arr(d: DataFrame, idc: str) -> DataFrame:
+        ws = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: F.length(t) >= min_token_len,
+        )
+        return d.select(F.col(idc).alias("id"), ws.alias("_ws"))
+
+    bigram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("_ws") - 1),
+        lambda i: F.struct(
+            F.element_at("_ws", i).alias("w1"),
+            F.element_at("_ws", i + 1).alias("w2"),
+        ),
+    )
+
+    ref_arr = tok_arr(ref_df, id_col)
+    uni = (
+        ref_arr.select(F.explode("_ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("_c1"))
+    )
+    total = uni.agg(F.sum("_c1").alias("_total"))
+    big = (
+        ref_arr.where(F.size("_ws") >= 2)
+        .select(F.explode(bigram_structs).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("_c2"))
+    )
+    cond = (
+        big.join(uni.select(F.col("tok").alias("w1"), "_c1"), "w1")
+        .select(
+            "w1",
+            "w2",
+            F.log(F.col("_c2") / F.col("_c1"))
+            .cast("decimal(20,12)")
+            .alias("_lp2"),
+        )
+    )
+    # backoff table: alpha * unigram prob, quantized the same way; the
+    # ratio is computed first so both engines run the identical IEEE
+    # op sequence (divide, multiply, ln).
+    back = (
+        uni.crossJoin(F.broadcast(total))
+        .select(
+            F.col("tok").alias("w2"),
+            F.log(F.lit(alpha) * (F.col("_c1") / F.col("_total")))
+            .cast("decimal(20,12)")
+            .alias("_lpb"),
+        )
+    )
+
+    doc_big = (
+        tok_arr(df, id_col)
+        .where(F.size("_ws") >= 2)
+        .select("id", F.explode(bigram_structs).alias("b"))
+        .select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    scored = (
+        doc_big.join(cond, ["w1", "w2"], "left")
+        .join(back, "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.coalesce(
+                "_lp2",
+                "_lpb",
+                F.log(F.lit(alpha) / F.col("_total")).cast(
+                    "decimal(20,12)"
+                ),
+            ).alias("_lp"),
+            F.col("_lp2").isNull().cast("int").alias("_miss"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logp"),
+        F.round(F.sum("_miss") / F.count("*"), 6).alias("backoff_frac"),
+    )
