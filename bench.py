@@ -54,12 +54,61 @@ RESULT: dict = {}
 _PRINTED = False
 
 
+def _short(name: str) -> str:
+    """q62_top_tokens -> q62 (registry names have unique qNN prefixes)."""
+    head = name.split("_", 1)[0]
+    return head if head.startswith("q") and head[1:].isdigit() else name
+
+
 def _emit() -> None:
+    """Write the full result document to BENCH_FULL.json, then print a
+    COMPACT one-line JSON summary. The harness records only the LAST
+    2000 characters of stdout — rounds 2-4 each produced a full ~5 KB
+    line and got an unparseable truncated tail — so the printed line
+    keeps short query keys and headline figures only and must fit the
+    window; everything else (full query names, scaling probes,
+    floor_note, calibration, errors) lives in the sidecar file."""
     global _PRINTED
     if _PRINTED:
         return
     _PRINTED = True
-    print(json.dumps(RESULT), flush=True)
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        )
+        with open(path, "w") as f:
+            json.dump(RESULT, f, indent=1)
+    except Exception:  # noqa: BLE001 — the stdout line must still go out
+        pass
+    d = RESULT.get("derived") or {}
+    cal = d.get("calibration") or {}
+    compact = {
+        "metric": RESULT.get("metric"),
+        "value": RESULT.get("value"),
+        "unit": RESULT.get("unit"),
+        "sf": RESULT.get("sf"),
+        "queries": {
+            _short(k): round(v, 3)
+            for k, v in (RESULT.get("queries") or {}).items()
+        },
+        "qps": d.get("query_qps_vs_baseline"),
+        "qps_c16": d.get("query_qps_concurrent16"),
+        "ingest_pts_s": d.get("bulk_ingest_pts_per_sec"),
+        "dml_s": d.get("dml_roundtrip_sec"),
+        "floor_ms": cal.get("spark_action_floor_ms"),
+        "detail": "BENCH_FULL.json",
+    }
+    if RESULT.get("partial"):
+        compact["partial"] = True
+    if RESULT.get("errors"):
+        compact["n_errors"] = len(RESULT["errors"])
+    # Belt and braces: stay under the 2000-char window even if the
+    # registry grows — drop the least-essential blocks first.
+    for drop in ("qps_c16", "qps", "queries"):
+        if len(json.dumps(compact)) <= 1950:
+            break
+        compact.pop(drop, None)
+    print(json.dumps(compact), flush=True)
 
 
 def _on_signal(signum, frame):
@@ -265,12 +314,15 @@ def _scale_probe(spark) -> dict:
 
 def _bin_width_probe(spark) -> dict:
     """interval_join's documented cost model, measured: intervals
-    replicate ceil(span / bin_width) + 1 times, so the q84 spans
-    (avg ~16 days) should run fastest near bin_width=16, paying more
-    interval replication at 8 and more candidate fan-in per bin at 32.
-    Three timed points (0.5x / 1x / 2x the typical span) pin the curve
-    instead of a hand-picked constant. Results are identical at every
-    width (the residual BETWEEN makes bin_width purely physical)."""
+    replicate ceil(span / bin_width) + 1 times (more rows at small
+    bins), while each bin's candidate fan-in grows with large bins
+    (more residual-BETWEEN work). Three timed points at 0.5x / 1x / 2x
+    the typical q84 span (~16 days) record where the tradeoff lands on
+    this host instead of trusting a hand-picked constant — sf0.1 runs
+    have measured both slopes, so the numbers, not the model, are the
+    record. Results are identical at every width (the residual BETWEEN
+    makes bin_width purely physical; property-tested across widths in
+    tests/test_property_joins.py)."""
     out = {}
     for w in (8, 16, 32):
         df = entry_mod.q84_interval_join(spark, SF_DIR, bin_width=w)
