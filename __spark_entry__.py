@@ -2064,7 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NORM_CTE = """
 norm AS (
     SELECT doc_id,
-           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+           regexp_replace(lower(trim(text)), '[\\s\\x0B]+', ' ', 'g') AS t
     FROM documents
 )"""
 
@@ -2176,7 +2176,7 @@ def _simhash_sig_cte() -> str:
         toks AS (
             SELECT doc_id, tok FROM (
                 SELECT doc_id,
-                       UNNEST(string_split_regex(trim(t), '\\s+')) AS tok
+                       UNNEST(string_split_regex(trim(t), '[\\s\\x0B]+')) AS tok
                 FROM norm
             ) WHERE tok <> ''
         ),
@@ -2417,6 +2417,11 @@ _IVF_ORACLE_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    # Tokenizer convention: the engine splits with Java regex \s
+    # (= [ \t\n\x0B\f\r]); DuckDB's RE2 \s lacks \x0B (vertical tab),
+    # so every oracle spells whitespace as the explicit class
+    # [\s\x0B] — identical semantics in both engines for any input,
+    # not just inputs that happen to avoid \x0B.
     return {
         "q01_search_time_range": f"""
             {_FLAT_SQL}
@@ -2571,7 +2576,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_text_quality": """
             SELECT doc_id,
                 CASE WHEN trim(text) = '' THEN 0
-                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                     ELSE len(string_split_regex(trim(text), '[\\s\\x0B]+'))
                 END AS n_tokens,
                 ROUND(len(regexp_extract_all(text, '[.,;:!?]'))
                       / greatest(length(text), 1), 6) AS punct_ratio,
@@ -2580,11 +2585,11 @@ def oracle_sql() -> dict[str, str]:
                 ROUND(len(regexp_extract_all(text,
                       '(?i)\\b(the|and|is|was|of|to|in|that|it|for)\\b'))
                       / greatest(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                            ELSE len(string_split_regex(trim(text), '[\\s\\x0B]+'))
                         END, 1), 6) AS stopword_ratio,
-                ROUND((length(text) - len(regexp_extract_all(text, '\\s')))
+                ROUND((length(text) - len(regexp_extract_all(text, '[\\s\\x0B]')))
                       / greatest(CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                            ELSE len(string_split_regex(trim(text), '[\\s\\x0B]+'))
                         END, 1), 6) AS mean_token_len
             FROM documents
         """,
@@ -2665,9 +2670,12 @@ def oracle_sql() -> dict[str, str]:
         "q30_token_stats": """
             SELECT doc_id,
                 CASE WHEN trim(text) = '' THEN 0
-                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                     ELSE len(string_split_regex(trim(text), '[\\s\\x0B]+'))
                 END AS n_ws_tokens,
-                len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                -- [^\\w[:space:]]: POSIX space includes 0x0B, so this
+                -- is exactly Java's "not word, not whitespace" (a
+                -- nested bracket inside a class is NOT a union in RE2)
+                len(regexp_extract_all(text, '\\w+|[^\\w[:space:]]'))
                     AS n_bpe_tokens
             FROM documents
         """,
@@ -2852,7 +2860,7 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (
                 SELECT doc_id,
                        CASE WHEN trim(text) = '' THEN []
-                            ELSE str_split_regex(trim(text), '\\s+')
+                            ELSE str_split_regex(trim(text), '[\\s\\x0B]+')
                        END AS ws
                 FROM documents
             ),
@@ -3022,7 +3030,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q62_top_tokens": """
             WITH t AS (
-                SELECT unnest(str_split_regex(trim(text), '\\s+')) AS token
+                SELECT unnest(str_split_regex(trim(text), '[\\s\\x0B]+')) AS token
                 FROM documents WHERE trim(text) <> ''
             )
             SELECT token, COUNT(*) AS n FROM t GROUP BY 1
@@ -3050,8 +3058,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             s2 AS (
                 SELECT doc_id, text, c1,
-                    regexp_replace(t1, 'https?://\\S+', '<URL>', 'g') AS t2,
-                    len(regexp_extract_all(t1, 'https?://\\S+')) AS c2
+                    regexp_replace(t1, 'https?://[^\\s\\x0B]+', '<URL>', 'g') AS t2,
+                    len(regexp_extract_all(t1, 'https?://[^\\s\\x0B]+')) AS c2
                 FROM s1
             ),
             s3 AS (
@@ -3068,7 +3076,7 @@ def oracle_sql() -> dict[str, str]:
         "q64_chunk_documents": """
             WITH w AS (
                 SELECT doc_id,
-                       str_split_regex(trim(text), '\\s+') AS ws
+                       str_split_regex(trim(text), '[\\s\\x0B]+') AS ws
                 FROM documents WHERE trim(text) <> ''
             ),
             s AS (
@@ -3208,7 +3216,7 @@ def oracle_sql() -> dict[str, str]:
         "q72_decontaminate": """
             WITH norm AS (
                 SELECT doc_id,
-                       regexp_replace(lower(trim(text)), '\\s+', ' ',
+                       regexp_replace(lower(trim(text)), '[\\s\\x0B]+', ' ',
                                       'g') AS t
                 FROM documents
             ),
@@ -3250,7 +3258,7 @@ def oracle_sql() -> dict[str, str]:
                            AS shard,
                        CAST(CASE WHEN trim(text) = '' THEN 0
                             ELSE len(string_split_regex(trim(text),
-                                                        '\\s+'))
+                                                        '[\\s\\x0B]+'))
                        END AS BIGINT) AS n_tokens,
                        md5('p74:' || CAST(doc_id AS VARCHAR)) AS ok
                 FROM documents
@@ -3344,7 +3352,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                     CASE WHEN trim(text) = '' THEN 0
                          ELSE len(string_split_regex(trim(text),
-                                                     '\\s+'))
+                                                     '[\\s\\x0B]+'))
                     END AS n_tokens,
                     ROUND(len(regexp_extract_all(text, '[.,;:!?]'))
                           / greatest(length(text), 1), 6)
@@ -3353,13 +3361,13 @@ def oracle_sql() -> dict[str, str]:
                           / greatest(length(text), 1), 6)
                         AS digit_ratio,
                     ROUND((length(text)
-                           - len(regexp_extract_all(text, '\\s')))
+                           - len(regexp_extract_all(text, '[\\s\\x0B]')))
                           / greatest(CASE WHEN trim(text) = '' THEN 0
                                ELSE len(string_split_regex(trim(text),
-                                                           '\\s+'))
+                                                           '[\\s\\x0B]+'))
                             END, 1), 6) AS mean_token_len,
                     CASE WHEN trim(text) = '' THEN []
-                         ELSE str_split_regex(trim(text), '\\s+')
+                         ELSE str_split_regex(trim(text), '[\\s\\x0B]+')
                     END AS ws
                 FROM documents
             ),
@@ -3412,9 +3420,9 @@ def oracle_sql() -> dict[str, str]:
         "q77_bm25_scores": """
             WITH base AS (
                 SELECT doc_id,
-                       len(string_split_regex(lower(trim(text)), '\\s+'))
+                       len(string_split_regex(lower(trim(text)), '[\\s\\x0B]+'))
                            AS dl,
-                       string_split_regex(lower(trim(text)), '\\s+')
+                       string_split_regex(lower(trim(text)), '[\\s\\x0B]+')
                            AS toks
                 FROM documents
             ),
@@ -3479,7 +3487,7 @@ def oracle_sql() -> dict[str, str]:
             toks AS (
                 SELECT doc_id, tok FROM (
                     SELECT doc_id,
-                           UNNEST(string_split_regex(trim(t), '\\s+'))
+                           UNNEST(string_split_regex(trim(t), '[\\s\\x0B]+'))
                                AS tok
                     FROM norm
                 ) WHERE tok <> ''
@@ -3567,9 +3575,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, source,
                        CASE WHEN trim(text) = '' THEN 0
                             ELSE len(string_split_regex(
-                                lower(trim(text)), '\\s+')) END AS n_tokens,
+                                lower(trim(text)), '[\\s\\x0B]+')) END AS n_tokens,
                        length(text) AS n_chars,
-                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                       md5(regexp_replace(lower(trim(text)), '[\\s\\x0B]+', ' ',
                                           'g')) AS fp
                 FROM documents
             )
@@ -3590,7 +3598,7 @@ def oracle_sql() -> dict[str, str]:
         "q82_remove_boilerplate": """
             WITH s AS (
                 SELECT doc_id,
-                       string_split_regex(text, '\\s+') AS arr
+                       string_split_regex(text, '[\\s\\x0B]+') AS arr
                 FROM documents
             ),
             l AS (
@@ -3683,7 +3691,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT doc_id,
                        unnest(string_split_regex(
-                           lower(trim(text)), '\\s+')) AS tok
+                           lower(trim(text)), '[\\s\\x0B]+')) AS tok
                 FROM documents
             ),
             tt AS (SELECT doc_id, tok FROM t WHERE length(tok) >= 1),
@@ -3783,7 +3791,7 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
                 SELECT doc_id,
                        string_split_regex(lower(trim(text)),
-                                          '\\s+') AS arr
+                                          '[\\s\\x0B]+') AS arr
                 FROM documents
             ),
             gram AS (
@@ -3862,7 +3870,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, source,
                        CASE WHEN trim(text) = '' THEN 0
                             ELSE len(string_split_regex(
-                                lower(trim(text)), '\\s+')) END
+                                lower(trim(text)), '[\\s\\x0B]+')) END
                            AS n_tokens
                 FROM documents
             )
@@ -3882,7 +3890,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang,
                        list_filter(
                            string_split_regex(lower(trim(text)),
-                                              '\\s+'),
+                                              '[\\s\\x0B]+'),
                            t -> length(t) >= 1) AS ws
                 FROM documents
             ),

@@ -433,6 +433,28 @@ def test_png_decode_rejects_unsupported():
     data[8 + 8 + 8] = 16  # depth byte
     with pytest.raises(ValueError, match="8-bit"):
         multimodal.decode_png(bytes(data))
+    # every malformed input gets a ValueError, never a bare
+    # KeyError/NameError: signed-but-IHDR-less stream, a 1-channel
+    # 3-D array (spell grayscale as (h, w)), a 5-channel array, and
+    # palette supplied alongside channelled pixels
+    import zlib as _z
+
+    no_ihdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IDAT", _z.compress(b""))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR"):
+        multimodal.decode_png(no_ihdr)
+    with pytest.raises(ValueError, match="channels"):
+        multimodal.encode_png(np.zeros((4, 4, 1), dtype=np.uint8))
+    with pytest.raises(ValueError, match="channels"):
+        multimodal.encode_png(np.zeros((4, 4, 5), dtype=np.uint8))
+    with pytest.raises(ValueError, match="palette"):
+        multimodal.encode_png(
+            np.zeros((4, 4, 3), dtype=np.uint8),
+            palette=np.zeros((2, 3), dtype=np.uint8),
+        )
 
 
 def test_wav_roundtrip():

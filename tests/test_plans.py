@@ -407,6 +407,80 @@ def test_registered_queries_return_scalar_only_columns(spark):
     assert nonscalar_columns(arr_df.select("id").schema) == []
 
 
+def test_oracle_sql_uses_java_whitespace_class():
+    """Cross-engine tokenizer convention: the engine splits with Java
+    regex \\s (= [ \\t\\n\\x0B\\f\\r]) but DuckDB's RE2 \\s lacks
+    \\x0B, so oracle SQL must always spell whitespace as the explicit
+    [\\s\\x0B] class. A bare \\s in an oracle silently diverges from
+    the engine on any input containing a vertical tab."""
+    import __spark_entry__ as em
+
+    offenders = []
+    for name, sql in em.oracle_sql().items():
+        stripped = sql.replace("[\\s\\x0B]", "").replace(
+            "[^\\s\\x0B]", ""
+        )
+        # \S has the mirror-image divergence: RE2's \S MATCHES \x0B,
+        # Java's does not — spell it [^\s\x0B]
+        if "\\s" in stripped or "\\S" in stripped:
+            offenders.append(name)
+    assert not offenders, (
+        f"bare RE2 \\s or \\S in oracle SQL (use [\\s\\x0B] / "
+        f"[^\\s\\x0B]): {offenders}"
+    )
+
+
+def test_text_oracles_match_on_adversarial_whitespace(spark, tmp_path):
+    """The synthetic corpus contains NO punctuation and no exotic
+    whitespace, so the sf gates cannot distinguish a subtly-wrong
+    oracle regex from a right one (a broken [^\\w\\s] spelling passed
+    the full gate untouched). This runs the text-analysis queries
+    engine-vs-DuckDB on a handcrafted corpus full of the hostile
+    cases — vertical tabs (where Java and RE2 \\s/\\S genuinely
+    differ), tabs/newlines, punctuation, brackets, URLs, digits —
+    and requires exact agreement."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from tools.check_gate import frame_repr
+
+    rows = [
+        (0, "hi, there!\x0bnew line.", "en", "src1", 20),
+        (1, "a\tb  c. [x] (y) {z}", "en", "src1", 19),
+        (2, "visit https://ex.com/a\x0bnext and http://b.io!", "en",
+         "src2", 44),
+        (3, "  multi   space\nand\nnewlines\t\t tabs ", "fr", "src2",
+         37),
+        (4, "digits 1234567 run 999999999 ok", "en", "src1", 31),
+        (5, "", "de", "src3", 0),
+        (6, "\x0b\x0b", "en", "src3", 2),
+        (7, "word", "en", "src1", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, "
+              "source: string, n_chars: long"
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/*.parquet')"
+    )
+    qs, oracles = em.queries(), em.oracle_sql()
+    for name in (
+        "q21_text_quality", "q30_token_stats", "q63_scrub_pii",
+        "q76_quality_filter", "q62_top_tokens", "q91_bigram_logprob",
+    ):
+        scols, srows = frame_repr(qs[name](spark, str(tmp_path)).toPandas())
+        ocols, orows = frame_repr(con.execute(oracles[name]).df())
+        assert scols == ocols, name
+        assert srows == orows, (
+            f"{name}: engine and oracle diverge on adversarial text"
+        )
+
+
 def test_collect_arrow_batches_fallback_matches_fast_path(spark, monkeypatch):
     """collect_arrow_batches rides private PySpark hooks
     (_load_from_socket + collectAsArrowToPython); this pins the

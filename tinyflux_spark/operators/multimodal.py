@@ -112,6 +112,17 @@ def encode_png(pixels, filter_type: int = 0, palette=None) -> bytes:
         flat = px
     elif px.ndim == 3:
         h, w, bpp = px.shape
+        if bpp not in (2, 3, 4):
+            raise ValueError(
+                "3-D pixels must have 2 (gray+alpha), 3 (RGB) or 4 "
+                "(RGBA) channels; got shape "
+                f"{px.shape} (a single-channel image is (h, w))"
+            )
+        if palette is not None:
+            raise ValueError(
+                "palette applies to (h, w) index arrays only; got a "
+                f"{bpp}-channel image"
+            )
         ctype = {2: 4, 3: 2, 4: 6}[bpp]
         flat = px.reshape(h, w * bpp)
     else:
@@ -162,6 +173,7 @@ def decode_png(data: bytes) -> np.ndarray:
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, None
+    ctype = None
     idat = bytearray()
     plte = None
     while pos < len(data):
@@ -185,6 +197,8 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         pos += 12 + length
+    if ctype is None:
+        raise ValueError("PNG signature present but no IHDR chunk")
     raw = zlib.decompress(bytes(idat))
     bpp = _PNG_CHANNELS[ctype]
     rb = w * bpp  # row bytes

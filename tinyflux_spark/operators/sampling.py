@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_bucket",
     "hash_sample",
+    "rate_threshold_hex",
     "shard_assign",
     "stratified_quota",
     "temperature_sample",
