@@ -2188,13 +2188,20 @@ def _simhash_sig_cte() -> str:
             GROUP BY 1, 2
         ),
         sigs AS (
-            SELECT doc_id, CAST(simhash_raw AS BIGINT) AS simhash FROM (
-            SELECT doc_id,
-                   SUM(CASE WHEN s > 0
-                       THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-                       AS simhash_raw
-            FROM votes GROUP BY doc_id
-            )
+            -- LEFT JOIN from documents: the engine's explode_outer
+            -- keeps token-less documents (empty / all-whitespace
+            -- text) with signature 0 — all-empty docs ARE identical,
+            -- so grouping them together is the correct dedup answer.
+            SELECT d.doc_id,
+                   CAST(COALESCE(v.simhash_raw, 0) AS BIGINT)
+                       AS simhash
+            FROM documents d LEFT JOIN (
+                SELECT doc_id,
+                       SUM(CASE WHEN s > 0
+                           THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                           AS simhash_raw
+                FROM votes GROUP BY doc_id
+            ) v USING (doc_id)
         )"""
 
 

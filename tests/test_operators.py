@@ -455,6 +455,26 @@ def test_png_decode_rejects_unsupported():
             np.zeros((4, 4, 3), dtype=np.uint8),
             palette=np.zeros((2, 3), dtype=np.uint8),
         )
+    # corrupt streams surface as ValueError too, not zlib/struct errors
+    ihdr_only = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(
+            b"IHDR",
+            np.uint32([4, 4]).astype(">u4").tobytes() + bytes([8, 0, 0, 0, 0]),
+        )
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        multimodal.decode_png(ihdr_only)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        multimodal.decode_png(b"\x89PNG\r\n\x1a\n\x00\x00")
+    good = multimodal.encode_png(np.zeros((4, 4), dtype=np.uint8))
+    # corrupt the IDAT payload bytes in place -> zlib failure -> ValueError
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 4 : idat_at + 8] = b"\xde\xad\xbe\xef"
+    with pytest.raises(ValueError, match="corrupt PNG IDAT"):
+        multimodal.decode_png(bytes(bad))
 
 
 def test_wav_roundtrip():

@@ -469,9 +469,22 @@ def test_text_oracles_match_on_adversarial_whitespace(spark, tmp_path):
         f"read_parquet('{path}/*.parquet')"
     )
     qs, oracles = em.queries(), em.oracle_sql()
+    # every documents-only gate query whose tokenizer/regex semantics
+    # the oracle replays — not just the handful that first motivated
+    # the test (a divergence in an untested oracle would otherwise
+    # slip through exactly the blind spot described above)
     for name in (
-        "q21_text_quality", "q30_token_stats", "q63_scrub_pii",
-        "q76_quality_filter", "q62_top_tokens", "q91_bigram_logprob",
+        "q17_dedup_exact", "q18_ngram_jaccard_pairs",
+        "q19_minhash_lsh_pairs", "q20_simhash", "q21_text_quality",
+        "q22_lang_id", "q23_doc_fingerprint",
+        "q27_simhash_hamming_pairs", "q30_token_stats",
+        "q54_repetition_stats", "q62_top_tokens", "q63_scrub_pii",
+        "q64_chunk_documents", "q72_decontaminate",
+        "q74_pack_sequences", "q76_quality_filter", "q77_bm25_scores",
+        "q81_corpus_profile", "q82_remove_boilerplate",
+        "q83_temperature_sample", "q85_unigram_logprob",
+        "q89_excise_duplicate_spans", "q90_rollup_card",
+        "q91_bigram_logprob",
     ):
         scols, srows = frame_repr(qs[name](spark, str(tmp_path)).toPandas())
         ocols, orows = frame_repr(con.execute(oracles[name]).df())

@@ -177,6 +177,8 @@ def decode_png(data: bytes) -> np.ndarray:
     idat = bytearray()
     plte = None
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
@@ -199,11 +201,18 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
     if ctype is None:
         raise ValueError("PNG signature present but no IHDR chunk")
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("PNG has no IDAT data")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     bpp = _PNG_CHANNELS[ctype]
     rb = w * bpp  # row bytes
     out = np.zeros((h, rb), dtype=np.uint8)
     stride = rb + 1
+    if len(raw) < h * stride:
+        raise ValueError("truncated PNG pixel data")
     for r in range(h):
         line = raw[r * stride : (r + 1) * stride]
         ft, scan = line[0], np.frombuffer(line[1:], dtype=np.uint8).copy()

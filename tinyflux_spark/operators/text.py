@@ -229,10 +229,14 @@ def repetition_stats(
 
 
 # PII / boilerplate scrub patterns. Kept in the common subset of Java
-# regex (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround.
+# regex (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround,
+# and no bare \s/\S — Java's \S excludes \x0B (vertical tab) while
+# RE2's matches it, so "not whitespace" is spelled [^\s\x0B], which
+# evaluates identically in both engines (in Java the extra \x0B is
+# redundant; in RE2 it supplies the missing vertical tab).
 SCRUB_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("url", r"https?://\S+", "<URL>"),
+    ("url", r"https?://[^\s\x0B]+", "<URL>"),
     ("longnum", r"\d{6,}", "<NUM>"),
 ]
 
