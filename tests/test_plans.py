@@ -494,6 +494,124 @@ def test_text_oracles_match_on_adversarial_whitespace(spark, tmp_path):
         )
 
 
+def test_events_oracles_match_on_adversarial_timestamps(spark, tmp_path):
+    """Same blind-spot logic as the adversarial-text test, for the
+    events family: the synthetic events table has no duplicate
+    timestamps, no exact session-boundary gaps, and no rank ties, so
+    the sf gates can't tell whether engine and oracle agree on the
+    edges that actually bite — zero-dt derivatives, the > vs >= 1800 s
+    session boundary, tied totals in rankings, tumbling-window edges,
+    negative and zero values, single-event keys. Handcrafted corpus,
+    exact agreement required."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from tools.check_gate import frame_repr
+
+    T = lambda h, m=0, s=0: datetime(2024, 3, 1, h, m, s)  # noqa: E731
+    rows = [
+        # u1: duplicate ts (zero-dt derivative; order ties broken by
+        # event_id), an exactly-1800s gap (same session under > 1800),
+        # then an 1801s gap (new session). Values anti-correlated with
+        # event_id so an (ts, event_id)-ordered engine and an
+        # (ts, value)-ordered oracle can't agree by accident.
+        (1, T(10), 1, "click", 7.0, "{}"),
+        (2, T(10), 1, "click", 5.0, "{}"),
+        (3, T(10, 30), 1, "view", -3.0, "{}"),
+        (4, T(11, 0, 1), 1, "purchase", 0.0, "{}"),
+        # u2: single event — no predecessor anywhere
+        (5, T(12), 2, "click", 2.5, "{}"),
+        # u3 vs u4: identical click totals -> q13 rank tie, broken by
+        # user_id
+        (6, T(9), 3, "click", 4.0, "{}"),
+        (7, T(9, 5), 3, "click", 6.0, "{}"),
+        (8, T(9), 4, "click", 10.0, "{}"),
+        # u5: events on exact hour boundaries (tumbling-window edges),
+        # negative and fractional values
+        (9, T(13), 5, "view", -1.5, "{}"),
+        (10, T(13, 59, 59), 5, "view", 8.25, "{}"),
+        (11, T(14), 5, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, "
+              "event_type: string, value: double, props: string"
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{path}/*.parquet')"
+    )
+    qs, oracles = em.queries(), em.oracle_sql()
+    for name in (
+        "q13_topk_users_per_type", "q15_hourly_window", "q16_asof_join",
+        "q28_sessionize", "q29_ewma_last", "q60_resample_gapfill",
+        "q61_rolling_zscore", "q65_derivative", "q66_percentiles",
+    ):
+        scols, srows = frame_repr(qs[name](spark, str(tmp_path)).toPandas())
+        ocols, orows = frame_repr(con.execute(oracles[name]).df())
+        assert scols == ocols, name
+        assert srows == orows, (
+            f"{name}: engine and oracle diverge on adversarial events"
+        )
+
+
+def test_embedding_oracles_match_on_adversarial_vectors(spark, tmp_path):
+    """Adversarial corpus for the vector family: an all-zero vector
+    (cosine denominator 0 — NaN/null handling and NaN sort order
+    genuinely differ between engines), exactly-identical vectors
+    (cosine exactly 1, dedup cluster of size > 1), an exactly-opposite
+    vector (cosine -1), and near-zero magnitudes (float32 rounding).
+    The synthetic embeddings contain none of these. Dim 64 to match
+    the entries' seeded SRP hyperplanes."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from tools.check_gate import frame_repr
+
+    base = [((j * 11 + 3) % 19 - 9) / 7.0 for j in range(64)]
+
+    def vec(scale, offset=0.0):
+        return [float(x * scale + offset) for x in base]
+
+    rows = [
+        (0, vec(1.0), 0),            # the q24 query vector
+        (1, vec(1.0), 0),            # identical to the query: cos 1
+        (2, vec(-1.0), 1),           # exact opposite: cos -1
+        (3, [0.0] * 64, 1),          # all-zero: 0 denominator
+        (4, vec(1e-6), 2),           # near-zero magnitude
+        (5, vec(2.0), 2),            # same direction, diff magnitude
+        (6, vec(1.0, 0.5), 3),       # shifted
+        (7, [float((j == 0) - 0.0) for j in range(64)], 3),  # basis vec
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{path}/*.parquet')"
+    )
+    qs, oracles = em.queries(), em.oracle_sql()
+    for name in (
+        "q24_ann_cosine_topk", "q25_embedding_near_dup",
+        "q31_srp_ann_topk", "q52_ivf_ann_topk",
+        "q56_embedding_dup_clusters", "q75_ivf_batch_topk",
+        "q78_quantize_embeddings",
+    ):
+        scols, srows = frame_repr(qs[name](spark, str(tmp_path)).toPandas())
+        ocols, orows = frame_repr(con.execute(oracles[name]).df())
+        assert scols == ocols, name
+        assert srows == orows, (
+            f"{name}: engine and oracle diverge on adversarial vectors"
+        )
+
+
 def test_collect_arrow_batches_fallback_matches_fast_path(spark, monkeypatch):
     """collect_arrow_batches rides private PySpark hooks
     (_load_from_socket + collectAsArrowToPython); this pins the

@@ -62,7 +62,14 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Null when either vector has zero norm: cosine is undefined
+    there, a bare division crashes under ANSI mode (zero vectors DO
+    occur in real corpora — failed or padded embeddings), and null is
+    exactly what DuckDB's float division by zero yields, so oracles
+    replay the choice for free. Null rows drop from thresholds and
+    sort after every real similarity in a DESC ranking."""
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den)
 
 
 def cosine_topk(
@@ -198,13 +205,16 @@ def near_dup_pairs(
     dot = F.expr(
         " + ".join(f"_a{i} * _b{i}" for i in range(dim))
     )
+    den = F.col("na") * F.col("nb")
     pairs = (
         left.join(right, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            (dot / (F.col("na") * F.col("nb"))).alias("cosine_sim"),
+            # zero-norm guard: undefined cosine -> null -> fails the
+            # threshold below (same rationale as cosine_similarity)
+            F.when(den > 0, dot / den).alias("cosine_sim"),
         )
     )
     return pairs.where(F.col("cosine_sim") >= threshold)
@@ -288,7 +298,14 @@ def ivf_assign(
     for i, cvec in centroids:
         c = _lit_vec(cvec)
         cn = math.sqrt(_seq_dot(cvec, cvec))
-        sim = F.round(_dot(vec_col, c) / (nv * F.lit(cn)), 6)
+        # -2.0 sentinel (below any real cosine) when the vector or the
+        # centroid has zero norm: every centroid then ties and the
+        # lowest index wins — the same pick DuckDB's nulls-last DESC
+        # ordering makes, so the oracle agrees without special-casing.
+        den = nv * F.lit(cn)
+        sim = F.when(
+            den > 0, F.round(_dot(vec_col, c) / den, 6)
+        ).otherwise(F.lit(-2.0))
         scores.append(
             F.struct(sim.alias("s"), F.lit(-i).alias("r"))
         )
@@ -316,21 +333,7 @@ def ivf_topk(
     tunable by nprobe.
     """
     cents = ivf_centroids(df, id_col, vec_col, num_centroids)
-    qn = math.sqrt(_seq_dot(query_vec, query_vec))
-    ranked = sorted(
-        (
-            (
-                -round(
-                    _seq_dot(query_vec, cvec)
-                    / (qn * math.sqrt(_seq_dot(cvec, cvec))),
-                    6,
-                ),
-                i,
-            )
-            for i, cvec in cents
-        ),
-    )
-    probes = [i for _, i in ranked[:nprobe]]
+    probes = _ivf_probes(cents, query_vec, nprobe)
     assigned = df.withColumn(
         "_ivf_list", ivf_assign(F.col(vec_col), cents)
     )
@@ -397,7 +400,12 @@ def ivf_topk_batch(
     for i, cvec in cents:
         c = _lit_vec(cvec)
         cn = math.sqrt(_seq_dot(cvec, cvec))
-        sim = F.round(_dot(qv, c) / (qn * F.lit(cn)), 6)
+        # zero-norm query/centroid -> sentinel (ns = 2.0, ranking
+        # last, ties by index) — identical to _ivf_probes/ivf_assign
+        den = qn * F.lit(cn)
+        sim = F.when(
+            den > 0, F.round(_dot(qv, c) / den, 6)
+        ).otherwise(F.lit(-2.0))
         # ascending sort over (-sim, idx): best centroid first, ties
         # toward the lower index — identical to _ivf_probes.
         scored.append(F.struct((-sim).alias("ns"), F.lit(i).alias("i")))
@@ -413,9 +421,9 @@ def ivf_topk_batch(
     joined = assigned.join(F.broadcast(q_exp), "_ivf_list")
     if exclude_self:
         joined = joined.where(F.col(id_col) != F.col("_qid"))
+    bden = F.col("_nrm") * F.col("_qnrm")
     sim = F.round(
-        _dot(F.col(vec_col), F.col("_qvec"))
-        / (F.col("_nrm") * F.col("_qnrm")),
+        F.when(bden > 0, _dot(F.col(vec_col), F.col("_qvec")) / bden),
         6,
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -447,19 +455,19 @@ def ivf_topk_batch(
 def _ivf_probes(centroids, query_vec: Sequence[float], nprobe: int):
     """Centroid indexes of the ``nprobe`` lists nearest the query —
     driver-side, same rounded-cosine ranking the engine-side assignment
-    uses (ties toward the lower index)."""
+    uses (ties toward the lower index). Zero-norm query or centroid
+    scores the sentinel 2.0 (= negated -2.0, ranking last, ties by
+    index) — mirroring ivf_assign's sentinel and DuckDB's nulls-last
+    ordering."""
     qn = math.sqrt(_seq_dot(query_vec, query_vec))
-    ranked = sorted(
-        (
-            -round(
-                _seq_dot(query_vec, cvec)
-                / (qn * math.sqrt(_seq_dot(cvec, cvec))),
-                6,
-            ),
-            i,
-        )
-        for i, cvec in centroids
-    )
+
+    def neg_sim(cvec):
+        den = qn * math.sqrt(_seq_dot(cvec, cvec))
+        if den <= 0:
+            return 2.0
+        return -round(_seq_dot(query_vec, cvec) / den, 6)
+
+    ranked = sorted((neg_sim(cvec), i) for i, cvec in centroids)
     return [i for _, i in ranked[:nprobe]]
 
 
