@@ -1262,7 +1262,9 @@ def q63_scrub_pii(spark, sf_dir):
     docs = _t("documents")(spark, sf_dir).select(
         "doc_id",
         F.concat(
-            F.col("text"),
+            # null text ≡ '' (the engine-wide rule) — concat(null, ..)
+            # would otherwise null out the appended PII entirely
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit(" contact u"), F.col("doc_id").cast("string"),
             F.lit("@mail.example.org via https://ex.org/d/"),
             F.col("doc_id").cast("string"),
@@ -1897,8 +1899,9 @@ def q90_rollup_card(spark, sf_dir):
     hypertable-rollup shape). grouping_id disambiguates real NULL keys
     from subtotal rows; token sums stay integer-exact."""
     docs = _t("documents")(spark, sf_dir)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+    txt = F.coalesce(F.col("text"), F.lit(""))  # null text ≡ ''
+    toks = F.split(F.lower(F.trim(txt)), r"\s+")
+    n_tokens = F.when(F.trim(txt) == "", F.lit(0)).otherwise(
         F.size(toks)
     )
     base = docs.select("lang", "source", n_tokens.alias("n_tokens"))
@@ -2065,7 +2068,7 @@ _NORM_CTE = """
 norm AS (
     SELECT doc_id,
            regexp_replace(lower(trim(text)), '[\\s\\x0B]+', ' ', 'g') AS t
-    FROM documents
+    FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
 )"""
 
 _SHINGLE_CTE = _NORM_CTE + """,
@@ -2164,7 +2167,7 @@ def _lang_id_oracle_sql() -> str:
     return f"""
         SELECT doc_id, lang,
                CASE {script_whens}ELSE ({stop_case}) END AS lang_guess
-        FROM documents
+        FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
     """
 
 
@@ -2195,7 +2198,7 @@ def _simhash_sig_cte() -> str:
             SELECT d.doc_id,
                    CAST(COALESCE(v.simhash_raw, 0) AS BIGINT)
                        AS simhash
-            FROM documents d LEFT JOIN (
+            FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents) d LEFT JOIN (
                 SELECT doc_id,
                        SUM(CASE WHEN s > 0
                            THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
@@ -2598,7 +2601,7 @@ def oracle_sql() -> dict[str, str]:
                       / greatest(CASE WHEN trim(text) = '' THEN 0
                             ELSE len(string_split_regex(trim(text), '[\\s\\x0B]+'))
                         END, 1), 6) AS mean_token_len
-            FROM documents
+            FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
         """,
         "q22_lang_id": _lang_id_oracle_sql(),
         "q23_doc_fingerprint": f"""
@@ -2684,7 +2687,7 @@ def oracle_sql() -> dict[str, str]:
                 -- nested bracket inside a class is NOT a union in RE2)
                 len(regexp_extract_all(text, '\\w+|[^\\w[:space:]]'))
                     AS n_bpe_tokens
-            FROM documents
+            FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
         """,
         "q31_srp_ann_topk": _srp_ann_oracle_sql(
             num_planes=4, dim=64, seed=42, k=10
@@ -2859,7 +2862,7 @@ def oracle_sql() -> dict[str, str]:
         # numeric compare, and both engines emit the same md5 hex.
         "q53_hash_sample": """
             SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
-            FROM documents
+            FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             WHERE substr(md5('s53:' || CAST(doc_id AS VARCHAR)), 1, 8)
                   < '40000000'
         """,
@@ -2869,7 +2872,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN trim(text) = '' THEN []
                             ELSE str_split_regex(trim(text), '[\\s\\x0B]+')
                        END AS ws
-                FROM documents
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             ),
             b AS (
                 SELECT doc_id, ws,
@@ -2901,7 +2904,7 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY source
                            ORDER BY md5('s55:' || CAST(doc_id AS VARCHAR)),
                                     doc_id) AS rk
-                FROM documents
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             )
             SELECT doc_id, source FROM r WHERE rk <= 10
         """,
@@ -2940,13 +2943,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT node FROM reach GROUP BY node
                 HAVING node <> MIN(lab)
             )
-            SELECT doc_id, source FROM documents
+            SELECT doc_id, source FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             WHERE doc_id NOT IN (SELECT node FROM losers)
         """,
         "q57_length_deciles": """
             WITH h AS (
                 SELECT n_chars AS v, COUNT(*) AS c
-                FROM documents GROUP BY 1
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents) GROUP BY 1
             ),
             cum AS (
                 SELECT v, c,
@@ -3038,7 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "q62_top_tokens": """
             WITH t AS (
                 SELECT unnest(str_split_regex(trim(text), '[\\s\\x0B]+')) AS token
-                FROM documents WHERE trim(text) <> ''
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents) WHERE trim(text) <> ''
             )
             SELECT token, COUNT(*) AS n FROM t GROUP BY 1
             ORDER BY n DESC, token LIMIT 50
@@ -3051,7 +3054,7 @@ def oracle_sql() -> dict[str, str]:
                             || CAST(doc_id AS VARCHAR)
                             || ' ref ' || CAST(doc_id + 1000000 AS VARCHAR)
                            AS text
-                FROM documents
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             ),
             s1 AS (
                 SELECT doc_id, text,
@@ -3084,7 +3087,7 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (
                 SELECT doc_id,
                        str_split_regex(trim(text), '[\\s\\x0B]+') AS ws
-                FROM documents WHERE trim(text) <> ''
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents) WHERE trim(text) <> ''
             ),
             s AS (
                 SELECT doc_id, ws,
@@ -3225,7 +3228,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        regexp_replace(lower(trim(text)), '[\\s\\x0B]+', ' ',
                                       'g') AS t
-                FROM documents
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             ),
             words AS (
                 SELECT doc_id, string_split(t, ' ') AS w FROM norm
@@ -3253,7 +3256,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(concat('0x',
                         substr(md5('s73:' || CAST(doc_id AS VARCHAR)),
                                1, 8)) AS BIGINT) % 8 AS BIGINT) AS shard
-            FROM documents
+            FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
         """,
         "q74_pack_sequences": """
             WITH t AS (
@@ -3268,7 +3271,7 @@ def oracle_sql() -> dict[str, str]:
                                                         '[\\s\\x0B]+'))
                        END AS BIGINT) AS n_tokens,
                        md5('p74:' || CAST(doc_id AS VARCHAR)) AS ok
-                FROM documents
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             ),
             c AS (
                 SELECT doc_id, shard, n_tokens,
@@ -3376,7 +3379,7 @@ def oracle_sql() -> dict[str, str]:
                     CASE WHEN trim(text) = '' THEN []
                          ELSE str_split_regex(trim(text), '[\\s\\x0B]+')
                     END AS ws
-                FROM documents
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             ),
             r AS (
                 SELECT *,
@@ -3431,7 +3434,7 @@ def oracle_sql() -> dict[str, str]:
                            AS dl,
                        string_split_regex(lower(trim(text)), '[\\s\\x0B]+')
                            AS toks
-                FROM documents
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             ),
             stats AS (
                 SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base
@@ -3586,7 +3589,7 @@ def oracle_sql() -> dict[str, str]:
                        length(text) AS n_chars,
                        md5(regexp_replace(lower(trim(text)), '[\\s\\x0B]+', ' ',
                                           'g')) AS fp
-                FROM documents
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             )
             SELECT lang, source, COUNT(*) AS n_docs,
                    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
@@ -3606,7 +3609,7 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
                 SELECT doc_id,
                        string_split_regex(text, '[\\s\\x0B]+') AS arr
-                FROM documents
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             ),
             l AS (
                 SELECT doc_id, unnest(arr) AS span,
@@ -3641,7 +3644,7 @@ def oracle_sql() -> dict[str, str]:
         "q83_temperature_sample": """
             WITH c AS (
                 SELECT lang, COUNT(*) AS group_rows
-                FROM documents GROUP BY 1
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents) GROUP BY 1
             ),
             m AS (SELECT MIN(group_rows) AS n_min FROM c),
             r AS (
@@ -3663,7 +3666,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source,
                    CAST(r2.group_rows AS BIGINT) AS group_rows,
                    ROUND(r2.keep_rate, 6) AS keep_rate
-            FROM documents d JOIN r2 USING (lang)
+            FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents) d JOIN r2 USING (lang)
             WHERE r2.keep_rate >= 1.0
                OR substr(md5('t83:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
                   < r2.th
@@ -3699,7 +3702,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        unnest(string_split_regex(
                            lower(trim(text)), '[\\s\\x0B]+')) AS tok
-                FROM documents
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             ),
             tt AS (SELECT doc_id, tok FROM t WHERE length(tok) >= 1),
             v AS (SELECT tok, COUNT(*) AS cnt FROM tt GROUP BY 1),
@@ -3799,7 +3802,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        string_split_regex(lower(trim(text)),
                                           '[\\s\\x0B]+') AS arr
-                FROM documents
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             ),
             gram AS (
                 SELECT doc_id, CAST(i AS INT) AS pos,
@@ -3879,7 +3882,7 @@ def oracle_sql() -> dict[str, str]:
                             ELSE len(string_split_regex(
                                 lower(trim(text)), '[\\s\\x0B]+')) END
                            AS n_tokens
-                FROM documents
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             )
             SELECT CAST(GROUPING(lang, source) AS BIGINT) AS level,
                    lang, source, COUNT(*) AS n_docs,
@@ -3899,7 +3902,7 @@ def oracle_sql() -> dict[str, str]:
                            string_split_regex(lower(trim(text)),
                                               '[\\s\\x0B]+'),
                            t -> length(t) >= 1) AS ws
-                FROM documents
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
             ),
             rt AS (SELECT ws FROM tw WHERE lang = 'en'),
             uni AS (

@@ -455,6 +455,7 @@ def test_text_oracles_match_on_adversarial_whitespace(spark, tmp_path):
         (5, "", "de", "src3", 0),
         (6, "\x0b\x0b", "en", "src3", 2),
         (7, "word", "en", "src1", 4),
+        (8, None, "en", "src1", 0),  # NULL text — real corpora have it
     ]
     df = spark.createDataFrame(
         rows, "doc_id: long, text: string, lang: string, "

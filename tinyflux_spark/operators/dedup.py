@@ -31,11 +31,11 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint
+from .text import fingerprint, null_to_empty
 
 
 def _norm_text(text_col: str) -> Column:
-    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(null_to_empty(text_col))), r"\s+", " ")
 
 
 def exact_dedup(
@@ -122,7 +122,7 @@ def exploded_shingles(
         # every document.
         pre = df.select(
             F.col(id_col).alias("id"),
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_arr"),
+            F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+").alias("_arr"),
         )
         toks = pre.select(
             "id",
@@ -567,7 +567,7 @@ def simhash(
         return F.xxhash64(tok)
 
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+"),
         lambda t: t != "",
     )
     hashed = (
@@ -978,7 +978,7 @@ def excise_duplicate_spans(
 
     if n <= 0 or min_docs < 2:
         raise ValueError("need n >= 1 and min_docs >= 2")
-    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    arr = F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+")
     base = df.select(F.col(id_col).alias("id"), arr.alias("_arr"))
 
     gram_structs = F.transform(

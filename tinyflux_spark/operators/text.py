@@ -45,23 +45,38 @@ _SCRIPTS = {
 
 
 def token_count(col, pattern: str = r"\s+") -> Column:
-    """Whitespace token count; 0 for empty/blank text."""
+    """Whitespace token count; 0 for empty/blank/null text."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
+    t = F.trim(F.coalesce(c, F.lit("")))
     return F.when(t == "", F.lit(0)).otherwise(
         F.size(F.split(t, pattern))
     )
 
 
+def null_to_empty(text_col) -> Column:
+    """The text column with NULL coalesced to '' — the engine-wide
+    rule (null text is empty text), making every text operator total
+    over real corpora, where text columns DO carry nulls. The DuckDB
+    oracles replay the rule with a
+    ``SELECT * REPLACE (coalesce(text, '') AS text)`` wrap."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.coalesce(c, F.lit(""))
+
+
 def bpe_token_count(col) -> Column:
-    """BPE-ish token count: word runs + individual punctuation marks."""
+    """BPE-ish token count: word runs + individual punctuation marks;
+    0 for null text (the engine-wide null-is-empty rule)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(c, F.lit("")), F.lit(BPE_TOKEN_RE), F.lit(0)
+        )
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append quality-scoring features used for corpus filtering."""
-    c = F.col(text_col)
+    c = null_to_empty(text_col)
     n_chars = F.length(c)
     n_tokens = token_count(c)
     stop_re = r"(?i)\b(the|and|is|was|of|to|in|that|it|for)\b"
@@ -137,9 +152,13 @@ def lang_id(col, out_unknown: str = "und") -> Column:
 
 
 def fingerprint(col) -> Column:
-    """Stable 128-bit content fingerprint (hex md5 of normalized text)."""
-    c = F.col(col) if isinstance(col, str) else col
-    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    """Stable 128-bit content fingerprint (hex md5 of normalized text).
+    Null text fingerprints as the empty string (the engine-wide rule),
+    so null and empty documents land in ONE duplicate group instead of
+    null rows silently dropping out of dedup."""
+    normalized = F.regexp_replace(
+        F.lower(F.trim(null_to_empty(col))), r"\s+", " "
+    )
     return F.md5(normalized)
 
 
@@ -157,7 +176,7 @@ def shingle_fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 8) -
     # arithmetic around the hash, not the hash itself.
     base = df.select(
         F.col(id_col),
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+        F.regexp_replace(F.lower(F.trim(null_to_empty(text_col))), r"\s+", " ")
         .alias("_t"),
     )
     c = F.col("_t")
@@ -189,7 +208,7 @@ def repetition_stats(
     bigram list is built from a staged words column so the split runs
     once, not once per sequence element.
     """
-    t = F.trim(F.col(text_col))
+    t = F.trim(null_to_empty(text_col))
     # split("") yields [""] — an empty doc would score as a one-word
     # non-repetitive document and sail through a quality filter.
     ws = F.when(t == "", F.array().cast("array<string>")).otherwise(
@@ -250,7 +269,7 @@ def scrub_text(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     codegen'd, no shuffle; applied in a fixed order (email before URL
     before digit-run) so counts are well-defined and engine-portable.
     """
-    c = F.col(text_col)
+    c = null_to_empty(text_col)
     n_red = F.lit(0)
     scrubbed = c
     for _, pat, rep in SCRUB_PATTERNS:
@@ -280,7 +299,7 @@ def top_tokens(
     aggregated (vocabulary-sized) relation, never a global row sort of
     the corpus.
     """
-    t = F.trim(F.col(text_col))
+    t = F.trim(null_to_empty(text_col))
     toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
@@ -327,7 +346,7 @@ def quality_filter(
     qf = quality_features(
         df.select(F.col(id_col), F.col(text_col)), text_col
     )
-    t = F.trim(F.col(text_col))
+    t = F.trim(null_to_empty(text_col))
     ws = F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
@@ -459,7 +478,7 @@ def chunk_documents(
     if overlap >= chunk_words:
         raise ValueError("chunk_documents: overlap must be < chunk_words")
     stride = chunk_words - overlap
-    t = F.trim(F.col(text_col))
+    t = F.trim(null_to_empty(text_col))
     ws = F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
@@ -505,7 +524,7 @@ def bm25_scores(
     collect(), no corpus-wide wide rows.
     """
     terms = [t.lower() for t in query_terms]
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+")
     base = df.select(
         F.col(id_col).alias("id"), F.size(toks).alias("dl"),
         toks.alias("_toks"),
@@ -565,14 +584,14 @@ def corpus_profile(
     both representable), not a sketch, because a data card is a
     publishable artifact.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    t = F.trim(F.col(text_col))
+    toks = F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+")
+    t = F.trim(null_to_empty(text_col))
     n_tokens = F.when(t == "", F.lit(0)).otherwise(F.size(toks))
     base = df.select(
         *[F.col(c) for c in group_cols],
         F.col(id_col).alias("id"),
         n_tokens.alias("n_tokens"),
-        F.length(F.col(text_col)).alias("n_chars"),
+        F.length(null_to_empty(text_col)).alias("n_chars"),
         F.md5(
             F.regexp_replace(F.lower(t), r"\s+", " ")
         ).alias("fp"),
@@ -628,7 +647,7 @@ def remove_boilerplate_spans(
     """
     spans = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+        F.posexplode(F.split(null_to_empty(text_col), delimiter)).alias(
             "pos", "span"
         ),
     ).withColumn("fp", F.md5("span"))
@@ -694,7 +713,7 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+")
         ).alias("tok"),
     ).where(F.length("tok") >= min_token_len)
 
@@ -765,7 +784,7 @@ def bigram_logprob(
 
     def tok_arr(d: DataFrame, idc: str) -> DataFrame:
         ws = F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+"),
             lambda t: F.length(t) >= min_token_len,
         )
         return d.select(F.col(idc).alias("id"), ws.alias("_ws"))
