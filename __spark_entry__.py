@@ -3519,14 +3519,23 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             ),
             sigs AS (
-                SELECT doc_id,
-                       CAST(SUM(CASE WHEN s > 0 AND bit < 32
-                           THEN (CAST(1 AS BIGINT) << bit)
-                           ELSE 0 END) AS BIGINT) AS lo32,
-                       CAST(SUM(CASE WHEN s > 0 AND bit >= 32
-                           THEN (CAST(1 AS BIGINT) << (bit - 32))
-                           ELSE 0 END) AS BIGINT) AS hi32
-                FROM votes GROUP BY doc_id
+                -- LEFT JOIN from norm: token-less documents (empty /
+                -- all-whitespace / null text) keep signature 0, like
+                -- the engine's explode_outer (the q20 rule) — so
+                -- empty docs can pair as the exact duplicates they are
+                SELECT n.doc_id,
+                       CAST(COALESCE(v.lo32, 0) AS BIGINT) AS lo32,
+                       CAST(COALESCE(v.hi32, 0) AS BIGINT) AS hi32
+                FROM norm n LEFT JOIN (
+                    SELECT doc_id,
+                           SUM(CASE WHEN s > 0 AND bit < 32
+                               THEN (CAST(1 AS BIGINT) << bit)
+                               ELSE 0 END) AS lo32,
+                           SUM(CASE WHEN s > 0 AND bit >= 32
+                               THEN (CAST(1 AS BIGINT) << (bit - 32))
+                               ELSE 0 END) AS hi32
+                    FROM votes GROUP BY doc_id
+                ) v USING (doc_id)
             ),
             banded AS (
                 SELECT doc_id, lo32, hi32, CAST(band AS INT) AS band,

@@ -479,9 +479,11 @@ def test_text_oracles_match_on_adversarial_whitespace(spark, tmp_path):
         "q19_minhash_lsh_pairs", "q20_simhash", "q21_text_quality",
         "q22_lang_id", "q23_doc_fingerprint",
         "q27_simhash_hamming_pairs", "q30_token_stats",
-        "q54_repetition_stats", "q62_top_tokens", "q63_scrub_pii",
+        "q51_dedup_clusters", "q54_repetition_stats",
+        "q58_dedup_keep_canonical", "q62_top_tokens", "q63_scrub_pii",
         "q64_chunk_documents", "q72_decontaminate",
         "q74_pack_sequences", "q76_quality_filter", "q77_bm25_scores",
+        "q79_edit_distance_pairs", "q80_incremental_dedup_join",
         "q81_corpus_profile", "q82_remove_boilerplate",
         "q83_temperature_sample", "q85_unigram_logprob",
         "q89_excise_duplicate_spans", "q90_rollup_card",

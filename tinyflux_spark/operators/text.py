@@ -46,8 +46,7 @@ _SCRIPTS = {
 
 def token_count(col, pattern: str = r"\s+") -> Column:
     """Whitespace token count; 0 for empty/blank/null text."""
-    c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(F.coalesce(c, F.lit("")))
+    t = F.trim(null_to_empty(col))
     return F.when(t == "", F.lit(0)).otherwise(
         F.size(F.split(t, pattern))
     )
@@ -66,10 +65,9 @@ def null_to_empty(text_col) -> Column:
 def bpe_token_count(col) -> Column:
     """BPE-ish token count: word runs + individual punctuation marks;
     0 for null text (the engine-wide null-is-empty rule)."""
-    c = F.col(col) if isinstance(col, str) else col
     return F.size(
         F.regexp_extract_all(
-            F.coalesce(c, F.lit("")), F.lit(BPE_TOKEN_RE), F.lit(0)
+            null_to_empty(col), F.lit(BPE_TOKEN_RE), F.lit(0)
         )
     )
 
@@ -117,9 +115,11 @@ def lang_id(col, out_unknown: str = "und") -> Column:
     non-latin languages when >30% of chars are in a script block;
     (2) otherwise the latin-script language with the highest distinctive
     stopword count wins (fixed priority on ties). Deterministic, so the
-    SQL oracle reproduces it exactly.
+    SQL oracle reproduces it exactly. Null text classifies as
+    ``out_unknown`` by the engine-wide null-is-empty rule (explicitly,
+    not by accidental null-propagation through regexp_count).
     """
-    c = F.col(col) if isinstance(col, str) else col
+    c = null_to_empty(col)
     n = F.greatest(F.length(c), F.lit(1))
 
     # Latin-script stopword argmax with EARLIER-declared languages
