@@ -475,6 +475,34 @@ def test_png_decode_rejects_unsupported():
     bad[idat_at + 4 : idat_at + 8] = b"\xde\xad\xbe\xef"
     with pytest.raises(ValueError, match="corrupt PNG IDAT"):
         multimodal.decode_png(bytes(bad))
+    # a chunk whose declared length runs past the buffer (PNG cut
+    # mid-IHDR) is a ValueError, not a struct.error / short slice
+    cut_mid_ihdr = good[: 8 + 8 + 6]  # sig + chunk hdr + 6 of 13 bytes
+    with pytest.raises(ValueError, match="truncated PNG chunk body"):
+        multimodal.decode_png(cut_mid_ihdr)
+    # IHDR chunk declaring a body shorter than the 13 required bytes
+    short_ihdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + multimodal._png_chunk(b"IHDR", b"\x00" * 6)
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated PNG IHDR"):
+        multimodal.decode_png(short_ihdr)
+    # palette pixel index past the PLTE entry count -> ValueError, not
+    # a raw numpy IndexError
+    pal_img = multimodal.encode_png(
+        np.full((2, 2), 3, dtype=np.uint8),
+        palette=np.zeros((4, 3), dtype=np.uint8),
+    )
+    short_pal = bytearray(pal_img)
+    plte_at = pal_img.index(b"PLTE")
+    # shrink PLTE from 4 entries (12 bytes) to 2 (6 bytes); CRC is not
+    # verified by the decoder so splice length + body directly
+    short_pal[plte_at - 4 : plte_at + 4 + 12] = (
+        b"\x00\x00\x00\x06" + b"PLTE" + b"\x00" * 6
+    )
+    with pytest.raises(ValueError, match="palette index out of range"):
+        multimodal.decode_png(bytes(short_pal))
 
 
 def test_wav_roundtrip():
@@ -1500,6 +1528,17 @@ def test_bigram_logprob_model(spark):
     assert all(r["backoff_frac"] == 0.0 for r in self_scored)
     with pytest.raises(ValueError):
         text.bigram_logprob(df, alpha=0.0)
+    # ref needs no id column and may name its text column differently
+    ref_alt = spark.createDataFrame(
+        [(t,) for _, t in ref_rows], ["body"]
+    )
+    alt = {
+        r["id"]: (r["n_bigrams"], r["avg_logp"], r["backoff_frac"])
+        for r in text.bigram_logprob(
+            df, ref=ref_alt, ref_text_col="body", alpha=0.4
+        ).collect()
+    }
+    assert alt == out
 
 
 def test_salted_join_equals_plain_join(spark):

@@ -181,8 +181,12 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 8 + length > len(data):
+            raise ValueError("truncated PNG chunk body")
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
+            if len(body) < 13:
+                raise ValueError("truncated PNG IHDR chunk")
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body[:13]
             )
@@ -245,6 +249,8 @@ def decode_png(data: bytes) -> np.ndarray:
     if ctype == 3:
         if plte is None:
             raise ValueError("palette image without PLTE chunk")
+        if out.max(initial=0) >= len(plte):
+            raise ValueError("palette index out of range")
         return plte[out]  # (h, w) indices -> (h, w, 3)
     return out.reshape(h, w, bpp)
 

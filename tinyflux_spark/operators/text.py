@@ -736,6 +736,7 @@ def bigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     ref: DataFrame = None,
+    ref_text_col: str = None,
     alpha: float = 0.4,
     min_token_len: int = 1,
 ) -> DataFrame:
@@ -754,7 +755,9 @@ def bigram_logprob(
 
     ``ref`` defaults to ``df`` (self-scoring, like unigram_logprob);
     pass a held-out or filtered corpus (e.g. the English slice) to make
-    the backoff paths meaningful — repetitive/boilerplate text scores
+    the backoff paths meaningful. Only the text column is read from
+    ``ref`` — it needs no id column, and ``ref_text_col`` (default:
+    ``text_col``) names its text column when the schemas differ — repetitive/boilerplate text scores
     high, cross-lingual and gibberish text falls to the backoff/OOV
     floor, and ``backoff_frac`` itself is a usable quality signal.
 
@@ -781,13 +784,16 @@ def bigram_logprob(
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     ref_df = df if ref is None else ref
+    ref_tc = text_col if ref_text_col is None else ref_text_col
 
-    def tok_arr(d: DataFrame, idc: str) -> DataFrame:
-        ws = F.filter(
-            F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+"),
+    def tok_ws(tc: str):
+        return F.filter(
+            F.split(F.lower(F.trim(null_to_empty(tc))), r"\s+"),
             lambda t: F.length(t) >= min_token_len,
         )
-        return d.select(F.col(idc).alias("id"), ws.alias("_ws"))
+
+    def tok_arr(d: DataFrame, idc: str) -> DataFrame:
+        return d.select(F.col(idc).alias("id"), tok_ws(text_col).alias("_ws"))
 
     bigram_structs = F.transform(
         F.sequence(F.lit(1), F.size("_ws") - 1),
@@ -797,7 +803,9 @@ def bigram_logprob(
         ),
     )
 
-    ref_arr = tok_arr(ref_df, id_col)
+    # Ref side needs no id — project only its text column so a
+    # reference corpus with a different/absent id column works.
+    ref_arr = ref_df.select(tok_ws(ref_tc).alias("_ws"))
     uni = (
         ref_arr.select(F.explode("_ws").alias("tok"))
         .groupBy("tok")
