@@ -1691,3 +1691,117 @@ def test_rollup_card_levels(spark):
         assert subtotals[(lvl, lang, None)][0] == leaf_docs
     assert list(grand.values())[0][0] == sum(v[0] for v in leaves.values())
     assert list(grand.values())[0][1] == sum(v[1] for v in leaves.values())
+
+
+def test_normalize_text_forms_and_case(spark):
+    """Engine output replayed with pure-Python unicodedata for every
+    form/case combination over a hostile corpus: decomposed accents,
+    the angstrom sign (NFC-composes to U+00C5), full-width letters and
+    ligatures (NFKC-only changes), sharp s (casefold-only change),
+    NULL text, and pure-ASCII rows (the fast path)."""
+    import unicodedata
+
+    corpus = [
+        (0, "plain ascii stays"),
+        (1, "cafe\u0301 de\u0301ja\u0300"),       # combining accents
+        (2, "\u212bngstro\u0308m"),                # angstrom sign
+        (3, "\uff21\uff22\uff23 \ufb01ne"),      # full-width + fi ligature
+        (4, "STRA\u00dfE"),                         # sharp s
+        (5, None),
+        (6, "  spaced\u000bout\t text  "),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        for case in (None, "lower", "casefold"):
+            got = {
+                r["doc_id"]: r["text_norm"]
+                for r in text.normalize_text(
+                    df, form=form, case=case
+                ).collect()
+            }
+            for i, t in corpus:
+                want = unicodedata.normalize(form, t or "")
+                if case == "lower":
+                    want = want.lower()
+                elif case == "casefold":
+                    want = want.casefold()
+                assert got[i] == want, (form, case, i)
+    # collapse_ws trims and collapses runs (incl. \x0B, like Java \s)
+    got = {
+        r["doc_id"]: r["text_norm"]
+        for r in text.normalize_text(df, collapse_ws=True).collect()
+    }
+    assert got[6] == "spaced out text"
+    assert got[5] == ""
+    with pytest.raises(ValueError, match="form"):
+        text.normalize_text(df, form="NFX")
+    with pytest.raises(ValueError, match="case"):
+        text.normalize_text(df, case="upper")
+
+
+def test_normalize_text_duckdb_nfc_parity(spark):
+    """NFC parity engine-vs-oracle on non-ASCII text: DuckDB's
+    nfc_normalize and Python's unicodedata both implement UAX #15 —
+    the q92 gate relies on bit-identical agreement."""
+    import duckdb
+
+    corpus = [
+        (0, "cafe\u0301"),
+        (1, "\u212b A\u030a"),   # angstrom + A-with-ring decomposed
+        (2, "\u1e9b\u0323"),     # long s w/ dot above + dot below (reorders)
+        (3, "ascii only"),
+        (4, "\uff76\uff9e"),     # half-width katakana ga (NFC keeps)
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["text_norm"]
+        for r in text.normalize_text(df, form="NFC").collect()
+    }
+    con = duckdb.connect()
+    for i, t in corpus:
+        (want,) = con.execute("select nfc_normalize(?)", [t]).fetchone()
+        assert got[i] == want, i
+
+
+def test_normalize_text_plan_is_arrow_not_row_udf(spark):
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    plan = text.normalize_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_accepts_pre_normalized_column(spark):
+    """A Column-valued text_col is used as-is by the dedup family (no
+    re-normalization): the pre-normalized path must agree with the
+    str path when the caller replays the engine normalization, and
+    must NOT lower-case when the caller passes raw mixed-case text."""
+    rows = [
+        (0, "The  Quick\t FOX "),
+        (1, "the quick fox"),
+        (2, "another doc entirely with words"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pre = text.normalize_text(
+        df, form="NFC", case="lower", collapse_ws=True, out_col="tn"
+    )
+
+    def canon(out):
+        return sorted(
+            tuple(r) for r in out.collect()
+        )
+
+    assert canon(
+        dedup.exact_dedup(pre, "doc_id", text_col=F.col("tn"))
+    ) == canon(dedup.exact_dedup(df, "doc_id", "text"))
+    assert canon(
+        dedup.minhash_lsh_pairs(pre, "doc_id", text_col=F.col("tn"))
+    ) == canon(dedup.minhash_lsh_pairs(df, "doc_id", "text"))
+    assert canon(
+        dedup.simhash(pre, "doc_id", text_col=F.col("tn"))
+    ) == canon(dedup.simhash(df, "doc_id", "text"))
+    # pass-through really skips normalization: raw mixed-case Column
+    # fingerprints docs 0 and 1 differently, the str path merges them
+    merged = dedup.exact_dedup(df, "doc_id", "text").count()
+    raw = dedup.exact_dedup(df, "doc_id", text_col=F.col("text")).count()
+    assert raw == merged + 1

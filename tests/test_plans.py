@@ -487,7 +487,7 @@ def test_text_oracles_match_on_adversarial_whitespace(spark, tmp_path):
         "q81_corpus_profile", "q82_remove_boilerplate",
         "q83_temperature_sample", "q85_unigram_logprob",
         "q89_excise_duplicate_spans", "q90_rollup_card",
-        "q91_bigram_logprob",
+        "q91_bigram_logprob", "q92_normalize_text",
     ):
         scols, srows = frame_repr(qs[name](spark, str(tmp_path)).toPandas())
         ocols, orows = frame_repr(con.execute(oracles[name]).df())
@@ -642,3 +642,78 @@ def test_collect_arrow_batches_fallback_matches_fast_path(spark, monkeypatch):
     t_slow = pa.Table.from_batches(slow)
     assert t_fast.schema.equals(t_slow.schema)
     assert t_fast.sort_by("id").to_pydict() == t_slow.sort_by("id").to_pydict()
+
+
+def test_bnlj_allowlist_build_sides_are_one_row(spark):
+    """Guard on the bnlj_ok allowlist above: every
+    BroadcastNestedLoopJoin in an allowlisted query's EXECUTED plan at
+    gate SF must have a broadcast build side of at most ONE row (the
+    1-row corpus-stats/total aggregate those entries were allowlisted
+    for). A future query riding the allowlist with a data-sized build
+    side fails here instead of shipping an O(n*m) join."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    bnlj_allowlisted = (
+        "q77_bm25_scores", "q82_remove_boilerplate",
+        "q83_temperature_sample", "q85_unigram_logprob",
+        "q91_bigram_logprob",
+    )
+
+    def walk(n):
+        yield n
+        nm = n.nodeName()
+        if nm == "AdaptiveSparkPlan":
+            yield from walk(n.executedPlan())
+            return
+        if "QueryStage" in nm:
+            yield from walk(n.plan())
+            return
+        ch = n.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    def build_rows(node):
+        """numOutputRows of the BroadcastExchange this BNLJ child IS
+        (descending only through wrapper nodes — InputAdapter,
+        codegen, query stages), or None when the child is the probe
+        side / a ReusedExchange (its original is asserted where it
+        materializes). Deeper exchanges feeding other joins inside
+        the subtree are deliberately NOT this join's build."""
+        n = node
+        while True:
+            nm = n.nodeName()
+            if nm.startswith("BroadcastExchange"):
+                m, it = {}, n.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    m[kv._1()] = kv._2().value()
+                return m.get("numOutputRows")
+            if nm == "InputAdapter" or nm.startswith("WholeStageCodegen"):
+                n = n.children().apply(0)
+            elif "QueryStage" in nm:
+                n = n.plan()
+            else:
+                return None
+
+    checked = 0
+    for name in bnlj_allowlisted:
+        df = em.queries()[name](spark, sf)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan()
+        for n in walk(final):
+            if "BroadcastNestedLoopJoin" not in n.nodeName():
+                continue
+            ch = n.children()
+            for i in range(ch.size()):
+                rows = build_rows(ch.apply(i))
+                if rows is None:
+                    continue
+                assert rows <= 1, (
+                    f"{name}: BNLJ build side has {rows} rows -- "
+                    "does not deserve its allowlist entry"
+                )
+                checked += 1
+    # the allowlist is not vacuous: the 1-row builds were actually
+    # found and measured
+    assert checked >= len(bnlj_allowlisted)

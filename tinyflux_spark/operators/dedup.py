@@ -34,8 +34,27 @@ from pyspark.sql import functions as F
 from .text import fingerprint, null_to_empty
 
 
-def _norm_text(text_col: str) -> Column:
+def _norm_text(text_col) -> Column:
+    """Normalized text for fingerprinting/shingling.
+
+    A ``str`` names a raw text column and gets the engine's standard
+    normalization (null→'', lower, trim, collapse whitespace). A
+    ``Column`` is treated as ALREADY-normalized text (e.g. the output
+    of :func:`~tinyflux_spark.operators.text.normalize_text` with
+    ``case='lower', collapse_ws=True``) and is used as-is apart from
+    null coalescing — every operator in this module accepts either."""
+    if isinstance(text_col, Column):
+        return F.coalesce(text_col, F.lit(""))
     return F.regexp_replace(F.lower(F.trim(null_to_empty(text_col))), r"\s+", " ")
+
+
+def _norm_words(text_col) -> Column:
+    """Token array of normalized text — same str/Column contract as
+    :func:`_norm_text`; the str path keeps the historical expression
+    (split of lowered text, no collapse pass) byte-for-byte."""
+    if isinstance(text_col, Column):
+        return F.split(F.trim(F.coalesce(text_col, F.lit(""))), r"\s+")
+    return F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+")
 
 
 def exact_dedup(
@@ -122,7 +141,7 @@ def exploded_shingles(
         # every document.
         pre = df.select(
             F.col(id_col).alias("id"),
-            F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+").alias("_arr"),
+            _norm_words(text_col).alias("_arr"),
         )
         toks = pre.select(
             "id",
@@ -567,7 +586,7 @@ def simhash(
         return F.xxhash64(tok)
 
     toks = F.filter(
-        F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+"),
+        _norm_words(text_col),
         lambda t: t != "",
     )
     hashed = (
@@ -978,7 +997,7 @@ def excise_duplicate_spans(
 
     if n <= 0 or min_docs < 2:
         raise ValueError("need n >= 1 and min_docs >= 2")
-    arr = F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+")
+    arr = _norm_words(text_col)
     base = df.select(F.col(id_col).alias("id"), arr.alias("_arr"))
 
     gram_structs = F.transform(

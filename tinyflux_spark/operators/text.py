@@ -12,6 +12,8 @@ rolling fingerprint).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -60,6 +62,69 @@ def null_to_empty(text_col) -> Column:
     ``SELECT * REPLACE (coalesce(text, '') AS text)`` wrap."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.coalesce(c, F.lit(""))
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    case: Optional[str] = None,
+    collapse_ws: bool = False,
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Unicode normalization — the curation primitive a multilingual
+    corpus pipeline runs before any dedup/fingerprint pass (CCNet,
+    Gopher and friends all NFC- or NFKC-normalize first, so that
+    ``e + U+0301`` and precomposed ``é`` — or full-width and ASCII
+    digits under NFKC — dedup together).
+
+    ``form`` is one of NFC/NFD/NFKC/NFKD (UAX #15); ``case`` is None,
+    ``'lower'`` (simple Unicode lowercase) or ``'casefold'`` (full case
+    folding, ß→ss — best for matching, not display); ``collapse_ws``
+    additionally trims and collapses whitespace runs (Python ``\\s``,
+    which like Java's includes ``\\x0B``).
+
+    Unicode normalization is not expressible in built-in Spark SQL
+    functions, so this is a vectorized Arrow-batched pandas UDF — the
+    sanctioned slow path — with an ASCII fast path: all four normal
+    forms are identity on ASCII, so only non-ASCII rows (a small
+    minority of a web corpus) pay the per-row ``unicodedata`` pass;
+    ASCII rows stay in vectorized pandas ops. The plan stays narrow
+    (one ArrowEvalPython projection, no shuffle) at any scale.
+
+    To feed the result into the dedup family without re-normalizing,
+    pass the output column AS A COLUMN: ``dedup.minhash_lsh_pairs(df2,
+    "doc_id", text_col=F.col("text_norm"))`` — a ``Column`` argument
+    is treated as already-normalized text and used as-is (nulls still
+    coalesced), while a ``str`` keeps the engine's own
+    lower/trim/collapse normalization. Use ``case='lower',
+    collapse_ws=True`` to match what the dedup family would have done.
+
+    DuckDB oracle: ``nfc_normalize()`` replays form='NFC' (q92); the
+    other forms and case modes are pytest-verified against Python's
+    ``unicodedata`` directly.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")
+    if case not in (None, "lower", "casefold"):
+        raise ValueError(f"case must be None/'lower'/'casefold', got {case!r}")
+
+    @F.pandas_udf("string")
+    def _norm(s):  # pd.Series -> pd.Series
+        out = s.fillna("")
+        mask = ~out.map(str.isascii)
+        if mask.any():
+            out = out.copy()
+            out[mask] = out[mask].str.normalize(form)
+        if case == "lower":
+            out = out.str.lower()
+        elif case == "casefold":
+            out = out.str.casefold()
+        if collapse_ws:
+            out = out.str.replace(r"\s+", " ", regex=True).str.strip()
+        return out
+
+    return df.withColumn(out_col, _norm(null_to_empty(text_col)))
 
 
 def bpe_token_count(col) -> Column:
@@ -155,7 +220,14 @@ def fingerprint(col) -> Column:
     """Stable 128-bit content fingerprint (hex md5 of normalized text).
     Null text fingerprints as the empty string (the engine-wide rule),
     so null and empty documents land in ONE duplicate group instead of
-    null rows silently dropping out of dedup."""
+    null rows silently dropping out of dedup.
+
+    Same str/Column contract as the dedup family: a ``str`` names a
+    raw text column and is normalized (null→'', lower, trim, collapse
+    whitespace); a ``Column`` is treated as already-normalized text
+    (e.g. :func:`normalize_text` output) and only null-coalesced."""
+    if isinstance(col, Column):
+        return F.md5(F.coalesce(col, F.lit("")))
     normalized = F.regexp_replace(
         F.lower(F.trim(null_to_empty(col))), r"\s+", " "
     )
