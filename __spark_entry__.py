@@ -2005,6 +2005,76 @@ def q92_normalize_text(spark, sf_dir):
     )
 
 
+def q93_stream_near_dup(spark, sf_dir):
+    """Streaming incremental-ingest near-dup end-to-end
+    (streaming/ingest.stream_near_dup_insert): the 'new shard'
+    (doc_id % 5 == 0) arrives as a finite file stream in THREE
+    micro-batches (maxFilesPerTrigger=1); the corpus's banded MinHash
+    signature table is built once and persisted before the stream
+    starts; each micro-batch band-joins against the persisted
+    signatures and exact-Jaccard-verifies candidates only (the
+    right_banded path — no per-batch corpus re-scan). Flagged pairs
+    append to a result store across batches. Stream/batch
+    unification: the oracle is IDENTICAL to q80's SQL — the streaming
+    path must produce exactly the one-shot batch join's answer."""
+    import tempfile
+
+    from pyspark.sql import types as T  # noqa: F401 — schema probe below
+
+    from tinyflux_spark.streaming import ingest as st
+
+    docs = _t("documents")(spark, sf_dir)
+    shard = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    src = tempfile.mkdtemp(prefix="tfs_q93src_")
+    shard.repartition(3).write.mode("overwrite").parquet(src)
+    stream = st.point_stream_from_files(
+        spark, src, docs.schema, max_files_per_trigger=1
+    )
+    res = tempfile.mkdtemp(prefix="tfs_q93res_") + "/pairs"
+    q = st.stream_near_dup_insert(
+        stream, corpus, res, "doc_id",
+        num_hashes=12, bands=4, verify_threshold=0.7,
+        signatures_path=tempfile.mkdtemp(prefix="tfs_q93sig_") + "/sig",
+        checkpoint_dir=tempfile.mkdtemp(prefix="tfs_q93ck_"),
+    )
+    q.awaitTermination(240)
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.read.parquet(res).select(
+        "id_left", "id_right", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q94_trigram_logprob(spark, sf_dir):
+    """Trigram Stupid-Backoff LM score (Brants 2007) of every document
+    against the corpus's English slice — order 3 of the q85/q91 LM
+    ladder (CCNet uses 5-gram KenLM; trigram is where real context
+    effects appear). Seen trigrams score c3/c2; unseen back off to
+    alpha x the bigram score, alpha^2 x the unigram, and the alpha^2 /
+    total OOV floor — all four branches exercised across the
+    multilingual corpus, with backoff_frac / oov_frac separating
+    in-domain from out-of-domain text. Same DECIMAL(20,12) per-branch
+    quantization as q85/q91 — sums exact and order-independent, the
+    oracle replays bit-for-bit (alpha^2 is computed once in Python and
+    shipped to both engines as one literal, so the IEEE product is
+    shared, not re-derived)."""
+    from tinyflux_spark.operators.text import trigram_logprob
+
+    docs = _t("documents")(spark, sf_dir)
+    out = trigram_logprob(
+        docs, "doc_id", "text",
+        ref=docs.where(F.col("lang") == "en"), alpha=0.4,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_trigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        "backoff_frac",
+        "oov_frac",
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -2019,20 +2089,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS artifact records
     # only the FIRST 50 entries. The order rotates each round so every
     # query periodically lands in that window. Round 6: q91 (bigram LM,
-    # the one registry entry that has never had a driver row) and q92
-    # (normalize_text, new this round) lead; then the 40 queries whose
+    # the one registry entry that has never had a driver row), q92
+    # (normalize_text), q93 (streaming near-dup) and q94 (trigram
+    # LM), all new this round, lead; then the 40 queries whose
     # last driver rows predate round 5's oracle-semantics changes
     # (null-text rule, Java-vs-RE2 whitespace classes) — q02, q03,
     # q05, q07, q08, q10, q33, q38, q42-q46, q48, q49, q51-q75 —
     # completing a second full hard-signal sweep of the registry at
-    # current semantics; then 8 semantics-critical repeats (query
-    # algebra q01/q04, dedup whose oracles/defaults changed in r5
-    # q18/q19, DML q37, the UDF surface q47, CSV interop q50, and
-    # q76 — r4's one red row). tools/check_gate.py remains the
-    # per-commit guard over all 92.
+    # current semantics; then 6 semantics-critical repeats (query
+    # algebra q04, dedup whose oracles/defaults changed in r5
+    # q18/q19, DML q37, the UDF surface q47, CSV interop q50).
+    # tools/check_gate.py remains the per-commit guard over all 94.
     return {
         "q91_bigram_logprob": q91_bigram_logprob,
         "q92_normalize_text": q92_normalize_text,
+        "q93_stream_near_dup": q93_stream_near_dup,
+        "q94_trigram_logprob": q94_trigram_logprob,
         "q02_search_tag_eq": q02_search_tag_eq,
         "q03_search_field_range": q03_search_field_range,
         "q05_search_measurement_regex": q05_search_measurement_regex,
@@ -2073,18 +2145,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_shard_assign": q73_shard_assign,
         "q74_pack_sequences": q74_pack_sequences,
         "q75_ivf_batch_topk": q75_ivf_batch_topk,
-        "q01_search_time_range": q01_search_time_range,
         "q04_search_compound": q04_search_compound,
         "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
         "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
         "q37_dml_update_unset_remove": q37_dml_update_unset_remove,
         "q47_map_test_predicates": q47_map_test_predicates,
         "q50_csv_interop": q50_csv_interop,
-        "q76_quality_filter": q76_quality_filter,
         # --- driver window boundary (50 above; below all have
         # r5/earlier driver-green rows and stay gated by
         # tools/check_gate.py) ---
+        "q01_search_time_range": q01_search_time_range,
         "q06_count": q06_count,
+        "q76_quality_filter": q76_quality_filter,
         "q09_get_measurements": q09_get_measurements,
         "q11_agg_pricing_summary": q11_agg_pricing_summary,
         "q12_daily_revenue_ma7": q12_daily_revenue_ma7,
@@ -2490,6 +2562,25 @@ _IVF_ORACLE_SQL = """
             WHERE lst IN (SELECT cidx FROM probes)
             ORDER BY cosine_sim DESC, vec_id LIMIT 10
         """
+
+
+# Shared by q80 (batch incremental dedup) and q93 (its streaming twin):
+# stream/batch unification means ONE oracle defines both results.
+_INCR_DEDUP_ORACLE = f"""
+    WITH {_SHINGLE_CTE},
+    {_MINHASH_BAND_CTE},
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right
+        FROM banded l
+        JOIN banded r ON l.band = r.band AND l.bsig = r.bsig
+        WHERE l.doc_id % 5 = 0 AND r.doc_id % 5 <> 0
+    )
+    SELECT c.id_left, c.id_right, j.jaccard
+    FROM cand c
+    JOIN jac j ON j.id_a = least(c.id_left, c.id_right)
+              AND j.id_b = greatest(c.id_left, c.id_right)
+    WHERE j.jaccard >= 0.7
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3637,21 +3728,100 @@ def oracle_sql() -> dict[str, str]:
         # Same signature family as q19 (shared CTE); candidates are the
         # left×right band collisions, jaccard comes from the exact
         # all-pairs CTE keyed by (min, max).
-        "q80_incremental_dedup_join": f"""
-            WITH {_SHINGLE_CTE},
-            {_MINHASH_BAND_CTE},
-            cand AS (
-                SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right
-                FROM banded l
-                JOIN banded r ON l.band = r.band AND l.bsig = r.bsig
-                WHERE l.doc_id % 5 = 0 AND r.doc_id % 5 <> 0
+        "q80_incremental_dedup_join": _INCR_DEDUP_ORACLE,
+        # q93: the streaming twin of q80 — same oracle by design
+        # (stream/batch unification is the thing being verified).
+        "q93_stream_near_dup": _INCR_DEDUP_ORACLE,
+        # Trigram Stupid Backoff replay — q91's structure one order up.
+        # alpha^2 appears as the single Python-computed literal
+        # 0.16000000000000003 so both engines share one IEEE product.
+        # DuckDB lists are 1-indexed; range(1, len-1) enumerates
+        # exactly the len-2 trigram positions.
+        "q94_trigram_logprob": """
+            WITH tw AS (
+                SELECT doc_id, lang,
+                       list_filter(
+                           string_split_regex(lower(trim(text)),
+                                              '[\\s\\x0B]+'),
+                           t -> length(t) >= 1) AS ws
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
+            ),
+            rt AS (SELECT ws FROM tw WHERE lang = 'en'),
+            uni AS (
+                SELECT tok AS w1, COUNT(*) AS c1
+                FROM (SELECT unnest(ws) AS tok FROM rt)
+                GROUP BY 1
+            ),
+            tot AS (SELECT SUM(c1) AS total FROM uni),
+            big AS (
+                SELECT w1, w2, COUNT(*) AS c2
+                FROM (
+                    SELECT ws[CAST(i AS INT)] AS w1,
+                           ws[CAST(i + 1 AS INT)] AS w2
+                    FROM rt, UNNEST(range(1, len(ws))) AS r(i)
+                )
+                GROUP BY 1, 2
+            ),
+            tri AS (
+                SELECT w1, w2, w3, COUNT(*) AS c3
+                FROM (
+                    SELECT ws[CAST(i AS INT)] AS w1,
+                           ws[CAST(i + 1 AS INT)] AS w2,
+                           ws[CAST(i + 2 AS INT)] AS w3
+                    FROM rt, UNNEST(range(1, len(ws) - 1)) AS r(i)
+                )
+                GROUP BY 1, 2, 3
+            ),
+            tric AS (
+                SELECT t.w1, t.w2, t.w3,
+                       CAST(ln(CAST(c3 AS DOUBLE) / c2)
+                            AS DECIMAL(20,12)) AS lp3
+                FROM tri t JOIN big b ON b.w1 = t.w1 AND b.w2 = t.w2
+            ),
+            bib AS (
+                SELECT b.w1 AS w2, b.w2 AS w3,
+                       CAST(ln(0.4 * (CAST(c2 AS DOUBLE) / u.c1))
+                            AS DECIMAL(20,12)) AS lp2
+                FROM big b JOIN uni u ON u.w1 = b.w1
+            ),
+            unib AS (
+                SELECT w1 AS w3,
+                       CAST(ln(0.16000000000000003 * (CAST(c1 AS DOUBLE)
+                                      / (SELECT total FROM tot)))
+                            AS DECIMAL(20,12)) AS lp1
+                FROM uni
+            ),
+            db AS (
+                SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+                       ws[CAST(i + 1 AS INT)] AS w2,
+                       ws[CAST(i + 2 AS INT)] AS w3
+                FROM tw, UNNEST(range(1, len(ws) - 1)) AS r(i)
+            ),
+            sc AS (
+                SELECT doc_id,
+                       COALESCE(tric.lp3, bib.lp2, unib.lp1,
+                                CAST(ln(0.16000000000000003
+                                        / (SELECT total FROM tot))
+                                     AS DECIMAL(20,12))) AS lp,
+                       CASE WHEN tric.lp3 IS NULL THEN 1 ELSE 0
+                       END AS miss3,
+                       CASE WHEN tric.lp3 IS NULL AND bib.lp2 IS NULL
+                            THEN 1 ELSE 0 END AS oov
+                FROM db
+                LEFT JOIN tric USING (w1, w2, w3)
+                LEFT JOIN bib USING (w2, w3)
+                LEFT JOIN unib USING (w3)
             )
-            SELECT c.id_left, c.id_right, j.jaccard
-            FROM cand c
-            JOIN jac j ON j.id_a = least(c.id_left, c.id_right)
-                      AND j.id_b = greatest(c.id_left, c.id_right)
-            WHERE j.jaccard >= 0.7
+            SELECT doc_id, COUNT(*) AS n_trigrams,
+                   ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)
+                       AS avg_logp,
+                   ROUND(CAST(SUM(miss3) AS DOUBLE) / COUNT(*), 6)
+                       AS backoff_frac,
+                   ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6)
+                       AS oov_frac
+            FROM sc GROUP BY 1
         """,
+
         # quantile_cont == Spark's exact interpolated percentile; at
         # p=0.5 over ints the interpolation is a representable .5
         # midpoint, so the compare is bit-exact.

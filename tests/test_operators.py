@@ -1805,3 +1805,139 @@ def test_dedup_accepts_pre_normalized_column(spark):
     merged = dedup.exact_dedup(df, "doc_id", "text").count()
     raw = dedup.exact_dedup(df, "doc_id", text_col=F.col("text")).count()
     assert raw == merged + 1
+
+
+def test_minhash_lsh_join_precomputed_signatures(spark):
+    """right_banded path: passing a precomputed banded_signatures table
+    yields the identical verified pairs, and the verify prunes the
+    corpus to candidate ids (a semi join in the plan) instead of
+    re-shingling the whole corpus."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "completely different text about distributed analytics"),
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        (11, "totally unrelated corpus document about nothing shared"),
+        (12, "completely different text about distributed analytics yes"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    left = docs.where(F.col("doc_id") < 10)
+    right = docs.where(F.col("doc_id") >= 10)
+    kw = dict(num_hashes=12, bands=4, verify_threshold=0.5)
+    plain = dedup.minhash_lsh_join(left, right, "doc_id", **kw)
+    sig = dedup.banded_signatures(right, "doc_id",
+                                  num_hashes=12, bands=4)
+    pre = dedup.minhash_lsh_join(left, right, "doc_id",
+                                 right_banded=sig, **kw)
+
+    def canon(df):
+        return sorted(
+            (r["id_left"], r["id_right"], round(r["jaccard"], 9))
+            for r in df.collect()
+        )
+
+    assert canon(pre) == canon(plain) and len(canon(plain)) >= 2
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # candidate-only path also holds with verify off
+    assert canon(
+        dedup.minhash_lsh_join(left, right, "doc_id", num_hashes=12,
+                               bands=4, verify_threshold=None,
+                               right_banded=sig)
+        .withColumn("jaccard", F.lit(0.0))
+    ) == sorted(
+        (r["id_left"], r["id_right"], 0.0)
+        for r in dedup.minhash_lsh_join(
+            left, right, "doc_id", num_hashes=12, bands=4,
+            verify_threshold=None).collect()
+    )
+
+
+def test_trigram_logprob_model(spark):
+    """Trigram Stupid Backoff replayed in plain Python: seen trigrams
+    score c3/c2ctx, bigram backoff alpha*c2/c1ctx, unigram backoff
+    alpha^2*c1/total, OOV floor alpha^2/total — each branch quantized
+    to DECIMAL(20,12) before the order-free per-doc sum; backoff_frac
+    counts trigram-table misses, oov_frac counts bigram misses too."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = [
+        (0, "a b c a b c d"),
+        (1, "a b"),              # <3 tokens: no row
+        (2, "c a b"),
+        (3, "x y z"),            # all OOV
+        (4, "b c x"),            # trigram miss, bigram (c,x)? miss; x OOV
+        (5, "d b c"),            # trigram miss, bigram (b,c) HIT — the
+                                 # backoff branch, with uni[b] != uni[c]
+                                 # so a wrong-context join cannot pass
+    ]
+    ref_rows = [(10, "a b c a b d"), (11, "b c a")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    out = {
+        r["id"]: (r["n_trigrams"], r["avg_logp"], r["backoff_frac"],
+                  r["oov_frac"])
+        for r in text.trigram_logprob(df, ref=ref, alpha=0.4).collect()
+    }
+
+    uni, big, tri = {}, {}, {}
+    for _, t in ref_rows:
+        ts = t.split()
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for i in range(len(ts) - 1):
+            big[(ts[i], ts[i + 1])] = big.get((ts[i], ts[i + 1]), 0) + 1
+        for i in range(len(ts) - 2):
+            k = (ts[i], ts[i + 1], ts[i + 2])
+            tri[k] = tri.get(k, 0) + 1
+    total = sum(uni.values())
+    a, a2 = 0.4, 0.4 * 0.4
+
+    def q(x):
+        return Decimal(x).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+
+    def lp(w1, w2, w3):
+        if (w1, w2, w3) in tri:
+            return q(math.log(tri[(w1, w2, w3)] / big[(w1, w2)])), 0, 0
+        if (w2, w3) in big:
+            return q(math.log(a * (big[(w2, w3)] / uni[w2]))), 1, 0
+        if w3 in uni:
+            return q(math.log(a2 * (uni[w3] / total))), 1, 1
+        return q(math.log(a2 / total)), 1, 1
+
+    model = {}
+    for i, t in rows:
+        ts = t.split()
+        if len(ts) < 3:
+            continue
+        lps = [lp(*ts[j:j + 3]) for j in range(len(ts) - 2)]
+        s = sum(x for x, _, _ in lps)
+        m = sum(b for _, b, _ in lps)
+        o = sum(c for _, _, c in lps)
+        model[i] = (len(lps), float(s) / len(lps),
+                    round(m / len(lps), 6), round(o / len(lps), 6))
+    assert set(out) == set(model)
+    for k, want in model.items():
+        assert out[k][0] == want[0], k
+        assert abs(out[k][1] - want[1]) < 1e-12, k
+        assert out[k][2:] == want[2:], k
+    # self-scoring default: every trigram seen, zero backoff
+    self_scored = text.trigram_logprob(df).collect()
+    assert all(r["backoff_frac"] == 0.0 for r in self_scored
+               if r["n_trigrams"] > 0)
+    with pytest.raises(ValueError):
+        text.trigram_logprob(df, alpha=1.5)
+    # ref with a different text column name and no id
+    alt = {
+        r["id"]: (r["n_trigrams"], r["avg_logp"], r["backoff_frac"],
+                  r["oov_frac"])
+        for r in text.trigram_logprob(
+            df,
+            ref=spark.createDataFrame(
+                [(t,) for _, t in ref_rows], ["body"]
+            ),
+            ref_text_col="body", alpha=0.4,
+        ).collect()
+    }
+    assert alt == out

@@ -326,9 +326,9 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # (same bounded kind).
         "q82_remove_boilerplate", "q83_temperature_sample",
         "q85_unigram_logprob",
-        # q91: the reference corpus' total-token-count aggregate is
-        # one row by construction (q85's bounded kind).
-        "q91_bigram_logprob",
+        # q91/q94: the reference corpus' total-token-count aggregate
+        # is one row by construction (q85's bounded kind).
+        "q91_bigram_logprob", "q94_trigram_logprob",
     }
     # Keyless broadcast joins whose build side is provably one row:
     # q77 crossJoins the one-row corpus-stats aggregate into the
@@ -342,9 +342,9 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # total-token-count build crossJoined into the vocabulary.
         "q82_remove_boilerplate", "q83_temperature_sample",
         "q85_unigram_logprob",
-        # q91: same 1-row total build, crossJoined twice (backoff
-        # table and OOV floor).
-        "q91_bigram_logprob",
+        # q91/q94: same 1-row total build, crossJoined into the
+        # backoff tables and OOV floor.
+        "q91_bigram_logprob", "q94_trigram_logprob",
     }
     bad = {}
     for name, fn in em.queries().items():
@@ -488,6 +488,7 @@ def test_text_oracles_match_on_adversarial_whitespace(spark, tmp_path):
         "q83_temperature_sample", "q85_unigram_logprob",
         "q89_excise_duplicate_spans", "q90_rollup_card",
         "q91_bigram_logprob", "q92_normalize_text",
+        "q94_trigram_logprob",
     ):
         scols, srows = frame_repr(qs[name](spark, str(tmp_path)).toPandas())
         ocols, orows = frame_repr(con.execute(oracles[name]).df())
@@ -657,7 +658,7 @@ def test_bnlj_allowlist_build_sides_are_one_row(spark):
     bnlj_allowlisted = (
         "q77_bm25_scores", "q82_remove_boilerplate",
         "q83_temperature_sample", "q85_unigram_logprob",
-        "q91_bigram_logprob",
+        "q91_bigram_logprob", "q94_trigram_logprob",
     )
 
     def walk(n):

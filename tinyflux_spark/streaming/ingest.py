@@ -296,6 +296,79 @@ def stateful_ewma(
     )
 
 
+def stream_near_dup_insert(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    result_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+    unit: str = "word",
+    signatures_path: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming near-duplicate detection: every micro-batch of an
+    ingest stream is checked against an EXISTING corpus via the
+    asymmetric MinHash-LSH join, and the flagged ``(id_left,
+    id_right, jaccard)`` pairs append to ``result_path`` — the
+    end-to-end incremental-ingest dedup story (the batch form is
+    ``operators.dedup.minhash_lsh_join``; corpus-side semantics are
+    identical, verified stream-vs-batch in tests).
+
+    The corpus's banded signature table is computed ONCE, before the
+    stream starts — persisted at ``signatures_path`` if given (and
+    REUSED if already present there: at 100 TB the signature build is
+    the expensive pass, and it survives stream restarts), else
+    localCheckpoint-materialized for the lifetime of this query. Each
+    micro-batch then costs: shingle+hash the batch (small), one band
+    equi-join against the persisted signatures, and an exact-Jaccard
+    verify that re-reads only the candidate corpus docs
+    (minhash_lsh_join's ``right_banded`` path) — never a full corpus
+    re-scan, so per-batch latency tracks batch size, not corpus size.
+
+    Ids must be unique across stream ∪ corpus (the usual ingest
+    contract). Pairs from different micro-batches are disjoint on
+    ``id_left``, so the appended result needs no cross-batch dedup.
+    """
+    from ..operators.dedup import banded_signatures, minhash_lsh_join
+
+    spark = corpus.sparkSession
+    kw = dict(text_col=text_col, n=n, num_hashes=num_hashes,
+              bands=bands, unit=unit)
+    if signatures_path is not None:
+        try:
+            sig = spark.read.parquet(signatures_path)
+            sig.schema  # force resolution: missing path raises here
+        except Exception:  # noqa: BLE001 — absent/unreadable: build it
+            banded_signatures(corpus, id_col, **kw).write.mode(
+                "overwrite"
+            ).parquet(signatures_path)
+            sig = spark.read.parquet(signatures_path)
+    else:
+        sig = banded_signatures(corpus, id_col, **kw).localCheckpoint()
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = minhash_lsh_join(
+            batch_df, corpus, id_col,
+            verify_threshold=verify_threshold,
+            right_banded=sig, **kw,
+        )
+        pairs.write.mode("append").parquet(result_path)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(sink).outputMode("append")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_rollup_insert(
     storage: Storage,
     points_stream: DataFrame,
