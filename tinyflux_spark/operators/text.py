@@ -246,6 +246,12 @@ def shingle_fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 8) -
     # 15% SLOWER (row fan-out overhead, identical hash count) — unlike
     # the minhash/simhash cases where the interpreted work was the
     # arithmetic around the hash, not the hash itself.
+    # md5 (not xxhash64) is LOAD-BEARING here, unlike q89's internal
+    # gram fp: the fingerprint IS the operator's output, compared
+    # bit-for-bit against the DuckDB oracle and stable across engines
+    # and sessions — Spark's xxhash64 (XXH64, seed 42) has no DuckDB
+    # replay, so swapping it would trade the hard correctness gate for
+    # ~hash-cost savings. Do not.
     base = df.select(
         F.col(id_col),
         F.regexp_replace(F.lower(F.trim(null_to_empty(text_col))), r"\s+", " ")
