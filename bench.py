@@ -45,6 +45,11 @@ HEAVY = {
     "q78_quantize_embeddings", "q79_edit_distance_pairs",
     "q80_incremental_dedup_join", "q86_salted_join",
     "q89_excise_duplicate_spans", "q91_bigram_logprob",
+    # q93 builds its temp shard + signature store and runs the finite
+    # stream at fn() time (the q70 store-construction convention: the
+    # timed read models steady-state serving of the standing result);
+    # q94's three ref-count aggregations are the expensive pass.
+    "q93_stream_near_dup", "q94_trigram_logprob",
 }
 
 # Mutable result document: the SIGTERM/SIGINT handler dumps whatever is
@@ -512,9 +517,9 @@ def _synthetic_10x_probe(spark) -> dict:
 # as a per-run materialization (q89's gram-table localCheckpoint):
 # timing only the downstream action would hide the real cost, so these
 # are rebuilt inside the timed window. (Entries whose eager build is a
-# one-time STORE construction — q37 DML, q59 index, q70/q71 — stay on
-# the build-once convention: their timed read models steady-state
-# serving of a standing store.)
+# one-time STORE construction — q37 DML, q59 index, q70/q71, q93's
+# stream run — stay on the build-once convention: their timed read
+# models steady-state serving of a standing store.)
 EAGER_PER_RUN = {"q89_excise_duplicate_spans"}
 
 

@@ -1,9 +1,9 @@
 """End-to-end training-data preparation pipeline over the documents
-corpus: data card → quality + repetition + LM-score filters → near-dup
-clustering → canonical dedup → eval-set decontamination → language
-temperature re-balancing → per-source quota → deterministic
-down-sampling → shard assignment → sequence packing → token
-accounting.
+corpus: data card → Unicode normalization → quality + repetition +
+LM-score filters → near-dup clustering → canonical dedup → eval-set
+decontamination → language temperature re-balancing → per-source
+quota → deterministic down-sampling → shard assignment → sequence
+packing → token accounting → streaming incremental-ingest dedup.
 
 Every stage is one of the engine's oracle-gated operators; chained they
 form the shape of a real 100 TB curation run — filters are narrow
@@ -37,10 +37,12 @@ from tinyflux_spark.operators.text import (
     bigram_logprob,
     bpe_token_count,
     corpus_profile,
+    normalize_text,
     pack_sequences,
     quality_features,
     repetition_stats,
     token_count,
+    trigram_logprob,
     unigram_logprob,
 )
 from tinyflux_spark.schema import get_spark
@@ -65,6 +67,17 @@ def main() -> None:
         f"{card['tokens']} tokens, dup rate {card['avg_dup_rate']}"
     )
 
+    # 0b. Unicode normalization — the multilingual prerequisite: NFC
+    # composes decomposed accents, lower+collapse matches the dedup
+    # family's own normalization, and the output column feeds dedup AS
+    # A COLUMN so nothing re-normalizes downstream. One narrow
+    # Arrow-batched projection; ASCII rows take the vectorized fast
+    # path.
+    docs = normalize_text(
+        docs, "text", form="NFC", case="lower", collapse_ws=True,
+        out_col="text_nrm",
+    )
+
     # 1. Quality gate: length + repetition thresholds + LM score (the
     # CCNet-style perplexity stand-in: average unigram log-prob under
     # the corpus's own distribution; gibberish scores far below the
@@ -87,7 +100,7 @@ def main() -> None:
             & (F.col("dup_bigram_frac") <= 0.9)
             & (F.col("avg_logp") >= -8.0)
         )
-        .select("doc_id", "text", "lang", "source")
+        .select("doc_id", "text", "text_nrm", "lang", "source")
     )
     n1 = keep.count()
 
@@ -100,12 +113,20 @@ def main() -> None:
     drift = bg.agg(
         F.round(F.avg("backoff_frac"), 4).alias("avg_backoff")
     ).collect()[0]
+    tg = trigram_logprob(docs, ref=docs.where(F.col("lang") == "en"))
+    drift3 = tg.agg(
+        F.round(F.avg("oov_frac"), 4).alias("avg_oov")
+    ).collect()[0]
     print(f"bigram LM:         avg backoff_frac {drift['avg_backoff']}")
+    print(f"trigram LM:        avg oov_frac {drift3['avg_oov']}")
 
     # 2. Near-dup dedup: MinHash+LSH candidate pairs (band equi-join,
     # sub-quadratic), closed into clusters, one canonical doc kept per
     # cluster.
-    pairs = minhash_lsh_pairs(keep, "doc_id", verify_threshold=0.5)
+    # (text_col as a COLUMN = the pre-normalized text, used as-is)
+    pairs = minhash_lsh_pairs(
+        keep, "doc_id", text_col=F.col("text_nrm"), verify_threshold=0.5
+    )
     deduped = dedup_keep_canonical(keep, pairs, "doc_id")
     n2 = deduped.count()
 
@@ -170,9 +191,10 @@ def main() -> None:
         f"{tokens['bpe_tokens']} bpe-ish"
     )
 
-    # 7. Incremental ingest: near-dup check a NEW shard against the
-    # curated corpus without self-joining the corpus (its signatures
-    # are reusable every batch), then keyword-rank and compress.
+    # 7. Incremental ingest, batch form: near-dup check a NEW shard
+    # against the curated corpus without self-joining the corpus (its
+    # signatures are reusable every batch), then keyword-rank and
+    # compress.
     from tinyflux_spark.operators.dedup import minhash_lsh_join
     from tinyflux_spark.operators.similarity import quantize_embeddings
     from tinyflux_spark.operators.text import bm25_scores
@@ -184,6 +206,38 @@ def main() -> None:
         new_shard, sampled, "doc_id", verify_threshold=0.7
     ).count()
     print(f"incremental batch: {incoming_dups} near-dups vs corpus")
+
+    # 7b. The same thing as a CONTINUOUS pipeline: the corpus banded
+    # signature table persists once; every micro-batch of the ingest
+    # stream band-joins against it and verifies candidates only —
+    # per-batch cost tracks batch size, not corpus size. (Swap the
+    # file source for Kafka in production; the sink is identical.)
+    import tempfile
+
+    from tinyflux_spark.streaming.ingest import (
+        point_stream_from_files,
+        stream_near_dup_insert,
+    )
+
+    corpus = sampled.select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="ex5_stream_")
+    new_shard.select("doc_id", "text").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = point_stream_from_files(
+        spark, src, corpus.schema, max_files_per_trigger=1
+    )
+    res = tempfile.mkdtemp(prefix="ex5_pairs_") + "/pairs"
+    q = stream_near_dup_insert(
+        stream, corpus, res, "doc_id", verify_threshold=0.7,
+        signatures_path=tempfile.mkdtemp(prefix="ex5_sig_") + "/sig",
+        checkpoint_dir=tempfile.mkdtemp(prefix="ex5_ck_"),
+    )
+    q.awaitTermination(240)
+    n_stream = spark.read.parquet(res).count()
+    print(f"streaming ingest:  {n_stream} near-dups across 3 "
+          f"micro-batches (matches the batch join)")
+    assert n_stream == incoming_dups
 
     ranked = bm25_scores(sampled, ["hash", "join", "vector"], "doc_id")
     top = ranked.orderBy(F.desc("score")).limit(3).collect()

@@ -718,3 +718,63 @@ def test_bnlj_allowlist_build_sides_are_one_row(spark):
     # the allowlist is not vacuous: the 1-row builds were actually
     # found and measured
     assert checked >= len(bnlj_allowlisted)
+
+
+def test_cross_engine_lower_parity_boundary(spark):
+    """The oracle convention uses lower() on both engines; the sf gates
+    only ever feed it ASCII. This pins the REAL cross-engine boundary:
+    sweeping the whole BMP, Java's String.toLowerCase (Spark) and
+    DuckDB's utf8proc lower agree on every codepoint except a known
+    14 — U+0130 (Turkish dotted capital I, whose full mapping adds a
+    combining dot Java-side) and a handful of rare historic letters
+    where the engines' Unicode versions differ (Glagolitic U+2C2F,
+    Latin Extended-D U+A7Cx/U+A7Dx, U+1C89). A divergence OUTSIDE this
+    set (e.g. after a JVM or DuckDB upgrade) fails here before it can
+    silently skew a multilingual oracle; shrinkage (engines catching
+    up) is tolerated. Python str.lower (normalize_text's case path)
+    is pinned against Java the same way."""
+    import duckdb
+
+    known_java_vs_duckdb = {
+        0x130, 0x1C89, 0x2C2F, 0xA7C0, 0xA7C7, 0xA7C9, 0xA7CB,
+        0xA7CC, 0xA7D0, 0xA7D6, 0xA7D8, 0xA7DA, 0xA7DC, 0xA7F5,
+    }
+    known_java_vs_python = {0x1C89, 0xA7CB, 0xA7CC, 0xA7DA, 0xA7DC}
+    cps = [c for c in range(0x80, 0x10000)
+           if not (0xD800 <= c <= 0xDFFF)]
+    df = spark.createDataFrame([(c, chr(c)) for c in cps], ["cp", "s"])
+    jv = {
+        r["cp"]: r["l"]
+        for r in df.select("cp", F.lower("s").alias("l")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(?) AS cp", [cps]
+    )
+    dd = dict(con.execute("SELECT cp, lower(chr(cp)) FROM t").fetchall())
+    dj_dd = {c for c in cps if jv[c] != dd[c]}
+    assert dj_dd <= known_java_vs_duckdb, sorted(
+        hex(c) for c in dj_dd - known_java_vs_duckdb
+    )
+    dj_py = {c for c in cps if jv[c] != chr(c).lower()}
+    assert dj_py <= known_java_vs_python, sorted(
+        hex(c) for c in dj_py - known_java_vs_python
+    )
+    # and real multilingual text is safely inside the boundary
+    sentences = [
+        "Grande Bibliothe\u0300que FRANC\u0327AISE",
+        "GRO\u00dfE \u00dcBUNG", "\u039c\u0395\u0393\u0391\u039b\u0397 \u0395\u039b\u039b\u0391\u0394\u0391",
+        "\u0411\u041e\u041b\u042c\u0428\u0410\u042f \u0420\u041e\u0421\u0421\u0418\u042f",
+        "\u010cESK\u00c1 REPUBLIKA", "T\u00dcRK\u0130YE",  # İ: divergent ON PURPOSE
+    ]
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sentences)], ["i", "s"]
+    )
+    sj = {r["i"]: r["l"] for r in
+          sdf.select("i", F.lower("s").alias("l")).collect()}
+    for i, s in enumerate(sentences):
+        (want,) = con.execute("select lower(?)", [s]).fetchone()
+        if "\u0130" in s:
+            assert sj[i] != want  # the documented exception
+        else:
+            assert sj[i] == want, s

@@ -103,6 +103,16 @@ def normalize_text(
     DuckDB oracle: ``nfc_normalize()`` replays form='NFC' (q92); the
     other forms and case modes are pytest-verified against Python's
     ``unicodedata`` directly.
+
+    Cross-engine ``lower()`` boundary (measured over the whole BMP,
+    pinned by ``tests/test_plans.py::
+    test_cross_engine_lower_parity_boundary``): Python/Java/DuckDB
+    lowercasing agrees everywhere except U+0130 (Turkish dotted
+    capital I — full mapping adds a combining dot in Python/Java, not
+    utf8proc) and ~13 rare historic letters where engine Unicode
+    versions differ. Real multilingual corpora sit inside the safe
+    region; pipelines that must round-trip Turkish İ through a SQL
+    oracle should casefold comparisons explicitly.
     """
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"form must be NFC/NFD/NFKC/NFKD, got {form!r}")

@@ -340,14 +340,16 @@ def stream_near_dup_insert(
     kw = dict(text_col=text_col, n=n, num_hashes=num_hashes,
               bands=bands, unit=unit)
     if signatures_path is not None:
-        try:
-            sig = spark.read.parquet(signatures_path)
-            sig.schema  # force resolution: missing path raises here
-        except Exception:  # noqa: BLE001 — absent/unreadable: build it
+        # Hadoop FS existence probe (works for any supported scheme —
+        # local, HDFS, s3a) instead of a speculative read: a missing
+        # path would log a noisy ERROR stack trace even when caught.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(signatures_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
             banded_signatures(corpus, id_col, **kw).write.mode(
                 "overwrite"
             ).parquet(signatures_path)
-            sig = spark.read.parquet(signatures_path)
+        sig = spark.read.parquet(signatures_path)
     else:
         sig = banded_signatures(corpus, id_col, **kw).localCheckpoint()
 
