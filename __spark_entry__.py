@@ -2075,6 +2075,68 @@ def q94_trigram_logprob(spark, sf_dir):
     )
 
 
+def q95_semantic_dedup(spark, sf_dir):
+    """SemDedup-style semantic deduplication (Abbas et al. 2023): the
+    embedding corpus is clustered by the q52 IVF codebook, pairs are
+    compared only within a cluster, and a vector is flagged a
+    semantic duplicate when a more-canonical in-cluster neighbor
+    (lower centroid cosine — the paper keeps the exemplar FARTHEST
+    from the centroid — tie-broken by id) sits above cosine tau. The
+    oracle replays codebook selection, assignment, the within-cluster
+    pair scan and the dominance rule in SQL, so every stage is
+    hash-checked. tau=0.3 on the synthetic corpus (its random-ish
+    embeddings are diffuse; real near-dup corpora use 0.9+), K=32
+    clusters (SemDedup scales K with N to bound the per-cluster pair
+    scan — the operator's whole scale argument, so the gate runs the
+    same regime)."""
+    from tinyflux_spark.operators.similarity import semantic_dedup
+
+    emb = _t("embeddings")(spark, sf_dir)
+    return semantic_dedup(emb, num_clusters=32, tau=0.3)
+
+
+def q96_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail LM-quality bucketing (Wenzek et al.
+    2020): documents scored by avg unigram log-prob (q85's scorer),
+    split into 3 equal-mass buckets over the score HISTOGRAM — no
+    global row sort; the quantized-score map broadcasts back. floor()
+    quantization, not round(): floor has no cross-engine rounding-mode
+    ambiguity on doubles."""
+    from tinyflux_spark.operators.text import perplexity_buckets
+
+    docs = _t("documents")(spark, sf_dir)
+    out = perplexity_buckets(docs, "doc_id", "text", k=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        "ppl_bucket",
+    )
+
+
+def q97_importance_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): every document
+    scored by how English-target-like its hashed unigram features are
+    (log p_target/p_source summed over 1024 md5 buckets, add-1
+    smoothing). The md5 bucketing, both histograms, the smoothing and
+    the DECIMAL(20,12)-quantized per-doc sum all replay in DuckDB, so
+    the whole feature pipeline is hash-checked. On the gate corpus the
+    en slice scores ~0.23 nats/doc above the rest — the re-balancing
+    signal a selection pass would sample by."""
+    from tinyflux_spark.operators.sampling import importance_weights
+
+    docs = _t("documents")(spark, sf_dir)
+    out = importance_weights(
+        docs, docs.where(F.col("lang") == "en"), "doc_id", "text",
+        num_buckets=1024, alpha=1.0,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round("log_weight", 6).alias("log_weight"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -2088,23 +2150,27 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS artifact records
     # only the FIRST 50 entries. The order rotates each round so every
-    # query periodically lands in that window. Round 6: q91 (bigram LM,
-    # the one registry entry that has never had a driver row), q92
-    # (normalize_text), q93 (streaming near-dup) and q94 (trigram
-    # LM), all new this round, lead; then the 40 queries whose
-    # last driver rows predate round 5's oracle-semantics changes
-    # (null-text rule, Java-vs-RE2 whitespace classes) — q02, q03,
-    # q05, q07, q08, q10, q33, q38, q42-q46, q48, q49, q51-q75 —
-    # completing a second full hard-signal sweep of the registry at
-    # current semantics; then 6 semantics-critical repeats (query
-    # algebra q04, dedup whose oracles/defaults changed in r5
-    # q18/q19, DML q37, the UDF surface q47, CSV interop q50).
-    # tools/check_gate.py remains the per-commit guard over all 94.
+    # query periodically lands in that window. Round 6: the 7 queries
+    # with no driver row yet lead — q91 (bigram LM), q92
+    # (normalize_text), q93 (streaming near-dup), q94 (trigram LM),
+    # q95 (semantic dedup), q96 (perplexity buckets), q97 (DSIR
+    # importance weights); then the 40 queries whose last driver rows
+    # predate round 5's oracle-semantics changes (null-text rule,
+    # Java-vs-RE2 whitespace classes) — q02, q03, q05, q07, q08, q10,
+    # q33, q38, q42-q46, q48, q49, q51-q75 — completing a second full
+    # hard-signal sweep of the registry at current semantics; then 3
+    # semantics-critical repeats (query algebra q04, dedup whose
+    # oracles/defaults changed in r5 q18/q19). q37/q47/q50 drop just
+    # below the window — their r5 rows are green at current semantics.
+    # tools/check_gate.py remains the per-commit guard over all 97.
     return {
         "q91_bigram_logprob": q91_bigram_logprob,
         "q92_normalize_text": q92_normalize_text,
         "q93_stream_near_dup": q93_stream_near_dup,
         "q94_trigram_logprob": q94_trigram_logprob,
+        "q95_semantic_dedup": q95_semantic_dedup,
+        "q96_ppl_buckets": q96_ppl_buckets,
+        "q97_importance_weights": q97_importance_weights,
         "q02_search_tag_eq": q02_search_tag_eq,
         "q03_search_field_range": q03_search_field_range,
         "q05_search_measurement_regex": q05_search_measurement_regex,
@@ -3820,6 +3886,172 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6)
                        AS oov_frac
             FROM sc GROUP BY 1
+        """,
+        # SemDedup replay: q52's codebook/assignment CTEs (stride
+        # codebook, argmax with 6dp rounding + lowest-index ties,
+        # -2.0 zero-norm sentinel via coalesce over DuckDB's
+        # float-div-by-zero NULL), then the within-cluster dominance
+        # rule verbatim: dup iff a >=tau neighbor is more canonical
+        # (lower centroid cosine, tie -> lower id).
+        "q95_semantic_dedup": """
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            bounds AS (
+                SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM emb
+            ),
+            cids AS (
+                SELECT MIN(vec_id) AS cid
+                FROM emb, bounds
+                GROUP BY ((vec_id - lo) * 32) // (hi - lo + 1)
+            ),
+            cent AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1
+                           AS cidx,
+                       c.e AS ce
+                FROM emb c JOIN cids ON c.vec_id = cids.cid
+            ),
+            scored AS (
+                SELECT c.vec_id, c.e, cent.cidx,
+                       coalesce(ROUND(list_dot_product(c.e, ce)
+                           / nullif(sqrt(list_dot_product(c.e, c.e))
+                                    * sqrt(list_dot_product(ce, ce)),
+                                    0), 6), -2.0) AS csim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY coalesce(
+                               ROUND(list_dot_product(c.e, ce)
+                               / nullif(
+                                   sqrt(list_dot_product(c.e, c.e))
+                                   * sqrt(list_dot_product(ce, ce)),
+                                   0), 6), -2.0) DESC, cent.cidx
+                       ) AS rn
+                FROM emb c CROSS JOIN cent
+            ),
+            asg AS (
+                SELECT vec_id, CAST(cidx AS INT) AS cluster, csim,
+                       CASE WHEN sqrt(list_dot_product(e, e)) > 0
+                            THEN list_transform(e, x ->
+                                x / sqrt(list_dot_product(e, e)))
+                       END AS u
+                FROM scored WHERE rn = 1
+            ),
+            dup AS (
+                SELECT DISTINCT
+                       CASE WHEN b.csim < a.csim
+                              OR (b.csim = a.csim
+                                  AND b.vec_id < a.vec_id)
+                            THEN a.vec_id ELSE b.vec_id
+                       END AS vec_id
+                FROM asg a JOIN asg b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE ROUND(list_dot_product(a.u, b.u), 6) >= 0.3
+            )
+            SELECT asg.vec_id AS id, cluster, csim AS centroid_sim,
+                   (dup.vec_id IS NOT NULL) AS is_dup
+            FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+        """,
+        # q85's scorer CTEs, then the histogram bucketing: quantize
+        # with FLOOR(avg*1000) (no rounding-mode ambiguity), cumulate
+        # counts over the quantized-score histogram DESC (head =
+        # best LM fit = bucket 0), bucket = least(2, floor(3*below/
+        # total)) — all-integer except one shared double division.
+        "q96_ppl_buckets": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(
+                           lower(trim(text)), '[\\s\\x0B]+')) AS tok
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
+            ),
+            tt AS (SELECT doc_id, tok FROM t WHERE length(tok) >= 1),
+            v AS (SELECT tok, COUNT(*) AS cnt FROM tt GROUP BY 1),
+            n AS (SELECT SUM(cnt) AS total FROM v),
+            vq AS (
+                SELECT tok,
+                       CAST(ln(CAST(cnt AS DOUBLE)
+                               / (SELECT total FROM n))
+                            AS DECIMAL(20,12)) AS lp
+                FROM v
+            ),
+            scored AS (
+                SELECT tt.doc_id AS doc_id, COUNT(*) AS n_tokens,
+                       CAST(SUM(vq.lp) AS DOUBLE) / COUNT(*)
+                           AS raw_logp
+                FROM tt JOIN vq USING (tok)
+                GROUP BY 1
+            ),
+            s AS (
+                SELECT doc_id, n_tokens, raw_logp,
+                       CAST(FLOOR(raw_logp * 1000) AS BIGINT) AS q
+                FROM scored
+            ),
+            hist AS (SELECT q, COUNT(*) AS c FROM s GROUP BY 1),
+            b AS (
+                SELECT q,
+                       CAST(LEAST(2, FLOOR(3 * coalesce(
+                           SUM(c) OVER (
+                               ORDER BY q DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+                           / (SELECT SUM(c) FROM hist))) AS INT)
+                           AS ppl_bucket
+                FROM hist
+            )
+            SELECT s.doc_id, s.n_tokens,
+                   ROUND(s.raw_logp, 6) AS avg_logp, b.ppl_bucket
+            FROM s JOIN b USING (q)
+        """,
+        # DSIR replay: identical md5 bucket ints (('0x'||hex8)::BIGINT
+        # == Spark's conv(hex8,16,10) — both unsigned < 2^32), add-1
+        # smoothing over 1024 buckets, DECIMAL(20,12) log-ratio so the
+        # per-doc sum is order-independent in both engines.
+        "q97_importance_weights": """
+            WITH dd AS (
+                SELECT * REPLACE (coalesce(text, '') AS text)
+                FROM documents
+            ),
+            st AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5('dsir:' || tok), 1, 8))
+                            ::BIGINT % 1024) AS b
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(trim(text)),
+                                  '[\\s\\x0B]+')) AS tok
+                    FROM dd
+                ) WHERE length(tok) >= 1
+            ),
+            tt AS (
+                SELECT (('0x' || substr(md5('dsir:' || tok), 1, 8))
+                            ::BIGINT % 1024) AS b
+                FROM (
+                    SELECT unnest(string_split_regex(lower(trim(text)),
+                                  '[\\s\\x0B]+')) AS tok
+                    FROM dd WHERE lang = 'en'
+                ) WHERE length(tok) >= 1
+            ),
+            sh AS (SELECT b, COUNT(*) AS sc FROM st GROUP BY 1),
+            th AS (SELECT b, COUNT(*) AS tc FROM tt GROUP BY 1),
+            stot AS (SELECT SUM(sc) AS s FROM sh),
+            ttot AS (SELECT coalesce(SUM(tc), 0) AS t FROM th),
+            ratio AS (
+                SELECT sh.b,
+                       CAST(
+                           ln((coalesce(th.tc, 0) + 1.0)
+                              / ((SELECT t FROM ttot) + 1024.0))
+                           - ln((sh.sc + 1.0)
+                                / ((SELECT s FROM stot) + 1024.0))
+                           AS DECIMAL(20,12)) AS lr
+                FROM sh LEFT JOIN th USING (b)
+            )
+            SELECT st.doc_id, COUNT(*) AS n_tokens,
+                   ROUND(CAST(SUM(ratio.lr) AS DOUBLE), 6)
+                       AS log_weight
+            FROM st JOIN ratio USING (b)
+            GROUP BY 1
         """,
 
         # quantile_cont == Spark's exact interpolated percentile; at

@@ -520,7 +520,7 @@ def _synthetic_10x_probe(spark) -> dict:
 # one-time STORE construction — q37 DML, q59 index, q70/q71, q93's
 # stream run — stay on the build-once convention: their timed read
 # models steady-state serving of a standing store.)
-EAGER_PER_RUN = {"q89_excise_duplicate_spans"}
+EAGER_PER_RUN = {"q89_excise_duplicate_spans", "q95_semantic_dedup"}
 
 
 def time_query(name, fn, spark) -> float:

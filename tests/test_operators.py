@@ -1941,3 +1941,122 @@ def test_trigram_logprob_model(spark):
         ).collect()
     }
     assert alt == out
+
+
+def test_semantic_dedup_contracts(spark):
+    from tinyflux_spark.operators import similarity as sim
+
+    base = [((j * 7 + 1) % 13 - 6) / 5.0 for j in range(8)]
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base]),          # identical to 0
+        (2, [float(x * 2) for x in base]),      # same direction
+        (3, [float(-x) for x in base]),         # opposite
+        (4, [0.0] * 8),                         # zero norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {
+        r["id"]: r
+        for r in sim.semantic_dedup(
+            df, num_clusters=2, tau=0.99
+        ).collect()
+    }
+    assert len(out) == 5
+    # identical / same-direction vectors collapse to one exemplar:
+    # among {0, 1, 2} (all pairwise cosine 1) exactly the single most
+    # canonical row (tie on centroid_sim -> lowest id wins) survives
+    group = [i for i in (0, 1, 2) if out[i]["cluster"] == out[0]["cluster"]]
+    dups = [i for i in group if out[i]["is_dup"]]
+    assert len(dups) == len(group) - 1 and min(group) not in dups
+    # zero-norm vector: sentinel centroid_sim, never a duplicate
+    assert out[4]["centroid_sim"] == -2.0
+    assert out[4]["is_dup"] is False
+    # empty corpus: empty result with the full schema, no crash
+    empty = sim.semantic_dedup(df.where("vec_id < 0"))
+    assert empty.count() == 0
+    assert empty.columns == ["id", "cluster", "centroid_sim", "is_dup"]
+
+
+def test_perplexity_buckets_contracts(spark):
+    import pytest
+
+    from tinyflux_spark.operators import text
+
+    # 6 docs, two of each quality tier; ties must share a bucket
+    rows = [
+        (0, "the the the the"),     # all high-frequency tokens
+        (1, "the the the the"),     # identical -> same bucket as 0
+        (2, "the the rare1"),
+        (3, "the the rare2"),
+        (4, "rare3 rare4 rare5"),
+        (5, "rare6 rare7 rare8"),
+        (6, ""),                    # no tokens -> absent
+        (7, None),                  # null text -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r["id"]: r["ppl_bucket"]
+        for r in text.perplexity_buckets(df, k=3).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    assert out[0] == out[1] == 0          # head: best LM fit
+    assert out[2] == out[3]               # middle tier ties together
+    assert out[4] == out[5] == 2          # tail: rare-token docs
+    with pytest.raises(ValueError):
+        text.perplexity_buckets(df, k=1)
+
+
+def test_importance_weights_contracts(spark):
+    import math
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.sampling import importance_weights
+
+    rows = [
+        (0, "alpha beta gamma alpha", "tgt"),
+        (1, "alpha beta beta", "tgt"),
+        (2, "delta epsilon zeta", "other"),
+        (3, "delta delta epsilon", "other"),
+        (4, "", "other"),     # no tokens -> absent from output
+        (5, None, "other"),   # null text -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    out = {
+        r["id"]: r
+        for r in importance_weights(
+            df, df.where(F.col("lang") == "tgt"), num_buckets=64
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["n_tokens"] == 4
+    # target-vocabulary docs must outscore disjoint-vocabulary docs
+    assert min(out[0]["log_weight"], out[1]["log_weight"]) > max(
+        out[2]["log_weight"], out[3]["log_weight"]
+    )
+    # hand-check doc 3 against the formula: every token's ratio is
+    # log((tc+1)/(T+64)) - log((sc+1)/(S+64)) with counts over the
+    # whole source / the target slice
+    toks = [t for _, txt, _ in rows if txt for t in txt.split()]
+    tgt = [t for _, txt, lg in rows if txt and lg == "tgt"
+           for t in txt.split()]
+    S, T = len(toks), len(tgt)
+
+    def ratio(tok):
+        sc = sum(1 for t in toks if t == tok)
+        tc = sum(1 for t in tgt if t == tok)
+        # NOTE: bucket collisions would merge counts; with 64 buckets
+        # and 6 distinct tokens assume no collision, then verify via
+        # the assertion (a collision would show up as a mismatch)
+        q = round(math.log((tc + 1) / (T + 64))
+                  - math.log((sc + 1) / (S + 64)), 12)
+        return q
+
+    want3 = sum(ratio(t) for t in "delta delta epsilon".split())
+    assert abs(out[3]["log_weight"] - want3) < 1e-9
+    with pytest.raises(ValueError):
+        importance_weights(df, df, num_buckets=1)
+    with pytest.raises(ValueError):
+        importance_weights(df, df, alpha=0.0)

@@ -329,6 +329,11 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # q91/q94: the reference corpus' total-token-count aggregate
         # is one row by construction (q85's bounded kind).
         "q91_bigram_logprob", "q94_trigram_logprob",
+        # q96: q85's 1-row total inside its scorer, plus the bucket
+        # window over the quantized-score HISTOGRAM (rows = distinct
+        # quantized scores, the q57 bounded kind); q97: the two 1-row
+        # source/target token-total aggregates.
+        "q96_ppl_buckets", "q97_importance_weights",
     }
     # Keyless broadcast joins whose build side is provably one row:
     # q77 crossJoins the one-row corpus-stats aggregate into the
@@ -345,6 +350,10 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # q91/q94: same 1-row total build, crossJoined into the
         # backoff tables and OOV floor.
         "q91_bigram_logprob", "q94_trigram_logprob",
+        # q96: q85's 1-row total build inside its scorer; q97: the
+        # 1-row source/target totals crossJoined into the 1024-row
+        # bucket-ratio map.
+        "q96_ppl_buckets", "q97_importance_weights",
     }
     bad = {}
     for name, fn in em.queries().items():
@@ -488,7 +497,8 @@ def test_text_oracles_match_on_adversarial_whitespace(spark, tmp_path):
         "q83_temperature_sample", "q85_unigram_logprob",
         "q89_excise_duplicate_spans", "q90_rollup_card",
         "q91_bigram_logprob", "q92_normalize_text",
-        "q94_trigram_logprob",
+        "q94_trigram_logprob", "q96_ppl_buckets",
+        "q97_importance_weights",
     ):
         scols, srows = frame_repr(qs[name](spark, str(tmp_path)).toPandas())
         ocols, orows = frame_repr(con.execute(oracles[name]).df())
@@ -606,7 +616,7 @@ def test_embedding_oracles_match_on_adversarial_vectors(spark, tmp_path):
         "q24_ann_cosine_topk", "q25_embedding_near_dup",
         "q31_srp_ann_topk", "q52_ivf_ann_topk",
         "q56_embedding_dup_clusters", "q75_ivf_batch_topk",
-        "q78_quantize_embeddings",
+        "q78_quantize_embeddings", "q95_semantic_dedup",
     ):
         scols, srows = frame_repr(qs[name](spark, str(tmp_path)).toPandas())
         ocols, orows = frame_repr(con.execute(oracles[name]).df())
@@ -659,6 +669,7 @@ def test_bnlj_allowlist_build_sides_are_one_row(spark):
         "q77_bm25_scores", "q82_remove_boilerplate",
         "q83_temperature_sample", "q85_unigram_logprob",
         "q91_bigram_logprob", "q94_trigram_logprob",
+        "q96_ppl_buckets", "q97_importance_weights",
     )
 
     def walk(n):

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_bucket",
     "hash_sample",
+    "importance_weights",
     "rate_threshold_hex",
     "shard_assign",
     "stratified_quota",
@@ -218,3 +219,107 @@ def temperature_sample(
         | (hash_bucket(id_col, salt) < F.col("_thresh"))
     )
     return kept.drop("_thresh")
+
+
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1024,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every source document by how target-like
+    its hashed unigram features are —
+
+        log w(x) = sum over tokens t of
+                   log( p_target(bucket(t)) / p_source(bucket(t)) )
+
+    with add-``alpha`` smoothing over ``num_buckets`` hashed token
+    buckets. Sampling the corpus proportionally to ``exp(log_weight)``
+    (or thresholding it) tilts a raw 100 TB crawl toward a target
+    domain — the paper's pretraining-data-selection recipe, with
+    hashing keeping the feature space fixed-size regardless of
+    vocabulary growth.
+
+    Determinism & oracle parity: buckets come from md5 (identical hex
+    in Spark and DuckDB, int-decoded from the first 8 hex digits), and
+    each bucket's log-ratio is quantized to DECIMAL(20,12) so the
+    per-document sum is exact and order-independent (the decimal_sum
+    convention used across the LM family).
+
+    Plan shape: two token-histogram aggregations (map-side combined,
+    at most ``num_buckets`` rows each), the 1-row totals cross-joined
+    in (bounded builds), the bucket→ratio map broadcast back onto the
+    exploded source tokens, and one per-document aggregation. No
+    Python UDFs, no driver-side loops, nothing quadratic.
+
+    ``target`` needs only ``text_col``. Documents with zero tokens are
+    absent from the output (no features → no weight), matching the LM
+    scorers. Returns ``(id, n_tokens, log_weight)``.
+    """
+    if num_buckets < 2:
+        raise ValueError("num_buckets must be >= 2")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (smoothing)")
+
+    def _toks(frame: DataFrame, with_id: bool):
+        cols = [F.col(id_col).alias("id")] if with_id else []
+        t = F.trim(
+            F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+        )
+        out = frame.select(
+            *cols,
+            F.explode(F.split(F.lower(t), r"\s+")).alias("tok"),
+        ).where(F.length("tok") >= 1)
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt + ":"), F.col("tok"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            % num_buckets
+        ).alias("b")
+        return out.select(*(["id"] if with_id else []), bucket)
+
+    src = _toks(df, with_id=True)
+    src_hist = src.groupBy("b").agg(F.count("*").alias("sc"))
+    tgt_hist = _toks(target, with_id=False).groupBy("b").agg(
+        F.count("*").alias("tc")
+    )
+    src_tot = src_hist.agg(F.sum("sc").alias("st"))
+    tgt_tot = tgt_hist.agg(
+        F.coalesce(F.sum("tc"), F.lit(0)).alias("tt")
+    )
+    aB = float(alpha) * num_buckets
+    ratio = (
+        src_hist.join(tgt_hist, "b", "left")
+        .crossJoin(F.broadcast(src_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("tt") + F.lit(aB))
+                )
+                - F.log(
+                    (F.col("sc") + F.lit(alpha))
+                    / (F.col("st") + F.lit(aB))
+                )
+            )
+            .cast("decimal(20,12)")
+            .alias("_lr"),
+        )
+    )
+    return src.join(F.broadcast(ratio), "b").groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("_lr").cast("double").alias("log_weight"),
+    )

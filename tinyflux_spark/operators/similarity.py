@@ -269,19 +269,18 @@ def ivf_centroids(
     bucket = F.expr(
         f"(({id_col} - {lo}L) * {num_centroids}) div {span}L"
     )
-    cid_rows = (
-        df.groupBy(bucket.alias("_b"))
-        .agg(F.min(id_col).alias("_cid"))
-        .collect()
-    )
-    cids = sorted(int(r["_cid"]) for r in cid_rows)
+    # min id AND its vector in ONE action (min_by is deterministic
+    # here — ids are unique), instead of a collect + an IN-list scan.
     rows = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .where(F.col(id_col).isin(cids))
+        df.groupBy(bucket.alias("_b"))
+        .agg(
+            F.min(id_col).alias("_cid"),
+            F.min_by(vec_col, F.col(id_col)).alias("_vec"),
+        )
         .collect()
     )
-    by_id = {int(r[id_col]): list(r[vec_col]) for r in rows}
-    return [(i, by_id[cid]) for i, cid in enumerate(cids)]
+    by_id = {int(r["_cid"]): list(r["_vec"]) for r in rows}
+    return [(i, by_id[cid]) for i, cid in enumerate(sorted(by_id))]
 
 
 def ivf_assign(
@@ -648,4 +647,113 @@ def quantize_embeddings(
         "scale",
         F.transform("qs", lambda s: s["qi"]).alias("q"),
         "n_clipped",
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 16,
+    tau: float = 0.95,
+) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the IVF
+    codebook, compare pairs only WITHIN a cluster, and mark a document
+    a semantic duplicate when a "more canonical" in-cluster neighbor
+    sits above cosine ``tau``. Following the paper, the kept exemplar
+    of a duplicate group is the one FARTHEST from its centroid (lowest
+    centroid cosine; the paper measured this choice best for
+    downstream data quality), with id as the deterministic tie-break.
+    The paper's greedy sequential filter is replaced by a dominance
+    rule — a row is a duplicate iff SOME neighbor above ``tau`` is
+    more canonical (lower centroid_sim, tie → lower id) — which is
+    order-free, hence reproducible across partitionings and engines,
+    and SQL-expressible for the oracle.
+
+    Plan shape: the codebook is K driver rows (see ivf_centroids);
+    assignment + centroid cosine is one narrow pass that ALSO emits
+    the unit-normalized vector, so each surviving pair costs exactly
+    one dot product (not dot + two norms — higher-order-function
+    folds are interpreted, not codegen'd, so per-pair work dominates
+    this operator). Each unordered pair is enumerated once
+    (``a.id < b.id``) and contributes its LESS canonical member
+    directly — equivalent to the dominance rule because exactly one
+    side of a qualifying pair is dominated. The ONLY wide ops are the
+    within-cluster self-join (shuffle on cluster id — at corpus scale
+    K grows with N so the per-list join stays bounded, the IVF
+    scaling argument) and the id-keyed dup-flag join back. Zero-norm
+    vectors score the -2.0 sentinel (below any real cosine, matching
+    ivf_assign), get a null unit vector (null pair cosine — never
+    above ``tau``), and so are always kept and never dominate.
+
+    Returns one row per input: ``(id, cluster, centroid_sim, is_dup)``.
+    """
+    cents = ivf_centroids(df, id_col, vec_col, num_clusters)
+    if not cents:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(None).cast("double").alias("centroid_sim"),
+            F.lit(False).alias("is_dup"),
+        )
+    nv = _norm(F.col(vec_col))
+    scores = []
+    for i, cvec in cents:
+        c = _lit_vec(cvec)
+        cn = math.sqrt(_seq_dot(cvec, cvec))
+        den = nv * F.lit(cn)
+        sim = F.when(
+            den > 0, F.round(_dot(F.col(vec_col), c) / den, 6)
+        ).otherwise(F.lit(-2.0))
+        scores.append(F.struct(sim.alias("s"), F.lit(-i).alias("r")))
+    top = F.array_max(F.array(*scores))
+    unit = F.when(
+        nv > 0,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / nv),
+    )
+    # The assignment pass costs K interpreted-HOF dots per row and the
+    # plan references it three times (both self-join sides + the
+    # output join) — materialize it once. At cluster scale this is the
+    # standing "assignment table" a SemDedup job would persist anyway
+    # (N rows × one unit vector; bench rebuilds it inside the timed
+    # window via EAGER_PER_RUN so the cost stays measured).
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (-top["r"]).cast("int").alias("cluster"),
+        top["s"].alias("centroid_sim"),
+        unit.alias("_u"),
+    ).localCheckpoint()
+    a, b = base.alias("a"), base.alias("b")
+    pcos = F.round(_dot(F.col("a._u"), F.col("b._u")), 6)
+    # of a qualifying pair, the dominated (removed) member is the one
+    # CLOSER to its centroid — higher centroid_sim, tie → higher id
+    b_more_canonical = (
+        F.col("b.centroid_sim") < F.col("a.centroid_sim")
+    ) | (
+        (F.col("b.centroid_sim") == F.col("a.centroid_sim"))
+        & (F.col("b.id") < F.col("a.id"))
+    )
+    dominated = (
+        a.join(
+            b,
+            on=[
+                F.col("a.cluster") == F.col("b.cluster"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .where(pcos >= F.lit(tau))
+        .select(
+            F.when(b_more_canonical, F.col("a.id"))
+            .otherwise(F.col("b.id"))
+            .alias("id")
+        )
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return base.join(dominated, "id", "left").select(
+        "id",
+        "cluster",
+        "centroid_sim",
+        F.coalesce("_d", F.lit(False)).alias("is_dup"),
     )

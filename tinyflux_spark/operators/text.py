@@ -1116,3 +1116,66 @@ def trigram_logprob(
         F.round(F.sum("_miss3") / F.count("*"), 6).alias("backoff_frac"),
         F.round(F.sum("_oov") / F.count("*"), 6).alias("oov_frac"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    quant: int = 1000,
+) -> DataFrame:
+    """CCNet-style head/middle/tail LM-quality bucketing (Wenzek et
+    al. 2020, arXiv:1911.00359): every document is scored by its
+    average unigram log-probability (the KenLM-perplexity stand-in,
+    see :func:`unigram_logprob`) and the corpus is split into ``k``
+    equal-mass buckets — bucket 0 = head (best LM fit), ``k-1`` =
+    tail. CCNet keeps head+middle and drops tail for pretraining.
+
+    Scale design: the naive ``ntile(k) OVER (ORDER BY score)`` is a
+    global sort with one task holding the corpus. Here the score is
+    first quantized to a bounded integer domain — ``floor(score *
+    quant)``; floor, not round, because round's half-up vs half-even
+    mode differs across engines on doubles while floor cannot — then
+    the cumulative window runs over the score HISTOGRAM (the
+    value_deciles pattern: |distinct quantized scores| rows, never
+    |corpus| rows), and documents join their bucket back via a
+    broadcast of that map. Equal quantized scores share a bucket
+    (value-based bucketing), so reruns and repartitionings cannot
+    split ties nondeterministically.
+
+    Returns one row per document with ≥1 token:
+    ``(id, n_tokens, avg_logp, ppl_bucket)``.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    scored = unigram_logprob(df, id_col, text_col)
+    s = scored.select(
+        "id",
+        "n_tokens",
+        "avg_logp",
+        F.floor(F.col("avg_logp") * quant).cast("long").alias("_q"),
+    )
+    hist = s.groupBy("_q").agg(F.count("*").alias("_c"))
+    w_cum = Window.orderBy(F.desc("_q")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    buckets = hist.select(
+        "_q",
+        F.least(
+            F.lit(k - 1),
+            F.floor(
+                F.lit(k)
+                * F.coalesce(F.sum("_c").over(w_cum), F.lit(0))
+                / F.sum("_c").over(w_all)
+            ),
+        )
+        .cast("int")
+        .alias("ppl_bucket"),
+    )
+    return s.join(F.broadcast(buckets), "_q").select(
+        "id", "n_tokens", "avg_logp", "ppl_bucket"
+    )
