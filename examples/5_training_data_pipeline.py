@@ -120,6 +120,25 @@ def main() -> None:
     print(f"bigram LM:         avg backoff_frac {drift['avg_backoff']}")
     print(f"trigram LM:        avg oov_frac {drift3['avg_oov']}")
 
+    # 1c. CCNet-style head/middle/tail LM-quality split (equal-mass
+    # buckets over the quantized-score histogram — no global row
+    # sort) and DSIR importance weights toward the English target:
+    # a production pass keeps head+middle and samples the tail by
+    # exp(log_weight).
+    from tinyflux_spark.operators.sampling import importance_weights
+    from tinyflux_spark.operators.text import perplexity_buckets
+
+    ppl = perplexity_buckets(docs, k=3)
+    tail = ppl.where(F.col("ppl_bucket") == 2).count()
+    dsir = importance_weights(
+        docs, docs.where(F.col("lang") == "en")
+    )
+    w = dsir.agg(
+        F.round(F.avg("log_weight"), 4).alias("avg_w")
+    ).collect()[0]
+    print(f"ppl buckets:       {tail} tail docs; "
+          f"DSIR avg log_weight {w['avg_w']}")
+
     # 2. Near-dup dedup: MinHash+LSH candidate pairs (band equi-join,
     # sub-quadratic), closed into clusters, one canonical doc kept per
     # cluster.
@@ -248,6 +267,15 @@ def main() -> None:
     clip = q8.agg(F.avg("n_clipped").alias("c")).collect()[0]["c"]
     print(f"int8 quantization: {emb.count()} vectors, "
           f"avg {clip:.2f} clipped dims (4x smaller serving table)")
+
+    # 8. Semantic dedup over the embedding space (SemDedup): cluster
+    # with the IVF codebook, mark within-cluster near-identical
+    # vectors, keep the exemplar farthest from its centroid.
+    from tinyflux_spark.operators.similarity import semantic_dedup
+
+    sd = semantic_dedup(emb, num_clusters=32, tau=0.3)
+    print(f"semantic dedup:    {sd.where('is_dup').count()} of "
+          f"{sd.count()} vectors flagged semantic duplicates")
 
 
 if __name__ == "__main__":

@@ -789,3 +789,80 @@ def test_cross_engine_lower_parity_boundary(spark):
             assert sj[i] != want  # the documented exception
         else:
             assert sj[i] == want, s
+
+
+def test_cross_engine_astral_normalize_parity(spark, tmp_path):
+    """q92's engine path is Python unicodedata+str.lower (inside the
+    Arrow UDF); its oracle is DuckDB nfc_normalize+lower. The BMP
+    lower() boundary is pinned above — this pins the SUPPLEMENTARY
+    planes and multi-codepoint sequences the BMP sweep cannot see:
+
+    1. single-codepoint NFC agrees on the ENTIRE codespace (measured:
+       zero divergences U+0080..U+10FFFF);
+    2. astral lower() diverges exactly on the 35-codepoint Vithkuqi
+       block U+10570..U+10595 (case mappings land in different Unicode
+       versions across the engines) — growth of that set fails here
+       before it can skew a multilingual oracle;
+    3. the actual q92 gate query agrees engine-vs-oracle on a hostile
+       corpus of SEQUENCES: Hangul jamo composition, combining-mark
+       canonical reordering, blocked composition, Deseret/Adlam/
+       Osage astral case mapping, emoji + ZWJ, and the Vithkuqi
+       exception is kept OUT of q92's domain by contract."""
+    import duckdb
+    import unicodedata
+
+    import __spark_entry__ as em
+    from tools.check_gate import frame_repr
+
+    con = duckdb.connect()
+    # (1) + (2): sweep the supplementary planes in one round-trip
+    cps = list(range(0x10000, 0x110000))
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS cp", [cps])
+    rows = con.execute(
+        "SELECT cp, nfc_normalize(chr(cp)), "
+        "lower(nfc_normalize(chr(cp))) FROM t"
+    ).fetchall()
+    vithkuqi = set(range(0x10570, 0x10596)) - {0x1057B, 0x1058B, 0x10593}
+    nfc_div, low_div = [], []
+    for cp, dnfc, dlow in rows:
+        p = unicodedata.normalize("NFC", chr(cp))
+        if p != dnfc:
+            nfc_div.append(cp)
+        if p.lower() != dlow:
+            low_div.append(cp)
+    assert not nfc_div, sorted(hex(c) for c in nfc_div[:20])
+    assert set(low_div) <= vithkuqi, sorted(
+        hex(c) for c in set(low_div) - vithkuqi
+    )
+
+    # (3): hostile sequences through the real q92 query + oracle
+    texts = [
+        "각 hangul jamo",        # LVT composition
+        "q̣̇ vs q̣̇ reorder",  # ccc reordering
+        "é́ stacked acutes",
+        "Å blocked Á̊",
+        "\U00010400\U00010428 deseret pair",
+        "\U0001E900\U0001E922 adlam pair",
+        "\U000104B0\U000104D8 osage pair",
+        "emoji \U0001F600 zwj \U0001F469‍\U0001F4bb",
+        "ＡＢ fullwidth (NFC keeps)",
+        "Å angstrom Ω ohm",             # singletons
+    ]
+    rows2 = [(i, t, "xx", "src0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows2, "doc_id: long, text: string, lang: string, "
+               "source: string, n_chars: long"
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{path}/*.parquet')"
+    )
+    name = "q92_normalize_text"
+    scols, srows = frame_repr(
+        em.queries()[name](spark, str(tmp_path)).toPandas()
+    )
+    ocols, orows = frame_repr(con.execute(em.oracle_sql()[name]).df())
+    assert scols == ocols
+    assert srows == orows, "q92 diverges on hostile Unicode sequences"

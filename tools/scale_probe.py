@@ -1,0 +1,137 @@
+"""Measured scaling evidence for the heavy operators.
+
+Runs a fixed panel of gate queries against the real sf0.1 tables (1x)
+and gen_scale.py outputs (10x, optionally 100x), timing a FRESH plan
+per run (repeated actions on one DataFrame object reuse shuffle map
+stages — the round-5 lesson — so re-timing a cached plan measures the
+reduce side only). gen_scale's mutations make the expected OUTPUT of
+every probed query an exact linear multiple of the base run, so
+sec_ratio >> rows_ratio x factor indicts the physical plan.
+
+q95 is probed through the operator (not the gate wrapper) with K
+scaled with N — SemDedup's contract is that the codebook grows with
+the corpus so the per-cluster pair scan stays bounded; probing it at
+fixed K would measure a mis-use.
+
+Usage:
+  python tools/scale_probe.py out.json 1=/root/testdata/sf0.1 \
+      10=/tmp/scale10 [100=/tmp/scale100]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PANEL = [
+    # name, and which factors to run it at (100x only for the
+    # document family — lineitem at 100x is a 60M-row local build,
+    # reserved for q86 which is the probe's join heavy)
+    ("q17_dedup_exact", (1, 10, 100)),
+    ("q19_minhash_lsh_pairs", (1, 10, 100)),
+    ("q23_doc_fingerprint", (1, 10, 100)),
+    ("q51_dedup_clusters", (1, 10)),
+    ("q60_resample_gapfill", (1, 10, 100)),
+    ("q62_top_tokens", (1, 10, 100)),
+    ("q80_incremental_dedup_join", (1, 10, 100)),
+    ("q82_remove_boilerplate", (1, 10)),
+    ("q84_interval_join", (1, 10)),
+    ("q86_salted_join", (1, 10, 100)),
+    ("q89_excise_duplicate_spans", (1, 10)),
+    ("q91_bigram_logprob", (1, 10)),
+    ("q94_trigram_logprob", (1, 10)),
+    ("q96_ppl_buckets", (1, 10, 100)),
+    ("q97_importance_weights", (1, 10, 100)),
+    ("q95_semantic_dedup", (1, 10)),
+]
+
+
+def probe_fn(name):
+    import __spark_entry__ as em
+
+    if name != "q95_semantic_dedup":
+        return em.queries()[name]
+
+    def q95_scaled(spark, sf_dir, _factor):
+        from tinyflux_spark.operators.similarity import semantic_dedup
+
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+        # K ~ sqrt(N): assignment costs N*K folds and the pair scan
+        # N^2/K, so sqrt-scaling K minimizes the sum — semantic dedup
+        # is intrinsically an N^1.5 operator (SemDedup runs it as a
+        # scheduled batch job, not a per-query scan).
+        return semantic_dedup(
+            emb, num_clusters=int(32 * _factor**0.5), tau=0.3
+        )
+
+    return q95_scaled
+
+
+def run(out_path: str, dirs: dict[int, str]) -> None:
+    from tinyflux_spark.schema import get_spark
+
+    spark = get_spark()
+    results = {}
+    for name, factors in PANEL:
+        fn = probe_fn(name)
+        entry = {}
+        for f in sorted(factors):
+            if f not in dirs:
+                continue
+            sf_dir = dirs[f]
+
+            def build():
+                if name == "q95_semantic_dedup":
+                    return fn(spark, sf_dir, f)
+                return fn(spark, sf_dir)
+
+            build().write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            df = build()  # fresh plan: the timed run owns its shuffles
+            df.write.format("noop").mode("overwrite").save()
+            sec = time.perf_counter() - t0
+            entry[str(f)] = {
+                "sec": round(sec, 3),
+                "rows": df.count(),
+            }
+            print(f"{name} @{f}x: {sec:.2f}s "
+                  f"{entry[str(f)]['rows']} rows", flush=True)
+        fs = sorted(int(k) for k in entry)
+        for lo, hi in zip(fs, fs[1:]):
+            step = hi // lo
+            entry[f"sec_ratio_{step}x_from_{lo}"] = round(
+                entry[str(hi)]["sec"] / max(entry[str(lo)]["sec"], 1e-9), 2
+            )
+            entry[f"rows_ratio_{step}x_from_{lo}"] = round(
+                entry[str(hi)]["rows"]
+                / max(entry[str(lo)]["rows"], 1), 2
+            )
+        results[name] = entry
+    doc = {
+        "dirs": {str(k): v for k, v in dirs.items()},
+        "note": (
+            "fresh plan per timed run; gen_scale replicas are "
+            "vocabulary/key-disjoint so expected output scales "
+            "linearly; q95 probed with K scaled with N (SemDedup's "
+            "contract)"
+        ),
+        "queries": results,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1]
+    dirs = {}
+    for arg in sys.argv[2:]:
+        k, v = arg.split("=", 1)
+        dirs[int(k)] = v
+    run(out, dirs)
