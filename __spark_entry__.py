@@ -2137,6 +2137,30 @@ def q97_importance_weights(spark, sf_dir):
     )
 
 
+def q98_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
+    smoothing KenLM itself uses) scoring every document against the
+    English slice — the classic-smoothing counterpart to the
+    Stupid-Backoff ladder (q85/q91/q94). Absolute discounting +
+    continuation probability with an add-one floor so OOV words stay
+    scoreable; unseen_ctx_frac separates out-of-domain text. The
+    oracle replays the discount arithmetic, both derived count tables
+    and the (B, V) totals in one fixed IEEE op order."""
+    from tinyflux_spark.operators.text import kneser_ney_logprob
+
+    docs = _t("documents")(spark, sf_dir)
+    out = kneser_ney_logprob(
+        docs, "doc_id", "text",
+        ref=docs.where(F.col("lang") == "en"), discount=0.75,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        "unseen_ctx_frac",
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -2150,19 +2174,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS artifact records
     # only the FIRST 50 entries. The order rotates each round so every
-    # query periodically lands in that window. Round 6: the 7 queries
+    # query periodically lands in that window. Round 6: the 8 queries
     # with no driver row yet lead — q91 (bigram LM), q92
     # (normalize_text), q93 (streaming near-dup), q94 (trigram LM),
     # q95 (semantic dedup), q96 (perplexity buckets), q97 (DSIR
-    # importance weights); then the 40 queries whose last driver rows
-    # predate round 5's oracle-semantics changes (null-text rule,
-    # Java-vs-RE2 whitespace classes) — q02, q03, q05, q07, q08, q10,
-    # q33, q38, q42-q46, q48, q49, q51-q75 — completing a second full
-    # hard-signal sweep of the registry at current semantics; then 3
-    # semantics-critical repeats (query algebra q04, dedup whose
-    # oracles/defaults changed in r5 q18/q19). q37/q47/q50 drop just
-    # below the window — their r5 rows are green at current semantics.
-    # tools/check_gate.py remains the per-commit guard over all 97.
+    # importance weights), q98 (Kneser-Ney LM); then the 40 queries
+    # whose last driver rows predate round 5's oracle-semantics changes
+    # (null-text rule, Java-vs-RE2 whitespace classes) — q02, q03,
+    # q05, q07, q08, q10, q33, q38, q42-q46, q48, q49, q51-q75 —
+    # completing a second full hard-signal sweep of the registry at
+    # current semantics; then 2 semantics-critical repeats (query
+    # algebra q04, the r5 df-cut-default change q18). q19/q37/q47/q50
+    # drop just below the window — their r5 rows are green at current
+    # semantics. tools/check_gate.py remains the per-commit guard over
+    # all 98.
     return {
         "q91_bigram_logprob": q91_bigram_logprob,
         "q92_normalize_text": q92_normalize_text,
@@ -2171,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_semantic_dedup": q95_semantic_dedup,
         "q96_ppl_buckets": q96_ppl_buckets,
         "q97_importance_weights": q97_importance_weights,
+        "q98_kneser_ney": q98_kneser_ney,
         "q02_search_tag_eq": q02_search_tag_eq,
         "q03_search_field_range": q03_search_field_range,
         "q05_search_measurement_regex": q05_search_measurement_regex,
@@ -4052,6 +4078,80 @@ def oracle_sql() -> dict[str, str]:
                        AS log_weight
             FROM st JOIN ratio USING (b)
             GROUP BY 1
+        """,
+        # Interpolated Kneser-Ney replay: bigram counts feed the
+        # context stats (c1 = w1's context count, n1f = distinct
+        # successors), the continuation counts (n1p = distinct
+        # predecessors) and the 1-row (B, V) totals; the discount
+        # arithmetic is spelled in the engine's exact IEEE op order —
+        # greatest(coalesce(c2,0) - d, 0)/c1 + ((d*n1f)/c1) * pc with
+        # pc = (coalesce(n1p,0)+1)/(B+V) — and each bigram's ln is
+        # DECIMAL(20,12)-quantized before the per-doc sum.
+        "q98_kneser_ney": """
+            WITH tw AS (
+                SELECT doc_id, lang,
+                       list_filter(
+                           string_split_regex(lower(trim(text)),
+                                              '[\\s\\x0B]+'),
+                           t -> length(t) >= 1) AS ws
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
+            ),
+            rt AS (SELECT ws FROM tw WHERE lang = 'en'),
+            big AS (
+                SELECT w1, w2, COUNT(*) AS c2
+                FROM (
+                    SELECT ws[CAST(i AS INT)] AS w1,
+                           ws[CAST(i + 1 AS INT)] AS w2
+                    FROM rt, UNNEST(range(1, len(ws))) AS r(i)
+                )
+                GROUP BY 1, 2
+            ),
+            ctx AS (
+                SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1f
+                FROM big GROUP BY 1
+            ),
+            contw AS (
+                SELECT w2, COUNT(*) AS n1p FROM big GROUP BY 1
+            ),
+            tot AS (
+                SELECT (SELECT COUNT(*) FROM big) AS b,
+                       (SELECT COUNT(DISTINCT tok)
+                        FROM (SELECT unnest(ws) AS tok FROM rt)) AS v
+            ),
+            db AS (
+                SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+                       ws[CAST(i + 1 AS INT)] AS w2
+                FROM tw, UNNEST(range(1, len(ws))) AS r(i)
+            ),
+            sc AS (
+                SELECT doc_id,
+                       CAST(ln(
+                           CASE WHEN ctx.c1 IS NOT NULL THEN
+                               GREATEST(COALESCE(big.c2, 0) - 0.75,
+                                        0.0) / ctx.c1
+                               + ((0.75 * ctx.n1f) / ctx.c1)
+                                 * (CASE WHEN (tot.b + tot.v) > 0
+                                    THEN (COALESCE(contw.n1p, 0) + 1)
+                                         / (tot.b + tot.v) END)
+                           ELSE
+                               CASE WHEN (tot.b + tot.v) > 0
+                               THEN (COALESCE(contw.n1p, 0) + 1)
+                                    / (tot.b + tot.v) END
+                           END) AS DECIMAL(20,12)) AS lp,
+                       CASE WHEN ctx.c1 IS NULL THEN 1 ELSE 0
+                       END AS noctx
+                FROM db
+                LEFT JOIN big USING (w1, w2)
+                LEFT JOIN ctx USING (w1)
+                LEFT JOIN contw USING (w2)
+                CROSS JOIN tot
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)
+                       AS avg_logp,
+                   ROUND(CAST(SUM(noctx) AS DOUBLE) / COUNT(*), 6)
+                       AS unseen_ctx_frac
+            FROM sc GROUP BY 1
         """,
 
         # quantile_cont == Spark's exact interpolated percentile; at

@@ -2060,3 +2060,77 @@ def test_importance_weights_contracts(spark):
         importance_weights(df, df, num_buckets=1)
     with pytest.raises(ValueError):
         importance_weights(df, df, alpha=0.0)
+
+
+def test_kneser_ney_logprob_model(spark):
+    """Hand-computed interpolated-KN check on a corpus small enough to
+    enumerate, plus the degenerate contracts."""
+    import math
+
+    import pytest
+
+    from tinyflux_spark.operators import text
+
+    ref_rows = [
+        ("a b a b c",),     # bigrams: ab, ba, ab, bc
+        ("a c",),           # ac
+    ]
+    rows = [
+        (0, "a b c"),        # seen contexts, seen + unseen bigrams
+        (1, "z a"),          # unseen context z
+        (2, "a zz"),         # seen context, OOV continuation
+        (3, "solo"),         # < 2 tokens -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    ref = spark.createDataFrame(ref_rows, ["body"])
+    out = {
+        r["id"]: r
+        for r in text.kneser_ney_logprob(
+            df, ref=ref, ref_text_col="body", discount=0.75
+        ).collect()
+    }
+    # reference model: bigrams ab:2 ba:1 bc:1 ac:1
+    c2 = {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1, ("a", "c"): 1}
+    c1 = {"a": 3, "b": 2}
+    n1f = {"a": 2, "b": 2}
+    n1p = {"b": 1, "a": 1, "c": 2}
+    B, V = 4, 3
+    d = 0.75
+
+    def q(x):
+        return round(x, 12)  # DECIMAL(20,12) quantization
+
+    def pc(w2):
+        return (n1p.get(w2, 0) + 1) / (B + V)
+
+    def p(w1, w2):
+        if w1 not in c1:
+            return pc(w2)
+        return (
+            max(c2.get((w1, w2), 0) - d, 0.0) / c1[w1]
+            + ((d * n1f[w1]) / c1[w1]) * pc(w2)
+        )
+
+    def score(txt):
+        ws = txt.split()
+        lps = [q(math.log(p(a, b))) for a, b in zip(ws, ws[1:])]
+        miss = sum(1 for a, _ in zip(ws, ws[1:]) if a not in c1)
+        return (len(lps), sum(lps) / len(lps),
+                round(miss / len(lps), 6))
+
+    assert set(out) == {0, 1, 2}
+    for i, txt in [(0, "a b c"), (1, "z a"), (2, "a zz")]:
+        n, lp, frac = score(txt)
+        assert out[i]["n_bigrams"] == n, i
+        assert abs(out[i]["avg_logp"] - lp) < 1e-12, i
+        assert out[i]["unseen_ctx_frac"] == frac, i
+    # degenerate: empty reference vocabulary -> null avg_logp
+    deg = text.kneser_ney_logprob(
+        df, ref=ref.where("body = 'nope'"), ref_text_col="body"
+    ).collect()
+    assert deg and all(r["avg_logp"] is None for r in deg)
+    with pytest.raises(ValueError):
+        text.kneser_ney_logprob(df, discount=1.0)
+    # self-scoring default: every context seen
+    self_scored = text.kneser_ney_logprob(df).collect()
+    assert all(r["unseen_ctx_frac"] == 0.0 for r in self_scored)

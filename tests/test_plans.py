@@ -332,8 +332,9 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # q96: q85's 1-row total inside its scorer, plus the bucket
         # window over the quantized-score HISTOGRAM (rows = distinct
         # quantized scores, the q57 bounded kind); q97: the two 1-row
-        # source/target token-total aggregates.
-        "q96_ppl_buckets", "q97_importance_weights",
+        # source/target token-total aggregates; q98: the 1-row (B, V)
+        # bigram-type/vocab-size totals.
+        "q96_ppl_buckets", "q97_importance_weights", "q98_kneser_ney",
     }
     # Keyless broadcast joins whose build side is provably one row:
     # q77 crossJoins the one-row corpus-stats aggregate into the
@@ -352,8 +353,9 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         "q91_bigram_logprob", "q94_trigram_logprob",
         # q96: q85's 1-row total build inside its scorer; q97: the
         # 1-row source/target totals crossJoined into the 1024-row
-        # bucket-ratio map.
-        "q96_ppl_buckets", "q97_importance_weights",
+        # bucket-ratio map; q98: the 1-row (B, V) totals crossJoined
+        # into the doc-bigram stream.
+        "q96_ppl_buckets", "q97_importance_weights", "q98_kneser_ney",
     }
     bad = {}
     for name, fn in em.queries().items():
@@ -498,7 +500,7 @@ def test_text_oracles_match_on_adversarial_whitespace(spark, tmp_path):
         "q89_excise_duplicate_spans", "q90_rollup_card",
         "q91_bigram_logprob", "q92_normalize_text",
         "q94_trigram_logprob", "q96_ppl_buckets",
-        "q97_importance_weights",
+        "q97_importance_weights", "q98_kneser_ney",
     ):
         scols, srows = frame_repr(qs[name](spark, str(tmp_path)).toPandas())
         ocols, orows = frame_repr(con.execute(oracles[name]).df())
@@ -670,6 +672,7 @@ def test_bnlj_allowlist_build_sides_are_one_row(spark):
         "q83_temperature_sample", "q85_unigram_logprob",
         "q91_bigram_logprob", "q94_trigram_logprob",
         "q96_ppl_buckets", "q97_importance_weights",
+        "q98_kneser_ney",
     )
 
     def walk(n):

@@ -1179,3 +1179,132 @@ def perplexity_buckets(
     return s.join(F.broadcast(buckets), "_q").select(
         "id", "n_tokens", "avg_logp", "ppl_bucket"
     )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref: DataFrame = None,
+    ref_text_col: str = None,
+    discount: float = 0.75,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score (Kneser & Ney 1995;
+    Chen & Goodman 1999's interpolated variant) — the other classic
+    smoothing next to the Stupid-Backoff ladder (q85/q91/q94), and
+    the one KenLM itself implements. Absolute discounting frees mass
+    from seen bigrams; the freed mass is spread over the CONTINUATION
+    probability (how many distinct contexts a word follows — "Francisco"
+    is frequent but follows only "San", so its continuation probability
+    is tiny):
+
+        p(w2|w1) = max(c(w1 w2) - d, 0) / c(w1)
+                   + (d * N1+(w1, .) / c(w1)) * pc(w2)   if c(w1) > 0
+                 = pc(w2)                                 otherwise
+
+        pc(w2)   = (N1+(. , w2) + 1) / (B + V)
+
+    where c(w1) counts w1 as a bigram CONTEXT, N1+(w1, .) / N1+(. , w2)
+    are distinct-successor / distinct-predecessor counts, B = distinct
+    bigram types, V = vocabulary size. The +1/+V on the continuation
+    distribution is add-one smoothing so out-of-vocabulary words take
+    the uniform 1/(B + V) floor and the score is total (standard KN
+    leaves pc(OOV) = 0, which a corpus scorer cannot log()).
+
+    Same conventions as bigram_logprob: ``ref`` defaults to ``df``
+    (self-scoring), only the text column is read from ``ref``,
+    per-bigram log-probs are quantized DECIMAL(20,12) before the
+    per-document sum (order-independent, oracle replays bit-for-bit),
+    and the float expression is spelled in one fixed op order in both
+    engines. Plan shape: the bigram aggregation (one token shuffle)
+    feeds three bounded derived tables (context stats by w1,
+    continuation counts by w2, a 1-row (B, V) total); doc bigrams
+    left-join each — all linear, broadcast while small.
+
+    Returns one row per document with >= 2 kept tokens: ``id``,
+    ``n_bigrams``, ``avg_logp``, ``unseen_ctx_frac`` (fraction of
+    bigrams whose context never appeared in ref, 6dp). Degenerate: an
+    empty reference vocabulary yields null ``avg_logp`` (B + V = 0 has
+    no distribution; the lazy plan cannot raise without forcing an
+    action on ``ref``).
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    d = float(discount)
+    ref_df = df if ref is None else ref
+    ref_tc = text_col if ref_text_col is None else ref_text_col
+
+    def tok_ws(tc: str):
+        return F.filter(
+            F.split(F.lower(F.trim(null_to_empty(tc))), r"\s+"),
+            lambda t: F.length(t) >= min_token_len,
+        )
+
+    bigram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("_ws") - 1),
+        lambda i: F.struct(
+            F.element_at("_ws", i).alias("w1"),
+            F.element_at("_ws", i + 1).alias("w2"),
+        ),
+    )
+
+    ref_arr = ref_df.select(tok_ws(ref_tc).alias("_ws"))
+    big = (
+        ref_arr.where(F.size("_ws") >= 2)
+        .select(F.explode(bigram_structs).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("_c2"))
+    )
+    # context stats: c(w1) as a context + distinct-successor count
+    ctx = big.groupBy("w1").agg(
+        F.sum("_c2").alias("_c1"), F.count("*").alias("_n1f")
+    )
+    # continuation counts: distinct predecessors of w2
+    contw = big.groupBy("w2").agg(F.count("*").alias("_n1p"))
+    vocab = ref_arr.select(F.explode("_ws").alias("tok")).agg(
+        F.count_distinct("tok").alias("_v")
+    )
+    totals = big.agg(F.count("*").alias("_b")).crossJoin(
+        F.broadcast(vocab)
+    )
+
+    doc_big = (
+        df.select(F.col(id_col).alias("id"), tok_ws(text_col).alias("_ws"))
+        .where(F.size("_ws") >= 2)
+        .select("id", F.explode(bigram_structs).alias("b"))
+        .select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    # one fixed IEEE op order, spelled identically in the SQL oracle:
+    #   pc     = (n1p + 1) / (B + V)
+    #   seen   = greatest(c2 - d, 0.0)/c1 + ((d * n1f)/c1) * pc
+    #   unseen = pc
+    bv = F.col("_b") + F.col("_v")
+    pc = F.when(
+        bv > 0, (F.coalesce("_n1p", F.lit(0)) + F.lit(1)) / bv
+    )
+    seen = (
+        F.greatest(F.coalesce("_c2", F.lit(0)) - F.lit(d), F.lit(0.0))
+        / F.col("_c1")
+        + ((F.lit(d) * F.col("_n1f")) / F.col("_c1")) * pc
+    )
+    p = F.when(F.col("_c1").isNotNull(), seen).otherwise(pc)
+    scored = (
+        doc_big.join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(contw, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            F.log(p).cast("decimal(20,12)").alias("_lp"),
+            F.col("_c1").isNull().cast("int").alias("_noctx"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logp"),
+        F.round(F.sum("_noctx") / F.count("*"), 6).alias(
+            "unseen_ctx_frac"
+        ),
+    )
