@@ -50,6 +50,9 @@ HEAVY = {
     # timed read models steady-state serving of the standing result);
     # q94's three ref-count aggregations are the expensive pass.
     "q93_stream_near_dup", "q94_trigram_logprob",
+    # q95/q99: clustering + within-cluster pair scan (EAGER_PER_RUN
+    # rebuilds the checkpointed assignment inside the timed window)
+    "q95_semantic_dedup", "q99_text_semantic_dedup",
 }
 
 # Mutable result document: the SIGTERM/SIGINT handler dumps whatever is
@@ -520,7 +523,10 @@ def _synthetic_10x_probe(spark) -> dict:
 # one-time STORE construction — q37 DML, q59 index, q70/q71, q93's
 # stream run — stay on the build-once convention: their timed read
 # models steady-state serving of a standing store.)
-EAGER_PER_RUN = {"q89_excise_duplicate_spans", "q95_semantic_dedup"}
+EAGER_PER_RUN = {
+    "q89_excise_duplicate_spans", "q95_semantic_dedup",
+    "q99_text_semantic_dedup",
+}
 
 
 def time_query(name, fn, spark) -> float:

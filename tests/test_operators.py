@@ -2134,3 +2134,43 @@ def test_kneser_ney_logprob_model(spark):
     # self-scoring default: every context seen
     self_scored = text.kneser_ney_logprob(df).collect()
     assert all(r["unseen_ctx_frac"] == 0.0 for r in self_scored)
+
+
+def test_embed_bow_contracts(spark):
+    import math
+
+    import pytest
+
+    from tinyflux_spark.operators import text
+
+    rows = [
+        (0, "alpha beta alpha"),
+        (1, "alpha beta alpha"),   # identical text -> identical vector
+        (2, "gamma delta"),
+        (3, ""),                   # zero tokens -> zero vector
+        (4, None),                 # null text -> zero vector
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r["id"]: list(r["embedding"])
+        for r in text.embed_bow(df, dim=16).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 16 for v in out.values())
+    assert out[0] == out[1]
+    assert out[3] == [0.0] * 16 and out[4] == [0.0] * 16
+    # signed counts: sum of |entries| is at most token count, vector
+    # norm positive for non-empty docs
+    assert sum(abs(x) for x in out[0]) <= 3
+    assert math.fsum(x * x for x in out[0]) > 0
+    # md5-replayable bucket/sign: recompute doc 2 by hand
+    import hashlib
+
+    vec = [0.0] * 16
+    for tok in "gamma delta".split():
+        j = int(hashlib.md5(f"bow:{tok}".encode()).hexdigest()[:8], 16) % 16
+        s = 1 if hashlib.md5(f"sgn:bow:{tok}".encode()).hexdigest()[0] < "8" else -1
+        vec[j] += s
+    assert out[2] == vec
+    with pytest.raises(ValueError):
+        text.embed_bow(df, dim=1)

@@ -501,6 +501,7 @@ def test_text_oracles_match_on_adversarial_whitespace(spark, tmp_path):
         "q91_bigram_logprob", "q92_normalize_text",
         "q94_trigram_logprob", "q96_ppl_buckets",
         "q97_importance_weights", "q98_kneser_ney",
+        "q99_text_semantic_dedup",
     ):
         scols, srows = frame_repr(qs[name](spark, str(tmp_path)).toPandas())
         ocols, orows = frame_repr(con.execute(oracles[name]).df())

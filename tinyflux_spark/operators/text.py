@@ -1308,3 +1308,92 @@ def kneser_ney_logprob(
             "unseen_ctx_frac"
         ),
     )
+
+
+def embed_bow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    salt: str = "bow",
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Hashed signed bag-of-words document embedding (the feature-
+    hashing / SimHash-style construction: Weinberger et al. 2009):
+    every token lands in an md5 bucket ``j in [0, dim)`` with a +/-1
+    md5 sign, and ``vec[j]`` is the signed token count. The cheap,
+    deterministic, engine-replayable text→vector bridge: documents
+    with similar token multisets get high cosine, so the vector
+    family (cosine_topk, semantic_dedup, SRP-LSH) works on corpora
+    that ship no embedding column at all. A learned encoder slots in
+    by swapping this column — every downstream operator is unchanged.
+
+    Plan shape: one token explode → one (id, bucket) aggregation
+    (map-side combined, at most ``dim`` rows per doc) → one bounded
+    ``collect_list`` per doc re-assembled into a dense array. All
+    integer arithmetic until the final cast, so the vector is exact
+    in both engines; no UDFs.
+
+    Returns ``(id, embedding array<double>)``; docs with zero kept
+    tokens get the all-zero vector (zero-norm, which the similarity
+    family already treats as "no direction": null cosine / -2.0
+    sentinel).
+    """
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+")
+        ).alias("tok"),
+    ).where(F.length("tok") >= min_token_len)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col("tok"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % dim
+    )
+    sign = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("sgn:" + salt + ":"), F.col("tok"))),
+            1,
+            1,
+        )
+        < F.lit("8"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    sums = (
+        toks.select("id", bucket.alias("_j"), sign.alias("_s"))
+        .groupBy("id", "_j")
+        .agg(F.sum("_s").alias("_v"))
+    )
+    packed = sums.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_j", "_v"))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(
+            F.element_at("_m", j.cast("long")), F.lit(0)
+        ).cast("double"),
+    )
+    dense = packed.select("id", vec.alias("embedding"))
+    # zero-token docs are absent from `sums` — re-attach with the
+    # documented all-zero vector so the operator is total over df
+    zero = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)), lambda j: F.lit(0.0)
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(dense, "id", "left")
+        .select(
+            "id",
+            F.coalesce("embedding", zero).alias("embedding"),
+        )
+    )
