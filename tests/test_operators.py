@@ -2174,3 +2174,22 @@ def test_embed_bow_contracts(spark):
     assert out[2] == vec
     with pytest.raises(ValueError):
         text.embed_bow(df, dim=1)
+
+
+def test_importance_weights_target_text_col(spark):
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.sampling import importance_weights
+
+    rows = [(0, "a b", "t"), (1, "c d", "o")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    tgt = spark.createDataFrame([("a b",)], ["body"])  # no id column
+    out = {r["id"]: r["log_weight"]
+           for r in importance_weights(
+               df, tgt, num_buckets=32, target_text_col="body"
+           ).collect()}
+    ref = {r["id"]: r["log_weight"]
+           for r in importance_weights(
+               df, df.where(F.col("lang") == "t"), num_buckets=32
+           ).collect()}
+    assert out == ref

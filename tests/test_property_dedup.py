@@ -256,3 +256,95 @@ def test_excise_duplicate_spans_matches_model(spark, corpus, n):
         ).collect()
     }
     assert got == _model_excise(texts, n)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup vs a plain-Python model of the whole pipeline
+# ---------------------------------------------------------------------------
+
+vector_corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from([-2.0, -1.0, 0.0, 0.5, 1.0, 2.0]),
+        min_size=4,
+        max_size=4,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _model_semantic_dedup(vecs, num_clusters, tau):
+    """Python spec of similarity.semantic_dedup: stride codebook over
+    the id range, argmax assignment with round-6 cosine and lowest-
+    index ties (-2.0 zero-norm sentinel), dominance within a cluster
+    (a dup iff a >= tau neighbor has lower centroid_sim, tie -> lower
+    id)."""
+    import math
+
+    n = len(vecs)
+    lo, hi = 0, n - 1
+    span = hi - lo + 1
+    buckets = {}
+    for i in range(n):
+        b = ((i - lo) * num_clusters) // span
+        buckets.setdefault(b, i)  # min id per bucket (ids ascending)
+    cids = sorted(buckets.values())
+    cents = [vecs[c] for c in cids]
+
+    def cos(a, b):
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        if da * db == 0:
+            return None
+        return round(sum(x * y for x, y in zip(a, b)) / (da * db), 6)
+
+    asg = {}
+    for i, v in enumerate(vecs):
+        best = max(
+            range(len(cents)),
+            key=lambda k: (
+                cos(v, cents[k]) if cos(v, cents[k]) is not None
+                else -2.0,
+                -k,
+            ),
+        )
+        s = cos(v, cents[best])
+        asg[i] = (best, -2.0 if s is None else s)
+    dup = set()
+    for a in range(n):
+        for b in range(n):
+            if a == b or asg[a][0] != asg[b][0]:
+                continue
+            c = cos(vecs[a], vecs[b])
+            if c is None or c < tau:
+                continue
+            if (asg[b][1], b) < (asg[a][1], a):
+                dup.add(a)
+    return {i: (asg[i][0], asg[i][1], i in dup) for i in range(n)}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vector_corpus_strategy)
+def test_semantic_dedup_matches_python_model(spark, vecs):
+    from tinyflux_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id: long, embedding: array<float>",
+    )
+    got = {
+        r["id"]: (r["cluster"], r["centroid_sim"], r["is_dup"])
+        for r in semantic_dedup(df, num_clusters=3, tau=0.5).collect()
+    }
+    want = _model_semantic_dedup(
+        [[float(x) for x in v] for v in vecs], 3, 0.5
+    )
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], (i, "cluster")
+        assert abs(got[i][1] - want[i][1]) < 1e-9, (i, "centroid_sim")
+        assert got[i][2] == want[i][2], (i, "is_dup")

@@ -229,6 +229,7 @@ def importance_weights(
     num_buckets: int = 1024,
     alpha: float = 1.0,
     salt: str = "dsir",
+    target_text_col: str = None,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023,
     arXiv:2302.03169): score every source document by how target-like
@@ -256,19 +257,25 @@ def importance_weights(
     exploded source tokens, and one per-document aggregation. No
     Python UDFs, no driver-side loops, nothing quadratic.
 
-    ``target`` needs only ``text_col``. Documents with zero tokens are
-    absent from the output (no features → no weight), matching the LM
-    scorers. Returns ``(id, n_tokens, log_weight)``.
+    ``target`` needs only its text column — ``target_text_col``
+    (default: ``text_col``) names it when the target's schema differs
+    from ``df``'s, and no id column is read from it. Documents with
+    zero tokens are absent from the output (no features → no weight),
+    matching the LM scorers. Returns ``(id, n_tokens, log_weight)``.
     """
     if num_buckets < 2:
         raise ValueError("num_buckets must be >= 2")
     if alpha <= 0:
         raise ValueError("alpha must be > 0 (smoothing)")
+    tgt_tc = text_col if target_text_col is None else target_text_col
 
     def _toks(frame: DataFrame, with_id: bool):
         cols = [F.col(id_col).alias("id")] if with_id else []
         t = F.trim(
-            F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+            F.coalesce(
+                F.col(text_col if with_id else tgt_tc).cast("string"),
+                F.lit(""),
+            )
         )
         out = frame.select(
             *cols,

@@ -689,6 +689,8 @@ def semantic_dedup(
 
     Returns one row per input: ``(id, cluster, centroid_sim, is_dup)``.
     """
+    if num_clusters < 1:
+        raise ValueError("num_clusters must be >= 1")
     cents = ivf_centroids(df, id_col, vec_col, num_clusters)
     if not cents:
         return df.select(

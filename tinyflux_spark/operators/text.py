@@ -1151,6 +1151,8 @@ def perplexity_buckets(
 
     if k < 2:
         raise ValueError("k must be >= 2")
+    if quant < 1:
+        raise ValueError("quant must be >= 1")
     scored = unigram_logprob(df, id_col, text_col)
     s = scored.select(
         "id",
