@@ -24,6 +24,7 @@ import math
 from typing import Optional, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -671,21 +672,36 @@ def semantic_dedup(
     order-free, hence reproducible across partitionings and engines,
     and SQL-expressible for the oracle.
 
-    Plan shape: the codebook is K driver rows (see ivf_centroids);
-    assignment + centroid cosine is one narrow pass that ALSO emits
-    the unit-normalized vector, so each surviving pair costs exactly
-    one dot product (not dot + two norms — higher-order-function
-    folds are interpreted, not codegen'd, so per-pair work dominates
-    this operator). Each unordered pair is enumerated once
-    (``a.id < b.id``) and contributes its LESS canonical member
-    directly — equivalent to the dominance rule because exactly one
-    side of a qualifying pair is dominated. The ONLY wide ops are the
-    within-cluster self-join (shuffle on cluster id — at corpus scale
-    K grows with N so the per-list join stays bounded, the IVF
-    scaling argument) and the id-keyed dup-flag join back. Zero-norm
-    vectors score the -2.0 sentinel (below any real cosine, matching
-    ivf_assign), get a null unit vector (null pair cosine — never
-    above ``tau``), and so are always kept and never dominate.
+    Execution: the heavy float math is Arrow-vectorized (the paper's
+    own implementation runs per-cluster similarity matrices on
+    accelerators; interpreted per-pair expression folds were measured
+    ~50x slower here), but every float is accumulated in an EXPLICIT
+    per-dimension left fold — ``acc += x[:, j] * y[:, j]`` — which is
+    bit-identical to the engine's ``aggregate(zip_with(...))`` and to
+    DuckDB's ``list_dot_product``, and every ROUNDING and THRESHOLD
+    decision stays JVM-side (``F.round`` is exact decimal rounding of
+    the binary value; numpy's scaled-multiply round can differ), so
+    the SQL oracle still replays the operator bit-for-bit:
+
+    * assignment: one Arrow-batched pass emits the K raw centroid
+      cosines (-2.0 zero-norm sentinel) + the vector norm; Catalyst
+      then rounds to 6dp and arg-maxes with lowest-index ties —
+      exactly ivf_assign's convention;
+    * pair scan: ``applyInPandas`` per cluster accumulates the
+      cluster's unit-vector Gram matrix dimension-by-dimension (the
+      same left fold, all pairs of a cluster in one Arrow exchange
+      instead of one row per pair) and pre-filters candidates at
+      ``tau - 1e-6`` — a conservative bound, since round-to-6dp moves
+      a value by at most 5e-7 — so only near-threshold pairs reach
+      the JVM, where the exact ``round(cos, 6) >= tau`` decides.
+
+    Scale shape: one shuffle on cluster id for the pair scan (K grows
+    with N — K ~ sqrt(N) balances the N*K assignment against the
+    N^2/K pair work, see tools/scale_probe.py), one id-keyed dup-flag
+    join back; the assignment table is localCheckpointed (it feeds
+    the pair scan and the output). Zero-norm vectors score the -2.0
+    sentinel, carry a null unit vector, and are always kept and never
+    dominate.
 
     Returns one row per input: ``(id, cluster, centroid_sim, is_dup)``.
     """
@@ -699,55 +715,116 @@ def semantic_dedup(
             F.lit(None).cast("double").alias("centroid_sim"),
             F.lit(False).alias("is_dup"),
         )
-    nv = _norm(F.col(vec_col))
-    scores = []
-    for i, cvec in cents:
-        c = _lit_vec(cvec)
-        cn = math.sqrt(_seq_dot(cvec, cvec))
-        den = nv * F.lit(cn)
-        sim = F.when(
-            den > 0, F.round(_dot(F.col(vec_col), c) / den, 6)
-        ).otherwise(F.lit(-2.0))
-        scores.append(F.struct(sim.alias("s"), F.lit(-i).alias("r")))
-    top = F.array_max(F.array(*scores))
-    unit = F.when(
-        nv > 0,
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / nv),
-    )
-    # The assignment pass costs K interpreted-HOF dots per row and the
-    # plan references it three times (both self-join sides + the
-    # output join) — materialize it once. At cluster scale this is the
-    # standing "assignment table" a SemDedup job would persist anyway
-    # (N rows × one unit vector; bench rebuilds it inside the timed
-    # window via EAGER_PER_RUN so the cost stays measured).
-    base = df.select(
+    C = [np.asarray(c, dtype=np.float64) for _, c in cents]
+    dim = len(C[0])
+    cns = []
+    for c in C:
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        cns.append(math.sqrt(acc))
+    n_cents = len(C)
+
+    @F.pandas_udf("struct<sims: array<double>, nv: double>")
+    def _cent_sims(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0:
+            return pd.DataFrame({"sims": [], "nv": []})
+        V = np.vstack([
+            np.zeros(dim) if v is None
+            else np.asarray(v, dtype=np.float64)
+            for v in col
+        ])
+        acc = np.zeros(len(V))
+        for j in range(dim):
+            acc += V[:, j] * V[:, j]
+        nv = np.sqrt(acc)
+        sims = np.empty((len(V), n_cents))
+        for k in range(n_cents):
+            a = np.zeros(len(V))
+            ck = C[k]
+            for j in range(dim):
+                a += V[:, j] * ck[j]
+            den = nv * cns[k]
+            s = np.full(len(V), -2.0)
+            pos = den > 0
+            s[pos] = a[pos] / den[pos]
+            sims[:, k] = s
+        return pd.DataFrame({"sims": list(sims), "nv": nv})
+
+    raw = df.select(
         F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        _cent_sims(F.col(vec_col)).alias("_cs"),
+    )
+    # JVM-side exact decimal rounding + lowest-index-tie argmax —
+    # identical to ivf_assign / the q52-family oracle convention
+    rounded = F.transform(
+        F.col("_cs.sims"), lambda s: F.round(s, 6)
+    )
+    top = F.array_max(
+        F.transform(
+            rounded, lambda s, i: F.struct(s.alias("s"), (-i).alias("r"))
+        )
+    )
+    nv = F.col("_cs.nv")
+    unit = F.when(
+        nv > 0, F.transform("_v", lambda x: x.cast("double") / nv)
+    )
+    base = raw.select(
+        "id",
         (-top["r"]).cast("int").alias("cluster"),
         top["s"].alias("centroid_sim"),
         unit.alias("_u"),
     ).localCheckpoint()
-    a, b = base.alias("a"), base.alias("b")
-    pcos = F.round(_dot(F.col("a._u"), F.col("b._u")), 6)
+
+    pre_tau = float(tau) - 1e-6
+    pair_schema = (
+        "id_a long, id_b long, csim_a double, csim_b double, "
+        "raw_cos double"
+    )
+
+    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = pdf[pdf["_u"].notna()].reset_index(drop=True)
+        m = len(keep)
+        if m < 2:
+            return pd.DataFrame(
+                columns=["id_a", "id_b", "csim_a", "csim_b", "raw_cos"]
+            )
+        X = np.vstack(keep["_u"].to_numpy())
+        gram = np.zeros((m, m))
+        for j in range(X.shape[1]):
+            col = X[:, j]
+            gram += np.outer(col, col)
+        ia, ib = np.triu_indices(m, 1)
+        raw_cos = gram[ia, ib]
+        cand = raw_cos >= pre_tau
+        ids = keep["id"].to_numpy()
+        cs = keep["centroid_sim"].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[cand]],
+                "id_b": ids[ib[cand]],
+                "csim_a": cs[ia[cand]],
+                "csim_b": cs[ib[cand]],
+                "raw_cos": raw_cos[cand],
+            }
+        )
+
+    pairs = base.groupBy("cluster").applyInPandas(
+        _cluster_pairs, pair_schema
+    )
     # of a qualifying pair, the dominated (removed) member is the one
-    # CLOSER to its centroid — higher centroid_sim, tie → higher id
-    b_more_canonical = (
-        F.col("b.centroid_sim") < F.col("a.centroid_sim")
-    ) | (
-        (F.col("b.centroid_sim") == F.col("a.centroid_sim"))
-        & (F.col("b.id") < F.col("a.id"))
+    # CLOSER to its centroid — higher centroid_sim, tie → higher id.
+    # (upper-triangle emission guarantees id_a < id_b)
+    b_more_canonical = (F.col("csim_b") < F.col("csim_a")) | (
+        (F.col("csim_b") == F.col("csim_a"))
+        & (F.col("id_b") < F.col("id_a"))
     )
     dominated = (
-        a.join(
-            b,
-            on=[
-                F.col("a.cluster") == F.col("b.cluster"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .where(pcos >= F.lit(tau))
+        pairs.where(F.round("raw_cos", 6) >= F.lit(tau))
         .select(
-            F.when(b_more_canonical, F.col("a.id"))
-            .otherwise(F.col("b.id"))
+            F.when(b_more_canonical, F.col("id_a"))
+            .otherwise(F.col("id_b"))
             .alias("id")
         )
         .distinct()

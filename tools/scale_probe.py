@@ -47,7 +47,7 @@ PANEL = [
     ("q96_ppl_buckets", (1, 10, 100)),
     ("q97_importance_weights", (1, 10, 100)),
     ("q98_kneser_ney", (1, 10, 100)),
-    ("q95_semantic_dedup", (1, 10)),
+    ("q95_semantic_dedup", (1, 10, 100)),
 ]
 
 
