@@ -2193,3 +2193,29 @@ def test_importance_weights_target_text_col(spark):
                df, df.where(F.col("lang") == "t"), num_buckets=32
            ).collect()}
     assert out == ref
+
+
+def test_semantic_dedup_blocked_gram_equivalence(spark, monkeypatch):
+    """The row-blocked Gram path (the skew guard: a cluster never
+    materializes an m x m matrix) must produce identical results to
+    the single-block path — forced here with a 2-row block height so
+    every cluster crosses block boundaries."""
+    from tinyflux_spark.operators import similarity as sim
+
+    base = [((j * 5 + 2) % 11 - 5) / 4.0 for j in range(8)]
+    rows = [
+        (i, [float(x * (1 + 0.01 * (i % 3))) for x in base])
+        for i in range(9)
+    ] + [(9, [0.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    want = {
+        r["id"]: (r["cluster"], r["centroid_sim"], r["is_dup"])
+        for r in sim.semantic_dedup(df, num_clusters=2, tau=0.99).collect()
+    }
+    monkeypatch.setattr(sim, "_GRAM_BLOCK", 2)
+    got = {
+        r["id"]: (r["cluster"], r["centroid_sim"], r["is_dup"])
+        for r in sim.semantic_dedup(df, num_clusters=2, tau=0.99).collect()
+    }
+    assert got == want
+    assert any(v[2] for v in want.values())  # pairs actually crossed

@@ -651,6 +651,11 @@ def quantize_embeddings(
     )
 
 
+# Pair-scan Gram block height (rows per accumulated block). Module
+# constant so tests can shrink it to force multi-block paths.
+_GRAM_BLOCK = 4096
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -783,6 +788,12 @@ def semantic_dedup(
         "raw_cos double"
     )
 
+    # Row-blocked Gram accumulation: a skewed cluster of m rows must
+    # not materialize an m x m matrix (m = 100k would be 80 GB) — each
+    # block holds only (block x m) doubles, candidates are extracted
+    # per block, and the per-pair fold order is unchanged.
+    BLOCK = _GRAM_BLOCK
+
     def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         keep = pdf[pdf["_u"].notna()].reset_index(drop=True)
         m = len(keep)
@@ -791,24 +802,34 @@ def semantic_dedup(
                 columns=["id_a", "id_b", "csim_a", "csim_b", "raw_cos"]
             )
         X = np.vstack(keep["_u"].to_numpy())
-        gram = np.zeros((m, m))
-        for j in range(X.shape[1]):
-            col = X[:, j]
-            gram += np.outer(col, col)
-        ia, ib = np.triu_indices(m, 1)
-        raw_cos = gram[ia, ib]
-        cand = raw_cos >= pre_tau
         ids = keep["id"].to_numpy()
         cs = keep["centroid_sim"].to_numpy()
-        return pd.DataFrame(
-            {
-                "id_a": ids[ia[cand]],
-                "id_b": ids[ib[cand]],
-                "csim_a": cs[ia[cand]],
-                "csim_b": cs[ib[cand]],
-                "raw_cos": raw_cos[cand],
-            }
-        )
+        frames = []
+        for lo in range(0, m - 1, BLOCK):
+            hi = min(lo + BLOCK, m)
+            gram = np.zeros((hi - lo, m))
+            for j in range(X.shape[1]):
+                gram += np.outer(X[lo:hi, j], X[:, j])
+            ia, ib = np.nonzero(gram >= pre_tau)
+            upper = (ia + lo) < ib  # each unordered pair once
+            ia, ib = ia[upper], ib[upper]
+            if len(ia):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ia + lo],
+                            "id_b": ids[ib],
+                            "csim_a": cs[ia + lo],
+                            "csim_b": cs[ib],
+                            "raw_cos": gram[ia, ib],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                columns=["id_a", "id_b", "csim_a", "csim_b", "raw_cos"]
+            )
+        return pd.concat(frames, ignore_index=True)
 
     pairs = base.groupBy("cluster").applyInPandas(
         _cluster_pairs, pair_schema
