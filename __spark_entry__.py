@@ -2157,6 +2157,21 @@ def q99_text_semantic_dedup(spark, sf_dir):
     )
 
 
+def q100_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct-count sketch (Bar-Yossef et al. 2002 /
+    Beyer et al. 2007) over the events id column — the
+    oracle-verifiable alternative to HyperLogLog: built on md5 order
+    statistics, so the k-th smallest hash and the estimate are
+    deterministic values both engines compute identically (HLL
+    register layouts differ across engines and cannot be
+    hash-checked). Sketch state is k rows at any input size and
+    merges by union + re-bottom-k."""
+    from tinyflux_spark.operators.sketches import kmv_distinct
+
+    ev = _t("events")(spark, sf_dir)
+    return kmv_distinct(ev, "event_id", k=256)
+
+
 def q98_kneser_ney(spark, sf_dir):
     """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
     smoothing KenLM itself uses) scoring every document against the
@@ -2203,11 +2218,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # predate round 5's oracle-semantics changes (null-text rule,
     # Java-vs-RE2 whitespace classes) — q02, q03, q05, q07, q08, q10,
     # q33, q38, q42-q46, q48, q49, q51-q75 — completing a second full
-    # hard-signal sweep of the registry at current semantics; then 1
-    # semantics-critical repeat (query algebra q04). q18/q19/q37/q47/
-    # q50 sit just below the window — their r5 rows are green at
-    # current semantics. tools/check_gate.py remains the per-commit
-    # guard over all 99.
+    # hard-signal sweep of the registry at current semantics. With
+    # q100 (KMV sketch) the 10 new + 40 stale fill the window exactly;
+    # q04/q18/q19/q37/q47/q50 sit just below it — their r5 rows are
+    # green at current semantics. tools/check_gate.py remains the
+    # per-commit guard over all 100.
     return {
         "q91_bigram_logprob": q91_bigram_logprob,
         "q92_normalize_text": q92_normalize_text,
@@ -2218,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_importance_weights": q97_importance_weights,
         "q98_kneser_ney": q98_kneser_ney,
         "q99_text_semantic_dedup": q99_text_semantic_dedup,
+        "q100_kmv_distinct": q100_kmv_distinct,
         "q02_search_tag_eq": q02_search_tag_eq,
         "q03_search_field_range": q03_search_field_range,
         "q05_search_measurement_regex": q05_search_measurement_regex,
@@ -4193,6 +4209,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT asg.vec_id AS id, cluster, csim AS centroid_sim,
                    (dup.vec_id IS NOT NULL) AS is_dup
             FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+        """,
+        # KMV sketch replay: identical md5 48-bit hash ints, the same
+        # distinct -> bottom-k -> (k-1)/(h_k / 2^48) estimator; 2^48
+        # keeps the hash exactly representable in a double so the
+        # division is bit-identical in both engines.
+        "q100_kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5('kmv:'
+                            || CAST(event_id AS VARCHAR)), 1, 12))
+                           ::BIGINT AS h
+                FROM events WHERE event_id IS NOT NULL
+            ),
+            b AS (SELECT h FROM h ORDER BY h LIMIT 256),
+            a AS (
+                SELECT COUNT(*) AS n_seen, MAX(h) AS kth_hash FROM b
+            )
+            SELECT n_seen, kth_hash,
+                   ROUND(CASE WHEN n_seen < 256
+                         THEN CAST(n_seen AS DOUBLE)
+                         ELSE 255.0 / (CAST(kth_hash AS DOUBLE)
+                                       / 281474976710656.0)
+                         END, 4) AS estimate,
+                   (n_seen < 256) AS exact
+            FROM a
         """,
         # Interpolated Kneser-Ney replay: bigram counts feed the
         # context stats (c1 = w1's context count, n1f = distinct

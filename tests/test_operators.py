@@ -2219,3 +2219,33 @@ def test_semantic_dedup_blocked_gram_equivalence(spark, monkeypatch):
     }
     assert got == want
     assert any(v[2] for v in want.values())  # pairs actually crossed
+
+
+def test_kmv_distinct_contracts(spark):
+    import hashlib
+
+    import pytest
+
+    from tinyflux_spark.operators.sketches import kmv_distinct
+
+    # exact path: fewer distinct values than k
+    small = spark.createDataFrame(
+        [(i % 7,) for i in range(100)] + [(None,)], "v: int"
+    )
+    row = kmv_distinct(small, "v", k=16).collect()[0]
+    assert row["exact"] is True
+    assert row["n_seen"] == 7 and row["estimate"] == 7.0
+    # estimator path: 2000 distinct ids, k=128 -> RSE ~ 1/sqrt(128),
+    # assert within 4 sigma; and the k-th hash replays in Python
+    big = spark.createDataFrame([(i,) for i in range(2000)], "v: long")
+    row = kmv_distinct(big, "v", k=128).collect()[0]
+    assert row["exact"] is False and row["n_seen"] == 128
+    assert abs(row["estimate"] - 2000) < 4 * 2000 / (128 ** 0.5)
+    hs = sorted(
+        int(hashlib.md5(f"kmv:{i}".encode()).hexdigest()[:12], 16)
+        for i in range(2000)
+    )
+    assert row["kth_hash"] == hs[127]
+    assert row["estimate"] == round(127.0 / (hs[127] / float(1 << 48)), 4)
+    with pytest.raises(ValueError):
+        kmv_distinct(big, "v", k=1)

@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     multimodal,
     sampling,
     similarity,
+    sketches,
     text,
     timeseries,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "multimodal",
     "sampling",
     "similarity",
+    "sketches",
     "text",
     "timeseries",
 ]

@@ -1,0 +1,95 @@
+"""Deterministic cardinality sketches.
+
+``approx_count_distinct`` (HyperLogLog) is the usual Spark answer, but
+HLL register layouts differ across engines, so an HLL estimate cannot
+be oracle-verified bit-for-bit. The KMV (K-minimum-values / bottom-k)
+sketch (Bar-Yossef et al. 2002; Beyer et al. 2007's unbiased
+estimator) is built from md5 order statistics instead: both engines
+hash identically, the k-th smallest hash is a deterministic value, and
+the estimator is one arithmetic expression — so the whole sketch is
+exactly replayable in SQL, merge-able (union the bottom-k sets, keep
+the bottom k), and its estimate is reproducible across runs, engines
+and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_distinct"]
+
+# Hash domain: the first 12 hex digits of md5, as an integer in
+# [0, 2^48). 48 bits keeps collisions negligible (< 1e-6 for k up to
+# ~500k) while staying exactly representable in a double, so the
+# estimator's float math is identical in both engines.
+_KMV_BITS = 48
+_KMV_DOMAIN = float(1 << _KMV_BITS)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV distinct-count estimate of ``col``: hash every value with
+    md5, keep the k smallest DISTINCT hashes (a distributed
+    TakeOrdered over the deduplicated hash set — no global sort), and
+    estimate
+
+        D ≈ (k - 1) / (h_(k) / 2^48)
+
+    with ``h_(k)`` the k-th smallest hash (Beyer et al. 2007's
+    unbiased estimator). When the column has fewer than k distinct
+    values the bottom-k set IS the distinct set and the exact count is
+    returned with ``exact = true``.
+
+    Plan shape: one hash projection (codegen), one distinct (shuffle
+    on the 48-bit hash — uniform by construction, never skewed), one
+    distributed top-k. At 100 TB the sketch state is k rows regardless
+    of input size; sketches from different partitions/days merge by
+    unioning bottom-k sets and re-taking the bottom k.
+
+    Returns one row: ``(n_seen, kth_hash, estimate, exact)`` where
+    ``n_seen = min(k, distinct)`` is the retained set size. Nulls in
+    ``col`` are ignored (a null is not a value).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    c = F.col(col) if isinstance(col, str) else col
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_h")
+    )
+    bottom = (
+        df.where(c.isNotNull())
+        .select(h)
+        .distinct()
+        .orderBy("_h")
+        .limit(k)
+    )
+    agg = bottom.agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.max("_h").alias("kth_hash"),
+    )
+    exact = F.col("n_seen") < k
+    est = F.when(exact, F.col("n_seen").cast("double")).otherwise(
+        (F.lit(float(k - 1)))
+        / (F.col("kth_hash").cast("double") / F.lit(_KMV_DOMAIN))
+    )
+    return agg.select(
+        "n_seen",
+        "kth_hash",
+        F.round(est, 4).alias("estimate"),
+        exact.alias("exact"),
+    )
