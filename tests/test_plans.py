@@ -566,6 +566,9 @@ def test_events_oracles_match_on_adversarial_timestamps(spark, tmp_path):
         "q13_topk_users_per_type", "q15_hourly_window", "q16_asof_join",
         "q28_sessionize", "q29_ewma_last", "q60_resample_gapfill",
         "q61_rolling_zscore", "q65_derivative", "q66_percentiles",
+        # q100 on an 11-distinct-id corpus exercises the KMV sketch's
+        # exact path (n_seen < k) cross-engine
+        "q100_kmv_distinct",
     ):
         scols, srows = frame_repr(qs[name](spark, str(tmp_path)).toPandas())
         ocols, orows = frame_repr(con.execute(oracles[name]).df())
