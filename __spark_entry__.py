@@ -2157,6 +2157,28 @@ def q99_text_semantic_dedup(spark, sf_dir):
     )
 
 
+def q101_kmv_set_overlap(spark, sf_dir):
+    """Theta-sketch-style audience overlap from two KMV sketches: the
+    distinct click-user and purchase-user sets are never joined raw —
+    the bottom-64 of the hashed union is a uniform sample of the
+    union, the fraction present in both side sketches estimates
+    Jaccard, and intersection = jaccard x union (Dasgupta et al.
+    2016's framework on the deterministic KMV bottom-k, so unlike a
+    real theta sketch every number is md5 order statistics both
+    engines compute identically)."""
+    from tinyflux_spark.operators.sketches import kmv_set_overlap
+
+    ev = _t("events")(spark, sf_dir)
+    return kmv_set_overlap(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(
+            (F.col("event_type") == "purchase") & (F.col("value") > 150)
+        ),
+        "user_id",
+        k=64,
+    )
+
+
 def q100_kmv_distinct(spark, sf_dir):
     """KMV bottom-k distinct-count sketch (Bar-Yossef et al. 2002 /
     Beyer et al. 2007) over the events id column — the
@@ -2220,9 +2242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q33, q38, q42-q46, q48, q49, q51-q75 — completing a second full
     # hard-signal sweep of the registry at current semantics. With
     # q100 (KMV sketch) the 10 new + 40 stale fill the window exactly;
-    # q04/q18/q19/q37/q47/q50 sit just below it — their r5 rows are
-    # green at current semantics. tools/check_gate.py remains the
-    # per-commit guard over all 100.
+    # q101 (KMV set overlap, added after the window froze) sits first
+    # below it as r7's rotation candidate, then q04/q18/q19/q37/q47/
+    # q50 (r5-green at current semantics). tools/check_gate.py remains
+    # the per-commit guard over all 101.
     return {
         "q91_bigram_logprob": q91_bigram_logprob,
         "q92_normalize_text": q92_normalize_text,
@@ -2274,6 +2297,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_shard_assign": q73_shard_assign,
         "q74_pack_sequences": q74_pack_sequences,
         "q75_ivf_batch_topk": q75_ivf_batch_topk,
+        # below the 50-entry window (first rotation candidate for r7):
+        "q101_kmv_set_overlap": q101_kmv_set_overlap,
         "q04_search_compound": q04_search_compound,
         "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
         "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -4209,6 +4234,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT asg.vec_id AS id, cluster, csim AS centroid_sim,
                    (dup.vec_id IS NOT NULL) AS is_dup
             FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+        """,
+        # KMV set-overlap replay: same 48-bit hashes per side,
+        # bottom-k of the deduplicated union, membership semi-checks
+        # via IN, and the engine's exact float op order — jaccard =
+        # nb/n (unrounded) times the CASE'd union estimate.
+        "q101_kmv_set_overlap": """
+            WITH ha AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5('kmv:'
+                            || CAST(user_id AS VARCHAR)), 1, 12))
+                           ::BIGINT AS h
+                FROM events
+                WHERE event_type = 'click' AND user_id IS NOT NULL
+            ),
+            hb AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5('kmv:'
+                            || CAST(user_id AS VARCHAR)), 1, 12))
+                           ::BIGINT AS h
+                FROM events
+                WHERE event_type = 'purchase' AND value > 150
+                  AND user_id IS NOT NULL
+            ),
+            u AS (
+                SELECT h
+                FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+                ORDER BY h LIMIT 64
+            ),
+            nb AS (
+                SELECT COUNT(*) AS nb FROM u
+                WHERE h IN (SELECT h FROM ha)
+                  AND h IN (SELECT h FROM hb)
+            ),
+            a AS (
+                SELECT COUNT(*) AS n_union_seen, MAX(h) AS kth_hash
+                FROM u
+            )
+            SELECT n_union_seen, kth_hash,
+                   ROUND(CASE WHEN n_union_seen < 64
+                         THEN CAST(n_union_seen AS DOUBLE)
+                         ELSE 63.0 / (CAST(kth_hash AS DOUBLE)
+                                      / 281474976710656.0)
+                         END, 4) AS est_union,
+                   ROUND(CAST(nb AS DOUBLE) / n_union_seen, 6)
+                       AS est_jaccard,
+                   ROUND((CAST(nb AS DOUBLE) / n_union_seen)
+                         * CASE WHEN n_union_seen < 64
+                           THEN CAST(n_union_seen AS DOUBLE)
+                           ELSE 63.0 / (CAST(kth_hash AS DOUBLE)
+                                        / 281474976710656.0)
+                           END, 4) AS est_intersection,
+                   (n_union_seen < 64) AS exact
+            FROM a, nb
         """,
         # KMV sketch replay: identical md5 48-bit hash ints, the same
         # distinct -> bottom-k -> (k-1)/(h_k / 2^48) estimator; 2^48

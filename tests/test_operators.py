@@ -2249,3 +2249,40 @@ def test_kmv_distinct_contracts(spark):
     assert row["estimate"] == round(127.0 / (hs[127] / float(1 << 48)), 4)
     with pytest.raises(ValueError):
         kmv_distinct(big, "v", k=1)
+
+
+def test_kmv_set_overlap_contracts(spark):
+    import hashlib
+
+    import pytest
+
+    from tinyflux_spark.operators.sketches import kmv_set_overlap
+
+    # exact path: small sets with known overlap {5..9} of union {0..14}
+    a = spark.createDataFrame([(i,) for i in range(10)], "v: long")
+    b = spark.createDataFrame([(i,) for i in range(5, 15)], "v: long")
+    row = kmv_set_overlap(a, b, "v", k=64).collect()[0]
+    assert row["exact"] is True
+    assert row["n_union_seen"] == 15
+    assert row["est_union"] == 15.0
+    assert row["est_intersection"] == 5.0
+    assert row["est_jaccard"] == round(5 / 15, 6)
+    # estimator path: 1200-union, 400-intersection, k=128; 4-sigma
+    # bound, and the bottom-k membership count replays in Python
+    a2 = spark.createDataFrame([(i,) for i in range(800)], "v: long")
+    b2 = spark.createDataFrame(
+        [(i,) for i in range(400, 1200)], "v: long"
+    )
+    row = kmv_set_overlap(a2, b2, "v", k=128).collect()[0]
+    assert row["exact"] is False and row["n_union_seen"] == 128
+    assert abs(row["est_union"] - 1200) < 4 * 1200 / (128 ** 0.5)
+
+    def h(i):
+        return int(hashlib.md5(f"kmv:{i}".encode()).hexdigest()[:12], 16)
+
+    union = sorted(h(i) for i in range(1200))
+    bottom = set(union[:128])
+    nb = sum(1 for i in range(400, 800) if h(i) in bottom)
+    assert row["est_jaccard"] == round(nb / 128, 6)
+    with pytest.raises(ValueError):
+        kmv_set_overlap(a, b, "v", k=1)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct"]
+__all__ = ["kmv_distinct", "kmv_set_overlap"]
 
 # Hash domain: the first 12 hex digits of md5, as an integer in
 # [0, 2^48). 48 bits keeps collisions negligible (< 1e-6 for k up to
@@ -91,5 +91,99 @@ def kmv_distinct(
         "n_seen",
         "kth_hash",
         F.round(est, 4).alias("estimate"),
+        exact.alias("exact"),
+    )
+
+
+def kmv_set_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col_a,
+    col_b=None,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Theta-sketch-style set-overlap estimation from two KMV
+    sketches (Dasgupta et al. 2016's theta sketch framework, built
+    here on the deterministic KMV bottom-k): estimate the distinct
+    UNION size, the Jaccard similarity, and the distinct INTERSECTION
+    of two id sets without ever joining the raw sets —
+
+        union     ≈ (k - 1) / (h_(k) of bottom-k(A ∪ B) / 2^48)
+        jaccard   ≈ |{bottom-k(A ∪ B)} ∩ A ∩ B| / k
+        intersect ≈ jaccard * union
+
+    the classic sketch trick: the bottom-k of the union is a uniform
+    sample of the union, so the fraction of it present in BOTH inputs
+    estimates Jaccard. Everything is md5 order statistics — both
+    engines compute identical sketches, so the estimates are
+    deterministic and SQL-replayable (a real theta sketch is not,
+    across engines). When the union has fewer than k distinct hashes
+    the numbers are exact (``exact = true``).
+
+    Plan shape: two hash projections, one distinct per side (shuffle
+    on the uniform hash), a distributed bottom-k of the union, and
+    two broadcast semi-joins of that k-row sample back against the
+    side sketches. Sketch state is k rows per side at any scale;
+    pre-sketched sides can be unioned incrementally (bottom-k is
+    merge-able), so day-over-day audience overlap never rescans
+    history.
+
+    Returns one row: ``(n_union_seen, kth_hash, est_union,
+    est_jaccard, est_intersection, exact)``.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def hashes(df: DataFrame, col) -> DataFrame:
+        c = F.col(col) if isinstance(col, str) else col
+        return (
+            df.where(c.isNotNull())
+            .select(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit(salt + ":"), c.cast("string"))
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("_h")
+            )
+            .distinct()
+        )
+
+    ha = hashes(df_a, col_a)
+    hb = hashes(df_b, col_b if col_b is not None else col_a)
+    bottom = ha.union(hb).distinct().orderBy("_h").limit(k)
+    in_both = bottom.join(ha, "_h", "left_semi").join(
+        hb, "_h", "left_semi"
+    )
+    agg = bottom.agg(
+        F.count("*").cast("long").alias("n_union_seen"),
+        F.max("_h").alias("kth_hash"),
+    ).crossJoin(
+        F.broadcast(
+            in_both.agg(F.count("*").cast("long").alias("_nb"))
+        )
+    )
+    exact = F.col("n_union_seen") < k
+    est_union = F.when(
+        exact, F.col("n_union_seen").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1))
+        / (F.col("kth_hash").cast("double") / F.lit(_KMV_DOMAIN))
+    )
+    est_j = F.col("_nb").cast("double") / F.col("n_union_seen")
+    return agg.select(
+        "n_union_seen",
+        "kth_hash",
+        F.round(est_union, 4).alias("est_union"),
+        F.round(est_j, 6).alias("est_jaccard"),
+        F.round(est_j * est_union, 4).alias("est_intersection"),
         exact.alias("exact"),
     )
