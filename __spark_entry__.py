@@ -2179,6 +2179,45 @@ def q101_kmv_set_overlap(spark, sf_dir):
     )
 
 
+def q102_stream_semantic_dedup(spark, sf_dir):
+    """Streaming SEMANTIC dedup end-to-end
+    (streaming/ingest.stream_semantic_dedup_insert): the 'new shard'
+    (doc_id % 5 == 0) arrives as a finite file stream in three
+    micro-batches; the corpus's IVF codebook + assignment table
+    (hashed-BoW embeddings, q99's machinery) are built once and
+    persisted before the stream starts; each micro-batch embeds,
+    assigns against the FROZEN codebook, equi-joins the corpus
+    assignment on cluster id, and appends same-cluster pairs above
+    cosine 0.9. The oracle replays embedding, codebook, both
+    assignments and the pair threshold in SQL — so the streaming
+    result is hash-checked against the batch-equivalent answer
+    (stream/batch unification, q93's convention for the semantic
+    family)."""
+    import tempfile
+
+    from tinyflux_spark.streaming import ingest as st
+
+    docs = _t("documents")(spark, sf_dir)
+    shard = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    src = tempfile.mkdtemp(prefix="tfs_q102src_")
+    shard.repartition(3).write.mode("overwrite").parquet(src)
+    stream = st.point_stream_from_files(
+        spark, src, docs.schema, max_files_per_trigger=1
+    )
+    res = tempfile.mkdtemp(prefix="tfs_q102res_") + "/pairs"
+    q = st.stream_semantic_dedup_insert(
+        stream, corpus, res, "doc_id",
+        embed_dim=64, num_clusters=16, tau=0.9,
+        state_path=tempfile.mkdtemp(prefix="tfs_q102st_") + "/state",
+        checkpoint_dir=tempfile.mkdtemp(prefix="tfs_q102ck_"),
+    )
+    q.awaitTermination(240)
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.read.parquet(res)
+
+
 def q100_kmv_distinct(spark, sf_dir):
     """KMV bottom-k distinct-count sketch (Bar-Yossef et al. 2002 /
     Beyer et al. 2007) over the events id column — the
@@ -2297,8 +2336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_shard_assign": q73_shard_assign,
         "q74_pack_sequences": q74_pack_sequences,
         "q75_ivf_batch_topk": q75_ivf_batch_topk,
-        # below the 50-entry window (first rotation candidate for r7):
+        # below the 50-entry window (first rotation candidates for r7):
         "q101_kmv_set_overlap": q101_kmv_set_overlap,
+        "q102_stream_semantic_dedup": q102_stream_semantic_dedup,
         "q04_search_compound": q04_search_compound,
         "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
         "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
@@ -4234,6 +4274,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT asg.vec_id AS id, cluster, csim AS centroid_sim,
                    (dup.vec_id IS NOT NULL) AS is_dup
             FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+        """,
+        # q102: q99's embedding + codebook CTEs with the codebook
+        # trained on the CORPUS slice only; both sides assigned
+        # against it; stream x corpus same-cluster pairs above the
+        # rounded unit-dot threshold. One oracle = the batch
+        # equivalent of the streaming run (stream/batch unification).
+        "q102_stream_semantic_dedup": """
+            WITH dd AS (
+                SELECT * REPLACE (coalesce(text, '') AS text)
+                FROM documents
+            ),
+            tk AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5('bow:' || tok), 1, 8))
+                            ::BIGINT % 64) AS j,
+                       CASE WHEN substr(md5('sgn:bow:' || tok), 1, 1)
+                                 < '8'
+                            THEN 1 ELSE -1 END AS s
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(trim(text)),
+                                  '[\\s\\x0B]+')) AS tok
+                    FROM dd
+                ) WHERE length(tok) >= 1
+            ),
+            sums AS (
+                SELECT doc_id, j, SUM(s) AS v FROM tk GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT doc_id, j
+                FROM (SELECT doc_id FROM dd), UNNEST(range(0, 64)) AS r(j)
+            ),
+            emb AS (
+                SELECT g.doc_id AS vec_id,
+                       list(CAST(coalesce(sums.v, 0) AS DOUBLE)
+                            ORDER BY g.j) AS e
+                FROM grid g LEFT JOIN sums
+                  ON g.doc_id = sums.doc_id AND g.j = sums.j
+                GROUP BY 1
+            ),
+            corpus AS (SELECT * FROM emb WHERE vec_id % 5 <> 0),
+            bounds AS (
+                SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM corpus
+            ),
+            cids AS (
+                SELECT MIN(vec_id) AS cid
+                FROM corpus, bounds
+                GROUP BY ((vec_id - lo) * 16) // (hi - lo + 1)
+            ),
+            cent AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1
+                           AS cidx,
+                       c.e AS ce
+                FROM corpus c JOIN cids ON c.vec_id = cids.cid
+            ),
+            scored AS (
+                SELECT c.vec_id, c.e, cent.cidx,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY coalesce(
+                               ROUND(list_dot_product(c.e, ce)
+                               / nullif(
+                                   sqrt(list_dot_product(c.e, c.e))
+                                   * sqrt(list_dot_product(ce, ce)),
+                                   0), 6), -2.0) DESC, cent.cidx
+                       ) AS rn
+                FROM emb c CROSS JOIN cent
+            ),
+            asg AS (
+                SELECT vec_id, CAST(cidx AS INT) AS cluster,
+                       CASE WHEN sqrt(list_dot_product(e, e)) > 0
+                            THEN list_transform(e, x ->
+                                x / sqrt(list_dot_product(e, e)))
+                       END AS u
+                FROM scored WHERE rn = 1
+            )
+            SELECT s.vec_id AS id_left, c.vec_id AS id_right,
+                   ROUND(list_dot_product(s.u, c.u), 6) AS cosine
+            FROM asg s JOIN asg c ON s.cluster = c.cluster
+            WHERE s.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
+              AND ROUND(list_dot_product(s.u, c.u), 6) >= 0.9
         """,
         # KMV set-overlap replay: same 48-bit hashes per side,
         # bottom-k of the deduplicated union, membership semi-checks

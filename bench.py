@@ -45,11 +45,13 @@ HEAVY = {
     "q78_quantize_embeddings", "q79_edit_distance_pairs",
     "q80_incremental_dedup_join", "q86_salted_join",
     "q89_excise_duplicate_spans", "q91_bigram_logprob",
-    # q93 builds its temp shard + signature store and runs the finite
-    # stream at fn() time (the q70 store-construction convention: the
-    # timed read models steady-state serving of the standing result);
-    # q94's three ref-count aggregations are the expensive pass.
+    # q93/q102 build their temp shard + standing store and run the
+    # finite stream at fn() time (the q70 store-construction
+    # convention: the timed read models steady-state serving of the
+    # standing result); q94's three ref-count aggregations are the
+    # expensive pass.
     "q93_stream_near_dup", "q94_trigram_logprob",
+    "q102_stream_semantic_dedup",
     # q95/q99: clustering + within-cluster pair scan (EAGER_PER_RUN
     # rebuilds the checkpointed assignment inside the timed window)
     "q95_semantic_dedup", "q99_text_semantic_dedup",

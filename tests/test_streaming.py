@@ -572,3 +572,104 @@ def test_stream_near_dup_matches_batch_join(spark, tmp_path):
     assert max(
         os.path.getmtime(os.path.join(sig, f)) for f in os.listdir(sig)
     ) == sig_mtime  # not rebuilt
+
+
+def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
+    """Streaming semantic dedup == the batch equivalent computed
+    directly (same codebook, same assignment, same threshold), and the
+    persisted codebook/assignment state is reused across runs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_assign,
+    )
+    from tinyflux_spark.operators.text import embed_bow
+    from tinyflux_spark.streaming import ingest
+
+    texts = {
+        0: "alpha beta gamma delta",
+        1: "alpha beta gamma delta",      # dup of 0
+        2: "epsilon zeta eta theta",
+        3: "alpha beta gamma delta eps",  # near 0/1
+        4: "iota kappa lambda mu",
+        5: "epsilon zeta eta theta",      # dup of 2
+        6: "nu xi omicron pi",
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    schema = ("doc_id: long, text: string, lang: string, "
+              "source: string, n_chars: long")
+    docs = spark.createDataFrame(rows, schema)
+    shard = docs.where(F.col("doc_id") % 2 == 0)     # 0,2,4,6 stream
+    corpus = docs.where(F.col("doc_id") % 2 != 0)    # 1,3,5 corpus
+
+    src = str(tmp_path / "src")
+    shard.repartition(2).write.parquet(src)
+    res = str(tmp_path / "pairs")
+    state = str(tmp_path / "state")
+    stream = ingest.point_stream_from_files(
+        spark, src, docs.schema, max_files_per_trigger=1
+    )
+    q = ingest.stream_semantic_dedup_insert(
+        stream, corpus, res, "doc_id",
+        embed_dim=16, num_clusters=2, tau=0.9,
+        state_path=state,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {
+        (r["id_left"], r["id_right"], r["cosine"])
+        for r in spark.read.parquet(res).collect()
+    }
+
+    # batch equivalent with the same frozen state
+    cvecs = embed_bow(corpus, "doc_id", "text", dim=16)
+    cents = ivf_centroids(cvecs, "id", "embedding", 2)
+    casg = semantic_assign(cvecs, cents, "id", "embedding")
+    sasg = semantic_assign(
+        embed_bow(shard, "doc_id", "text", dim=16),
+        cents, "id", "embedding",
+    )
+    dot = F.aggregate(
+        F.zip_with("_ul", "_ur", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    want = {
+        (r["id_left"], r["id_right"], r["cosine"])
+        for r in (
+            sasg.select(F.col("id").alias("id_left"),
+                        F.col("cluster").alias("_cl"),
+                        F.col("_u").alias("_ul"))
+            .join(casg.select(F.col("id").alias("id_right"),
+                              F.col("cluster").alias("_cl"),
+                              F.col("_u").alias("_ur")), "_cl")
+            .select("id_left", "id_right", F.round(dot, 6).alias("cosine"))
+            .where(F.col("cosine") >= 0.9)
+        ).collect()
+    }
+    assert got == want
+    assert (0, 1, 1.0) in got and (2, 5, 1.0) in got
+    # second run reuses the persisted state (mtime unchanged)
+    mt = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(state) for f in files
+    )
+    stream2 = ingest.point_stream_from_files(
+        spark, src, docs.schema, max_files_per_trigger=1
+    )
+    q2 = ingest.stream_semantic_dedup_insert(
+        stream2, corpus, str(tmp_path / "pairs2"), "doc_id",
+        embed_dim=16, num_clusters=2, tau=0.9,
+        state_path=state,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    mt2 = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(state) for f in files
+    )
+    assert mt2 == mt

@@ -651,6 +651,92 @@ def quantize_embeddings(
     )
 
 
+def semantic_assign(
+    df: DataFrame,
+    cents,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The assignment half of :func:`semantic_dedup`, against a GIVEN
+    codebook (``[(idx, vector), ...]`` — ivf_centroids' shape), so a
+    standing deployment can assign new batches with the SAME codebook
+    its corpus assignment table was built with (the streaming
+    incremental-dedup path). One Arrow-batched pass emits the K raw
+    centroid cosines (-2.0 zero-norm sentinel, explicit per-dimension
+    left folds — bit-identical to aggregate(zip_with) and DuckDB's
+    list_dot_product) + the vector norm; Catalyst does the exact
+    decimal round(6) and the lowest-index-tie argmax (ivf_assign's
+    convention).
+
+    Returns ``(id, cluster int, centroid_sim double,
+    _u array<double>)`` with ``_u`` the unit vector (null for
+    zero-norm inputs).
+    """
+    if not cents:
+        raise ValueError("cents must be a non-empty codebook")
+    C = [np.asarray(c, dtype=np.float64) for _, c in cents]
+    dim = len(C[0])
+    cns = []
+    for c in C:
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        cns.append(math.sqrt(acc))
+    n_cents = len(C)
+
+    @F.pandas_udf("struct<sims: array<double>, nv: double>")
+    def _cent_sims(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0:
+            return pd.DataFrame({"sims": [], "nv": []})
+        V = np.vstack([
+            np.zeros(dim) if v is None
+            else np.asarray(v, dtype=np.float64)
+            for v in col
+        ])
+        acc = np.zeros(len(V))
+        for j in range(dim):
+            acc += V[:, j] * V[:, j]
+        nv = np.sqrt(acc)
+        sims = np.empty((len(V), n_cents))
+        for k in range(n_cents):
+            a = np.zeros(len(V))
+            ck = C[k]
+            for j in range(dim):
+                a += V[:, j] * ck[j]
+            den = nv * cns[k]
+            s = np.full(len(V), -2.0)
+            pos = den > 0
+            s[pos] = a[pos] / den[pos]
+            sims[:, k] = s
+        return pd.DataFrame({"sims": list(sims), "nv": nv})
+
+    raw = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        _cent_sims(F.col(vec_col)).alias("_cs"),
+    )
+    # JVM-side exact decimal rounding + lowest-index-tie argmax —
+    # identical to ivf_assign / the q52-family oracle convention
+    rounded = F.transform(
+        F.col("_cs.sims"), lambda s: F.round(s, 6)
+    )
+    top = F.array_max(
+        F.transform(
+            rounded, lambda s, i: F.struct(s.alias("s"), (-i).alias("r"))
+        )
+    )
+    nv = F.col("_cs.nv")
+    unit = F.when(
+        nv > 0, F.transform("_v", lambda x: x.cast("double") / nv)
+    )
+    return raw.select(
+        "id",
+        (-top["r"]).cast("int").alias("cluster"),
+        top["s"].alias("centroid_sim"),
+        unit.alias("_u"),
+    )
+
+
 # Pair-scan Gram block height (rows per accumulated block). Module
 # constant so tests can shrink it to force multi-block paths.
 _GRAM_BLOCK = 4096
@@ -720,67 +806,7 @@ def semantic_dedup(
             F.lit(None).cast("double").alias("centroid_sim"),
             F.lit(False).alias("is_dup"),
         )
-    C = [np.asarray(c, dtype=np.float64) for _, c in cents]
-    dim = len(C[0])
-    cns = []
-    for c in C:
-        acc = 0.0
-        for x in c:
-            acc += float(x) * float(x)
-        cns.append(math.sqrt(acc))
-    n_cents = len(C)
-
-    @F.pandas_udf("struct<sims: array<double>, nv: double>")
-    def _cent_sims(col: pd.Series) -> pd.DataFrame:
-        if len(col) == 0:
-            return pd.DataFrame({"sims": [], "nv": []})
-        V = np.vstack([
-            np.zeros(dim) if v is None
-            else np.asarray(v, dtype=np.float64)
-            for v in col
-        ])
-        acc = np.zeros(len(V))
-        for j in range(dim):
-            acc += V[:, j] * V[:, j]
-        nv = np.sqrt(acc)
-        sims = np.empty((len(V), n_cents))
-        for k in range(n_cents):
-            a = np.zeros(len(V))
-            ck = C[k]
-            for j in range(dim):
-                a += V[:, j] * ck[j]
-            den = nv * cns[k]
-            s = np.full(len(V), -2.0)
-            pos = den > 0
-            s[pos] = a[pos] / den[pos]
-            sims[:, k] = s
-        return pd.DataFrame({"sims": list(sims), "nv": nv})
-
-    raw = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("_v"),
-        _cent_sims(F.col(vec_col)).alias("_cs"),
-    )
-    # JVM-side exact decimal rounding + lowest-index-tie argmax —
-    # identical to ivf_assign / the q52-family oracle convention
-    rounded = F.transform(
-        F.col("_cs.sims"), lambda s: F.round(s, 6)
-    )
-    top = F.array_max(
-        F.transform(
-            rounded, lambda s, i: F.struct(s.alias("s"), (-i).alias("r"))
-        )
-    )
-    nv = F.col("_cs.nv")
-    unit = F.when(
-        nv > 0, F.transform("_v", lambda x: x.cast("double") / nv)
-    )
-    base = raw.select(
-        "id",
-        (-top["r"]).cast("int").alias("cluster"),
-        top["s"].alias("centroid_sim"),
-        unit.alias("_u"),
-    ).localCheckpoint()
+    base = semantic_assign(df, cents, id_col, vec_col).localCheckpoint()
 
     pre_tau = float(tau) - 1e-6
     pair_schema = (

@@ -442,3 +442,125 @@ def stream_rollup_insert(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_semantic_dedup_insert(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    result_path: str,
+    id_col: str = "doc_id",
+    vec_col: Optional[str] = None,
+    text_col: str = "text",
+    embed_dim: int = 64,
+    num_clusters: int = 16,
+    tau: float = 0.9,
+    state_path: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming SEMANTIC dedup: every micro-batch of an ingest stream
+    is checked against an existing corpus in embedding space —
+    q95/q99's SemDedup machinery as a continuous pipeline, the
+    semantic sibling of :func:`stream_near_dup_insert`'s MinHash path.
+    Vectors above cosine ``tau`` of a same-cluster corpus vector
+    append to ``result_path`` as ``(id_left, id_right, cosine)``.
+
+    Standing state (built ONCE before the stream starts, persisted at
+    ``state_path`` if given and REUSED if already present — it
+    survives stream restarts): the IVF codebook trained on the corpus
+    and the corpus assignment table (cluster + unit vector per corpus
+    doc). Each micro-batch then costs: (embed via
+    :func:`~tinyflux_spark.operators.text.embed_bow` when ``vec_col``
+    is None, else the given vector column) + assignment against the
+    FROZEN codebook (one Arrow pass over the batch) + one equi-join on
+    cluster id against the assignment table + one dot product per
+    same-cluster pair — per-batch latency tracks batch size times
+    cluster width, never corpus size.
+
+    Ids must be unique across stream ∪ corpus. Pairs from different
+    micro-batches are disjoint on ``id_left``, so the appended result
+    needs no cross-batch dedup. The batch equivalent (same codebook,
+    same assignment, same threshold) produces exactly the same pairs —
+    the stream/batch unification contract, oracle-shared in the q102
+    gate.
+    """
+    from ..operators.similarity import ivf_centroids, semantic_assign
+    from ..operators.text import embed_bow
+
+    spark = corpus.sparkSession
+
+    def as_vecs(df: DataFrame) -> DataFrame:
+        if vec_col is not None:
+            return df.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("embedding")
+            )
+        return embed_bow(df, id_col, text_col, dim=embed_dim)
+
+    def build_state():
+        cvecs = as_vecs(corpus)
+        cents = ivf_centroids(cvecs, "id", "embedding", num_clusters)
+        if not cents:
+            raise ValueError("corpus has no rows to train a codebook on")
+        asg = semantic_assign(cvecs, cents, "id", "embedding")
+        return cents, asg
+
+    if state_path is not None:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            cents, asg = build_state()
+            spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in cents],
+                "cidx: int, vector: array<double>",
+            ).write.parquet(state_path + "/codebook")
+            asg.write.parquet(state_path + "/assign")
+        cents = [
+            (r["cidx"], list(r["vector"]))
+            for r in sorted(
+                spark.read.parquet(state_path + "/codebook").collect(),
+                key=lambda r: r["cidx"],
+            )
+        ]
+        corpus_asg = spark.read.parquet(state_path + "/assign")
+    else:
+        cents, asg = build_state()
+        corpus_asg = asg.localCheckpoint()
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        basg = semantic_assign(
+            as_vecs(batch_df), cents, "id", "embedding"
+        )
+        left = basg.select(
+            F.col("id").alias("id_left"),
+            F.col("cluster").alias("_cl"),
+            F.col("_u").alias("_ul"),
+        )
+        right = corpus_asg.select(
+            F.col("id").alias("id_right"),
+            F.col("cluster").alias("_cl"),
+            F.col("_u").alias("_ur"),
+        )
+        dot = F.aggregate(
+            F.zip_with("_ul", "_ur", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        pairs = (
+            left.join(right, "_cl")
+            .select(
+                "id_left",
+                "id_right",
+                F.round(dot, 6).alias("cosine"),
+            )
+            .where(F.col("cosine") >= tau)
+        )
+        pairs.write.mode("append").parquet(result_path)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(sink).outputMode("append")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
