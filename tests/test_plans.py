@@ -354,8 +354,11 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # q96: q85's 1-row total build inside its scorer; q97: the
         # 1-row source/target totals crossJoined into the 1024-row
         # bucket-ratio map; q98: the 1-row (B, V) totals crossJoined
-        # into the doc-bigram stream.
+        # into the doc-bigram stream; q101: the 1-row
+        # intersection-count aggregate crossJoined into the 1-row
+        # union-sketch aggregate.
         "q96_ppl_buckets", "q97_importance_weights", "q98_kneser_ney",
+        "q101_kmv_set_overlap",
     }
     bad = {}
     for name, fn in em.queries().items():
@@ -676,7 +679,7 @@ def test_bnlj_allowlist_build_sides_are_one_row(spark):
         "q83_temperature_sample", "q85_unigram_logprob",
         "q91_bigram_logprob", "q94_trigram_logprob",
         "q96_ppl_buckets", "q97_importance_weights",
-        "q98_kneser_ney",
+        "q98_kneser_ney", "q101_kmv_set_overlap",
     )
 
     def walk(n):
