@@ -2270,32 +2270,75 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS artifact records
     # only the FIRST 50 entries. The order rotates each round so every
-    # query periodically lands in that window. Round 6: the 9 queries
-    # with no driver row yet lead — q91 (bigram LM), q92
-    # (normalize_text), q93 (streaming near-dup), q94 (trigram LM),
-    # q95 (semantic dedup), q96 (perplexity buckets), q97 (DSIR
-    # importance weights), q98 (Kneser-Ney LM), q99 (text-only
-    # semantic dedup); then the 40 queries whose last driver rows
-    # predate round 5's oracle-semantics changes (null-text rule,
-    # Java-vs-RE2 whitespace classes) — q02, q03, q05, q07, q08, q10,
-    # q33, q38, q42-q46, q48, q49, q51-q75 — completing a second full
-    # hard-signal sweep of the registry at current semantics. With
-    # q100 (KMV sketch) the 10 new + 40 stale fill the window exactly;
-    # q101 (KMV set overlap, added after the window froze) sits first
-    # below it as r7's rotation candidate, then q04/q18/q19/q37/q47/
-    # q50 (r5-green at current semantics). tools/check_gate.py remains
-    # the per-commit guard over all 101.
+    # query periodically lands in that window. Round 7: q101 (KMV set
+    # overlap) and q102 (streaming semantic dedup) lead — both were
+    # registered after round 6's window froze and have never had a
+    # driver row; then q89, whose r5 row predates the round-6 binary
+    # md5 fingerprint change (commit b0724b6); then the 9 queries that
+    # sat just below round 6's window (q01, q04, q06, q18, q19, q37,
+    # q47, q50, q76 — all r5-green at current semantics); the
+    # remaining 38 slots hold the longest-unrefreshed r5 rows (q09,
+    # q11–q16, q20–q32, q34–q36, q39–q41, q77–q88). After this round
+    # every registry entry has a driver row at current semantics.
+    # q90/q17 and the 40 r6-green rows sit below; new operators land
+    # below the window as r8 rotation candidates. tools/check_gate.py
+    # remains the per-commit guard over the full registry.
     return {
-        "q91_bigram_logprob": q91_bigram_logprob,
-        "q92_normalize_text": q92_normalize_text,
-        "q93_stream_near_dup": q93_stream_near_dup,
-        "q94_trigram_logprob": q94_trigram_logprob,
-        "q95_semantic_dedup": q95_semantic_dedup,
-        "q96_ppl_buckets": q96_ppl_buckets,
-        "q97_importance_weights": q97_importance_weights,
-        "q98_kneser_ney": q98_kneser_ney,
-        "q99_text_semantic_dedup": q99_text_semantic_dedup,
-        "q100_kmv_distinct": q100_kmv_distinct,
+        "q101_kmv_set_overlap": q101_kmv_set_overlap,
+        "q102_stream_semantic_dedup": q102_stream_semantic_dedup,
+        "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
+        "q01_search_time_range": q01_search_time_range,
+        "q04_search_compound": q04_search_compound,
+        "q06_count": q06_count,
+        "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
+        "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
+        "q37_dml_update_unset_remove": q37_dml_update_unset_remove,
+        "q47_map_test_predicates": q47_map_test_predicates,
+        "q50_csv_interop": q50_csv_interop,
+        "q76_quality_filter": q76_quality_filter,
+        "q09_get_measurements": q09_get_measurements,
+        "q11_agg_pricing_summary": q11_agg_pricing_summary,
+        "q12_daily_revenue_ma7": q12_daily_revenue_ma7,
+        "q13_topk_users_per_type": q13_topk_users_per_type,
+        "q14_region_revenue": q14_region_revenue,
+        "q15_hourly_window": q15_hourly_window,
+        "q16_asof_join": q16_asof_join,
+        "q20_simhash": q20_simhash,
+        "q21_text_quality": q21_text_quality,
+        "q22_lang_id": q22_lang_id,
+        "q23_doc_fingerprint": q23_doc_fingerprint,
+        "q24_ann_cosine_topk": q24_ann_cosine_topk,
+        "q25_embedding_near_dup": q25_embedding_near_dup,
+        "q26_stream_hourly_rollup": q26_stream_hourly_rollup,
+        "q27_simhash_hamming_pairs": q27_simhash_hamming_pairs,
+        "q28_sessionize": q28_sessionize,
+        "q29_ewma_last": q29_ewma_last,
+        "q30_token_stats": q30_token_stats,
+        "q31_srp_ann_topk": q31_srp_ann_topk,
+        "q32_frame_sample_plan": q32_frame_sample_plan,
+        "q34_get_field_keys": q34_get_field_keys,
+        "q35_get_tag_values": q35_get_tag_values,
+        "q36_stream_ewma": q36_stream_ewma,
+        "q39_get_tag_keys": q39_get_tag_keys,
+        "q40_get_field_values": q40_get_field_values,
+        "q41_get_timestamps": q41_get_timestamps,
+        "q77_bm25_scores": q77_bm25_scores,
+        "q78_quantize_embeddings": q78_quantize_embeddings,
+        "q79_edit_distance_pairs": q79_edit_distance_pairs,
+        "q80_incremental_dedup_join": q80_incremental_dedup_join,
+        "q81_corpus_profile": q81_corpus_profile,
+        "q82_remove_boilerplate": q82_remove_boilerplate,
+        "q83_temperature_sample": q83_temperature_sample,
+        "q84_interval_join": q84_interval_join,
+        "q85_unigram_logprob": q85_unigram_logprob,
+        "q86_salted_join": q86_salted_join,
+        "q87_version_diff": q87_version_diff,
+        "q88_merge_intervals": q88_merge_intervals,
+        # --- driver window boundary (50 above; below all have
+        # r5/r6 driver-green rows at current semantics and stay
+        # gated by tools/check_gate.py) ---
+        "q90_rollup_card": q90_rollup_card,
+        "q17_dedup_exact": q17_dedup_exact,
         "q02_search_tag_eq": q02_search_tag_eq,
         "q03_search_field_range": q03_search_field_range,
         "q05_search_measurement_regex": q05_search_measurement_regex,
@@ -2336,62 +2379,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_shard_assign": q73_shard_assign,
         "q74_pack_sequences": q74_pack_sequences,
         "q75_ivf_batch_topk": q75_ivf_batch_topk,
-        # below the 50-entry window (first rotation candidates for r7):
-        "q101_kmv_set_overlap": q101_kmv_set_overlap,
-        "q102_stream_semantic_dedup": q102_stream_semantic_dedup,
-        "q04_search_compound": q04_search_compound,
-        "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
-        "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
-        "q37_dml_update_unset_remove": q37_dml_update_unset_remove,
-        "q47_map_test_predicates": q47_map_test_predicates,
-        "q50_csv_interop": q50_csv_interop,
-        # --- driver window boundary (50 above; below all have
-        # r5/earlier driver-green rows and stay gated by
-        # tools/check_gate.py) ---
-        "q01_search_time_range": q01_search_time_range,
-        "q06_count": q06_count,
-        "q76_quality_filter": q76_quality_filter,
-        "q09_get_measurements": q09_get_measurements,
-        "q11_agg_pricing_summary": q11_agg_pricing_summary,
-        "q12_daily_revenue_ma7": q12_daily_revenue_ma7,
-        "q13_topk_users_per_type": q13_topk_users_per_type,
-        "q14_region_revenue": q14_region_revenue,
-        "q15_hourly_window": q15_hourly_window,
-        "q16_asof_join": q16_asof_join,
-        "q17_dedup_exact": q17_dedup_exact,
-        "q20_simhash": q20_simhash,
-        "q21_text_quality": q21_text_quality,
-        "q22_lang_id": q22_lang_id,
-        "q23_doc_fingerprint": q23_doc_fingerprint,
-        "q24_ann_cosine_topk": q24_ann_cosine_topk,
-        "q25_embedding_near_dup": q25_embedding_near_dup,
-        "q26_stream_hourly_rollup": q26_stream_hourly_rollup,
-        "q27_simhash_hamming_pairs": q27_simhash_hamming_pairs,
-        "q28_sessionize": q28_sessionize,
-        "q29_ewma_last": q29_ewma_last,
-        "q30_token_stats": q30_token_stats,
-        "q31_srp_ann_topk": q31_srp_ann_topk,
-        "q32_frame_sample_plan": q32_frame_sample_plan,
-        "q34_get_field_keys": q34_get_field_keys,
-        "q35_get_tag_values": q35_get_tag_values,
-        "q36_stream_ewma": q36_stream_ewma,
-        "q39_get_tag_keys": q39_get_tag_keys,
-        "q40_get_field_values": q40_get_field_values,
-        "q41_get_timestamps": q41_get_timestamps,
-        "q77_bm25_scores": q77_bm25_scores,
-        "q78_quantize_embeddings": q78_quantize_embeddings,
-        "q79_edit_distance_pairs": q79_edit_distance_pairs,
-        "q80_incremental_dedup_join": q80_incremental_dedup_join,
-        "q81_corpus_profile": q81_corpus_profile,
-        "q82_remove_boilerplate": q82_remove_boilerplate,
-        "q83_temperature_sample": q83_temperature_sample,
-        "q84_interval_join": q84_interval_join,
-        "q85_unigram_logprob": q85_unigram_logprob,
-        "q86_salted_join": q86_salted_join,
-        "q87_version_diff": q87_version_diff,
-        "q88_merge_intervals": q88_merge_intervals,
-        "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
-        "q90_rollup_card": q90_rollup_card,
+        "q91_bigram_logprob": q91_bigram_logprob,
+        "q92_normalize_text": q92_normalize_text,
+        "q93_stream_near_dup": q93_stream_near_dup,
+        "q94_trigram_logprob": q94_trigram_logprob,
+        "q95_semantic_dedup": q95_semantic_dedup,
+        "q96_ppl_buckets": q96_ppl_buckets,
+        "q97_importance_weights": q97_importance_weights,
+        "q98_kneser_ney": q98_kneser_ney,
+        "q99_text_semantic_dedup": q99_text_semantic_dedup,
+        "q100_kmv_distinct": q100_kmv_distinct,
     }
 
 
