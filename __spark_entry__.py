@@ -2017,33 +2017,44 @@ def q93_stream_near_dup(spark, sf_dir):
     append to a result store across batches. Stream/batch
     unification: the oracle is IDENTICAL to q80's SQL — the streaming
     path must produce exactly the one-shot batch join's answer."""
+    import shutil
     import tempfile
-
-    from pyspark.sql import types as T  # noqa: F401 — schema probe below
 
     from tinyflux_spark.streaming import ingest as st
 
     docs = _t("documents")(spark, sf_dir)
     shard = docs.where(F.col("doc_id") % 5 == 0)
     corpus = docs.where(F.col("doc_id") % 5 != 0)
-    src = tempfile.mkdtemp(prefix="tfs_q93src_")
-    shard.repartition(3).write.mode("overwrite").parquet(src)
-    stream = st.point_stream_from_files(
-        spark, src, docs.schema, max_files_per_trigger=1
-    )
-    res = tempfile.mkdtemp(prefix="tfs_q93res_") + "/pairs"
-    q = st.stream_near_dup_insert(
-        stream, corpus, res, "doc_id",
-        num_hashes=12, bands=4, verify_threshold=0.7,
-        signatures_path=tempfile.mkdtemp(prefix="tfs_q93sig_") + "/sig",
-        checkpoint_dir=tempfile.mkdtemp(prefix="tfs_q93ck_"),
-    )
-    q.awaitTermination(240)
-    if q.exception() is not None:
-        raise q.exception()
-    return spark.read.parquet(res).select(
-        "id_left", "id_right", F.round("jaccard", 6).alias("jaccard")
-    )
+    # One run root for source shard / signatures / checkpoint / result,
+    # removed after the standing result is localCheckpoint-pinned —
+    # bench reruns this HEAVY query repeatedly and must not accumulate
+    # parquet in /tmp across rounds.
+    root = tempfile.mkdtemp(prefix="tfs_q93_")
+    try:
+        src = root + "/src"
+        shard.repartition(3).write.mode("overwrite").parquet(src)
+        stream = st.point_stream_from_files(
+            spark, src, docs.schema, max_files_per_trigger=1
+        )
+        res = root + "/pairs"
+        q = st.stream_near_dup_insert(
+            stream, corpus, res, "doc_id",
+            num_hashes=12, bands=4, verify_threshold=0.7,
+            signatures_path=root + "/sig",
+            checkpoint_dir=root + "/ck",
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "q93 stream_near_dup_insert did not finish within 240s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        return spark.read.parquet(res).select(
+            "id_left", "id_right", F.round("jaccard", 6).alias("jaccard")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q94_trigram_logprob(spark, sf_dir):
@@ -2151,7 +2162,17 @@ def q99_text_semantic_dedup(spark, sf_dir):
     from tinyflux_spark.operators.text import embed_bow
 
     docs = _t("documents")(spark, sf_dir)
-    emb = embed_bow(docs, "doc_id", "text", dim=64)
+    # Materialize the embedding once: semantic_dedup fires three
+    # actions (codebook min/max + codebook groupBy + assignment
+    # checkpoint), and without this each re-ran the full explode+agg
+    # embedding pipeline — measured 3.6s -> 2.75s at sf0.1. The
+    # remaining floor is real work (embed ~1.2s, assign ~0.45s, pair
+    # scan + dup join ~1.0s). Do-not-do, measured: a fused pivot-style
+    # embed (one groupBy(id) with dim conditional sums, no collect_list)
+    # saved only ~0.1s here and is O(dim) per token row, so it
+    # regresses for large dim; the two md5 calls are NOT the
+    # bottleneck (explode-only 0.28s vs explode+2xmd5 0.31s).
+    emb = embed_bow(docs, "doc_id", "text", dim=64).localCheckpoint()
     return semantic_dedup(
         emb, "id", "embedding", num_clusters=16, tau=0.9
     )
@@ -2193,6 +2214,7 @@ def q102_stream_semantic_dedup(spark, sf_dir):
     result is hash-checked against the batch-equivalent answer
     (stream/batch unification, q93's convention for the semantic
     family)."""
+    import shutil
     import tempfile
 
     from tinyflux_spark.streaming import ingest as st
@@ -2200,22 +2222,37 @@ def q102_stream_semantic_dedup(spark, sf_dir):
     docs = _t("documents")(spark, sf_dir)
     shard = docs.where(F.col("doc_id") % 5 == 0)
     corpus = docs.where(F.col("doc_id") % 5 != 0)
-    src = tempfile.mkdtemp(prefix="tfs_q102src_")
-    shard.repartition(3).write.mode("overwrite").parquet(src)
-    stream = st.point_stream_from_files(
-        spark, src, docs.schema, max_files_per_trigger=1
-    )
-    res = tempfile.mkdtemp(prefix="tfs_q102res_") + "/pairs"
-    q = st.stream_semantic_dedup_insert(
-        stream, corpus, res, "doc_id",
-        embed_dim=64, num_clusters=16, tau=0.9,
-        state_path=tempfile.mkdtemp(prefix="tfs_q102st_") + "/state",
-        checkpoint_dir=tempfile.mkdtemp(prefix="tfs_q102ck_"),
-    )
-    q.awaitTermination(240)
-    if q.exception() is not None:
-        raise q.exception()
-    return spark.read.parquet(res)
+    # One run root (source shard / state / checkpoint / result),
+    # removed after the result is localCheckpoint-pinned — see q93.
+    root = tempfile.mkdtemp(prefix="tfs_q102_")
+    try:
+        src = root + "/src"
+        shard.repartition(3).write.mode("overwrite").parquet(src)
+        stream = st.point_stream_from_files(
+            spark, src, docs.schema, max_files_per_trigger=1
+        )
+        res = root + "/pairs"
+        q = st.stream_semantic_dedup_insert(
+            stream, corpus, res, "doc_id",
+            embed_dim=64, num_clusters=16, tau=0.9,
+            state_path=root + "/state",
+            checkpoint_dir=root + "/ck",
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "q102 stream_semantic_dedup_insert did not finish "
+                "within 240s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        # project the pair columns (epoch=N is the sink's idempotence
+        # bookkeeping, not part of the result contract)
+        return spark.read.parquet(res).select(
+            "id_left", "id_right", "cosine"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q100_kmv_distinct(spark, sf_dir):

@@ -531,20 +531,35 @@ EAGER_PER_RUN = {
 }
 
 
+# Per-query timed runs (seconds) for the variance sidecar: sub-second
+# queries are at the mercy of driver GC / hypervisor jitter, and a
+# single timed run has repeatedly read as a phantom 1.5-2x "regression"
+# between rounds (q25/q41/q44 in r6). Non-HEAVY queries take the median
+# of 3 timed runs; HEAVY ones (seconds each, far above timer noise)
+# keep a single run so the harness budget goes to coverage.
+QUERY_RUNS: dict[str, list[float]] = {}
+
+
 def time_query(name, fn, spark) -> float:
-    """Build the plan once, warm up, time one execution — the reference
+    """Build the plan once, warm up, time execution — the reference
     times query *execution* against a prebuilt query object
     (performance_tests/benchmark.py:320-333); the DataFrame is this
-    engine's query object."""
+    engine's query object. Returns the median of 3 timed runs for
+    non-HEAVY queries (single run for HEAVY); raw runs go to
+    QUERY_RUNS for the derived.variance block."""
     df = fn(spark, SF_DIR)
     for _ in range(1 if name in HEAVY else WARMUPS):
         df.write.format("noop").mode("overwrite").save()
     rebuild = name in EAGER_PER_RUN
-    t0 = time.perf_counter()
-    (fn(spark, SF_DIR) if rebuild else df).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    return time.perf_counter() - t0
+    runs = []
+    for _ in range(1 if name in HEAVY else 3):
+        t0 = time.perf_counter()
+        (fn(spark, SF_DIR) if rebuild else df).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        runs.append(time.perf_counter() - t0)
+    QUERY_RUNS[name] = [round(r, 4) for r in runs]
+    return sorted(runs)[len(runs) // 2]
 
 
 def bench_bulk_ingest(spark) -> dict:
@@ -562,18 +577,27 @@ def bench_bulk_ingest(spark) -> dict:
         ParquetStorage(wtmp + "/db", spark).append_df(frame)
     finally:
         shutil.rmtree(wtmp, ignore_errors=True)
-    best = None
-    for _ in range(2):  # best of 2: parquet-write wall time is noisy
+    # Best of 3, all runs recorded: parquet-write wall time is noisy
+    # (r6 recorded 52k pts/s where an isolated 3-run probe at the same
+    # commit measured 89-114k — hypervisor jitter, not a plan change),
+    # so the spread ships alongside the headline number.
+    runs = []
+    for _ in range(3):
         tmp = tempfile.mkdtemp()
         try:
             store = ParquetStorage(tmp + "/db", spark)
             t0 = time.perf_counter()
             store.append_df(frame)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.perf_counter() - t0)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-    return {"rows": n, "sec": best, "pts_per_sec": n / best}
+    best = min(runs)
+    return {
+        "rows": n,
+        "sec": best,
+        "pts_per_sec": n / best,
+        "runs_sec": [round(r, 4) for r in runs],
+    }
 
 
 def _calibration(spark) -> dict:
@@ -756,6 +780,11 @@ def main() -> None:
     if ingest is not None:
         derived["bulk_ingest_pts_per_sec"] = round(ingest["pts_per_sec"], 1)
         derived["bulk_ingest_rows"] = ingest["rows"]
+        derived["bulk_ingest_runs_sec"] = ingest.get("runs_sec")
+    # Raw timed runs per query (BENCH_FULL only): timings[] holds the
+    # median; a reader comparing rounds can check the spread before
+    # calling a delta a regression.
+    derived["variance"] = QUERY_RUNS
     _measure_baseline_shapes("late")
     if isinstance(derived.get("calibration"), dict):
         derived["calibration"]["shape_window_floor_ms"] = (

@@ -1977,6 +1977,40 @@ def test_semantic_dedup_contracts(spark):
     assert empty.columns == ["id", "cluster", "centroid_sim", "is_dup"]
 
 
+def test_semantic_dedup_reuse_hooks_match_scratch(spark):
+    """cents= / assignment= short-circuits produce exactly the
+    from-scratch result — the frozen-artifact contract a standing
+    deployment (persisted streaming state) relies on."""
+    from tinyflux_spark.operators import similarity as sim
+
+    rows = [
+        (i, [float(((i * 3 + j * 5) % 11) - 5) for j in range(6)])
+        for i in range(12)
+    ]
+    rows += [(12, [0.0] * 6), (13, list(rows[2][1]))]  # 13 dups 2
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+
+    def canon(out):
+        return sorted(
+            (r["id"], r["cluster"], r["centroid_sim"], r["is_dup"])
+            for r in out.collect()
+        )
+
+    want = canon(sim.semantic_dedup(df, num_clusters=3, tau=0.95))
+    cents = sim.ivf_centroids(df, "vec_id", "embedding", 3)
+    assert canon(
+        sim.semantic_dedup(df, num_clusters=3, tau=0.95, cents=cents)
+    ) == want
+    asg = sim.semantic_assign(df, cents, "vec_id", "embedding")
+    assert canon(
+        sim.semantic_dedup(
+            df, num_clusters=3, tau=0.95, assignment=asg.localCheckpoint()
+        )
+    ) == want
+
+
 def test_perplexity_buckets_contracts(spark):
     import pytest
 

@@ -248,10 +248,11 @@ def ivf_centroids(
     collected to the driver (K x dim floats — broadcast-sized by
     construction).
 
-    Scale: no global sort/window anywhere — a min/max agg, a K-key
-    groupBy with map-side partial aggregation, and a pushed-down
-    ``IN (K ids)`` scan. Every stage is distributed; only K rows ever
-    reach the driver.
+    Scale: no global sort/window anywhere — one min/max agg, then ONE
+    K-key groupBy with map-side partial aggregation whose ``min_by``
+    returns each bucket's min id and its vector together (no second
+    scan). Every stage is distributed; only K rows ever reach the
+    driver.
     """
     id_type = dict(df.dtypes).get(id_col, "")
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
@@ -748,6 +749,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     num_clusters: int = 16,
     tau: float = 0.95,
+    cents=None,
+    assignment: Optional[DataFrame] = None,
 ) -> DataFrame:
     """SemDedup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the IVF
@@ -794,19 +797,39 @@ def semantic_dedup(
     sentinel, carry a null unit vector, and are always kept and never
     dominate.
 
+    Reuse hooks for standing deployments: ``cents=`` runs the pipeline
+    against a GIVEN codebook (skips training), ``assignment=`` against
+    a GIVEN assignment table in semantic_assign's shape (skips
+    training and assignment — e.g. the parquet state a
+    stream_semantic_dedup_insert deployment persists), so the batch
+    and streaming paths share one set of frozen artifacts.
+
     Returns one row per input: ``(id, cluster, centroid_sim, is_dup)``.
     """
     if num_clusters < 1:
         raise ValueError("num_clusters must be >= 1")
-    cents = ivf_centroids(df, id_col, vec_col, num_clusters)
-    if not cents:
-        return df.select(
-            F.col(id_col).alias("id"),
-            F.lit(None).cast("int").alias("cluster"),
-            F.lit(None).cast("double").alias("centroid_sim"),
-            F.lit(False).alias("is_dup"),
-        )
-    base = semantic_assign(df, cents, id_col, vec_col).localCheckpoint()
+    if assignment is not None:
+        # Standing-deployment short circuit: a precomputed/persisted
+        # assignment table ((id, cluster, centroid_sim, _u) —
+        # semantic_assign's shape, e.g. the streaming state at
+        # stream_semantic_dedup_insert's state_path/assign) skips
+        # codebook training AND assignment; only the pair scan and the
+        # dup-flag join run. The caller owns the table's persistence
+        # (parquet / localCheckpoint), so no re-materialization here.
+        base = assignment.select("id", "cluster", "centroid_sim", "_u")
+    else:
+        if cents is None:
+            cents = ivf_centroids(df, id_col, vec_col, num_clusters)
+        if not cents:
+            return df.select(
+                F.col(id_col).alias("id"),
+                F.lit(None).cast("int").alias("cluster"),
+                F.lit(None).cast("double").alias("centroid_sim"),
+                F.lit(False).alias("is_dup"),
+            )
+        base = semantic_assign(
+            df, cents, id_col, vec_col
+        ).localCheckpoint()
 
     pre_tau = float(tau) - 1e-6
     pair_schema = (

@@ -23,6 +23,7 @@ The Spark-native equivalent is a real streaming pipeline:
 
 from __future__ import annotations
 
+import json
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,61 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..storages import Storage
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _write_params_manifest(
+    spark: SparkSession, dir_path: str, params: dict
+) -> None:
+    """Stamp the build parameters next to persisted streaming state.
+
+    The underscore-prefixed name keeps the file invisible to parquet
+    directory scans (same convention as ``_SUCCESS``). Written through
+    the Hadoop FS API so any supported scheme (local, HDFS, s3a)
+    works."""
+    fs, mpath = _hadoop_path(spark, dir_path + "/_params.json")
+    out = fs.create(mpath, True)
+    try:
+        out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def _check_params_manifest(
+    spark: SparkSession, dir_path: str, params: dict, what: str
+) -> None:
+    """Refuse to reuse persisted state built with different parameters.
+
+    A restart that silently reused signatures/codebooks built with a
+    different n/num_hashes/bands/unit (or embed_dim/num_clusters)
+    would emit wrong pairs with no error — the manifest turns that
+    into a loud ValueError at start()."""
+    fs, mpath = _hadoop_path(spark, dir_path + "/_params.json")
+    if not fs.exists(mpath):
+        raise ValueError(
+            f"{what} at {dir_path!r} has no _params.json manifest; it "
+            "predates manifest stamping or was built by other means — "
+            "delete it (or rebuild through this function) before reuse"
+        )
+    stream = fs.open(mpath)
+    try:
+        stored = json.loads(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        )
+    finally:
+        stream.close()
+    if stored != params:
+        raise ValueError(
+            f"{what} at {dir_path!r} was built with {stored}, but this "
+            f"run asks for {params}; reusing it would emit wrong pairs "
+            "— delete the state or pass matching parameters"
+        )
 
 
 def point_stream_from_files(
@@ -322,17 +378,24 @@ def stream_near_dup_insert(
     The corpus's banded signature table is computed ONCE, before the
     stream starts — persisted at ``signatures_path`` if given (and
     REUSED if already present there: at 100 TB the signature build is
-    the expensive pass, and it survives stream restarts), else
-    localCheckpoint-materialized for the lifetime of this query. Each
-    micro-batch then costs: shingle+hash the batch (small), one band
-    equi-join against the persisted signatures, and an exact-Jaccard
-    verify that re-reads only the candidate corpus docs
+    the expensive pass, and it survives stream restarts; a
+    ``_params.json`` manifest is stamped on first build and validated
+    on reuse, so a restart with different n/num_hashes/bands/unit
+    raises instead of silently joining against stale signatures),
+    else localCheckpoint-materialized for the lifetime of this query.
+    Each micro-batch then costs: shingle+hash the batch (small), one
+    band equi-join against the persisted signatures, and an
+    exact-Jaccard verify that re-reads only the candidate corpus docs
     (minhash_lsh_join's ``right_banded`` path) — never a full corpus
     re-scan, so per-batch latency tracks batch size, not corpus size.
 
     Ids must be unique across stream ∪ corpus (the usual ingest
-    contract). Pairs from different micro-batches are disjoint on
-    ``id_left``, so the appended result needs no cross-batch dedup.
+    contract). Each micro-batch OVERWRITES its own ``epoch=N``
+    partition directory under ``result_path`` — foreachBatch is
+    at-least-once, and the per-epoch overwrite makes a retried batch
+    idempotent instead of appending duplicate pairs. Read the result
+    with ``spark.read.parquet(result_path)`` and project the pair
+    columns (the discovered ``epoch`` partition column is bookkeeping).
     """
     from ..operators.dedup import banded_signatures, minhash_lsh_join
 
@@ -343,12 +406,18 @@ def stream_near_dup_insert(
         # Hadoop FS existence probe (works for any supported scheme —
         # local, HDFS, s3a) instead of a speculative read: a missing
         # path would log a noisy ERROR stack trace even when caught.
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(signatures_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs, jpath = _hadoop_path(spark, signatures_path)
+        sig_params = {"kind": "minhash_banded_signatures", **kw}
         if not fs.exists(jpath):
             banded_signatures(corpus, id_col, **kw).write.mode(
                 "overwrite"
             ).parquet(signatures_path)
+            _write_params_manifest(spark, signatures_path, sig_params)
+        else:
+            _check_params_manifest(
+                spark, signatures_path, sig_params,
+                "persisted signature table",
+            )
         sig = spark.read.parquet(signatures_path)
     else:
         sig = banded_signatures(corpus, id_col, **kw).localCheckpoint()
@@ -359,7 +428,12 @@ def stream_near_dup_insert(
             verify_threshold=verify_threshold,
             right_banded=sig, **kw,
         )
-        pairs.write.mode("append").parquet(result_path)
+        # Per-epoch overwrite, not blind append: foreachBatch is
+        # at-least-once, so a retried micro-batch must land in the
+        # same epoch=N directory idempotently.
+        pairs.write.mode("overwrite").parquet(
+            f"{result_path}/epoch={epoch_id}"
+        )
 
     writer = (
         docs_stream.writeStream.foreachBatch(sink).outputMode("append")
@@ -467,22 +541,30 @@ def stream_semantic_dedup_insert(
 
     Standing state (built ONCE before the stream starts, persisted at
     ``state_path`` if given and REUSED if already present — it
-    survives stream restarts): the IVF codebook trained on the corpus
-    and the corpus assignment table (cluster + unit vector per corpus
-    doc). Each micro-batch then costs: (embed via
-    :func:`~tinyflux_spark.operators.text.embed_bow` when ``vec_col``
-    is None, else the given vector column) + assignment against the
-    FROZEN codebook (one Arrow pass over the batch) + one equi-join on
-    cluster id against the assignment table + one dot product per
-    same-cluster pair — per-batch latency tracks batch size times
-    cluster width, never corpus size.
+    survives stream restarts; a ``_params.json`` manifest is stamped
+    on first build and validated on reuse, so a restart with a
+    different embed_dim/num_clusters/vec_col raises instead of
+    silently assigning against a stale codebook): the IVF codebook
+    trained on the corpus and the corpus assignment table (cluster +
+    unit vector per corpus doc). Each micro-batch then costs: (embed
+    via :func:`~tinyflux_spark.operators.text.embed_bow` when
+    ``vec_col`` is None, else the given vector column) + assignment
+    against the FROZEN codebook (one Arrow pass over the batch) + one
+    cluster-cogrouped Arrow pass that accumulates the batch × corpus
+    cosine block dimension-by-dimension (semantic_dedup's blocked-Gram
+    recipe — the same explicit left fold, so the SQL oracle still
+    replays bit-for-bit; thresholds stay JVM-side) — per-batch latency
+    tracks batch size times cluster width, never corpus size.
 
-    Ids must be unique across stream ∪ corpus. Pairs from different
-    micro-batches are disjoint on ``id_left``, so the appended result
-    needs no cross-batch dedup. The batch equivalent (same codebook,
-    same assignment, same threshold) produces exactly the same pairs —
-    the stream/batch unification contract, oracle-shared in the q102
-    gate.
+    Ids must be unique across stream ∪ corpus. Each micro-batch
+    OVERWRITES its own ``epoch=N`` partition directory under
+    ``result_path`` — foreachBatch is at-least-once, and the
+    per-epoch overwrite makes a retried batch idempotent instead of
+    appending duplicate pairs (read with
+    ``spark.read.parquet(result_path)`` and project the pair columns).
+    The batch equivalent (same codebook, same assignment, same
+    threshold) produces exactly the same pairs — the stream/batch
+    unification contract, oracle-shared in the q102 gate.
     """
     from ..operators.similarity import ivf_centroids, semantic_assign
     from ..operators.text import embed_bow
@@ -504,9 +586,15 @@ def stream_semantic_dedup_insert(
         asg = semantic_assign(cvecs, cents, "id", "embedding")
         return cents, asg
 
+    state_params = {
+        "kind": "semantic_dedup_state",
+        "vec_col": vec_col,
+        "text_col": None if vec_col is not None else text_col,
+        "embed_dim": None if vec_col is not None else embed_dim,
+        "num_clusters": num_clusters,
+    }
     if state_path is not None:
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs, jpath = _hadoop_path(spark, state_path)
         if not fs.exists(jpath):
             cents, asg = build_state()
             spark.createDataFrame(
@@ -514,6 +602,12 @@ def stream_semantic_dedup_insert(
                 "cidx: int, vector: array<double>",
             ).write.parquet(state_path + "/codebook")
             asg.write.parquet(state_path + "/assign")
+            _write_params_manifest(spark, state_path, state_params)
+        else:
+            _check_params_manifest(
+                spark, state_path, state_params,
+                "persisted semantic-dedup state",
+            )
         cents = [
             (r["cidx"], list(r["vector"]))
             for r in sorted(
@@ -525,6 +619,54 @@ def stream_semantic_dedup_insert(
     else:
         cents, asg = build_state()
         corpus_asg = asg.localCheckpoint()
+
+    # Pair scan recipe shared with operators.similarity.semantic_dedup:
+    # Arrow-vectorized blocked Gram with an EXPLICIT per-dimension left
+    # fold (acc += x[:, j] * y[:, j] — bit-identical to
+    # aggregate(zip_with) and DuckDB's list_dot_product), conservative
+    # pre-filter at tau - 1e-6 inside Arrow, exact decimal
+    # F.round(..., 6) >= tau decided JVM-side. The interpreted per-pair
+    # HOF fold it replaces was measured ~20µs/pair — bounded per batch,
+    # but it dominated sink latency at production batch sizes.
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import _GRAM_BLOCK
+
+    pre_tau = float(tau) - 1e-6
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    pair_schema = (
+        f"id_left {id_type}, id_right {id_type}, raw_cos double"
+    )
+    _empty = pd.DataFrame(columns=["id_left", "id_right", "raw_cos"])
+
+    def _batch_pairs(lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        lk = lpdf[lpdf["_ul"].notna()].reset_index(drop=True)
+        rk = rpdf[rpdf["_ur"].notna()].reset_index(drop=True)
+        if lk.empty or rk.empty:
+            return _empty
+        XL = np.vstack(lk["_ul"].to_numpy())
+        XR = np.vstack(rk["_ur"].to_numpy())
+        frames = []
+        for lo in range(0, len(XR), _GRAM_BLOCK):
+            hi = min(lo + _GRAM_BLOCK, len(XR))
+            gram = np.zeros((len(XL), hi - lo))
+            for j in range(XL.shape[1]):
+                gram += np.outer(XL[:, j], XR[lo:hi, j])
+            ia, ib = np.nonzero(gram >= pre_tau)
+            if len(ia):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "id_left": lk["id_left"].to_numpy()[ia],
+                            "id_right": rk["id_right"].to_numpy()[
+                                ib + lo
+                            ],
+                            "raw_cos": gram[ia, ib],
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else _empty
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         basg = semantic_assign(
@@ -540,21 +682,23 @@ def stream_semantic_dedup_insert(
             F.col("cluster").alias("_cl"),
             F.col("_u").alias("_ur"),
         )
-        dot = F.aggregate(
-            F.zip_with("_ul", "_ur", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
         pairs = (
-            left.join(right, "_cl")
+            left.groupBy("_cl")
+            .cogroup(right.groupBy("_cl"))
+            .applyInPandas(_batch_pairs, pair_schema)
             .select(
                 "id_left",
                 "id_right",
-                F.round(dot, 6).alias("cosine"),
+                F.round("raw_cos", 6).alias("cosine"),
             )
             .where(F.col("cosine") >= tau)
         )
-        pairs.write.mode("append").parquet(result_path)
+        # Per-epoch overwrite, not blind append: foreachBatch is
+        # at-least-once, so a retried micro-batch must land in the
+        # same epoch=N directory idempotently.
+        pairs.write.mode("overwrite").parquet(
+            f"{result_path}/epoch={epoch_id}"
+        )
 
     writer = (
         docs_stream.writeStream.foreachBatch(sink).outputMode("append")
