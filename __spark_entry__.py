@@ -2294,6 +2294,36 @@ def q98_kneser_ney(spark, sf_dir):
     )
 
 
+def q103_fivegram_logprob(spark, sf_dir):
+    """5-gram Stupid-Backoff LM with count pruning (Brants et al.
+    2007's web-scale production configuration — Google's 5-gram MT LM
+    was exactly SB + a count cutoff; CCNet's production filter is the
+    same depth with KenLM smoothing): the top of the q85/q91/q94
+    ladder. Every document scores its 5-gram positions against the
+    English slice; 2-5-gram tables drop singletons
+    (prune_min_count=2), so a once-seen gram scores as unseen —
+    backoff — which is what makes the order-5 table materializable at
+    corpus scale. All six branches (5/4/3/2-gram, unigram, OOV floor)
+    share the q94 DECIMAL(20,12) quantization and one
+    Python-multiplied alpha-power chain shipped to both engines as
+    literals, so the oracle replays bit-for-bit."""
+    from tinyflux_spark.operators.text import ngram_backoff_logprob
+
+    docs = _t("documents")(spark, sf_dir)
+    out = ngram_backoff_logprob(
+        docs, "doc_id", "text",
+        ref=docs.where(F.col("lang") == "en"),
+        order=5, alpha=0.4, prune_min_count=2,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_ngrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        "backoff_frac",
+        "oov_frac",
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -2426,6 +2456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_kneser_ney": q98_kneser_ney,
         "q99_text_semantic_dedup": q99_text_semantic_dedup,
         "q100_kmv_distinct": q100_kmv_distinct,
+        # new this round (r8 rotation candidate):
+        "q103_fivegram_logprob": q103_fivegram_logprob,
     }
 
 
@@ -4044,6 +4076,141 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)
                        AS avg_logp,
                    ROUND(CAST(SUM(miss3) AS DOUBLE) / COUNT(*), 6)
+                       AS backoff_frac,
+                   ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6)
+                       AS oov_frac
+            FROM sc GROUP BY 1
+        """,
+        # q103: the q94 replay extended to order 5 with count pruning
+        # (HAVING >= 2 on every table of order >= 2 — numerators can
+        # never orphan their contexts under one shared threshold).
+        # Alpha powers are the SAME Python repeated-multiplication
+        # chain the operator builds (0.4, 0.4^2, 0.4^3, 0.4^4), pasted
+        # as literals so both engines share one IEEE product.
+        "q103_fivegram_logprob": """
+            WITH tw AS (
+                SELECT doc_id, lang,
+                       list_filter(
+                           string_split_regex(lower(trim(text)),
+                                              '[\\s\\x0B]+'),
+                           t -> length(t) >= 1) AS ws
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents)
+            ),
+            rt AS (SELECT ws FROM tw WHERE lang = 'en'),
+            uni AS (
+                SELECT tok AS w1, COUNT(*) AS c1
+                FROM (SELECT unnest(ws) AS tok FROM rt)
+                GROUP BY 1
+            ),
+            tot AS (SELECT SUM(c1) AS total FROM uni),
+            g2 AS (
+                SELECT w1, w2, COUNT(*) AS c2
+                FROM (
+                    SELECT ws[CAST(i AS INT)] AS w1,
+                           ws[CAST(i + 1 AS INT)] AS w2
+                    FROM rt, UNNEST(range(1, len(ws))) AS r(i)
+                )
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            g3 AS (
+                SELECT w1, w2, w3, COUNT(*) AS c3
+                FROM (
+                    SELECT ws[CAST(i AS INT)] AS w1,
+                           ws[CAST(i + 1 AS INT)] AS w2,
+                           ws[CAST(i + 2 AS INT)] AS w3
+                    FROM rt, UNNEST(range(1, len(ws) - 1)) AS r(i)
+                )
+                GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+            ),
+            g4 AS (
+                SELECT w1, w2, w3, w4, COUNT(*) AS c4
+                FROM (
+                    SELECT ws[CAST(i AS INT)] AS w1,
+                           ws[CAST(i + 1 AS INT)] AS w2,
+                           ws[CAST(i + 2 AS INT)] AS w3,
+                           ws[CAST(i + 3 AS INT)] AS w4
+                    FROM rt, UNNEST(range(1, len(ws) - 2)) AS r(i)
+                )
+                GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2
+            ),
+            g5 AS (
+                SELECT w1, w2, w3, w4, w5, COUNT(*) AS c5
+                FROM (
+                    SELECT ws[CAST(i AS INT)] AS w1,
+                           ws[CAST(i + 1 AS INT)] AS w2,
+                           ws[CAST(i + 2 AS INT)] AS w3,
+                           ws[CAST(i + 3 AS INT)] AS w4,
+                           ws[CAST(i + 4 AS INT)] AS w5
+                    FROM rt, UNNEST(range(1, len(ws) - 3)) AS r(i)
+                )
+                GROUP BY 1, 2, 3, 4, 5 HAVING COUNT(*) >= 2
+            ),
+            l5 AS (
+                SELECT g.w1, g.w2, g.w3, g.w4, g.w5,
+                       CAST(ln(CAST(c5 AS DOUBLE) / x.c4)
+                            AS DECIMAL(20,12)) AS lp5
+                FROM g5 g JOIN g4 x ON x.w1 = g.w1 AND x.w2 = g.w2
+                                   AND x.w3 = g.w3 AND x.w4 = g.w4
+            ),
+            l4 AS (
+                SELECT g.w1 AS w2, g.w2 AS w3, g.w3 AS w4, g.w4 AS w5,
+                       CAST(ln(0.4 * (CAST(c4 AS DOUBLE) / x.c3))
+                            AS DECIMAL(20,12)) AS lp4
+                FROM g4 g JOIN g3 x ON x.w1 = g.w1 AND x.w2 = g.w2
+                                   AND x.w3 = g.w3
+            ),
+            l3 AS (
+                SELECT g.w1 AS w3, g.w2 AS w4, g.w3 AS w5,
+                       CAST(ln(0.16000000000000003
+                               * (CAST(c3 AS DOUBLE) / x.c2))
+                            AS DECIMAL(20,12)) AS lp3
+                FROM g3 g JOIN g2 x ON x.w1 = g.w1 AND x.w2 = g.w2
+            ),
+            l2 AS (
+                SELECT g.w1 AS w4, g.w2 AS w5,
+                       CAST(ln(0.06400000000000002
+                               * (CAST(c2 AS DOUBLE) / u.c1))
+                            AS DECIMAL(20,12)) AS lp2
+                FROM g2 g JOIN uni u ON u.w1 = g.w1
+            ),
+            l1 AS (
+                SELECT w1 AS w5,
+                       CAST(ln(0.025600000000000008
+                               * (CAST(c1 AS DOUBLE)
+                                  / (SELECT total FROM tot)))
+                            AS DECIMAL(20,12)) AS lp1
+                FROM uni
+            ),
+            db AS (
+                SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+                       ws[CAST(i + 1 AS INT)] AS w2,
+                       ws[CAST(i + 2 AS INT)] AS w3,
+                       ws[CAST(i + 3 AS INT)] AS w4,
+                       ws[CAST(i + 4 AS INT)] AS w5
+                FROM tw, UNNEST(range(1, len(ws) - 3)) AS r(i)
+            ),
+            sc AS (
+                SELECT doc_id,
+                       COALESCE(l5.lp5, l4.lp4, l3.lp3, l2.lp2, l1.lp1,
+                                CAST(ln(0.025600000000000008
+                                        / (SELECT total FROM tot))
+                                     AS DECIMAL(20,12))) AS lp,
+                       CASE WHEN l5.lp5 IS NULL THEN 1 ELSE 0
+                       END AS missn,
+                       CASE WHEN l5.lp5 IS NULL AND l4.lp4 IS NULL
+                                 AND l3.lp3 IS NULL AND l2.lp2 IS NULL
+                            THEN 1 ELSE 0 END AS oov
+                FROM db
+                LEFT JOIN l5 USING (w1, w2, w3, w4, w5)
+                LEFT JOIN l4 USING (w2, w3, w4, w5)
+                LEFT JOIN l3 USING (w3, w4, w5)
+                LEFT JOIN l2 USING (w4, w5)
+                LEFT JOIN l1 USING (w5)
+            )
+            SELECT doc_id, COUNT(*) AS n_ngrams,
+                   ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)
+                       AS avg_logp,
+                   ROUND(CAST(SUM(missn) AS DOUBLE) / COUNT(*), 6)
                        AS backoff_frac,
                    ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6)
                        AS oov_frac

@@ -51,7 +51,7 @@ HEAVY = {
     # standing result); q94's three ref-count aggregations are the
     # expensive pass.
     "q93_stream_near_dup", "q94_trigram_logprob",
-    "q102_stream_semantic_dedup",
+    "q102_stream_semantic_dedup", "q103_fivegram_logprob",
     # q95/q99: clustering + within-cluster pair scan (EAGER_PER_RUN
     # rebuilds the checkpointed assignment inside the timed window)
     "q95_semantic_dedup", "q99_text_semantic_dedup",

@@ -1943,6 +1943,122 @@ def test_trigram_logprob_model(spark):
     assert alt == out
 
 
+def test_ngram_backoff_logprob_model(spark):
+    """Order-5 pruned Stupid Backoff replayed in plain Python: tables
+    of order >= 2 drop counts below prune_min_count, a pruned gram
+    scores as unseen (backoff), alpha powers come from one repeated-
+    multiplication chain, every branch DECIMAL(20,12)-quantized; and
+    order=3/prune=1 degenerates exactly to trigram_logprob."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # ref: "a b c d e" appears twice (survives pruning at every
+    # order), "a b c d f" once (its 5/4-gram extensions are pruned,
+    # but shared prefixes reach count 3)
+    ref_rows = [(0, "a b c d e a b c d e a b c d f")]
+    rows = [
+        (0, "a b c d e"),     # full 5-gram hit
+        (1, "a b c d f"),     # pruned at every order >= 2 -> unigram
+        (2, "x y z w v"),     # all OOV -> floor
+        (3, "a b c"),         # <5 tokens: no row
+        (4, "x a b c d"),     # 5-gram unseen, 4-gram (a b c d) c=3
+                              # survives pruning -> mid-level backoff
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    out = {
+        r["id"]: (r["n_ngrams"], r["avg_logp"], r["backoff_frac"],
+                  r["oov_frac"])
+        for r in text.ngram_backoff_logprob(
+            df, ref=ref, order=5, alpha=0.4, prune_min_count=2
+        ).collect()
+    }
+
+    ts = ref_rows[0][1].split()
+    tables = {}
+    for k in range(1, 6):
+        t = {}
+        for i in range(len(ts) - k + 1):
+            key = tuple(ts[i:i + k])
+            t[key] = t.get(key, 0) + 1
+        if k >= 2:
+            t = {g: c for g, c in t.items() if c >= 2}
+        tables[k] = t
+    total = sum(tables[1].values())
+    a_pow = [1.0]
+    for _ in range(4):
+        a_pow.append(a_pow[-1] * 0.4)
+
+    def q(x):
+        return Decimal(x).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+
+    def lp(g):  # g: 5-tuple
+        for k in range(5, 1, -1):
+            tail = g[5 - k:]
+            if tail in tables[k]:
+                r = tables[k][tail] / tables[k - 1][tail[:-1]]
+                val = r if k == 5 else a_pow[5 - k] * r
+                return q(math.log(val)), int(k < 5), 0
+        if g[4:] in tables[1]:
+            return (
+                q(math.log(a_pow[4] * (tables[1][g[4:]] / total))), 1, 1
+            )
+        return q(math.log(a_pow[4] / total)), 1, 1
+
+    model = {}
+    for i, t in rows:
+        ws = t.split()
+        if len(ws) < 5:
+            continue
+        lps = [lp(tuple(ws[j:j + 5])) for j in range(len(ws) - 4)]
+        s = sum(x for x, _, _ in lps)
+        model[i] = (
+            len(lps),
+            float(s) / len(lps),
+            round(sum(b for _, b, _ in lps) / len(lps), 6),
+            round(sum(o for _, _, o in lps) / len(lps), 6),
+        )
+    assert set(out) == set(model)
+    for k, want in model.items():
+        assert out[k][0] == want[0], k
+        assert abs(out[k][1] - want[1]) < 1e-12, k
+        assert out[k][2:] == want[2:], k
+    # the four regimes actually happened
+    assert out[0][2:] == (0.0, 0.0)      # unpruned 5-gram hit
+    assert out[1][2:] == (1.0, 1.0)      # pruned everywhere -> unigram
+    assert out[2][2:] == (1.0, 1.0)      # OOV floor
+    assert out[4][2:] == (1.0, 0.0)      # mid-level (4-gram) backoff
+    # order=3 / prune=1 degenerates to trigram_logprob exactly
+    docs3 = spark.createDataFrame(
+        [(0, "a b c a b c d"), (1, "c a b"), (2, "b c x")],
+        ["doc_id", "text"],
+    )
+    ref3 = spark.createDataFrame(
+        [(10, "a b c a b d"), (11, "b c a")], ["doc_id", "text"]
+    )
+    got3 = sorted(
+        (r["id"], r["n_ngrams"], float(r["avg_logp"]),
+         r["backoff_frac"], r["oov_frac"])
+        for r in text.ngram_backoff_logprob(
+            docs3, ref=ref3, order=3, alpha=0.4
+        ).collect()
+    )
+    want3 = sorted(
+        (r["id"], r["n_trigrams"], float(r["avg_logp"]),
+         r["backoff_frac"], r["oov_frac"])
+        for r in text.trigram_logprob(docs3, ref=ref3, alpha=0.4)
+        .collect()
+    )
+    assert got3 == want3
+    with pytest.raises(ValueError):
+        text.ngram_backoff_logprob(df, order=1)
+    with pytest.raises(ValueError):
+        text.ngram_backoff_logprob(df, alpha=0.0)
+    with pytest.raises(ValueError):
+        text.ngram_backoff_logprob(df, prune_min_count=0)
+
+
 def test_semantic_dedup_contracts(spark):
     from tinyflux_spark.operators import similarity as sim
 

@@ -335,6 +335,8 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # source/target token-total aggregates; q98: the 1-row (B, V)
         # bigram-type/vocab-size totals.
         "q96_ppl_buckets", "q97_importance_weights", "q98_kneser_ney",
+        # q103: the same 1-row total inside the order-5 backoff chain.
+        "q103_fivegram_logprob",
     }
     # Keyless broadcast joins whose build side is provably one row:
     # q77 crossJoins the one-row corpus-stats aggregate into the
@@ -359,6 +361,9 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # union-sketch aggregate.
         "q96_ppl_buckets", "q97_importance_weights", "q98_kneser_ney",
         "q101_kmv_set_overlap",
+        # q103: q85/q91/q94's 1-row total build, crossJoined into the
+        # unigram backoff table and the OOV floor.
+        "q103_fivegram_logprob",
     }
     bad = {}
     for name, fn in em.queries().items():
@@ -680,6 +685,7 @@ def test_bnlj_allowlist_build_sides_are_one_row(spark):
         "q91_bigram_logprob", "q94_trigram_logprob",
         "q96_ppl_buckets", "q97_importance_weights",
         "q98_kneser_ney", "q101_kmv_set_overlap",
+        "q103_fivegram_logprob",
     )
 
     def walk(n):

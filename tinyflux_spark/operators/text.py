@@ -12,6 +12,7 @@ rolling fingerprint).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -1309,6 +1310,177 @@ def kneser_ney_logprob(
         F.round(F.sum("_noctx") / F.count("*"), 6).alias(
             "unseen_ctx_frac"
         ),
+    )
+
+
+def ngram_backoff_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref: DataFrame = None,
+    ref_text_col: str = None,
+    order: int = 5,
+    alpha: float = 0.4,
+    prune_min_count: int = 1,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Order-N Stupid-Backoff LM with count pruning — the web-scale
+    production configuration (Brants et al. 2007 built Google's
+    5-gram MT LM exactly this way: Stupid Backoff instead of KN
+    because it needs only count tables, plus a count cutoff so the
+    high-order tables fit). Generalizes the q85/q91/q94 ladder to any
+    order; ``order=5`` is the CCNet-adjacent production depth.
+
+    score(w_i | w_{i-N+1..i-1}) walks k = N..2:
+        c_k(last k tokens) / c_{k-1}(its context)  at the first k
+        whose (pruned) k-gram table holds the gram, scaled by
+        alpha^(N-k); else alpha^(N-1) * c_1(w_i)/total; else the
+        alpha^(N-1)/total OOV floor.
+
+    Count pruning: every table of order >= 2 drops rows with count <
+    ``prune_min_count`` (unigrams and the total stay unpruned so the
+    floor semantics are unchanged). A pruned gram scores exactly as
+    an unseen one — backoff. Joins stay total under pruning because a
+    k-gram's context count always >= the k-gram's own count, so one
+    shared threshold can never orphan a surviving numerator.
+
+    Determinism: alpha powers are computed ONCE in Python by repeated
+    multiplication and shipped to both engines as literals (a shared
+    IEEE product chain, not re-derived per engine); each branch's
+    ln() over IEEE-exact count ratios is quantized to DECIMAL(20,12)
+    before the per-document sum — exact, order-independent, replayed
+    bit-for-bit by the SQL oracle (the q85/q91/q94 convention).
+
+    Plan shape: N count aggregations over the reference explode
+    (token-string shuffles with map-side partial aggregation, all
+    linear in corpus size; pruning shrinks every table it feeds
+    downstream — at web scale the cutoff is what makes the 5-gram
+    table materializable at all), then the document N-gram positions
+    left-join the N conditional tables — equi-joins that broadcast
+    while small and shuffle at scale.
+
+    Returns one row per document with >= ``order`` kept tokens:
+    ``(id, n_ngrams, avg_logp, backoff_frac, oov_frac)`` —
+    backoff_frac = fraction of positions that missed the top-order
+    table (any backoff depth), oov_frac = fraction that fell past the
+    bigram table too (unigram or floor), the family convention.
+    """
+    if order < 2:
+        raise ValueError("order must be >= 2 (unigram_logprob is order 1)")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if prune_min_count < 1:
+        raise ValueError("prune_min_count must be >= 1")
+    # alpha^j by repeated multiplication — the oracle embeds the same
+    # chain's literals, so both engines share one IEEE product
+    a_pow = [1.0]
+    for _ in range(order - 1):
+        a_pow.append(a_pow[-1] * alpha)
+    ref_df = df if ref is None else ref
+    ref_tc = text_col if ref_text_col is None else ref_text_col
+
+    def tok_ws(tc: str):
+        return F.filter(
+            F.split(F.lower(F.trim(null_to_empty(tc))), r"\s+"),
+            lambda t: F.length(t) >= min_token_len,
+        )
+
+    def gram_structs(k: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.size("_ws") - (k - 1)),
+            lambda i: F.struct(
+                *[
+                    F.element_at("_ws", i + j).alias(f"w{j + 1}")
+                    for j in range(k)
+                ]
+            ),
+        )
+
+    ref_arr = ref_df.select(tok_ws(ref_tc).alias("_ws"))
+
+    def count_table(k: int) -> DataFrame:
+        cols = [f"w{j + 1}" for j in range(k)]
+        if k == 1:
+            g = ref_arr.select(F.explode("_ws").alias("w1"))
+        else:
+            g = (
+                ref_arr.where(F.size("_ws") >= k)
+                .select(F.explode(gram_structs(k)).alias("g"))
+                .select(*[F.col(f"g.{c}") for c in cols])
+            )
+        out = g.groupBy(*cols).agg(F.count("*").alias(f"_c{k}"))
+        if k >= 2 and prune_min_count > 1:
+            out = out.where(F.col(f"_c{k}") >= prune_min_count)
+        return out
+
+    counts = {k: count_table(k) for k in range(1, order + 1)}
+    total = counts[1].agg(F.sum("_c1").alias("_total"))
+
+    # Level-k conditional table, keyed on the LAST k positions of the
+    # document N-gram (w{order-k+1}..w{order}); each branch's alpha
+    # scaling and DECIMAL quantization happen at build time.
+    def cond_table(k: int) -> DataFrame:
+        ctx_cols = [f"w{j + 1}" for j in range(k - 1)]
+        t = counts[k].join(
+            counts[k - 1].select(
+                *ctx_cols, F.col(f"_c{k - 1}").alias("_ctx")
+            ),
+            ctx_cols,
+        )
+        ratio = F.col(f"_c{k}") / F.col("_ctx")
+        scaled = (
+            ratio if k == order else F.lit(a_pow[order - k]) * ratio
+        )
+        shift = order - k
+        return t.select(
+            *[
+                F.col(f"w{j + 1}").alias(f"w{j + 1 + shift}")
+                for j in range(k)
+            ],
+            F.log(scaled).cast("decimal(20,12)").alias(f"_lp{k}"),
+        )
+
+    conds = {k: cond_table(k) for k in range(2, order + 1)}
+    uni_back = counts[1].crossJoin(F.broadcast(total)).select(
+        F.col("w1").alias(f"w{order}"),
+        F.log(F.lit(a_pow[order - 1]) * (F.col("_c1") / F.col("_total")))
+        .cast("decimal(20,12)")
+        .alias("_lp1"),
+    )
+
+    doc_cols = [f"w{j + 1}" for j in range(order)]
+    doc_ng = (
+        df.select(F.col(id_col).alias("id"), tok_ws(text_col).alias("_ws"))
+        .where(F.size("_ws") >= order)
+        .select("id", F.explode(gram_structs(order)).alias("g"))
+        .select("id", *[F.col(f"g.{c}") for c in doc_cols])
+    )
+    joined = doc_ng
+    for k in range(order, 1, -1):
+        joined = joined.join(conds[k], doc_cols[order - k:], "left")
+    joined = joined.join(uni_back, [doc_cols[-1]], "left").crossJoin(
+        F.broadcast(total)
+    )
+    lps = [f"_lp{k}" for k in range(order, 0, -1)]
+    floor = F.log(F.lit(a_pow[order - 1]) / F.col("_total")).cast(
+        "decimal(20,12)"
+    )
+    scored = joined.select(
+        "id",
+        F.coalesce(*lps, floor).alias("_lp"),
+        F.col(f"_lp{order}").isNull().cast("int").alias("_missN"),
+        functools.reduce(
+            lambda a, b: a & b,
+            [F.col(f"_lp{k}").isNull() for k in range(2, order + 1)],
+        )
+        .cast("int")
+        .alias("_oov"),
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_ngrams"),
+        (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logp"),
+        F.round(F.sum("_missN") / F.count("*"), 6).alias("backoff_frac"),
+        F.round(F.sum("_oov") / F.count("*"), 6).alias("oov_frac"),
     )
 
 
