@@ -2294,6 +2294,26 @@ def q98_kneser_ney(spark, sf_dir):
     )
 
 
+def q104_kmv_quantiles(spark, sf_dir):
+    """Value-distribution quantiles from a KMV bottom-k uniform row
+    sample (the deterministic, cross-engine-replayable alternative to
+    approx_percentile, whose GK/KLL sketch state differs across
+    engines): the 256 events whose md5-hashed event_id sorts lowest
+    form a simple random sample, and each requested quantile is the
+    type-1 order statistic value at rank ceil(p*n) — md5 order
+    statistics + integer ranks only, so the oracle computes the
+    identical sample and identical estimates. Sketch state is k rows
+    at any scale and merges by union + re-bottom-k (day-over-day
+    quantiles without rescanning history)."""
+    from tinyflux_spark.operators.sketches import kmv_quantiles
+
+    ev = _t("events")(spark, sf_dir)
+    return kmv_quantiles(
+        ev, "value", "event_id",
+        probs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), k=256,
+    )
+
+
 def q103_fivegram_logprob(spark, sf_dir):
     """5-gram Stupid-Backoff LM with count pruning (Brants et al.
     2007's web-scale production configuration — Google's 5-gram MT LM
@@ -2456,8 +2476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_kneser_ney": q98_kneser_ney,
         "q99_text_semantic_dedup": q99_text_semantic_dedup,
         "q100_kmv_distinct": q100_kmv_distinct,
-        # new this round (r8 rotation candidate):
+        # new this round (r8 rotation candidates):
         "q103_fivegram_logprob": q103_fivegram_logprob,
+        "q104_kmv_quantiles": q104_kmv_quantiles,
     }
 
 
@@ -4634,6 +4655,46 @@ def oracle_sql() -> dict[str, str]:
                          END, 4) AS estimate,
                    (n_seen < 256) AS exact
             FROM a
+        """,
+        # q104: the bottom-256 rows by md5(event_id) are the uniform
+        # sample; ROW_NUMBER over (value, hash) gives the order
+        # statistics; rank = greatest(1, ceil(p * n)). Raw parquet
+        # doubles flow through untouched, so estimates match exactly.
+        "q104_kmv_quantiles": """
+            WITH s AS (
+                SELECT ('0x' || substr(md5('kmvq:'
+                            || CAST(event_id AS VARCHAR)), 1, 12))
+                           ::BIGINT AS h,
+                       CAST(value AS DOUBLE) AS v
+                FROM events
+                WHERE event_id IS NOT NULL AND value IS NOT NULL
+                ORDER BY h LIMIT 256
+            ),
+            r AS (
+                SELECT v, ROW_NUMBER() OVER (ORDER BY v, h) AS rk
+                FROM s
+            ),
+            n AS (SELECT COUNT(*) AS n_sample FROM s),
+            t AS (
+                SELECT COUNT(*) AS n_total FROM events
+                WHERE event_id IS NOT NULL AND value IS NOT NULL
+            ),
+            p AS (
+                -- CAST: a bare DuckDB list literal is DECIMAL-typed;
+                -- prob must be the same IEEE double Spark carries
+                SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+                            AS DOUBLE) AS prob
+            ),
+            g AS (
+                SELECT prob, n_sample, n_total,
+                       GREATEST(1, CAST(CEIL(prob * n_sample) AS INT))
+                           AS rank
+                FROM p, n, t
+            )
+            SELECT prob, rank, n_sample, v AS estimate,
+                   (n_sample >= n_total) AS exact
+            FROM g JOIN r ON r.rk = g.rank
+            ORDER BY prob
         """,
         # Interpolated Kneser-Ney replay: bigram counts feed the
         # context stats (c1 = w1's context count, n1f = distinct

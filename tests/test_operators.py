@@ -2436,3 +2436,73 @@ def test_kmv_set_overlap_contracts(spark):
     assert row["est_jaccard"] == round(nb / 128, 6)
     with pytest.raises(ValueError):
         kmv_set_overlap(a, b, "v", k=1)
+
+
+def test_kmv_quantiles_contracts(spark):
+    import hashlib
+
+    import pytest
+
+    from tinyflux_spark.operators.sketches import kmv_quantiles
+
+    # exact path: input smaller than k -> sample IS the data, and the
+    # type-1 order statistics are the true quantiles
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0, 3.5]
+    small = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)] + [(99, None), (None, 7.0)],
+        "id: long, value: double",
+    )
+    out = {
+        r["prob"]: r
+        for r in kmv_quantiles(
+            small, "value", "id", probs=(0.5, 1.0), k=64
+        ).collect()
+    }
+    n = len(vals)
+    sv = sorted(vals)
+    assert all(r["exact"] is True and r["n_sample"] == n
+               for r in out.values())
+    import math
+    assert out[0.5]["estimate"] == sv[math.ceil(0.5 * n) - 1]
+    assert out[1.0]["estimate"] == sv[n - 1]
+    # estimator path: values 0..1999 (uniform), k=128 — the sample and
+    # every estimate replay exactly in Python from md5 order statistics
+    big = spark.createDataFrame(
+        [(i, float(i)) for i in range(2000)], "id: long, value: double"
+    )
+    probs = (0.1, 0.5, 0.9)
+    got = {
+        r["prob"]: r
+        for r in kmv_quantiles(big, "value", "id", probs=probs, k=128)
+        .collect()
+    }
+
+    def h(i):
+        return int(
+            hashlib.md5(f"kmvq:{i}".encode()).hexdigest()[:12], 16
+        )
+
+    samp = sorted(range(2000), key=h)[:128]
+    sample_vals = sorted(float(i) for i in samp)
+    for p in probs:
+        want_rank = max(1, math.ceil(p * 128))
+        r = got[p]
+        assert r["exact"] is False and r["n_sample"] == 128
+        assert r["rank"] == want_rank
+        assert r["estimate"] == sample_vals[want_rank - 1]
+        # a uniform sample of a uniform distribution: 4-sigma bound
+        assert abs(r["estimate"] - p * 2000) < 4 * 2000 / (128 ** 0.5)
+    # empty input -> empty result, stable schema
+    empty = kmv_quantiles(
+        small.where("value < 0"), "value", "id", probs=(0.5,)
+    )
+    assert empty.count() == 0
+    assert empty.columns == [
+        "prob", "rank", "n_sample", "estimate", "exact"
+    ]
+    with pytest.raises(ValueError):
+        kmv_quantiles(small, "value", "id", k=1)
+    with pytest.raises(ValueError):
+        kmv_quantiles(small, "value", "id", probs=(0.0,))
+    with pytest.raises(ValueError):
+        kmv_quantiles(small, "value", "id", probs=())

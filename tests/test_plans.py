@@ -337,6 +337,10 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         "q96_ppl_buckets", "q97_importance_weights", "q98_kneser_ney",
         # q103: the same 1-row total inside the order-5 backoff chain.
         "q103_fivegram_logprob",
+        # q104: the O(k) rank window over the bottom-k sample (k rows
+        # by construction — the q57 bounded kind) plus two 1-row count
+        # aggregates.
+        "q104_kmv_quantiles",
     }
     # Keyless broadcast joins whose build side is provably one row:
     # q77 crossJoins the one-row corpus-stats aggregate into the
@@ -364,6 +368,9 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # q103: q85/q91/q94's 1-row total build, crossJoined into the
         # unigram backoff table and the OOV floor.
         "q103_fivegram_logprob",
+        # q104: the 1-row n_sample / n_total count aggregates
+        # crossJoined into the |probs|-row target-rank table.
+        "q104_kmv_quantiles",
     }
     bad = {}
     for name, fn in em.queries().items():
@@ -685,7 +692,7 @@ def test_bnlj_allowlist_build_sides_are_one_row(spark):
         "q91_bigram_logprob", "q94_trigram_logprob",
         "q96_ppl_buckets", "q97_importance_weights",
         "q98_kneser_ney", "q101_kmv_set_overlap",
-        "q103_fivegram_logprob",
+        "q103_fivegram_logprob", "q104_kmv_quantiles",
     )
 
     def walk(n):

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "kmv_set_overlap"]
+__all__ = ["kmv_distinct", "kmv_quantiles", "kmv_set_overlap"]
 
 # Hash domain: the first 12 hex digits of md5, as an integer in
 # [0, 2^48). 48 bits keeps collisions negligible (< 1e-6 for k up to
@@ -186,4 +186,109 @@ def kmv_set_overlap(
         F.round(est_j, 6).alias("est_jaccard"),
         F.round(est_j * est_union, 4).alias("est_intersection"),
         exact.alias("exact"),
+    )
+
+
+def kmv_quantiles(
+    df: DataFrame,
+    value_col,
+    key_col,
+    probs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    k: int = 256,
+    salt: str = "kmvq",
+) -> DataFrame:
+    """Quantile estimates from a KMV bottom-k uniform row sample — the
+    deterministic, oracle-replayable alternative to approx_percentile
+    (Spark's GK/KLL-style sketches carry engine-specific state that
+    cannot be hash-checked across engines). The rows whose md5-hashed
+    ``key_col`` lands in the bottom k form a simple random sample
+    without replacement (the hash is uniform and independent of the
+    value), and the type-1 sample order statistic
+
+        estimate(p) = value at rank max(1, ceil(p * n_sample))
+
+    is a consistent estimator of the population quantile with the
+    usual O(1/sqrt(k)) sampling error. Everything is md5 order
+    statistics + integer ranks, so both engines compute the identical
+    sample and the identical estimates.
+
+    ``key_col`` must be unique per row (the usual surrogate id) — a
+    repeated key would under-weight its rows. Rows with a null key or
+    null value are ignored. ``exact = true`` when the sample IS the
+    whole input (n_total <= k).
+
+    Plan shape: one hash projection (codegen), one distributed
+    bottom-k (TakeOrdered — no global sort), one O(k) single-partition
+    rank window over the sample (bounded by construction), one 1-row
+    total count, and two broadcast joins of |probs| rows. Sketch state
+    is k (hash, value) rows at any input size and merges by union +
+    re-bottom-k on the carried hash, so day-over-day quantiles never
+    rescan history.
+
+    Returns one row per prob, ordered:
+    ``(prob, rank, n_sample, estimate, exact)``; empty input gives an
+    empty result.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    probs = [float(p) for p in probs]
+    if not probs or any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError("probs must be non-empty, each in (0, 1]")
+    kc = F.col(key_col) if isinstance(key_col, str) else key_col
+    vc = (F.col(value_col) if isinstance(value_col, str) else value_col)
+    vc = vc.cast("double")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), kc.cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_h")
+    )
+    kept = df.where(kc.isNotNull() & vc.isNotNull())
+    samp = kept.select(h, vc.alias("_v")).orderBy("_h").limit(k)
+    ranked = samp.select(
+        "_v",
+        F.row_number()
+        .over(Window.orderBy("_v", "_h"))
+        .alias("_r"),
+    )
+    n_samp = samp.agg(F.count("*").cast("long").alias("n_sample"))
+    n_total = kept.agg(F.count("*").cast("long").alias("_n_total"))
+    pr = df.sparkSession.createDataFrame(
+        [(p,) for p in probs], "prob: double"
+    )
+    tgt = (
+        pr.crossJoin(F.broadcast(n_samp))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "prob",
+            "n_sample",
+            "_n_total",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("prob") * F.col("n_sample")),
+            )
+            .cast("int")
+            .alias("rank"),
+        )
+    )
+    return (
+        F.broadcast(tgt)
+        .join(ranked, tgt["rank"] == ranked["_r"])
+        .select(
+            "prob",
+            "rank",
+            "n_sample",
+            F.col("_v").alias("estimate"),
+            (F.col("n_sample") >= F.col("_n_total")).alias("exact"),
+        )
+        .orderBy("prob")
     )
