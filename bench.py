@@ -347,6 +347,111 @@ def _bin_width_probe(spark) -> dict:
     return out
 
 
+def _q102_sink_probe(spark) -> dict:
+    """Measured cost of stream_semantic_dedup_insert's per-batch pair
+    scan, old vs new implementation, at a 10x batch (the round-7
+    vectorization's receipt): the same (batch-assignment x
+    corpus-assignment) cluster join scored two ways — the r6
+    interpreted aggregate(zip_with) per-pair fold vs the r7
+    cluster-cogrouped blocked-Gram applyInPandas. Both produce
+    identical pairs (asserted); the timings show the fold cost gone.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from tinyflux_spark.operators.similarity import (
+        _GRAM_BLOCK,
+        ivf_centroids,
+        semantic_assign,
+    )
+    from tinyflux_spark.operators.text import embed_bow
+
+    docs = entry_mod._t("documents")(spark, SF_DIR)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    # 10x batch: the full shard replicated 10 times with disjoint ids
+    shard = docs.where(F.col("doc_id") % 5 == 0)
+    reps = spark.range(10).select(F.col("id").alias("_rep"))
+    batch = shard.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") * 10 + F.col("_rep")).alias("doc_id"), "text"
+    )
+    tau = 0.9
+    cvecs = embed_bow(corpus, "doc_id", "text", dim=64)
+    cents = ivf_centroids(cvecs, "id", "embedding", 16)
+    casg = semantic_assign(cvecs, cents, "id", "embedding").localCheckpoint()
+    basg = semantic_assign(
+        embed_bow(batch, "doc_id", "text", dim=64), cents, "id", "embedding"
+    ).localCheckpoint()
+    left = basg.select(
+        F.col("id").alias("id_left"), F.col("cluster").alias("_cl"),
+        F.col("_u").alias("_ul"),
+    )
+    right = casg.select(
+        F.col("id").alias("id_right"), F.col("cluster").alias("_cl"),
+        F.col("_u").alias("_ur"),
+    )
+
+    def fold_pairs():
+        dot = F.aggregate(
+            F.zip_with("_ul", "_ur", lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        return (
+            left.join(right, "_cl")
+            .select("id_left", "id_right", F.round(dot, 6).alias("cosine"))
+            .where(F.col("cosine") >= tau)
+        )
+
+    pre_tau = tau - 1e-6
+    _empty = pd.DataFrame(columns=["id_left", "id_right", "raw_cos"])
+
+    def _batch_pairs(lpdf, rpdf):
+        lk = lpdf[lpdf["_ul"].notna()].reset_index(drop=True)
+        rk = rpdf[rpdf["_ur"].notna()].reset_index(drop=True)
+        if lk.empty or rk.empty:
+            return _empty
+        XL = np.vstack(lk["_ul"].to_numpy())
+        XR = np.vstack(rk["_ur"].to_numpy())
+        frames = []
+        for lo in range(0, len(XR), _GRAM_BLOCK):
+            hi = min(lo + _GRAM_BLOCK, len(XR))
+            gram = np.zeros((len(XL), hi - lo))
+            for j in range(XL.shape[1]):
+                gram += np.outer(XL[:, j], XR[lo:hi, j])
+            ia, ib = np.nonzero(gram >= pre_tau)
+            if len(ia):
+                frames.append(pd.DataFrame({
+                    "id_left": lk["id_left"].to_numpy()[ia],
+                    "id_right": rk["id_right"].to_numpy()[ib + lo],
+                    "raw_cos": gram[ia, ib],
+                }))
+        return pd.concat(frames, ignore_index=True) if frames else _empty
+
+    def gram_pairs():
+        return (
+            left.groupBy("_cl").cogroup(right.groupBy("_cl"))
+            .applyInPandas(
+                _batch_pairs, "id_left long, id_right long, raw_cos double"
+            )
+            .select(
+                "id_left", "id_right",
+                F.round("raw_cos", 6).alias("cosine"),
+            )
+            .where(F.col("cosine") >= tau)
+        )
+
+    out: dict = {"batch_rows": batch.count()}
+    for label, build in (("fold_sec", fold_pairs), ("gram_sec", gram_pairs)):
+        build().write.format("noop").mode("overwrite").save()
+        out[label] = round(_timed(
+            lambda: build().write.format("noop").mode("overwrite").save()
+        ), 3)
+    out["results_agree"] = (
+        fold_pairs().exceptAll(gram_pairs()).isEmpty()
+        and gram_pairs().exceptAll(fold_pairs()).isEmpty()
+    )
+    return out
+
+
 def _skew_join_probe(spark) -> dict:
     """Measured AQE-skew-split vs salting comparison (the docstring on
     salted_join prescribes when to prefer each; this records the data).
@@ -817,6 +922,11 @@ def main() -> None:
         derived["skew_join_comparison"] = _skew_join_probe(spark)
     except Exception as e:  # noqa: BLE001
         errors["skew_join_probe"] = repr(e)[:200]
+
+    try:
+        derived["q102_sink_10x_batch"] = _q102_sink_probe(spark)
+    except Exception as e:  # noqa: BLE001
+        errors["q102_sink_probe"] = repr(e)[:200]
 
     # DML round-trip wall time, end to end (store build + 2 updates +
     # remove + read-back). Reported separately: the reference baseline
