@@ -2314,6 +2314,33 @@ def q104_kmv_quantiles(spark, sf_dir):
     )
 
 
+def q105_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): the corpus is
+    PQ-encoded (8 subspaces x 16 codes — 64 float32 dims become 8
+    int codes, the 32x memory story that makes 100 TB vector serving
+    possible), and the query runs an asymmetric-distance (ADC) top-10
+    over the CODES column only. The oracle replays the whole index:
+    the stride codebook, the per-subspace sq-L2 argmin encode (6dp
+    rounding, low-code ties), the DECIMAL(20,12)-quantized ADC lookup
+    table, and the order-independent m-term sum — so the compressed
+    index is hash-checked end to end. Composes with the IVF layout
+    (q59's partition dirs) for probe-then-ADC at scale."""
+    from tinyflux_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") != 0)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    books = pq_train(corpus, m=8, ksub=16)
+    codes = pq_encode(corpus, books)
+    return pq_adc_topk(codes, books, qvec, k=10).select(
+        F.col("id").alias("vec_id"), "adc_dist"
+    )
+
+
 def q103_fivegram_logprob(spark, sf_dir):
     """5-gram Stupid-Backoff LM with count pruning (Brants et al.
     2007's web-scale production configuration — Google's 5-gram MT LM
@@ -2479,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round (r8 rotation candidates):
         "q103_fivegram_logprob": q103_fivegram_logprob,
         "q104_kmv_quantiles": q104_kmv_quantiles,
+        "q105_pq_adc_topk": q105_pq_adc_topk,
     }
 
 
@@ -4655,6 +4683,78 @@ def oracle_sql() -> dict[str, str]:
                          END, 4) AS estimate,
                    (n_seen < 256) AS exact
             FROM a
+        """,
+        # q105: full PQ replay — the q52 stride codebook sliced into 8
+        # sub-codebooks, encode = per-(vec, subspace) argmin of the
+        # 6dp-rounded sq L2 (d = elementwise diff; list_dot_product(d,
+        # d) is the same left fold as the engine's zip_with square
+        # fold), ADC table = the query's sq L2 per (s, code) cast to
+        # DECIMAL(20,12) (the engines' shared double->decimal cast),
+        # per-vector distance = the exact decimal SUM of 8 looked-up
+        # entries (order-independent), top-10 ascending with id ties.
+        "q105_pq_adc_topk": """
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+            corpus AS (SELECT * FROM emb WHERE vec_id <> 0),
+            bounds AS (
+                SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM corpus
+            ),
+            cids AS (
+                SELECT MIN(vec_id) AS cid
+                FROM corpus, bounds
+                GROUP BY ((vec_id - lo) * 16) // (hi - lo + 1)
+            ),
+            cent AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1
+                           AS code,
+                       c.e AS ce
+                FROM corpus c JOIN cids ON c.vec_id = cids.cid
+            ),
+            sp AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+            book AS (
+                SELECT sp.s, cent.code,
+                       ce[sp.s * 8 + 1 : sp.s * 8 + 8] AS bsub
+                FROM cent, sp
+            ),
+            enc AS (
+                SELECT c.vec_id, sp.s,
+                       (SELECT b.code FROM book b
+                        WHERE b.s = sp.s
+                        ORDER BY ROUND(list_dot_product(
+                            list_transform(
+                                list_zip(c.e[sp.s*8+1 : sp.s*8+8],
+                                         b.bsub),
+                                p -> p[1] - p[2]),
+                            list_transform(
+                                list_zip(c.e[sp.s*8+1 : sp.s*8+8],
+                                         b.bsub),
+                                p -> p[1] - p[2])), 6),
+                                 b.code
+                        LIMIT 1) AS code
+                FROM corpus c, sp
+            ),
+            tbl AS (
+                SELECT b.s, b.code,
+                       CAST(list_dot_product(
+                           list_transform(
+                               list_zip(qe[b.s*8+1 : b.s*8+8], b.bsub),
+                               p -> p[1] - p[2]),
+                           list_transform(
+                               list_zip(qe[b.s*8+1 : b.s*8+8], b.bsub),
+                               p -> p[1] - p[2]))
+                           AS DECIMAL(20,12)) AS d
+                FROM book b, q
+            )
+            SELECT e.vec_id, CAST(SUM(t.d) AS DOUBLE) AS adc_dist
+            FROM enc e JOIN tbl t ON t.s = e.s AND t.code = e.code
+            GROUP BY e.vec_id
+            ORDER BY adc_dist, e.vec_id
+            LIMIT 10
         """,
         # q104: the bottom-256 rows by md5(event_id) are the uniform
         # sample; ROW_NUMBER over (value, hash) gives the order

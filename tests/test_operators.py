@@ -2506,3 +2506,98 @@ def test_kmv_quantiles_contracts(spark):
         kmv_quantiles(small, "value", "id", probs=(0.0,))
     with pytest.raises(ValueError):
         kmv_quantiles(small, "value", "id", probs=())
+
+
+def test_pq_family_matches_python_model(spark):
+    """pq_train/pq_encode/pq_adc_topk replayed in plain Python: the
+    stride codebook sliced per subspace, per-subspace argmin of the
+    6dp-rounded squared L2 (low-code ties), ADC = sum of the query's
+    per-(subspace, code) table entries quantized to 12dp — every code
+    and distance must match the engine exactly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pytest
+
+    from tinyflux_spark.operators import similarity as sim
+
+    dim, m, ksub = 12, 3, 4
+    rows = [
+        (i, [float(((i * 7 + j * 3) % 11) - 5) for j in range(dim)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    books = sim.pq_train(df, m=m, ksub=ksub)
+    assert books["m"] == m and books["sub"] == dim // m
+    assert len(books["books"]) == m
+    assert all(len(b) == ksub for b in books["books"])
+
+    # python model
+    by_id = dict(rows)
+    lo, hi = 0, 39
+    cids = {}
+    for i in range(40):
+        b = ((i - lo) * ksub) // (hi - lo + 1)
+        cids.setdefault(b, i)
+    cent = [by_id[cid] for cid in sorted(cids.values())]
+    model_books = [
+        [c[s * books["sub"]:(s + 1) * books["sub"]] for c in cent]
+        for s in range(m)
+    ]
+    assert books["books"] == model_books
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def enc(v):
+        out = []
+        for s in range(m):
+            seg = v[s * books["sub"]:(s + 1) * books["sub"]]
+            out.append(min(
+                range(ksub),
+                key=lambda c: (round(sqd(seg, model_books[s][c]), 6), c),
+            ))
+        return out
+
+    got_codes = {
+        r["id"]: list(r["codes"])
+        for r in sim.pq_encode(df, books).collect()
+    }
+    assert got_codes == {i: enc(v) for i, v in rows}
+
+    # ADC against vec 0's embedding over the rest
+    q = by_id[0]
+    corpus = df.where("vec_id <> 0")
+    top = sim.pq_adc_topk(
+        sim.pq_encode(corpus, books), books, q, k=5
+    ).collect()
+
+    def quant(x):
+        return Decimal(x).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+
+    def adc(v_codes):
+        return float(sum(
+            quant(sqd(q[s * books["sub"]:(s + 1) * books["sub"]],
+                      model_books[s][c]))
+            for s, c in enumerate(v_codes)
+        ))
+
+    model = sorted(
+        ((adc(enc(v)), i) for i, v in rows if i != 0)
+    )[:5]
+    assert [(r["adc_dist"], r["id"]) for r in top] == model
+    # validation
+    with pytest.raises(ValueError):
+        sim.pq_train(df, m=5, ksub=4)       # 12 % 5 != 0
+    with pytest.raises(ValueError):
+        sim.pq_adc_topk(
+            sim.pq_encode(df, books), books, q[:-1], k=5
+        )
+    with pytest.raises(ValueError):
+        sim.pq_train(df.where("vec_id < 0"), m=m, ksub=ksub)

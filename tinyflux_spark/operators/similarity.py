@@ -906,3 +906,183 @@ def semantic_dedup(
         "centroid_sim",
         F.coalesce("_d", F.lit(False)).alias("is_dup"),
     )
+
+
+def _sqdist_expr(vec: Column, lit_sub) -> Column:
+    """Squared L2 between a (sub)vector column and a literal subvector
+    as ONE left fold: term_i = (x_i - c_i)^2, acc += term_i — the same
+    per-element value and fold order as DuckDB's
+    ``list_dot_product(d, d)`` over ``d_i = x_i - c_i``, so distances
+    replay bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            _lit_vec(lit_sub),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+) -> dict:
+    """Deterministic product-quantization codebooks (Jégou et al.
+    2011, "Product Quantization for Nearest Neighbor Search"): the
+    vector dimension is cut into ``m`` contiguous subspaces and each
+    subspace's ``ksub``-entry codebook is the corresponding slice of
+    the same id-stride row sample :func:`ivf_centroids` uses — the
+    reproducible, oracle-replayable stand-in for per-subspace k-means
+    (which slots in unchanged: only the codebook values differ).
+
+    Returns ``{"m", "sub", "ksub", "books"}`` with ``books[s][c]`` the
+    c-th sub-codeword of subspace s — m * ksub * (dim/m) floats,
+    driver/broadcast-sized by construction.
+
+    Scale shape: training IS ivf_centroids' two bounded aggregations
+    (ksub rows ever reach the driver). PQ is the 100 TB vector-serving
+    memory story: dim float32 -> m uint8 codes per vector (32x at
+    dim=64/m=8), and ADC search reads ONLY the codes column.
+    """
+    if m < 1 or ksub < 2:
+        raise ValueError("m must be >= 1 and ksub >= 2")
+    cents = ivf_centroids(df, id_col, vec_col, ksub)
+    if not cents:
+        raise ValueError("pq_train: input has no rows")
+    dim = len(cents[0][1])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if len(cents) < ksub:
+        raise ValueError(
+            f"pq_train: only {len(cents)} distinct stride rows for "
+            f"ksub={ksub} — shrink ksub"
+        )
+    sub = dim // m
+    books = [
+        [
+            [float(x) for x in cvec[s * sub:(s + 1) * sub]]
+            for _, cvec in cents
+        ]
+        for s in range(m)
+    ]
+    return {"m": m, "sub": sub, "ksub": ksub, "books": books}
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every vector: per subspace, the code of the nearest
+    sub-codeword by squared L2 (distances rounded to 6dp before the
+    argmin so cross-engine ulp noise can't flip it; ties toward the
+    lower code — ivf_assign's convention). One narrow whole-stage-
+    codegen projection: m * ksub literal-subvector folds per row, no
+    shuffle, no UDF.
+
+    Returns ``(id, codes array<int>)`` — the m-byte compressed
+    representation that replaces the dim-float vector at serving time.
+    """
+    m, sub = codebooks["m"], codebooks["sub"]
+    books = codebooks["books"]
+    vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    codes = []
+    for s in range(m):
+        seg = F.slice(vc, s * sub + 1, sub)
+        cands = [
+            F.struct(
+                F.round(_sqdist_expr(seg, bsub), 6).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, bsub in enumerate(books[s])
+        ]
+        codes.append(F.array_min(F.array(*cands))["c"])
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array(*codes).cast("array<int>").alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebooks: dict,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the ADC of Jégou et
+    al. 2011): the query builds an m x ksub lookup table of squared
+    subspace distances ONCE (driver-side Python left folds — the same
+    IEEE op sequence as the engine/oracle folds, the shared-literal
+    convention), each table entry is DECIMAL(20,12)-quantized IN the
+    engine so the m-term per-row sum is exact and order-independent,
+    and every corpus row costs m array lookups + m decimal adds — the
+    codes column is the only thing read (column pruning: the raw
+    vectors never leave storage).
+
+    Approximation contract: ADC ranks by the PQ-reconstructed
+    distance, the standard recall/memory trade; re-rank the top
+    candidates against raw vectors when exactness matters. At 100 TB
+    this composes with the IVF layout (ivf_write_index): probe
+    nprobe list-partition directories, ADC-scan only their codes.
+
+    Returns the top ``k`` rows ``(id, adc_dist double)``, ascending,
+    ties broken by id.
+    """
+    m, sub, ksub = codebooks["m"], codebooks["sub"], codebooks["ksub"]
+    books = codebooks["books"]
+    q = [float(x) for x in query_vec]
+    if len(q) != m * sub:
+        raise ValueError(
+            f"query dim {len(q)} != codebook dim {m * sub}"
+        )
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def fold_sqdist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            acc += d * d
+        return acc
+
+    # Each table entry is pasted as the raw IEEE double (repr
+    # round-trips exactly) and cast to DECIMAL(20,12) IN the engine —
+    # the same double -> decimal cast the oracle performs on its
+    # identically-folded double, so the quantization rule is the
+    # engines' shared one (the q85..q103 LM convention), never a third
+    # Python-side rounding.
+    tables = []
+    for s in range(m):
+        qsub = q[s * sub:(s + 1) * sub]
+        tables.append(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"CAST({fold_sqdist(qsub, bsub)!r}D "
+                    "AS DECIMAL(20,12))"
+                    for bsub in books[s]
+                )
+                + ")"
+            )
+        )
+    cc = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    adc = None
+    for s in range(m):
+        term = F.element_at(tables[s], F.element_at(cc, s + 1) + 1)
+        adc = term if adc is None else adc + term
+    return (
+        codes_df.select(
+            F.col(id_col).alias("id"),
+            adc.cast("double").alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "id")
+        .limit(k)
+    )
