@@ -2314,6 +2314,48 @@ def q104_kmv_quantiles(spark, sf_dir):
     )
 
 
+def q106_stream_kmv_distinct(spark, sf_dir):
+    """Streaming KMV sketch maintenance end-to-end
+    (streaming/ingest.stream_kmv_insert): the 'new shard' of events
+    (event_id % 5 == 0) arrives as a finite file stream in three
+    micro-batches; each batch folds its distinct user-id hashes into
+    the persisted bottom-64 sketch (epoch=N idempotent overwrite,
+    reading the latest epoch strictly below — an at-least-once retry
+    recomputes instead of double-counting). Bottom-k merge is
+    associative, so the standing estimate equals the ONE-SHOT batch
+    sketch over the whole shard — the oracle is exactly q100's SQL on
+    the shard slice (stream == batch, the q93/q102 convention for the
+    sketch family)."""
+    import shutil
+    import tempfile
+
+    from tinyflux_spark.streaming import ingest as st
+
+    ev = _t("events")(spark, sf_dir)
+    shard = ev.where(F.col("event_id") % 5 == 0)
+    root = tempfile.mkdtemp(prefix="tfs_q106_")
+    try:
+        src = root + "/src"
+        shard.repartition(3).write.mode("overwrite").parquet(src)
+        stream = st.point_stream_from_files(
+            spark, src, shard.schema, max_files_per_trigger=1
+        )
+        q = st.stream_kmv_insert(
+            stream, root + "/state", "user_id", k=64,
+            checkpoint_dir=root + "/ck",
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "q106 stream_kmv_insert did not finish within 240s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        return st.kmv_state_estimate(spark, root + "/state").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q105_pq_adc_topk(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011): the corpus is
     PQ-encoded (8 subspaces x 16 codes — 64 float32 dims become 8
@@ -2507,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_fivegram_logprob": q103_fivegram_logprob,
         "q104_kmv_quantiles": q104_kmv_quantiles,
         "q105_pq_adc_topk": q105_pq_adc_topk,
+        "q106_stream_kmv_distinct": q106_stream_kmv_distinct,
     }
 
 
@@ -4682,6 +4725,31 @@ def oracle_sql() -> dict[str, str]:
                                        / 281474976710656.0)
                          END, 4) AS estimate,
                    (n_seen < 256) AS exact
+            FROM a
+        """,
+        # q106: stream == batch for the sketch family — bottom-k merge
+        # is associative, so the streamed sketch's standing estimate
+        # is exactly the one-shot q100 SQL over the shard slice.
+        "q106_stream_kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5('kmv:'
+                            || CAST(user_id AS VARCHAR)), 1, 12))
+                           ::BIGINT AS h
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id % 5 = 0
+            ),
+            b AS (SELECT h FROM h ORDER BY h LIMIT 64),
+            a AS (
+                SELECT COUNT(*) AS n_seen, MAX(h) AS kth_hash FROM b
+            )
+            SELECT n_seen, kth_hash,
+                   ROUND(CASE WHEN n_seen < 64
+                         THEN CAST(n_seen AS DOUBLE)
+                         ELSE 63.0 / (CAST(kth_hash AS DOUBLE)
+                                      / 281474976710656.0)
+                         END, 4) AS estimate,
+                   (n_seen < 64) AS exact
             FROM a
         """,
         # q105: full PQ replay — the q52 stride codebook sliced into 8

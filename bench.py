@@ -52,6 +52,7 @@ HEAVY = {
     # expensive pass.
     "q93_stream_near_dup", "q94_trigram_logprob",
     "q102_stream_semantic_dedup", "q103_fivegram_logprob",
+    "q106_stream_kmv_distinct",
     # q95/q99: clustering + within-cluster pair scan (EAGER_PER_RUN
     # rebuilds the checkpointed assignment inside the timed window)
     "q95_semantic_dedup", "q99_text_semantic_dedup",

@@ -673,3 +673,61 @@ def test_stream_semantic_dedup_matches_batch(spark, tmp_path):
         for root, _, files in os.walk(state) for f in files
     )
     assert mt2 == mt
+
+
+def test_stream_kmv_sketch_matches_batch_and_resumes(spark, tmp_path):
+    """stream_kmv_insert over 3 micro-batches == the one-shot batch
+    kmv_distinct (bottom-k merge associativity); a SECOND stream run
+    over new data resumes from the persisted sketch and folds it in;
+    mismatched parameters on reuse raise."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from tinyflux_spark.operators.sketches import kmv_distinct
+    from tinyflux_spark.streaming import ingest
+
+    rows1 = [(i, i % 300) for i in range(900)]
+    df1 = spark.createDataFrame(rows1, ["seq", "uid"])
+    src1 = str(tmp_path / "src1")
+    df1.repartition(3).write.parquet(src1)
+    schema = T.StructType([
+        T.StructField("seq", T.LongType()),
+        T.StructField("uid", T.LongType()),
+    ])
+    state = str(tmp_path / "state")
+    q = ingest.stream_kmv_insert(
+        ingest.point_stream_from_files(
+            spark, src1, schema, max_files_per_trigger=1
+        ),
+        state, "uid", k=64,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    assert q.awaitTermination(300) and q.exception() is None
+    got = ingest.kmv_state_estimate(spark, state).collect()[0]
+    want = kmv_distinct(df1, "uid", k=64).collect()[0]
+    assert got.asDict() == want.asDict()
+    # resume: second run over DISJOINT uids folds into the same state
+    rows2 = [(i, 1000 + i % 150) for i in range(300)]
+    df2 = spark.createDataFrame(rows2, ["seq", "uid"])
+    src2 = str(tmp_path / "src2")
+    df2.repartition(2).write.parquet(src2)
+    q2 = ingest.stream_kmv_insert(
+        ingest.point_stream_from_files(
+            spark, src2, schema, max_files_per_trigger=1
+        ),
+        state, "uid", k=64,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    assert q2.awaitTermination(300) and q2.exception() is None
+    got2 = ingest.kmv_state_estimate(spark, state).collect()[0]
+    want2 = kmv_distinct(df1.union(df2), "uid", k=64).collect()[0]
+    assert got2.asDict() == want2.asDict()
+    # param mismatch on reuse raises before any stream starts
+    with pytest.raises(ValueError, match="built with"):
+        ingest.stream_kmv_insert(
+            ingest.point_stream_from_files(
+                spark, src2, schema, max_files_per_trigger=1
+            ),
+            state, "uid", k=128,
+            checkpoint_dir=str(tmp_path / "ck3"),
+        )

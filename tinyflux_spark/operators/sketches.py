@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "kmv_quantiles", "kmv_set_overlap"]
+__all__ = [
+    "kmv_distinct",
+    "kmv_estimate_from_bottom",
+    "kmv_hash_col",
+    "kmv_quantiles",
+    "kmv_set_overlap",
+]
 
 # Hash domain: the first 12 hex digits of md5, as an integer in
 # [0, 2^48). 48 bits keeps collisions negligible (< 1e-6 for k up to
@@ -25,6 +31,49 @@ __all__ = ["kmv_distinct", "kmv_quantiles", "kmv_set_overlap"]
 # estimator's float math is identical in both engines.
 _KMV_BITS = 48
 _KMV_DOMAIN = float(1 << _KMV_BITS)
+
+
+def kmv_hash_col(col, salt: str = "kmv") -> Column:
+    """The family's shared hash projection: first 12 hex digits of
+    md5(salt:value) as a uniform integer in [0, 2^48) — aliased
+    ``_h``. One definition so batch sketches, streamed sketches and
+    SQL oracles can never drift."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_h")
+    )
+
+
+def kmv_estimate_from_bottom(bottom: DataFrame, k: int) -> DataFrame:
+    """Beyer et al. 2007's estimate from a materialized bottom-k hash
+    set (column ``_h``) — the read side of a persisted/streamed
+    sketch. Returns one row ``(n_seen, kth_hash, estimate, exact)``,
+    kmv_distinct's shape."""
+    agg = bottom.agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.max("_h").alias("kth_hash"),
+    )
+    exact = F.col("n_seen") < k
+    est = F.when(exact, F.col("n_seen").cast("double")).otherwise(
+        (F.lit(float(k - 1)))
+        / (F.col("kth_hash").cast("double") / F.lit(_KMV_DOMAIN))
+    )
+    return agg.select(
+        "n_seen",
+        "kth_hash",
+        F.round(est, 4).alias("estimate"),
+        exact.alias("exact"),
+    )
 
 
 def kmv_distinct(
@@ -58,41 +107,14 @@ def kmv_distinct(
     if k < 2:
         raise ValueError("k must be >= 2")
     c = F.col(col) if isinstance(col, str) else col
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("_h")
-    )
     bottom = (
         df.where(c.isNotNull())
-        .select(h)
+        .select(kmv_hash_col(c, salt))
         .distinct()
         .orderBy("_h")
         .limit(k)
     )
-    agg = bottom.agg(
-        F.count("*").cast("long").alias("n_seen"),
-        F.max("_h").alias("kth_hash"),
-    )
-    exact = F.col("n_seen") < k
-    est = F.when(exact, F.col("n_seen").cast("double")).otherwise(
-        (F.lit(float(k - 1)))
-        / (F.col("kth_hash").cast("double") / F.lit(_KMV_DOMAIN))
-    )
-    return agg.select(
-        "n_seen",
-        "kth_hash",
-        F.round(est, 4).alias("estimate"),
-        exact.alias("exact"),
-    )
+    return kmv_estimate_from_bottom(bottom, k)
 
 
 def kmv_set_overlap(

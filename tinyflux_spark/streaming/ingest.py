@@ -445,6 +445,130 @@ def stream_near_dup_insert(
     return writer.start()
 
 
+def stream_kmv_insert(
+    values_stream: DataFrame,
+    state_path: str,
+    col: str,
+    k: int = 256,
+    salt: str = "kmv",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Maintain a persisted KMV bottom-k distinct-count sketch of a
+    streamed column across micro-batches — the streaming form of
+    ``operators.sketches.kmv_distinct`` (q100), and the cheapest
+    standing answer to "how many distinct users/ids has this stream
+    ever seen" at 100 TB: state is k hashes regardless of history.
+
+    Bottom-k merge is associative and idempotent, so each micro-batch
+    folds in exactly: sketch_N = bottom-k(sketch_{N-1} ∪ distinct
+    hashes of batch N) — and the final sketch equals the one-shot
+    batch sketch over everything the stream ever carried
+    (stream == batch, the q93/q102 unification convention).
+
+    Durability/idempotence: each micro-batch reads the NEWEST
+    ``state_path/epoch=N`` dir, folds its batch in, and writes
+    ``epoch=N+1``. Because the fold is a set union + bottom-k, it is
+    idempotent and monotone — an at-least-once retry that re-folds
+    rows already absorbed (even from its own interrupted write)
+    changes nothing, so no epoch bookkeeping against the stream's
+    internal batch ids is needed, and new runs (fresh checkpoints)
+    resume seamlessly from any prior run's sketch. One writer per
+    state dir (foreachBatch serializes batches within a query; don't
+    point two live streams at one sketch). A ``_params.json``
+    manifest (col/k/salt) is stamped on first build and validated on
+    reuse — resuming with different parameters raises instead of
+    silently merging incompatible sketches. Read the standing
+    estimate with :func:`kmv_state_estimate`.
+    """
+    from ..operators.sketches import kmv_hash_col
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    spark = values_stream.sparkSession
+    params = {"kind": "kmv_sketch", "col": col, "k": k, "salt": salt}
+    fs, jroot = _hadoop_path(spark, state_path)
+    if fs.exists(jroot):
+        _check_params_manifest(
+            spark, state_path, params, "persisted KMV sketch"
+        )
+    else:
+        fs.mkdirs(jroot)
+        _write_params_manifest(spark, state_path, params)
+
+    def _latest_epoch():
+        best = None
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if name.startswith("epoch="):
+                e = int(name.split("=", 1)[1])
+                if best is None or e > best:
+                    best = e
+        return best
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        c = F.col(col)
+        new = (
+            batch_df.where(c.isNotNull())
+            .select(kmv_hash_col(c, salt))
+            .distinct()
+        )
+        prev = _latest_epoch()
+        if prev is not None:
+            new = new.union(
+                spark.read.parquet(f"{state_path}/epoch={prev}")
+            )
+        merged = new.distinct().orderBy("_h").limit(k)
+        merged.write.mode("overwrite").parquet(
+            "{}/epoch={}".format(
+                state_path, 0 if prev is None else prev + 1
+            )
+        )
+
+    writer = (
+        values_stream.writeStream.foreachBatch(sink).outputMode("append")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def kmv_state_estimate(spark: SparkSession, state_path: str) -> DataFrame:
+    """Standing estimate from a :func:`stream_kmv_insert` state dir:
+    reads the newest ``epoch=N`` sketch and applies Beyer et al.
+    2007's estimator — one k-row scan, kmv_distinct's output shape
+    ``(n_seen, kth_hash, estimate, exact)``. k comes from the
+    ``_params.json`` manifest, so the reader can never mis-estimate a
+    sketch built with a different k."""
+    from ..operators.sketches import kmv_estimate_from_bottom
+
+    fs, jroot = _hadoop_path(spark, state_path)
+    stream = fs.open(
+        spark._jvm.org.apache.hadoop.fs.Path(
+            state_path + "/_params.json"
+        )
+    )
+    try:
+        params = json.loads(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        )
+    finally:
+        stream.close()
+    epochs = [
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(jroot)
+        if st.getPath().getName().startswith("epoch=")
+    ]
+    if not epochs:
+        raise ValueError(f"no sketch epochs at {state_path!r}")
+    bottom = spark.read.parquet(f"{state_path}/epoch={max(epochs)}")
+    return kmv_estimate_from_bottom(bottom, int(params["k"]))
+
+
 def stream_rollup_insert(
     storage: Storage,
     points_stream: DataFrame,
