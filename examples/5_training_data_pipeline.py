@@ -277,6 +277,43 @@ def main() -> None:
     print(f"semantic dedup:    {sd.where('is_dup').count()} of "
           f"{sd.count()} vectors flagged semantic duplicates")
 
+    # 9. Compress the vector table for serving with product
+    # quantization (64 float32 dims -> 8 int codes), then answer a
+    # nearest-neighbor query from the CODES column alone (ADC).
+    from tinyflux_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    qvec = emb.limit(1).collect()[0]["embedding"]
+    books = pq_train(emb, m=8, ksub=16)
+    codes = pq_encode(emb, books)
+    nn = pq_adc_topk(codes, books, qvec, k=3).collect()
+    print("pq/adc top-3:     ",
+          [(r["id"], round(r["adc_dist"], 4)) for r in nn])
+
+    # 10. Corpus statistics without scans of raw values: a 5-gram
+    # pruned Stupid-Backoff LM score (the Brants 2007 production
+    # config) and KMV-sketched quantiles of document length.
+    from tinyflux_spark.operators.sketches import kmv_quantiles
+    from tinyflux_spark.operators.text import ngram_backoff_logprob
+
+    lm5 = ngram_backoff_logprob(
+        docs, "doc_id", "text", ref=docs.where(F.col("lang") == "en"),
+        order=5, alpha=0.4, prune_min_count=2,
+    )
+    row = lm5.agg(F.avg("avg_logp").alias("a"),
+                  F.avg("backoff_frac").alias("b")).collect()[0]
+    print(f"5-gram LM:         avg logp {row['a']:.3f}, "
+          f"backoff {row['b']:.1%} of positions")
+    quants = kmv_quantiles(
+        docs.select("doc_id", F.length("text").alias("len")),
+        "len", "doc_id", probs=(0.5, 0.9), k=256,
+    ).collect()
+    print("length quantiles:  ",
+          {r["prob"]: r["estimate"] for r in quants})
+
 
 if __name__ == "__main__":
     main()
