@@ -2383,6 +2383,28 @@ def q105_pq_adc_topk(spark, sf_dir):
     )
 
 
+def q107_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (the FAISS IVFPQ shape, minus residual
+    encoding so every stage replays in SQL): IVF probing prunes the
+    corpus to the 4 inverted lists nearest the query (~25% of rows),
+    then asymmetric-distance PQ ranks the survivors from their 8-int
+    codes alone — at scale the list id is a partition directory (q59)
+    and the codes column is stored beside it, so a query touches
+    nprobe directory scans of an m-int column and never a raw vector.
+    The oracle replays BOTH halves end to end: the shared stride
+    codebook, cosine assignment + probe ranking (q52's CTEs), the
+    per-subspace encode argmin and the DECIMAL-quantized ADC sum
+    (q105's CTEs) over the probed candidates only."""
+    from tinyflux_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t("embeddings")(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_pq_topk(
+        emb.where(F.col("vec_id") != 0), qvec, k=10,
+        num_centroids=16, nprobe=4, m=8, ksub=16,
+    ).select(F.col("id").alias("vec_id"), "adc_dist")
+
+
 def q103_fivegram_logprob(spark, sf_dir):
     """5-gram Stupid-Backoff LM with count pruning (Brants et al.
     2007's web-scale production configuration — Google's 5-gram MT LM
@@ -2550,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_kmv_quantiles": q104_kmv_quantiles,
         "q105_pq_adc_topk": q105_pq_adc_topk,
         "q106_stream_kmv_distinct": q106_stream_kmv_distinct,
+        "q107_ivf_pq_topk": q107_ivf_pq_topk,
     }
 
 
@@ -4726,6 +4749,98 @@ def oracle_sql() -> dict[str, str]:
                          END, 4) AS estimate,
                    (n_seen < 256) AS exact
             FROM a
+        """,
+        # q107: q52's IVF probe CTEs + q105's PQ encode/ADC CTEs over
+        # the probed candidates only — one shared stride codebook
+        # serves both halves (full vectors for IVF cosine, slices for
+        # the PQ sub-codebooks), exactly as the operator composes it.
+        "q107_ivf_pq_topk": """
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+            corpus AS (SELECT * FROM emb WHERE vec_id <> 0),
+            bounds AS (
+                SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM corpus
+            ),
+            cids AS (
+                SELECT MIN(vec_id) AS cid
+                FROM corpus, bounds
+                GROUP BY ((vec_id - lo) * 16) // (hi - lo + 1)
+            ),
+            cent AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1
+                           AS code,
+                       c.e AS ce
+                FROM corpus c JOIN cids ON c.vec_id = cids.cid
+            ),
+            asg AS (
+                SELECT c.vec_id, c.e,
+                       (SELECT code FROM cent
+                        ORDER BY ROUND(
+                            list_dot_product(c.e, ce)
+                            / (sqrt(list_dot_product(c.e, c.e))
+                               * sqrt(list_dot_product(ce, ce))), 6
+                        ) DESC, code
+                        LIMIT 1) AS lst
+                FROM corpus c
+            ),
+            probes AS (
+                SELECT code FROM cent, q
+                ORDER BY ROUND(
+                    list_dot_product(qe, ce)
+                    / (sqrt(list_dot_product(qe, qe))
+                       * sqrt(list_dot_product(ce, ce))), 6
+                ) DESC, code
+                LIMIT 4
+            ),
+            cand AS (
+                SELECT vec_id, e FROM asg
+                WHERE lst IN (SELECT code FROM probes)
+            ),
+            sp AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+            book AS (
+                SELECT sp.s, cent.code,
+                       ce[sp.s * 8 + 1 : sp.s * 8 + 8] AS bsub
+                FROM cent, sp
+            ),
+            enc AS (
+                SELECT c.vec_id, sp.s,
+                       (SELECT b.code FROM book b
+                        WHERE b.s = sp.s
+                        ORDER BY ROUND(list_dot_product(
+                            list_transform(
+                                list_zip(c.e[sp.s*8+1 : sp.s*8+8],
+                                         b.bsub),
+                                p -> p[1] - p[2]),
+                            list_transform(
+                                list_zip(c.e[sp.s*8+1 : sp.s*8+8],
+                                         b.bsub),
+                                p -> p[1] - p[2])), 6),
+                                 b.code
+                        LIMIT 1) AS code
+                FROM cand c, sp
+            ),
+            tbl AS (
+                SELECT b.s, b.code,
+                       CAST(list_dot_product(
+                           list_transform(
+                               list_zip(qe[b.s*8+1 : b.s*8+8], b.bsub),
+                               p -> p[1] - p[2]),
+                           list_transform(
+                               list_zip(qe[b.s*8+1 : b.s*8+8], b.bsub),
+                               p -> p[1] - p[2]))
+                           AS DECIMAL(20,12)) AS d
+                FROM book b, q
+            )
+            SELECT e.vec_id, CAST(SUM(t.d) AS DOUBLE) AS adc_dist
+            FROM enc e JOIN tbl t ON t.s = e.s AND t.code = e.code
+            GROUP BY e.vec_id
+            ORDER BY adc_dist, e.vec_id
+            LIMIT 10
         """,
         # q106: stream == batch for the sketch family — bottom-k merge
         # is associative, so the streamed sketch's standing estimate

@@ -2601,3 +2601,44 @@ def test_pq_family_matches_python_model(spark):
         )
     with pytest.raises(ValueError):
         sim.pq_train(df.where("vec_id < 0"), m=m, ksub=ksub)
+
+
+def test_ivf_pq_topk_composition(spark):
+    """ivf_pq_topk == pq_adc_topk restricted to the vectors ivf_assign
+    puts in the probed lists (the composition is exactly its parts),
+    and a self-query's own id ranks first at ADC distance 0."""
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    q = emb.where(F.col("vec_id") == 3).collect()[0]["embedding"]
+    got = sim.ivf_pq_topk(
+        emb, q, k=8, num_centroids=8, nprobe=3, m=8, ksub=8
+    ).collect()
+    # manual composition with the same artifacts
+    cents = sim.ivf_centroids(emb, "vec_id", "embedding", 8)
+    probes = sim._ivf_probes(cents, q, 3)
+    books = sim.pq_train(emb, m=8, ksub=8)
+    cand = emb.withColumn(
+        "_l", sim.ivf_assign(F.col("embedding"), cents)
+    ).where(F.col("_l").isin(probes))
+    want = sim.pq_adc_topk(
+        sim.pq_encode(cand, books), books, q, k=8
+    ).collect()
+    assert [(r["id"], r["adc_dist"]) for r in got] == [
+        (r["id"], r["adc_dist"]) for r in want
+    ]
+    # the query vector itself survives probing and ranks first; its
+    # ADC distance is its own quantization error (0 only for rows
+    # that ARE codebook entries), so just non-negative
+    assert got[0]["id"] == 3 and got[0]["adc_dist"] >= 0.0
+    # a codebook row queries itself at exactly 0: vec 0 is the min-id
+    # stride row of bucket 0
+    q0 = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    got0 = sim.ivf_pq_topk(
+        emb, q0, k=1, num_centroids=8, nprobe=3, m=8, ksub=8
+    ).collect()
+    assert got0[0]["id"] == 0 and got0[0]["adc_dist"] == 0.0

@@ -1086,3 +1086,43 @@ def pq_adc_topk(
         .orderBy("adc_dist", "id")
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composition that serves vector
+    search at 100 TB (the FAISS IVFPQ design, minus residual
+    encoding: codes quantize the raw vectors, so every stage stays
+    oracle-replayable): IVF probing prunes the corpus to ``nprobe``
+    inverted lists (~nprobe/K of the rows), and asymmetric-distance
+    PQ ranks the survivors from their m-int codes alone.
+
+    At scale both halves are precomputed once: the list id is a
+    partition directory (ivf_write_index's layout, q59) and the codes
+    column is stored next to it — a query then touches nprobe
+    directory scans of an m-int column, never a raw vector. This
+    composed operator runs the same plan inline: global PQ codebooks
+    (pq_train), IVF assignment filter, encode of the survivors, ADC.
+
+    Ranking contract: ADC distance ascending, ties by id — PQ's
+    reconstruction error means recall < 1 vs cosine_topk by design
+    (re-rank the top candidates on raw vectors when exactness
+    matters).
+    """
+    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    probes = _ivf_probes(cents, query_vec, nprobe)
+    books = pq_train(df, id_col, vec_col, m=m, ksub=ksub)
+    cand = df.withColumn(
+        "_ivf_list", ivf_assign(F.col(vec_col), cents)
+    ).where(F.col("_ivf_list").isin(probes))
+    codes = pq_encode(cand, books, id_col, vec_col)
+    return pq_adc_topk(codes, books, query_vec, k)
