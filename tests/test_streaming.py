@@ -731,3 +731,33 @@ def test_stream_kmv_sketch_matches_batch_and_resumes(spark, tmp_path):
             state, "uid", k=128,
             checkpoint_dir=str(tmp_path / "ck3"),
         )
+
+
+def test_persisted_state_without_manifest_refused(spark, tmp_path):
+    """A pre-manifest (or foreign) state directory is refused loudly:
+    reuse without knowing the build parameters could silently emit
+    wrong pairs."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from tinyflux_spark.streaming import ingest
+
+    # a parquet dir that LOOKS like persisted signatures but carries
+    # no _params.json
+    legacy = str(tmp_path / "legacy_sig")
+    spark.createDataFrame([(1, 0, "x")], ["doc_id", "band", "bsig"]) \
+        .write.parquet(legacy)
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    with pytest.raises(ValueError, match="no _params.json"):
+        ingest.stream_near_dup_insert(
+            ingest.point_stream_from_files(spark, src, schema),
+            docs, str(tmp_path / "res"), "doc_id",
+            signatures_path=legacy,
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
