@@ -908,23 +908,6 @@ def semantic_dedup(
     )
 
 
-def _sqdist_expr(vec: Column, lit_sub) -> Column:
-    """Squared L2 between a (sub)vector column and a literal subvector
-    as ONE left fold: term_i = (x_i - c_i)^2, acc += term_i — the same
-    per-element value and fold order as DuckDB's
-    ``list_dot_product(d, d)`` over ``d_i = x_i - c_i``, so distances
-    replay bit-for-bit."""
-    return F.aggregate(
-        F.zip_with(
-            vec,
-            _lit_vec(lit_sub),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def pq_train(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -988,24 +971,43 @@ def pq_encode(
 
     Returns ``(id, codes array<int>)`` — the m-byte compressed
     representation that replaces the dim-float vector at serving time.
+
+    The m * ksub fold expressions are built as ONE SQL string, not
+    Column-DSL objects: the DSL costs ~4 py4j driver roundtrips per
+    node and a 128-fold plan spent ~8s in the driver before any job
+    existed (the near_dup_pairs lesson); the parsed plan — and every
+    result — is identical. Each distance is a left fold of
+    ``(x_i - c_i)^2`` terms — the same per-element value and fold
+    order as DuckDB's ``list_dot_product(d, d)`` over elementwise
+    diffs, so the oracle replays every distance bit-for-bit.
     """
     m, sub = codebooks["m"], codebooks["sub"]
     books = codebooks["books"]
-    vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    codes = []
+    if isinstance(vec_col, str):
+        vname = vec_col
+    else:
+        df = df.withColumn("_pq_vec", vec_col)
+        vname = "_pq_vec"
+
+    def lit_arr(vals):
+        return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
+
+    code_exprs = []
     for s in range(m):
-        seg = F.slice(vc, s * sub + 1, sub)
-        cands = [
-            F.struct(
-                F.round(_sqdist_expr(seg, bsub), 6).alias("d"),
-                F.lit(c).alias("c"),
-            )
+        seg = f"slice(`{vname}`, {s * sub + 1}, {sub})"
+        cands = ", ".join(
+            "struct(round(aggregate(zip_with("
+            f"{seg}, {lit_arr(bsub)}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)"
+            "), 0.0D, (acc, v) -> acc + v), 6) AS d, "
+            f"{c} AS c)"
             for c, bsub in enumerate(books[s])
-        ]
-        codes.append(F.array_min(F.array(*cands))["c"])
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.array(*codes).cast("array<int>").alias("codes"),
+        )
+        code_exprs.append(f"array_min(array({cands})).c")
+    return df.selectExpr(
+        f"`{id_col}` AS id",
+        "CAST(array(" + ", ".join(code_exprs) + ") AS array<int>) "
+        "AS codes",
     )
 
 

@@ -50,6 +50,11 @@ PANEL = [
     ("q95_semantic_dedup", (1, 10, 100)),
     ("q99_text_semantic_dedup", (1, 10, 100)),
     ("q102_stream_semantic_dedup", (1, 10, 100)),
+    ("q103_fivegram_logprob", (1, 10, 100)),
+    ("q104_kmv_quantiles", (1, 10, 100)),
+    ("q105_pq_adc_topk", (1, 10, 100)),
+    ("q106_stream_kmv_distinct", (1, 10, 100)),
+    ("q107_ivf_pq_topk", (1, 10, 100)),
 ]
 
 # Queries whose probe builder takes the scale factor (K ~ sqrt(N) —
@@ -171,10 +176,14 @@ def run(out_path: str, dirs: dict[int, str]) -> None:
                     return fn(spark, sf_dir, f)
                 return fn(spark, sf_dir)
 
-            # q102 runs a whole fresh stream (state build + 3
-            # micro-batches) per build — warming it would double a
-            # multi-minute 100x run to shave ~10ms of JIT noise.
-            if name != "q102_stream_semantic_dedup":
+            # The streaming probes run a whole fresh stream (state
+            # build + micro-batches) per build — warming them would
+            # double a multi-minute 100x run to shave ~10ms of JIT
+            # noise.
+            if name not in (
+                "q102_stream_semantic_dedup",
+                "q106_stream_kmv_distinct",
+            ):
                 build().write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()
             df = build()  # fresh plan: the timed run owns its shuffles
