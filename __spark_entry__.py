@@ -2405,6 +2405,21 @@ def q107_ivf_pq_topk(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"), "adc_dist")
 
 
+def q108_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006) — the data-mixing primitive: 50 documents drawn with
+    inclusion probability proportional to length (swap in a q97 DSIR
+    weight or a quality score unchanged). Each row's deterministic
+    md5 uniform scores ln(u)/w, quantized to DECIMAL(20,12) (the LM
+    family's cross-engine ln rule), and ONE distributed top-k picks
+    the sample — no rand(), no global sort; reruns, repartitionings
+    and the oracle select the identical set."""
+    from tinyflux_spark.operators.sampling import weighted_sample
+
+    docs = _t("documents")(spark, sf_dir)
+    return weighted_sample(docs, "doc_id", "n_chars", k=50)
+
+
 def q103_fivegram_logprob(spark, sf_dir):
     """5-gram Stupid-Backoff LM with count pruning (Brants et al.
     2007's web-scale production configuration — Google's 5-gram MT LM
@@ -2573,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_pq_adc_topk": q105_pq_adc_topk,
         "q106_stream_kmv_distinct": q106_stream_kmv_distinct,
         "q107_ivf_pq_topk": q107_ivf_pq_topk,
+        "q108_weighted_sample": q108_weighted_sample,
     }
 
 
@@ -4749,6 +4765,29 @@ def oracle_sql() -> dict[str, str]:
                          END, 4) AS estimate,
                    (n_seen < 256) AS exact
             FROM a
+        """,
+        # q108: A-ES replay — u = (h+1)/2^48 from the shared 48-bit
+        # md5 projection, key = ln(u)/w cast to DECIMAL(20,12) (the
+        # LM family's cross-engine ln rule), top-50 by key desc with
+        # id ties; es_key cast back to double in the output.
+        "q108_weighted_sample": """
+            WITH s AS (
+                SELECT doc_id AS id,
+                       CAST(n_chars AS DOUBLE) AS weight,
+                       CAST(ln((('0x' || substr(md5('wsample:'
+                                || CAST(doc_id AS VARCHAR)), 1, 12))
+                                ::BIGINT + 1)
+                               / 281474976710656.0)
+                            / CAST(n_chars AS DOUBLE)
+                            AS DECIMAL(20,12)) AS k
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                      AND CAST(n_chars AS DOUBLE) > 0
+            )
+            SELECT id, weight, CAST(k AS DOUBLE) AS es_key
+            FROM s
+            ORDER BY k DESC, id
+            LIMIT 50
         """,
         # q107: q52's IVF probe CTEs + q105's PQ encode/ADC CTEs over
         # the probed candidates only — one shared stride codebook

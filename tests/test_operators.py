@@ -2642,3 +2642,46 @@ def test_ivf_pq_topk_composition(spark):
         emb, q0, k=1, num_centroids=8, nprobe=3, m=8, ksub=8
     ).collect()
     assert got0[0]["id"] == 0 and got0[0]["adc_dist"] == 0.0
+
+
+def test_weighted_sample_model(spark):
+    """A-ES weighted sampling replayed in plain Python: u = (h+1)/2^48
+    from md5, key = ln(u)/w quantized to 12dp, top-k by key desc with
+    id ties; null/zero/negative weights and null ids are excluded."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pytest
+
+    from tinyflux_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float((i * 37) % 91 + 1)) for i in range(200)]
+    rows += [(500, 0.0), (501, -3.0), (502, None), (None, 5.0)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: double")
+    got = [
+        (r["id"], r["weight"], r["es_key"])
+        for r in weighted_sample(df, "doc_id", "w", k=20).collect()
+    ]
+
+    def key(i, w):
+        h = int(
+            hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:12], 16
+        )
+        u = float(h + 1) / float(1 << 48)
+        return Decimal(math.log(u) / w).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP
+        )
+
+    model = sorted(
+        ((key(i, w), -i) for i, w in rows[:200]), reverse=True
+    )[:20]
+    want = [(-ni, dict(rows[:200])[-ni], float(k)) for k, ni in model]
+    assert got == want
+    # every excluded row really is excluded
+    ids = {i for i, _, _ in got}
+    assert not ids & {500, 501, 502}
+    # k > n returns everything eligible
+    allr = weighted_sample(df, "doc_id", "w", k=10_000).collect()
+    assert len(allr) == 200
+    with pytest.raises(ValueError):
+        weighted_sample(df, "doc_id", "w", k=0)

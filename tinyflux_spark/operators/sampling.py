@@ -26,6 +26,7 @@ __all__ = [
     "shard_assign",
     "stratified_quota",
     "temperature_sample",
+    "weighted_sample",
 ]
 
 # Number of distinct values of the 4-hex-digit hash prefix.
@@ -329,4 +330,74 @@ def importance_weights(
     return src.join(F.broadcast(ratio), "b").groupBy("id").agg(
         F.count("*").alias("n_tokens"),
         F.sum("_lr").cast("double").alias("log_weight"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col,
+    weight_col,
+    k: int = 100,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006): each row draws the deterministic uniform
+    ``u = h / 2^48`` (md5 order statistics — the KMV family's hash,
+    never ``rand()``), scores ``key = ln(u) / w``, and the k rows
+    with the LARGEST keys are the sample — exactly equivalent to the
+    classic ``u^(1/w)`` top-k (ln is monotone), with each row's
+    inclusion probability proportional to its weight among the
+    remaining rows, the A-ES guarantee. The data-mixing primitive:
+    pair it with importance_weights (q97) or a quality score and the
+    corpus subsample tilts toward the target distribution while
+    staying reproducible across runs, partitionings and engines.
+
+    Determinism across engines: u is an exact dyadic rational both
+    engines compute identically; ``ln(u)/w`` is quantized to
+    DECIMAL(20,12) (the LM family's cross-engine rule for ln) before
+    ranking, with id as the tie-break, so the selected SET is
+    bit-stable. Rows with a null id, null weight, or weight <= 0 are
+    excluded (a zero-weight row must never be drawn; ln(u)/0 is not a
+    number).
+
+    Plan shape: one hash projection (codegen) and ONE distributed
+    top-k (TakeOrdered — no global sort, no shuffle of the corpus).
+    At 100 TB this is a single scan emitting k rows.
+
+    Returns the k sampled rows ``(id, weight double,
+    es_key double — the quantized ranking key, cast back for
+    consumers)``, ordered by key descending then id.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    wc = wc.cast("double")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), idc.cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    # u in (0, 1]: (h + 1) / 2^48 — h == 0 must not produce ln(0)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 48))
+    key = (F.log(u) / wc).cast("decimal(20,12)")
+    return (
+        df.where(idc.isNotNull() & wc.isNotNull() & (wc > 0))
+        .select(
+            idc.alias("id"),
+            wc.alias("weight"),
+            key.alias("_k"),
+        )
+        .orderBy(F.col("_k").desc(), F.col("id"))
+        .limit(k)
+        .select(
+            "id", "weight", F.col("_k").cast("double").alias("es_key")
+        )
     )
