@@ -2463,20 +2463,80 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS artifact records
     # only the FIRST 50 entries. The order rotates each round so every
-    # query periodically lands in that window. Round 7: q101 (KMV set
-    # overlap) and q102 (streaming semantic dedup) lead — both were
-    # registered after round 6's window froze and have never had a
-    # driver row; then q89, whose r5 row predates the round-6 binary
-    # md5 fingerprint change (commit b0724b6); then the 9 queries that
-    # sat just below round 6's window (q01, q04, q06, q18, q19, q37,
-    # q47, q50, q76 — all r5-green at current semantics); the
-    # remaining 38 slots hold the longest-unrefreshed r5 rows (q09,
-    # q11–q16, q20–q32, q34–q36, q39–q41, q77–q88). After this round
-    # every registry entry has a driver row at current semantics.
-    # q90/q17 and the 40 r6-green rows sit below; new operators land
-    # below the window as r8 rotation candidates. tools/check_gate.py
-    # remains the per-commit guard over the full registry.
+    # query periodically lands in that window. Round 8: the six round-7
+    # operators (q103–q108) lead — registered after round 7's window
+    # froze, never driver-gated — then q99 (its r7 plan trim post-dates
+    # its r6 row); the remaining 43 slots follow VERDICT r7's rotation
+    # list: the r6-green rows longest unrefreshed (q91–q98, q100,
+    # q02/q03/q05/q07/q08/q10, q33, q38, q42–q46, q48/q49, then
+    # q51–q69 as space allows). q70–q75, q17, q90 just miss and lead
+    # the r9 rotation alongside the r7-window rows (q101/q102/q89/q01/
+    # q04/q06/... — all driver-green at r7 semantics). New round-8
+    # operators (q109–q111) land below the window as r9 candidates.
+    # tools/check_gate.py remains the per-commit guard over the full
+    # registry.
     return {
+        "q103_fivegram_logprob": q103_fivegram_logprob,
+        "q104_kmv_quantiles": q104_kmv_quantiles,
+        "q105_pq_adc_topk": q105_pq_adc_topk,
+        "q106_stream_kmv_distinct": q106_stream_kmv_distinct,
+        "q107_ivf_pq_topk": q107_ivf_pq_topk,
+        "q108_weighted_sample": q108_weighted_sample,
+        "q99_text_semantic_dedup": q99_text_semantic_dedup,
+        "q91_bigram_logprob": q91_bigram_logprob,
+        "q92_normalize_text": q92_normalize_text,
+        "q93_stream_near_dup": q93_stream_near_dup,
+        "q94_trigram_logprob": q94_trigram_logprob,
+        "q95_semantic_dedup": q95_semantic_dedup,
+        "q96_ppl_buckets": q96_ppl_buckets,
+        "q97_importance_weights": q97_importance_weights,
+        "q98_kneser_ney": q98_kneser_ney,
+        "q100_kmv_distinct": q100_kmv_distinct,
+        "q02_search_tag_eq": q02_search_tag_eq,
+        "q03_search_field_range": q03_search_field_range,
+        "q05_search_measurement_regex": q05_search_measurement_regex,
+        "q07_field_missing_key": q07_field_missing_key,
+        "q08_not_exists": q08_not_exists,
+        "q10_select_projection": q10_select_projection,
+        "q33_media_features": q33_media_features,
+        "q38_get_contains": q38_get_contains,
+        "q42_all_len_iter": q42_all_len_iter,
+        "q43_update_all": q43_update_all,
+        "q44_remove_all": q44_remove_all,
+        "q45_drop_measurement": q45_drop_measurement,
+        "q46_insert_point_path": q46_insert_point_path,
+        "q48_search_predicate": q48_search_predicate,
+        "q49_measurement_handle": q49_measurement_handle,
+        "q51_dedup_clusters": q51_dedup_clusters,
+        "q52_ivf_ann_topk": q52_ivf_ann_topk,
+        "q53_hash_sample": q53_hash_sample,
+        "q54_repetition_stats": q54_repetition_stats,
+        "q55_source_quota": q55_source_quota,
+        "q56_embedding_dup_clusters": q56_embedding_dup_clusters,
+        "q57_length_deciles": q57_length_deciles,
+        "q58_dedup_keep_canonical": q58_dedup_keep_canonical,
+        "q59_ivf_indexed_topk": q59_ivf_indexed_topk,
+        "q60_resample_gapfill": q60_resample_gapfill,
+        "q61_rolling_zscore": q61_rolling_zscore,
+        "q62_top_tokens": q62_top_tokens,
+        "q63_scrub_pii": q63_scrub_pii,
+        "q64_chunk_documents": q64_chunk_documents,
+        "q65_derivative": q65_derivative,
+        "q66_percentiles": q66_percentiles,
+        "q67_db_sql": q67_db_sql,
+        "q68_downsample": q68_downsample,
+        "q69_from_table": q69_from_table,
+        # --- driver window boundary (50 above; below all have
+        # r5/r6/r7 driver-green rows at current semantics and stay
+        # gated by tools/check_gate.py) ---
+        "q70_stream_rollup_store": q70_stream_rollup_store,
+        "q71_time_travel": q71_time_travel,
+        "q72_decontaminate": q72_decontaminate,
+        "q73_shard_assign": q73_shard_assign,
+        "q74_pack_sequences": q74_pack_sequences,
+        "q75_ivf_batch_topk": q75_ivf_batch_topk,
+        "q17_dedup_exact": q17_dedup_exact,
+        "q90_rollup_card": q90_rollup_card,
         "q101_kmv_set_overlap": q101_kmv_set_overlap,
         "q102_stream_semantic_dedup": q102_stream_semantic_dedup,
         "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
@@ -2527,68 +2587,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_salted_join": q86_salted_join,
         "q87_version_diff": q87_version_diff,
         "q88_merge_intervals": q88_merge_intervals,
-        # --- driver window boundary (50 above; below all have
-        # r5/r6 driver-green rows at current semantics and stay
-        # gated by tools/check_gate.py) ---
-        "q90_rollup_card": q90_rollup_card,
-        "q17_dedup_exact": q17_dedup_exact,
-        "q02_search_tag_eq": q02_search_tag_eq,
-        "q03_search_field_range": q03_search_field_range,
-        "q05_search_measurement_regex": q05_search_measurement_regex,
-        "q07_field_missing_key": q07_field_missing_key,
-        "q08_not_exists": q08_not_exists,
-        "q10_select_projection": q10_select_projection,
-        "q33_media_features": q33_media_features,
-        "q38_get_contains": q38_get_contains,
-        "q42_all_len_iter": q42_all_len_iter,
-        "q43_update_all": q43_update_all,
-        "q44_remove_all": q44_remove_all,
-        "q45_drop_measurement": q45_drop_measurement,
-        "q46_insert_point_path": q46_insert_point_path,
-        "q48_search_predicate": q48_search_predicate,
-        "q49_measurement_handle": q49_measurement_handle,
-        "q51_dedup_clusters": q51_dedup_clusters,
-        "q52_ivf_ann_topk": q52_ivf_ann_topk,
-        "q53_hash_sample": q53_hash_sample,
-        "q54_repetition_stats": q54_repetition_stats,
-        "q55_source_quota": q55_source_quota,
-        "q56_embedding_dup_clusters": q56_embedding_dup_clusters,
-        "q57_length_deciles": q57_length_deciles,
-        "q58_dedup_keep_canonical": q58_dedup_keep_canonical,
-        "q59_ivf_indexed_topk": q59_ivf_indexed_topk,
-        "q60_resample_gapfill": q60_resample_gapfill,
-        "q61_rolling_zscore": q61_rolling_zscore,
-        "q62_top_tokens": q62_top_tokens,
-        "q63_scrub_pii": q63_scrub_pii,
-        "q64_chunk_documents": q64_chunk_documents,
-        "q65_derivative": q65_derivative,
-        "q66_percentiles": q66_percentiles,
-        "q67_db_sql": q67_db_sql,
-        "q68_downsample": q68_downsample,
-        "q69_from_table": q69_from_table,
-        "q70_stream_rollup_store": q70_stream_rollup_store,
-        "q71_time_travel": q71_time_travel,
-        "q72_decontaminate": q72_decontaminate,
-        "q73_shard_assign": q73_shard_assign,
-        "q74_pack_sequences": q74_pack_sequences,
-        "q75_ivf_batch_topk": q75_ivf_batch_topk,
-        "q91_bigram_logprob": q91_bigram_logprob,
-        "q92_normalize_text": q92_normalize_text,
-        "q93_stream_near_dup": q93_stream_near_dup,
-        "q94_trigram_logprob": q94_trigram_logprob,
-        "q95_semantic_dedup": q95_semantic_dedup,
-        "q96_ppl_buckets": q96_ppl_buckets,
-        "q97_importance_weights": q97_importance_weights,
-        "q98_kneser_ney": q98_kneser_ney,
-        "q99_text_semantic_dedup": q99_text_semantic_dedup,
-        "q100_kmv_distinct": q100_kmv_distinct,
-        # new this round (r8 rotation candidates):
-        "q103_fivegram_logprob": q103_fivegram_logprob,
-        "q104_kmv_quantiles": q104_kmv_quantiles,
-        "q105_pq_adc_topk": q105_pq_adc_topk,
-        "q106_stream_kmv_distinct": q106_stream_kmv_distinct,
-        "q107_ivf_pq_topk": q107_ivf_pq_topk,
-        "q108_weighted_sample": q108_weighted_sample,
     }
 
 
