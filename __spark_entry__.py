@@ -4765,8 +4765,9 @@ def oracle_sql() -> dict[str, str]:
             FROM a
         """,
         # q108: A-ES replay — u = (h+1)/2^48 from the shared 48-bit
-        # md5 projection, key = ln(u)/w cast to DECIMAL(20,12) (the
-        # LM family's cross-engine ln rule), top-50 by key desc with
+        # md5 projection, key = ln(u)/w cast to DECIMAL(38,12) (the
+        # LM family's cross-engine 1e-12 grid, 26 integer digits so
+        # tiny weights can't overflow), top-50 by key desc with
         # id ties; es_key cast back to double in the output.
         "q108_weighted_sample": """
             WITH s AS (
@@ -4777,7 +4778,7 @@ def oracle_sql() -> dict[str, str]:
                                 ::BIGINT + 1)
                                / 281474976710656.0)
                             / CAST(n_chars AS DOUBLE)
-                            AS DECIMAL(20,12)) AS k
+                            AS DECIMAL(38,12)) AS k
                 FROM documents
                 WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
                       AND CAST(n_chars AS DOUBLE) > 0

@@ -2685,3 +2685,50 @@ def test_weighted_sample_model(spark):
     assert len(allr) == 200
     with pytest.raises(ValueError):
         weighted_sample(df, "doc_id", "w", k=0)
+
+
+def test_pq_encode_drops_degenerate_rows(spark):
+    """pq_encode filters null vectors, wrong-length vectors and
+    null-element vectors instead of silently propagating NULL codes
+    into every downstream ADC sum (ADVICE r7)."""
+    from tinyflux_spark.operators import similarity as sim
+
+    dim, m, ksub = 8, 2, 4
+    good = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(dim)])
+        for i in range(1, 30)
+    ]
+    df = spark.createDataFrame(good, "vec_id: long, embedding: array<double>")
+    books = sim.pq_train(df, m=m, ksub=ksub)
+    bad = spark.createDataFrame(
+        [
+            (101, None),
+            (102, [1.0] * (dim - 1)),
+            (103, [1.0] * (dim - 2) + [None, 2.0]),
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    codes = sim.pq_encode(df.union(bad), books)
+    ids = {r["id"] for r in codes.collect()}
+    assert ids == {i for i, _ in good}
+    assert codes.where("codes IS NULL").count() == 0
+    # ADC over the cleaned codes has no NULL distances
+    adc = sim.pq_adc_topk(codes, books, good[0][1], k=5).collect()
+    assert all(r["adc_dist"] is not None for r in adc)
+
+
+def test_weighted_sample_tiny_weights_no_overflow(spark):
+    """DECIMAL(38,12) keys: weights far below 1 (q97 importance
+    weights are log-scale tiny) must not overflow the decimal into a
+    never-sampled NULL (ADVICE r7: (20,12) has only 8 integer digits,
+    so w ~ 4e-7 silently NULLed in Spark and raised in DuckDB)."""
+    from tinyflux_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1e-9 * ((i % 5) + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: double")
+    got = weighted_sample(df, "doc_id", "w", k=40).collect()
+    # every eligible row is sampled when k >= n — none lost to NULL keys
+    assert len(got) == 40
+    assert all(r["es_key"] is not None for r in got)
+    # keys really are in the ~1e10 magnitude range that overflowed (20,12)
+    assert min(r["es_key"] for r in got) < -1e8

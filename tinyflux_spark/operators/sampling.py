@@ -354,11 +354,14 @@ def weighted_sample(
 
     Determinism across engines: u is an exact dyadic rational both
     engines compute identically; ``ln(u)/w`` is quantized to
-    DECIMAL(20,12) (the LM family's cross-engine rule for ln) before
-    ranking, with id as the tie-break, so the selected SET is
-    bit-stable. Rows with a null id, null weight, or weight <= 0 are
-    excluded (a zero-weight row must never be drawn; ln(u)/0 is not a
-    number).
+    DECIMAL(38,12) (the LM family's cross-engine 1e-12 grid, widened
+    to 26 integer digits: ln(u) >= -34, so tiny weights — e.g. q97
+    importance weights — keep exact keys down to w ~ 1e-24 instead of
+    silently overflowing a (20,12) into a never-sampled NULL in one
+    engine and a cast error in the other) before ranking, with id as
+    the tie-break, so the selected SET is bit-stable. Rows with a
+    null id, null weight, or weight <= 0 are excluded (a zero-weight
+    row must never be drawn; ln(u)/0 is not a number).
 
     Plan shape: one hash projection (codegen) and ONE distributed
     top-k (TakeOrdered — no global sort, no shuffle of the corpus).
@@ -387,7 +390,7 @@ def weighted_sample(
     )
     # u in (0, 1]: (h + 1) / 2^48 — h == 0 must not produce ln(0)
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 48))
-    key = (F.log(u) / wc).cast("decimal(20,12)")
+    key = (F.log(u) / wc).cast("decimal(38,12)")
     return (
         df.where(idc.isNotNull() & wc.isNotNull() & (wc > 0))
         .select(

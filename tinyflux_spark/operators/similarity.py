@@ -980,6 +980,12 @@ def pq_encode(
     ``(x_i - c_i)^2`` terms — the same per-element value and fold
     order as DuckDB's ``list_dot_product(d, d)`` over elementwise
     diffs, so the oracle replays every distance bit-for-bit.
+
+    Degenerate rows — a null vector, a wrong-length vector, or a null
+    element — are dropped here rather than silently propagating NULL
+    codes into every downstream ADC sum (the cosine/semantic family's
+    explicit-sentinel discipline, applied as a filter because a row
+    with no valid code has no meaningful compressed form).
     """
     m, sub = codebooks["m"], codebooks["sub"]
     books = codebooks["books"]
@@ -988,6 +994,11 @@ def pq_encode(
     else:
         df = df.withColumn("_pq_vec", vec_col)
         vname = "_pq_vec"
+    df = df.where(
+        F.col(vname).isNotNull()
+        & (F.size(vname) == m * sub)
+        & ~F.expr(f"exists(`{vname}`, x -> x IS NULL)")
+    )
 
     def lit_arr(vals):
         return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"

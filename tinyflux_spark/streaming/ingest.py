@@ -55,6 +55,32 @@ def _write_params_manifest(
         out.close()
 
 
+def _read_params_manifest(spark: SparkSession, dir_path: str) -> dict:
+    """Read a ``_params.json`` manifest through the Hadoop FS API (so
+    any supported scheme works — ``spark.read.text`` can't: Spark's
+    hidden-file filter drops underscore-prefixed files even when named
+    explicitly). The byte-at-a-time py4j loop is fine: manifests are
+    ~100 bytes by construction."""
+    fs, mpath = _hadoop_path(spark, dir_path + "/_params.json")
+    if not fs.exists(mpath):
+        raise ValueError(
+            f"no _params.json manifest at {dir_path!r}; the state "
+            "predates manifest stamping or was built by other means — "
+            "delete it (or rebuild through this function) before reuse"
+        )
+    stream = fs.open(mpath)
+    try:
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+    finally:
+        stream.close()
+    return json.loads(buf.decode("utf-8"))
+
+
 def _check_params_manifest(
     spark: SparkSession, dir_path: str, params: dict, what: str
 ) -> None:
@@ -64,28 +90,47 @@ def _check_params_manifest(
     different n/num_hashes/bands/unit (or embed_dim/num_clusters)
     would emit wrong pairs with no error — the manifest turns that
     into a loud ValueError at start()."""
-    fs, mpath = _hadoop_path(spark, dir_path + "/_params.json")
-    if not fs.exists(mpath):
+    try:
+        stored = _read_params_manifest(spark, dir_path)
+    except ValueError:
         raise ValueError(
             f"{what} at {dir_path!r} has no _params.json manifest; it "
             "predates manifest stamping or was built by other means — "
             "delete it (or rebuild through this function) before reuse"
         )
-    stream = fs.open(mpath)
-    try:
-        stored = json.loads(
-            spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        )
-    finally:
-        stream.close()
     if stored != params:
         raise ValueError(
             f"{what} at {dir_path!r} was built with {stored}, but this "
             f"run asks for {params}; reusing it would emit wrong pairs "
             "— delete the state or pass matching parameters"
         )
+
+
+def _reset_stale_result_epochs(
+    spark: SparkSession, result_path: str, checkpoint_dir
+) -> None:
+    """Wipe ``epoch=N`` dirs left by a PRIOR run when this run's
+    checkpoint lineage is fresh.
+
+    The per-epoch overwrite sinks key their directories on
+    foreachBatch's epoch id, which restarts at 0 with a fresh
+    checkpoint — so a re-run against an existing ``result_path`` with
+    a new checkpoint would overwrite only the low epochs and leave a
+    prior run's higher-numbered dirs mixing stale pairs into
+    ``spark.read.parquet(result_path)``. A RESUMED checkpoint (its
+    ``offsets`` log has entries) keeps every dir: epoch numbering
+    continues and earlier epochs are this very run's committed
+    output."""
+    fs, jroot = _hadoop_path(spark, result_path)
+    if not fs.exists(jroot):
+        return
+    if checkpoint_dir:
+        ofs, opath = _hadoop_path(spark, checkpoint_dir + "/offsets")
+        if ofs.exists(opath) and len(ofs.listStatus(opath)) > 0:
+            return  # resumed lineage: numbering continues
+    for st in fs.listStatus(jroot):
+        if st.getPath().getName().startswith("epoch="):
+            fs.delete(st.getPath(), True)
 
 
 def point_stream_from_files(
@@ -396,10 +441,15 @@ def stream_near_dup_insert(
     idempotent instead of appending duplicate pairs. Read the result
     with ``spark.read.parquet(result_path)`` and project the pair
     columns (the discovered ``epoch`` partition column is bookkeeping).
+    Epoch numbering restarts at 0 with a fresh checkpoint, so starting
+    a NEW lineage against an existing ``result_path`` first wipes the
+    prior run's epoch dirs (a resumed checkpoint keeps them — they are
+    this lineage's own committed output).
     """
     from ..operators.dedup import banded_signatures, minhash_lsh_join
 
     spark = corpus.sparkSession
+    _reset_stale_result_epochs(spark, result_path, checkpoint_dir)
     kw = dict(text_col=text_col, n=n, num_hashes=num_hashes,
               bands=bands, unit=unit)
     if signatures_path is not None:
@@ -445,12 +495,35 @@ def stream_near_dup_insert(
     return writer.start()
 
 
+def _latest_committed_epoch(spark: SparkSession, state_path: str):
+    """Largest N for which ``state_path/epoch=N`` holds a committed
+    parquet write (its ``_SUCCESS`` marker exists). Marker-less dirs —
+    a crash between the first task file and the job commit — are
+    skipped, so readers fall back to the newest epoch that actually
+    finished."""
+    fs, jroot = _hadoop_path(spark, state_path)
+    best = None
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if not name.startswith("epoch="):
+            continue
+        e = int(name.split("=", 1)[1])
+        if best is None or e > best:
+            _, marker = _hadoop_path(
+                spark, f"{state_path}/{name}/_SUCCESS"
+            )
+            if fs.exists(marker):
+                best = e
+    return best
+
+
 def stream_kmv_insert(
     values_stream: DataFrame,
     state_path: str,
     col: str,
     k: int = 256,
     salt: str = "kmv",
+    keep_epochs: int = 2,
     checkpoint_dir: Optional[str] = None,
     trigger_available_now: bool = True,
 ):
@@ -467,24 +540,40 @@ def stream_kmv_insert(
     (stream == batch, the q93/q102 unification convention).
 
     Durability/idempotence: each micro-batch reads the NEWEST
-    ``state_path/epoch=N`` dir, folds its batch in, and writes
-    ``epoch=N+1``. Because the fold is a set union + bottom-k, it is
-    idempotent and monotone — an at-least-once retry that re-folds
-    rows already absorbed (even from its own interrupted write)
-    changes nothing, so no epoch bookkeeping against the stream's
-    internal batch ids is needed, and new runs (fresh checkpoints)
-    resume seamlessly from any prior run's sketch. One writer per
-    state dir (foreachBatch serializes batches within a query; don't
-    point two live streams at one sketch). A ``_params.json``
-    manifest (col/k/salt) is stamped on first build and validated on
-    reuse — resuming with different parameters raises instead of
-    silently merging incompatible sketches. Read the standing
-    estimate with :func:`kmv_state_estimate`.
+    **committed** ``state_path/epoch=N`` dir (committed = contains the
+    ``_SUCCESS`` marker the parquet job commit writes last — a crash
+    mid-write leaves a marker-less dir that is skipped, falling back
+    to the previous epoch, so a partial write can never become the
+    sketch lineage), folds its batch in, and writes ``epoch=N+1``.
+    Because the fold is a set union + bottom-k, it is idempotent and
+    monotone — an at-least-once retry that re-folds rows already
+    absorbed (even over its own interrupted write, which the retry
+    simply overwrites) changes nothing, so no epoch bookkeeping
+    against the stream's internal batch ids is needed, and new runs
+    (fresh checkpoints) resume seamlessly from any prior run's
+    sketch. One writer per state dir (foreachBatch serializes batches
+    within a query; don't point two live streams at one sketch). A
+    ``_params.json`` manifest (col/k/salt) is stamped on first build
+    and validated on reuse — resuming with different parameters
+    raises instead of silently merging incompatible sketches.
+
+    Retention: after each successful epoch write, epochs older than
+    the newest ``keep_epochs`` (>= 2: the new epoch plus crash-
+    recovery headroom — the same pattern as the MVCC storage layer's
+    ``keep_versions``) are deleted, so on-disk state stays bounded at
+    ``keep_epochs`` k-row dirs for any stream lifetime and the
+    latest-epoch listing never grows. Read the standing estimate with
+    :func:`kmv_state_estimate`.
     """
     from ..operators.sketches import kmv_hash_col
 
     if k < 2:
         raise ValueError("k must be >= 2")
+    if keep_epochs < 2:
+        raise ValueError(
+            "keep_epochs must be >= 2 (the new epoch plus one "
+            "predecessor of crash-recovery headroom)"
+        )
     spark = values_stream.sparkSession
     params = {"kind": "kmv_sketch", "col": col, "k": k, "salt": salt}
     fs, jroot = _hadoop_path(spark, state_path)
@@ -496,16 +585,6 @@ def stream_kmv_insert(
         fs.mkdirs(jroot)
         _write_params_manifest(spark, state_path, params)
 
-    def _latest_epoch():
-        best = None
-        for st in fs.listStatus(jroot):
-            name = st.getPath().getName()
-            if name.startswith("epoch="):
-                e = int(name.split("=", 1)[1])
-                if best is None or e > best:
-                    best = e
-        return best
-
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         c = F.col(col)
         new = (
@@ -513,17 +592,24 @@ def stream_kmv_insert(
             .select(kmv_hash_col(c, salt))
             .distinct()
         )
-        prev = _latest_epoch()
+        prev = _latest_committed_epoch(spark, state_path)
         if prev is not None:
             new = new.union(
                 spark.read.parquet(f"{state_path}/epoch={prev}")
             )
         merged = new.distinct().orderBy("_h").limit(k)
+        nxt = 0 if prev is None else prev + 1
         merged.write.mode("overwrite").parquet(
-            "{}/epoch={}".format(
-                state_path, 0 if prev is None else prev + 1
-            )
+            f"{state_path}/epoch={nxt}"
         )
+        # GC only after the new epoch committed: a failure above
+        # leaves every old epoch in place for the retry to read.
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if not name.startswith("epoch="):
+                continue
+            if int(name.split("=", 1)[1]) <= nxt - keep_epochs:
+                fs.delete(st.getPath(), True)
 
     writer = (
         values_stream.writeStream.foreachBatch(sink).outputMode("append")
@@ -537,35 +623,22 @@ def stream_kmv_insert(
 
 def kmv_state_estimate(spark: SparkSession, state_path: str) -> DataFrame:
     """Standing estimate from a :func:`stream_kmv_insert` state dir:
-    reads the newest ``epoch=N`` sketch and applies Beyer et al.
-    2007's estimator — one k-row scan, kmv_distinct's output shape
-    ``(n_seen, kth_hash, estimate, exact)``. k comes from the
-    ``_params.json`` manifest, so the reader can never mis-estimate a
-    sketch built with a different k."""
+    reads the newest **committed** ``epoch=N`` sketch (``_SUCCESS``
+    present — a crash-orphaned partial write is never estimated) and
+    applies Beyer et al. 2007's estimator — one k-row scan,
+    kmv_distinct's output shape ``(n_seen, kth_hash, estimate,
+    exact)``. k comes from the ``_params.json`` manifest, so the
+    reader can never mis-estimate a sketch built with a different
+    k."""
     from ..operators.sketches import kmv_estimate_from_bottom
 
-    fs, jroot = _hadoop_path(spark, state_path)
-    stream = fs.open(
-        spark._jvm.org.apache.hadoop.fs.Path(
-            state_path + "/_params.json"
+    params = _read_params_manifest(spark, state_path)
+    latest = _latest_committed_epoch(spark, state_path)
+    if latest is None:
+        raise ValueError(
+            f"no committed sketch epochs at {state_path!r}"
         )
-    )
-    try:
-        params = json.loads(
-            spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        )
-    finally:
-        stream.close()
-    epochs = [
-        int(st.getPath().getName().split("=", 1)[1])
-        for st in fs.listStatus(jroot)
-        if st.getPath().getName().startswith("epoch=")
-    ]
-    if not epochs:
-        raise ValueError(f"no sketch epochs at {state_path!r}")
-    bottom = spark.read.parquet(f"{state_path}/epoch={max(epochs)}")
+    bottom = spark.read.parquet(f"{state_path}/epoch={latest}")
     return kmv_estimate_from_bottom(bottom, int(params["k"]))
 
 
@@ -686,14 +759,19 @@ def stream_semantic_dedup_insert(
     per-epoch overwrite makes a retried batch idempotent instead of
     appending duplicate pairs (read with
     ``spark.read.parquet(result_path)`` and project the pair columns).
-    The batch equivalent (same codebook, same assignment, same
-    threshold) produces exactly the same pairs — the stream/batch
-    unification contract, oracle-shared in the q102 gate.
+    Epoch numbering restarts at 0 with a fresh checkpoint, so starting
+    a NEW lineage against an existing ``result_path`` first wipes the
+    prior run's epoch dirs (a resumed checkpoint keeps them — they are
+    this lineage's own committed output). The batch equivalent (same
+    codebook, same assignment, same threshold) produces exactly the
+    same pairs — the stream/batch unification contract, oracle-shared
+    in the q102 gate.
     """
     from ..operators.similarity import ivf_centroids, semantic_assign
     from ..operators.text import embed_bow
 
     spark = corpus.sparkSession
+    _reset_stale_result_epochs(spark, result_path, checkpoint_dir)
 
     def as_vecs(df: DataFrame) -> DataFrame:
         if vec_col is not None:
