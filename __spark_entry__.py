@@ -2360,13 +2360,18 @@ def q105_pq_adc_topk(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011): the corpus is
     PQ-encoded (8 subspaces x 16 codes — 64 float32 dims become 8
     int codes, the 32x memory story that makes 100 TB vector serving
-    possible), and the query runs an asymmetric-distance (ADC) top-10
-    over the CODES column only. The oracle replays the whole index:
-    the stride codebook, the per-subspace sq-L2 argmin encode (6dp
-    rounding, low-code ties), the DECIMAL(20,12)-quantized ADC lookup
-    table, and the order-independent m-term sum — so the compressed
-    index is hash-checked end to end. Composes with the IVF layout
-    (q59's partition dirs) for probe-then-ADC at scale."""
+    possible) with codebooks tightened by TWO deterministic Lloyd
+    rounds (pq_train refine_iters=2 — assignment by the shared argmin
+    convention, means on the 1e-6 floor grid so the k-means update
+    itself is bit-replayable; recall@10 vs exact cosine measured 0.16
+    stride -> 0.26 refined on this table), and the query runs an
+    asymmetric-distance (ADC) top-10 over the CODES column only. The
+    oracle replays the whole index: the stride init, both refinement
+    rounds' integer-grid means, the per-subspace sq-L2 argmin encode
+    (6dp rounding, low-code ties), the DECIMAL(20,12)-quantized ADC
+    lookup table, and the order-independent m-term sum — so the
+    compressed index is hash-checked end to end. Composes with the
+    IVF layout (q59's partition dirs) for probe-then-ADC at scale."""
     from tinyflux_spark.operators.similarity import (
         pq_adc_topk,
         pq_encode,
@@ -2376,7 +2381,7 @@ def q105_pq_adc_topk(spark, sf_dir):
     emb = _t("embeddings")(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") != 0)
     qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
-    books = pq_train(corpus, m=8, ksub=16)
+    books = pq_train(corpus, m=8, ksub=16, refine_iters=2)
     codes = pq_encode(corpus, books)
     return pq_adc_topk(codes, books, qvec, k=10).select(
         F.col("id").alias("vec_id"), "adc_dist"
@@ -2391,17 +2396,20 @@ def q107_ivf_pq_topk(spark, sf_dir):
     codes alone — at scale the list id is a partition directory (q59)
     and the codes column is stored beside it, so a query touches
     nprobe directory scans of an m-int column and never a raw vector.
-    The oracle replays BOTH halves end to end: the shared stride
-    codebook, cosine assignment + probe ranking (q52's CTEs), the
-    per-subspace encode argmin and the DECIMAL-quantized ADC sum
-    (q105's CTEs) over the probed candidates only."""
+    The PQ codebooks get q105's two deterministic Lloyd rounds
+    (trained on the full corpus before the probe filter, exactly as
+    the operator composes). The oracle replays BOTH halves end to
+    end: the shared stride init, cosine assignment + probe ranking
+    (q52's CTEs), both refinement rounds' integer-grid means, and the
+    per-subspace encode argmin + DECIMAL-quantized ADC sum (q105's
+    shared CTEs) over the probed candidates only."""
     from tinyflux_spark.operators.similarity import ivf_pq_topk
 
     emb = _t("embeddings")(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
     return ivf_pq_topk(
         emb.where(F.col("vec_id") != 0), qvec, k=10,
-        num_centroids=16, nprobe=4, m=8, ksub=16,
+        num_centroids=16, nprobe=4, m=8, ksub=16, pq_refine_iters=2,
     ).select(F.col("id").alias("vec_id"), "adc_dist")
 
 
@@ -2970,6 +2978,133 @@ _INCR_DEDUP_ORACLE = f"""
               AND j.id_b = greatest(c.id_left, c.id_right)
     WHERE j.jaccard >= 0.7
 """
+
+
+# ----------------------------------------------------------------------
+# PQ oracle family: shared CTE text for the q105/q107/q109/q111 replays.
+# The stride codebook (book0), optional Lloyd refinement rounds, the
+# per-(vector, subspace) encode argmin and the DECIMAL-quantized ADC
+# table are one set of definitions so the family cannot drift.
+# ----------------------------------------------------------------------
+
+# emb/q/corpus/bounds/cids/cent/sp/book0: full-vector stride codebook
+# (q52's derivation) sliced into 8 sub-codebooks of 8 dims each.
+_PQ_BASE_CTES = """emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+            corpus AS (SELECT * FROM emb WHERE vec_id <> 0),
+            bounds AS (
+                SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM corpus
+            ),
+            cids AS (
+                SELECT MIN(vec_id) AS cid
+                FROM corpus, bounds
+                GROUP BY ((vec_id - lo) * 16) // (hi - lo + 1)
+            ),
+            cent AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1
+                           AS code,
+                       c.e AS ce
+                FROM corpus c JOIN cids ON c.vec_id = cids.cid
+            ),
+            sp AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+            book0 AS (
+                SELECT sp.s, cent.code,
+                       ce[sp.s * 8 + 1 : sp.s * 8 + 8] AS bsub
+                FROM cent, sp
+            )"""
+
+
+def _pq_argmin_subq(book: str, seg: str) -> str:
+    """Correlated nearest-sub-codeword subquery: argmin of the
+    6dp-rounded squared L2 (d = elementwise diff; list_dot_product(d,
+    d) is the same left fold as the engine's zip_with square fold),
+    ties toward the lower code — pq_encode's convention verbatim."""
+    diff = f"list_transform(list_zip({seg}, b.bsub), p -> p[1] - p[2])"
+    return f"""(SELECT b.code FROM {book} b
+                        WHERE b.s = sp.s
+                        ORDER BY ROUND(list_dot_product(
+                            {diff},
+                            {diff}), 6),
+                                 b.code
+                        LIMIT 1)"""
+
+
+def _pq_refine_ctes(iters: int) -> str:
+    """Unrolled Lloyd refinement rounds, replaying pq_train's update
+    bit-for-bit: assign every subvector with the shared argmin, then
+    each (subspace, code) cluster's new codeword element d is
+    double(S)/double(n)/1e6 with S the exact integer sum of
+    floor(x*1e6) — floor has no rounding-tie ambiguity and both
+    divisions are single IEEE ops on exactly-representable operands,
+    so Spark, Python and DuckDB produce the identical double. Empty
+    clusters keep the previous codeword (the LEFT JOIN coalesce)."""
+    parts = []
+    for i in range(1, iters + 1):
+        prev = f"book{i - 1}"
+        parts.append(f""",
+            asg{i} AS (
+                SELECT c.vec_id, sp.s,
+                       c.e[sp.s*8+1 : sp.s*8+8] AS sv,
+                       {_pq_argmin_subq(prev, "c.e[sp.s*8+1 : sp.s*8+8]")} AS code
+                FROM corpus c, sp
+            ),
+            sm{i} AS (
+                SELECT a.s, a.code, r.i AS d,
+                       SUM(CAST(floor(a.sv[CAST(r.i AS INT)]
+                                      * 1000000.0) AS BIGINT)) AS sq,
+                       COUNT(*) AS n
+                FROM asg{i} a, UNNEST(range(1, 9)) AS r(i)
+                GROUP BY a.s, a.code, r.i
+            ),
+            nb{i} AS (
+                SELECT s, code,
+                       list(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+                            / 1000000.0 ORDER BY d) AS bsub
+                FROM sm{i} GROUP BY s, code
+            ),
+            book{i} AS (
+                SELECT b.s, b.code,
+                       coalesce(nb.bsub, b.bsub) AS bsub
+                FROM {prev} b
+                LEFT JOIN nb{i} nb ON nb.s = b.s AND nb.code = b.code
+            )""")
+    return "".join(parts)
+
+
+def _pq_enc_adc_sql(book: str, src: str, k: int = 10) -> str:
+    """Encode ``src`` rows against ``book`` and rank by the exact
+    decimal ADC sum — the tail every PQ oracle shares. Each ADC table
+    entry is the query's sq-L2 per (s, code) cast to DECIMAL(20,12)
+    (the engines' shared double->decimal cast); the m-term SUM is
+    order-independent; top-k ascending with id ties."""
+    diff = (
+        "list_transform(list_zip(qe[b.s*8+1 : b.s*8+8], b.bsub), "
+        "p -> p[1] - p[2])"
+    )
+    return f""",
+            enc AS (
+                SELECT c.vec_id, sp.s,
+                       {_pq_argmin_subq(book, "c.e[sp.s*8+1 : sp.s*8+8]")} AS code
+                FROM {src} c, sp
+            ),
+            tbl AS (
+                SELECT b.s, b.code,
+                       CAST(list_dot_product(
+                           {diff},
+                           {diff})
+                           AS DECIMAL(20,12)) AS d
+                FROM {book} b, q
+            )
+            SELECT e.vec_id, CAST(SUM(t.d) AS DOUBLE) AS adc_dist
+            FROM enc e JOIN tbl t ON t.s = e.s AND t.code = e.code
+            GROUP BY e.vec_id
+            ORDER BY adc_dist, e.vec_id
+            LIMIT {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4788,34 +4923,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY k DESC, id
             LIMIT 50
         """,
-        # q107: q52's IVF probe CTEs + q105's PQ encode/ADC CTEs over
-        # the probed candidates only — one shared stride codebook
-        # serves both halves (full vectors for IVF cosine, slices for
-        # the PQ sub-codebooks), exactly as the operator composes it.
-        "q107_ivf_pq_topk": """
-            WITH emb AS (
-                SELECT vec_id,
-                       list_transform(embedding,
-                                      x -> CAST(x AS DOUBLE)) AS e
-                FROM embeddings
-            ),
-            q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
-            corpus AS (SELECT * FROM emb WHERE vec_id <> 0),
-            bounds AS (
-                SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM corpus
-            ),
-            cids AS (
-                SELECT MIN(vec_id) AS cid
-                FROM corpus, bounds
-                GROUP BY ((vec_id - lo) * 16) // (hi - lo + 1)
-            ),
-            cent AS (
-                SELECT ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1
-                           AS code,
-                       c.e AS ce
-                FROM corpus c JOIN cids ON c.vec_id = cids.cid
-            ),
-            asg AS (
+        # q107: q52's IVF probe CTEs + the shared PQ CTEs over the
+        # probed candidates only — one shared stride init serves both
+        # halves (full vectors for IVF cosine, slices for the PQ
+        # sub-codebooks); the PQ half gets the same TWO Lloyd rounds
+        # as q105 (trained on the FULL corpus, exactly as ivf_pq_topk
+        # composes pq_train before the probe filter).
+        "q107_ivf_pq_topk": f"""
+            WITH {_PQ_BASE_CTES},
+            ivfasg AS (
                 SELECT c.vec_id, c.e,
                        (SELECT code FROM cent
                         ORDER BY ROUND(
@@ -4836,49 +4952,9 @@ def oracle_sql() -> dict[str, str]:
                 LIMIT 4
             ),
             cand AS (
-                SELECT vec_id, e FROM asg
+                SELECT vec_id, e FROM ivfasg
                 WHERE lst IN (SELECT code FROM probes)
-            ),
-            sp AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
-            book AS (
-                SELECT sp.s, cent.code,
-                       ce[sp.s * 8 + 1 : sp.s * 8 + 8] AS bsub
-                FROM cent, sp
-            ),
-            enc AS (
-                SELECT c.vec_id, sp.s,
-                       (SELECT b.code FROM book b
-                        WHERE b.s = sp.s
-                        ORDER BY ROUND(list_dot_product(
-                            list_transform(
-                                list_zip(c.e[sp.s*8+1 : sp.s*8+8],
-                                         b.bsub),
-                                p -> p[1] - p[2]),
-                            list_transform(
-                                list_zip(c.e[sp.s*8+1 : sp.s*8+8],
-                                         b.bsub),
-                                p -> p[1] - p[2])), 6),
-                                 b.code
-                        LIMIT 1) AS code
-                FROM cand c, sp
-            ),
-            tbl AS (
-                SELECT b.s, b.code,
-                       CAST(list_dot_product(
-                           list_transform(
-                               list_zip(qe[b.s*8+1 : b.s*8+8], b.bsub),
-                               p -> p[1] - p[2]),
-                           list_transform(
-                               list_zip(qe[b.s*8+1 : b.s*8+8], b.bsub),
-                               p -> p[1] - p[2]))
-                           AS DECIMAL(20,12)) AS d
-                FROM book b, q
-            )
-            SELECT e.vec_id, CAST(SUM(t.d) AS DOUBLE) AS adc_dist
-            FROM enc e JOIN tbl t ON t.s = e.s AND t.code = e.code
-            GROUP BY e.vec_id
-            ORDER BY adc_dist, e.vec_id
-            LIMIT 10
+            ){_pq_refine_ctes(2)}{_pq_enc_adc_sql("book2", "cand")}
         """,
         # q106: stream == batch for the sketch family — bottom-k merge
         # is associative, so the streamed sketch's standing estimate
@@ -4905,77 +4981,12 @@ def oracle_sql() -> dict[str, str]:
                    (n_seen < 64) AS exact
             FROM a
         """,
-        # q105: full PQ replay — the q52 stride codebook sliced into 8
-        # sub-codebooks, encode = per-(vec, subspace) argmin of the
-        # 6dp-rounded sq L2 (d = elementwise diff; list_dot_product(d,
-        # d) is the same left fold as the engine's zip_with square
-        # fold), ADC table = the query's sq L2 per (s, code) cast to
-        # DECIMAL(20,12) (the engines' shared double->decimal cast),
-        # per-vector distance = the exact decimal SUM of 8 looked-up
-        # entries (order-independent), top-10 ascending with id ties.
-        "q105_pq_adc_topk": """
-            WITH emb AS (
-                SELECT vec_id,
-                       list_transform(embedding,
-                                      x -> CAST(x AS DOUBLE)) AS e
-                FROM embeddings
-            ),
-            q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
-            corpus AS (SELECT * FROM emb WHERE vec_id <> 0),
-            bounds AS (
-                SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM corpus
-            ),
-            cids AS (
-                SELECT MIN(vec_id) AS cid
-                FROM corpus, bounds
-                GROUP BY ((vec_id - lo) * 16) // (hi - lo + 1)
-            ),
-            cent AS (
-                SELECT ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1
-                           AS code,
-                       c.e AS ce
-                FROM corpus c JOIN cids ON c.vec_id = cids.cid
-            ),
-            sp AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
-            book AS (
-                SELECT sp.s, cent.code,
-                       ce[sp.s * 8 + 1 : sp.s * 8 + 8] AS bsub
-                FROM cent, sp
-            ),
-            enc AS (
-                SELECT c.vec_id, sp.s,
-                       (SELECT b.code FROM book b
-                        WHERE b.s = sp.s
-                        ORDER BY ROUND(list_dot_product(
-                            list_transform(
-                                list_zip(c.e[sp.s*8+1 : sp.s*8+8],
-                                         b.bsub),
-                                p -> p[1] - p[2]),
-                            list_transform(
-                                list_zip(c.e[sp.s*8+1 : sp.s*8+8],
-                                         b.bsub),
-                                p -> p[1] - p[2])), 6),
-                                 b.code
-                        LIMIT 1) AS code
-                FROM corpus c, sp
-            ),
-            tbl AS (
-                SELECT b.s, b.code,
-                       CAST(list_dot_product(
-                           list_transform(
-                               list_zip(qe[b.s*8+1 : b.s*8+8], b.bsub),
-                               p -> p[1] - p[2]),
-                           list_transform(
-                               list_zip(qe[b.s*8+1 : b.s*8+8], b.bsub),
-                               p -> p[1] - p[2]))
-                           AS DECIMAL(20,12)) AS d
-                FROM book b, q
-            )
-            SELECT e.vec_id, CAST(SUM(t.d) AS DOUBLE) AS adc_dist
-            FROM enc e JOIN tbl t ON t.s = e.s AND t.code = e.code
-            GROUP BY e.vec_id
-            ORDER BY adc_dist, e.vec_id
-            LIMIT 10
+        # q105: full PQ replay — the q52 stride init sliced into 8
+        # sub-codebooks (_PQ_BASE_CTES), TWO unrolled Lloyd rounds
+        # (_pq_refine_ctes: shared argmin + integer-grid means), then
+        # the shared encode/ADC tail against the refined book2.
+        "q105_pq_adc_topk": f"""
+            WITH {_PQ_BASE_CTES}{_pq_refine_ctes(2)}{_pq_enc_adc_sql("book2", "corpus")}
         """,
         # q104: the bottom-256 rows by md5(event_id) are the uniform
         # sample; ROW_NUMBER over (value, hash) gives the order

@@ -640,9 +640,11 @@ EAGER_PER_RUN = {
 # Per-query timed runs (seconds) for the variance sidecar: sub-second
 # queries are at the mercy of driver GC / hypervisor jitter, and a
 # single timed run has repeatedly read as a phantom 1.5-2x "regression"
-# between rounds (q25/q41/q44 in r6). Non-HEAVY queries take the median
-# of 3 timed runs; HEAVY ones (seconds each, far above timer noise)
-# keep a single run so the harness budget goes to coverage.
+# between rounds (q25/q41/q44 in r6; then r7's single-run HEAVY numbers
+# for q19/q89 moved ±30% with no plan change, VERDICT r7 ask #3).
+# EVERY query now takes the median of 3 timed runs — HEAVY ones still
+# skip the extra warmups (their first timed run is already warm enough
+# at seconds per run, and the median absorbs any residual cold edge).
 QUERY_RUNS: dict[str, list[float]] = {}
 
 
@@ -650,15 +652,14 @@ def time_query(name, fn, spark) -> float:
     """Build the plan once, warm up, time execution — the reference
     times query *execution* against a prebuilt query object
     (performance_tests/benchmark.py:320-333); the DataFrame is this
-    engine's query object. Returns the median of 3 timed runs for
-    non-HEAVY queries (single run for HEAVY); raw runs go to
-    QUERY_RUNS for the derived.variance block."""
+    engine's query object. Returns the median of 3 timed runs; raw
+    runs go to QUERY_RUNS for the derived.variance block."""
     df = fn(spark, SF_DIR)
     for _ in range(1 if name in HEAVY else WARMUPS):
         df.write.format("noop").mode("overwrite").save()
     rebuild = name in EAGER_PER_RUN
     runs = []
-    for _ in range(1 if name in HEAVY else 3):
+    for _ in range(3):
         t0 = time.perf_counter()
         (fn(spark, SF_DIR) if rebuild else df).write.format("noop").mode(
             "overwrite"

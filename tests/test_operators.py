@@ -2732,3 +2732,226 @@ def test_weighted_sample_tiny_weights_no_overflow(spark):
     assert all(r["es_key"] is not None for r in got)
     # keys really are in the ~1e10 magnitude range that overflowed (20,12)
     assert min(r["es_key"] for r in got) < -1e8
+
+
+def test_pq_train_lloyd_round_exact_python_replay(spark):
+    """One pq_train refinement round replayed in plain Python: assign
+    each subvector by the 6dp-rounded sq-L2 argmin (ties to the lower
+    code), then each cluster's new codeword element is
+    double(sum(floor(x*1e6))) / n / 1e6 — the integer-grid mean both
+    engines compute bit-identically. Exact == on the books; empty
+    clusters keep their stride codeword; repeated runs identical."""
+    from tinyflux_spark.operators import similarity as sim
+
+    dim, m, ksub = 8, 2, 4
+    sub = dim // m
+    vecs = [
+        (i, [((i * 13 + j * 7) % 23) / 10.0 - 1.0 for j in range(dim)])
+        for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<double>")
+    b0 = sim.pq_train(df, m=m, ksub=ksub, refine_iters=0)
+    b1 = sim.pq_train(df, m=m, ksub=ksub, refine_iters=1)
+    assert b1 == sim.pq_train(df, m=m, ksub=ksub, refine_iters=1)
+
+    import math
+
+    def argmin_code(sv, book):
+        best = None
+        for c, bsub in enumerate(book):
+            d = 0.0
+            for x, y in zip(sv, bsub):
+                d += (x - y) * (x - y)
+            d = round(d, 6)  # float round == Spark/DuckDB ROUND at 6dp
+            if best is None or d < best[0]:
+                best = (d, c)
+        return best[1]
+
+    want = [list(map(list, book)) for book in b0["books"]]
+    for s in range(m):
+        groups = {}
+        for _, v in vecs:
+            sv = v[s * sub:(s + 1) * sub]
+            groups.setdefault(argmin_code(sv, b0["books"][s]), []).append(sv)
+        for c, members in groups.items():
+            n = len(members)
+            want[s][c] = [
+                sum(math.floor(sv[d] * 1e6) for sv in members) / n / 1e6
+                for d in range(sub)
+            ]
+    assert b1["books"] == want
+    # empty clusters (ksub near n with colliding subvectors) keep init
+    tiny = spark.createDataFrame(
+        vecs[:6], "vec_id: long, embedding: array<double>"
+    )
+    t0 = sim.pq_train(tiny, m=m, ksub=4, refine_iters=0)
+    t1 = sim.pq_train(tiny, m=m, ksub=4, refine_iters=1)
+    for s in range(m):
+        assigned = {
+            argmin_code(v[s * sub:(s + 1) * sub], t0["books"][s])
+            for _, v in vecs[:6]
+        }
+        for c in range(4):
+            if c not in assigned:
+                assert t1["books"][s][c] == t0["books"][s][c]
+
+
+def test_pq_refinement_improves_recall(spark):
+    """The verdict's Done criterion: measured recall@10 vs exact
+    cosine ground truth improves with Lloyd rounds — on the sf0.01
+    embeddings over 5 fixed queries the hit count is 8/50 stride vs
+    13/50 at 2 rounds (everything here is deterministic: same data,
+    same codebooks, same numbers every run). Quantization distortion
+    — the objective Lloyd actually minimizes — strictly decreases on
+    the sf0.001 table as well."""
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") != 0)
+    qids = [0, 7, 13, 29, 41]
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.where(F.col("vec_id").isin(qids)).collect()
+    }
+
+    def hits(iters):
+        books = sim.pq_train(corpus, m=8, ksub=16, refine_iters=iters)
+        codes = sim.pq_encode(corpus, books).localCheckpoint()
+        tot = 0
+        for qid, qv in qvecs.items():
+            truth = {
+                r["vec_id"]
+                for r in sim.cosine_topk(
+                    corpus.where(F.col("vec_id") != qid), qv, 10
+                ).collect()
+            }
+            got = {
+                r["id"]
+                for r in sim.pq_adc_topk(
+                    codes.where(F.col("id") != qid), books, qv, k=10
+                ).collect()
+            }
+            tot += len(truth & got)
+        return tot
+
+    h0, h2 = hits(0), hits(2)
+    assert h2 > h0, (h0, h2)
+
+    # distortion strictly improves on the small table too: total sq-L2
+    # of vectors to their assigned codewords
+    small = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).where(F.col("vec_id") != 0)
+
+    def distortion(iters):
+        books = sim.pq_train(small, m=8, ksub=16, refine_iters=iters)
+        codes = sim.pq_encode(small, books)
+        joined = small.join(codes, small["vec_id"] == codes["id"])
+        total = 0.0
+        for r in joined.select("embedding", "codes").collect():
+            for s in range(8):
+                bsub = books["books"][s][r["codes"][s]]
+                seg = r["embedding"][s * 8:(s + 1) * 8]
+                total += sum((x - y) ** 2 for x, y in zip(seg, bsub))
+        return total
+
+    assert distortion(2) < distortion(0)
+
+
+def test_ivf_centroids_refinement_exact_replay_and_distortion(spark):
+    """ivf_centroids(refine_iters=1) replayed in plain Python
+    (ivf_assign's rounded-cosine argmax with low-index ties, then the
+    integer-grid mean), and the spherical-k-means objective (mean
+    cosine of each vector to its centroid) does not degrade."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") != 0)
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in corpus.collect()
+    ]
+    c0 = sim.ivf_centroids(corpus, num_centroids=8, refine_iters=0)
+    c1 = sim.ivf_centroids(corpus, num_centroids=8, refine_iters=1)
+    assert c1 == sim.ivf_centroids(corpus, num_centroids=8, refine_iters=1)
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def assign(v, cents):
+        nv = math.sqrt(dot(v, v))
+        best = None
+        for i, cv in cents:
+            den = nv * math.sqrt(dot(cv, cv))
+            s = round(dot(v, cv) / den, 6) if den > 0 else -2.0
+            if best is None or s > best[0]:
+                best = (s, i)
+        return best[1]
+
+    groups = {}
+    for _, v in rows:
+        groups.setdefault(assign(v, c0), []).append(v)
+    dim = len(rows[0][1])
+    want = []
+    for i, cv in c0:
+        if i in groups:
+            n = len(groups[i])
+            want.append((i, [
+                sum(math.floor(v[d] * 1e6) for v in groups[i]) / n / 1e6
+                for d in range(dim)
+            ]))
+        else:
+            want.append((i, cv))
+    assert c1 == want
+
+    def objective(cents):
+        tot = 0.0
+        for _, v in rows:
+            nv = math.sqrt(dot(v, v))
+            best = max(
+                round(dot(v, cv) / (nv * math.sqrt(dot(cv, cv))), 6)
+                for _, cv in cents
+            )
+            tot += best
+        return tot / len(rows)
+
+    assert objective(c1) >= objective(c0)
+
+
+def test_pq_adc_rerank_recovers_exact_topk(spark):
+    """pq_adc_topk(rerank=c): ADC prunes to c candidates, the exact
+    cosine re-score over ONLY those c rows returns cosine_topk's
+    result at modest c (c=200 of 1999 — 10% of the corpus — recovers
+    the exact top-10 on the sf0.01 table; deterministic, same data
+    same result), and the raw-vector scan carries a pushed-down IN
+    filter of the c ids (never a full raw pass)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") != 0)
+    qvec = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    books = sim.pq_train(corpus, m=8, ksub=16, refine_iters=2)
+    codes = sim.pq_encode(corpus, books).localCheckpoint()
+    exact = sim.cosine_topk(corpus, qvec, 10).collect()
+    got = sim.pq_adc_topk(
+        codes, books, qvec, k=10, rerank=200,
+        raw_df=corpus,
+    )
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "In(vec_id" in plan, plan[:2000]
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exact]
+    with pytest.raises(ValueError, match="rerank must be >= k"):
+        sim.pq_adc_topk(codes, books, qvec, k=10, rerank=5, raw_df=corpus)
+    with pytest.raises(ValueError, match="requires raw_df"):
+        sim.pq_adc_topk(codes, books, qvec, k=10, rerank=50)

@@ -237,22 +237,32 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_centroids: int = 16,
+    refine_iters: int = 0,
 ):
     """Deterministic coarse-quantizer codebook: the id domain [lo, hi]
     is cut into K equal integer buckets and the min-id vector of each
     bucket is taken — a uniform stride over the id range (ids are
     arbitrary w.r.t. embedding space, so this is a uniform sample —
-    the reproducible, oracle-replayable stand-in for an offline k-means
-    training job, which would slot in here unchanged since only the
-    codebook values differ). Returns ``[(centroid_idx, vector), ...]``
-    collected to the driver (K x dim floats — broadcast-sized by
-    construction).
+    a reproducible, oracle-replayable k-means init). ``refine_iters``
+    Lloyd rounds then optionally move each centroid to its assigned
+    cluster's mean: assignment is exactly :func:`ivf_assign`'s
+    (6dp-rounded cosine argmax, ties toward the lower index, zero-norm
+    sentinel), the mean is computed on the 1e-6 ``floor`` quantization
+    grid (:func:`_quantized_mean` — integer sums, partition-order-
+    independent, bit-replayable in SQL), and an empty cluster keeps
+    its previous centroid. Cosine assignment is invariant to centroid
+    norm, so the unnormalized mean needs no re-normalization (the
+    spherical k-means step folds into the same update). Deterministic:
+    no seed, identical codebooks every run and engine. Returns
+    ``[(centroid_idx, vector), ...]`` collected to the driver (K x dim
+    floats — broadcast-sized by construction).
 
     Scale: no global sort/window anywhere — one min/max agg, then ONE
     K-key groupBy with map-side partial aggregation whose ``min_by``
     returns each bucket's min id and its vector together (no second
-    scan). Every stage is distributed; only K rows ever reach the
-    driver.
+    scan); each refinement round is one more K-group aggregation of
+    integer dim-sums. Every stage is distributed; only K rows ever
+    reach the driver per pass.
     """
     id_type = dict(df.dtypes).get(id_col, "")
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
@@ -282,7 +292,45 @@ def ivf_centroids(
         .collect()
     )
     by_id = {int(r["_cid"]): list(r["_vec"]) for r in rows}
-    return [(i, by_id[cid]) for i, cid in enumerate(sorted(by_id))]
+    cents = [(i, by_id[cid]) for i, cid in enumerate(sorted(by_id))]
+    if refine_iters < 0:
+        raise ValueError("refine_iters must be >= 0")
+    if refine_iters:
+        dim = len(cents[0][1])
+        train = df.where(
+            F.col(vec_col).isNotNull()
+            & (F.size(vec_col) == dim)
+            & ~F.expr(f"exists(`{vec_col}`, x -> x IS NULL)")
+        )
+        for _ in range(refine_iters):
+            agg_rows = (
+                train.groupBy(
+                    ivf_assign(F.col(vec_col), cents).alias("_c")
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(
+                            F.floor(
+                                F.element_at(vec_col, d + 1).cast(
+                                    "double"
+                                )
+                                * F.lit(1e6)
+                            ).cast("long")
+                        ).alias(f"s{d}")
+                        for d in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            means = {
+                int(r["_c"]): _quantized_mean(
+                    [r[f"s{d}"] for d in range(dim)], int(r["n"])
+                )
+                for r in agg_rows
+            }
+            cents = [(i, means.get(i, v)) for i, v in cents]
+    return cents
 
 
 def ivf_assign(
@@ -908,32 +956,59 @@ def semantic_dedup(
     )
 
 
+def _quantized_mean(sums, n: int) -> list:
+    """The Lloyd-update mean both engines replay bit-for-bit: each
+    element was pre-quantized to the 1e-6 grid with ``floor(x * 1e6)``
+    (floor has no rounding ties, unlike round-half rules that differ
+    at representability edges), the per-cluster integer sums are exact
+    in any order, and the mean is two IEEE divisions of exactly-
+    representable operands — ``double(S) / double(n) / 1e6`` — that
+    Python, Spark and DuckDB all evaluate identically. Exactness needs
+    |S| < 2^53: ~9e8 rows per cluster at unit-scale embeddings, far
+    beyond any driver-collected codebook's training slice."""
+    return [int(s) / n / 1e6 for s in sums]
+
+
 def pq_train(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     m: int = 8,
     ksub: int = 16,
+    refine_iters: int = 0,
 ) -> dict:
     """Deterministic product-quantization codebooks (Jégou et al.
     2011, "Product Quantization for Nearest Neighbor Search"): the
     vector dimension is cut into ``m`` contiguous subspaces and each
-    subspace's ``ksub``-entry codebook is the corresponding slice of
-    the same id-stride row sample :func:`ivf_centroids` uses — the
-    reproducible, oracle-replayable stand-in for per-subspace k-means
-    (which slots in unchanged: only the codebook values differ).
+    subspace's ``ksub``-entry codebook starts as the corresponding
+    slice of the same id-stride row sample :func:`ivf_centroids`
+    uses, optionally refined by ``refine_iters`` Lloyd (k-means)
+    rounds per subspace — assign every subvector to its nearest
+    sub-codeword (squared L2, 6dp-rounded argmin, ties toward the
+    lower code: exactly :func:`pq_encode`'s convention), then move
+    each codeword to its cluster's mean on the 1e-6 ``floor``
+    quantization grid (:func:`_quantized_mean` — integer sums, so the
+    update is partition-order-independent AND bit-replayable in SQL;
+    an empty cluster keeps its previous codeword). Deterministic
+    k-means with a deterministic init: no seed, same codebooks every
+    run and every engine.
 
-    Returns ``{"m", "sub", "ksub", "books"}`` with ``books[s][c]`` the
-    c-th sub-codeword of subspace s — m * ksub * (dim/m) floats,
-    driver/broadcast-sized by construction.
+    Returns ``{"m", "sub", "ksub", "refine_iters", "books"}`` with
+    ``books[s][c]`` the c-th sub-codeword of subspace s — m * ksub *
+    (dim/m) floats, driver/broadcast-sized by construction.
 
-    Scale shape: training IS ivf_centroids' two bounded aggregations
-    (ksub rows ever reach the driver). PQ is the 100 TB vector-serving
+    Scale shape: init IS ivf_centroids' two bounded aggregations, and
+    each refinement round is ONE distributed job — a codegen argmin
+    projection, an explode to (subspace, code) and one m*ksub-group
+    aggregation (map-side partial) of integer dim-sums; only m * ksub
+    rows reach the driver per round. PQ is the 100 TB vector-serving
     memory story: dim float32 -> m uint8 codes per vector (32x at
     dim=64/m=8), and ADC search reads ONLY the codes column.
     """
     if m < 1 or ksub < 2:
         raise ValueError("m must be >= 1 and ksub >= 2")
+    if refine_iters < 0:
+        raise ValueError("refine_iters must be >= 0")
     cents = ivf_centroids(df, id_col, vec_col, ksub)
     if not cents:
         raise ValueError("pq_train: input has no rows")
@@ -953,7 +1028,77 @@ def pq_train(
         ]
         for s in range(m)
     ]
-    return {"m": m, "sub": sub, "ksub": ksub, "books": books}
+    train = df.where(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.expr(f"exists(`{vec_col}`, x -> x IS NULL)")
+    )
+    for _ in range(refine_iters):
+        code_exprs = _pq_code_sql_exprs(vec_col, books, sub)
+        segs = ", ".join(
+            "struct("
+            f"{s} AS s, {code_exprs[s]} AS code, "
+            f"slice(`{vec_col}`, {s * sub + 1}, {sub}) AS sv)"
+            for s in range(m)
+        )
+        exploded = train.selectExpr(f"explode(array({segs})) AS g").select(
+            F.col("g.s").alias("s"),
+            F.col("g.code").alias("code"),
+            F.col("g.sv").alias("sv"),
+        )
+        rows = (
+            exploded.groupBy("s", "code")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(
+                        F.floor(
+                            F.element_at("sv", d + 1).cast("double")
+                            * F.lit(1e6)
+                        ).cast("long")
+                    ).alias(f"s{d}")
+                    for d in range(sub)
+                ],
+            )
+            .collect()
+        )
+        for r in rows:
+            books[r["s"]][r["code"]] = _quantized_mean(
+                [r[f"s{d}"] for d in range(sub)], int(r["n"])
+            )
+    return {
+        "m": m,
+        "sub": sub,
+        "ksub": ksub,
+        "refine_iters": refine_iters,
+        "books": books,
+    }
+
+
+def _pq_code_sql_exprs(vname: str, books, sub: int) -> list:
+    """Per-subspace nearest-sub-codeword SQL expressions — ONE shared
+    builder so :func:`pq_encode` and :func:`pq_train`'s refinement
+    rounds can never drift on the argmin convention (squared-L2
+    distances rounded to 6dp, ties toward the lower code). Built as
+    SQL strings, not Column-DSL objects (the near_dup_pairs py4j
+    lesson: ~4 driver roundtrips per DSL node)."""
+
+    def lit_arr(vals):
+        return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
+
+    exprs = []
+    for s, book in enumerate(books):
+        seg = f"slice(`{vname}`, {s * sub + 1}, {sub})"
+        cands = ", ".join(
+            "struct(round(aggregate(zip_with("
+            f"{seg}, {lit_arr(bsub)}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)"
+            "), 0.0D, (acc, v) -> acc + v), 6) AS d, "
+            f"{c} AS c)"
+            for c, bsub in enumerate(book)
+        )
+        exprs.append(f"array_min(array({cands})).c")
+    return exprs
 
 
 def pq_encode(
@@ -999,22 +1144,7 @@ def pq_encode(
         & (F.size(vname) == m * sub)
         & ~F.expr(f"exists(`{vname}`, x -> x IS NULL)")
     )
-
-    def lit_arr(vals):
-        return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
-
-    code_exprs = []
-    for s in range(m):
-        seg = f"slice(`{vname}`, {s * sub + 1}, {sub})"
-        cands = ", ".join(
-            "struct(round(aggregate(zip_with("
-            f"{seg}, {lit_arr(bsub)}, "
-            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)"
-            "), 0.0D, (acc, v) -> acc + v), 6) AS d, "
-            f"{c} AS c)"
-            for c, bsub in enumerate(books[s])
-        )
-        code_exprs.append(f"array_min(array({cands})).c")
+    code_exprs = _pq_code_sql_exprs(vname, books, sub)
     return df.selectExpr(
         f"`{id_col}` AS id",
         "CAST(array(" + ", ".join(code_exprs) + ") AS array<int>) "
@@ -1029,6 +1159,10 @@ def pq_adc_topk(
     k: int = 10,
     id_col: str = "id",
     codes_col: str = "codes",
+    rerank: int = 0,
+    raw_df: Optional[DataFrame] = None,
+    raw_id_col: str = "vec_id",
+    raw_vec_col: str = "embedding",
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes (the ADC of Jégou et
     al. 2011): the query builds an m x ksub lookup table of squared
@@ -1041,14 +1175,25 @@ def pq_adc_topk(
     vectors never leave storage).
 
     Approximation contract: ADC ranks by the PQ-reconstructed
-    distance, the standard recall/memory trade; re-rank the top
-    candidates against raw vectors when exactness matters. At 100 TB
-    this composes with the IVF layout (ivf_write_index): probe
-    nprobe list-partition directories, ADC-scan only their codes.
+    distance, the standard recall/memory trade. ``rerank=c`` (with
+    ``raw_df``) is the standard exactness-recovery step: take the top
+    ``c >= k`` ids by ADC, re-score ONLY those c rows against their
+    raw vectors (the c ids are a bounded driver list pushed into the
+    raw scan as an IN filter — PushedFilters, never a full raw-vector
+    pass), and return the exact-cosine top ``k`` — output
+    ``(id, cosine_sim)``, cosine_topk's contract, with recall
+    approaching exact as c grows. At 100 TB this composes with the
+    IVF layout (ivf_write_index): probe nprobe list-partition
+    directories, ADC-scan only their codes, raw-read only c rows.
 
-    Returns the top ``k`` rows ``(id, adc_dist double)``, ascending,
-    ties broken by id.
+    Without rerank, returns the top ``k`` rows ``(id, adc_dist
+    double)``, ascending, ties broken by id.
     """
+    if rerank:
+        if rerank < k:
+            raise ValueError("rerank must be >= k")
+        if raw_df is None:
+            raise ValueError("rerank requires raw_df (the raw vectors)")
     m, sub, ksub = codebooks["m"], codebooks["sub"], codebooks["ksub"]
     books = codebooks["books"]
     q = [float(x) for x in query_vec]
@@ -1091,14 +1236,19 @@ def pq_adc_topk(
     for s in range(m):
         term = F.element_at(tables[s], F.element_at(cc, s + 1) + 1)
         adc = term if adc is None else adc + term
-    return (
+    ranked = (
         codes_df.select(
             F.col(id_col).alias("id"),
             adc.cast("double").alias("adc_dist"),
         )
         .orderBy("adc_dist", "id")
-        .limit(k)
+        .limit(rerank if rerank else k)
     )
+    if not rerank:
+        return ranked
+    cand_ids = [r["id"] for r in ranked.select("id").collect()]
+    survivors = raw_df.where(F.col(raw_id_col).isin(cand_ids))
+    return cosine_topk(survivors, q, k, raw_id_col, raw_vec_col)
 
 
 def ivf_pq_topk(
@@ -1111,6 +1261,7 @@ def ivf_pq_topk(
     nprobe: int = 4,
     m: int = 8,
     ksub: int = 16,
+    pq_refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the composition that serves vector
     search at 100 TB (the FAISS IVFPQ design, minus residual
@@ -1128,12 +1279,16 @@ def ivf_pq_topk(
 
     Ranking contract: ADC distance ascending, ties by id — PQ's
     reconstruction error means recall < 1 vs cosine_topk by design
-    (re-rank the top candidates on raw vectors when exactness
-    matters).
+    (``pq_refine_iters`` Lloyd rounds tighten the codebooks — see
+    :func:`pq_train`; re-rank the top candidates on raw vectors when
+    exactness matters, :func:`pq_adc_topk`'s ``rerank=``).
     """
     cents = ivf_centroids(df, id_col, vec_col, num_centroids)
     probes = _ivf_probes(cents, query_vec, nprobe)
-    books = pq_train(df, id_col, vec_col, m=m, ksub=ksub)
+    books = pq_train(
+        df, id_col, vec_col, m=m, ksub=ksub,
+        refine_iters=pq_refine_iters,
+    )
     cand = df.withColumn(
         "_ivf_list", ivf_assign(F.col(vec_col), cents)
     ).where(F.col("_ivf_list").isin(probes))
