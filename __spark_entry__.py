@@ -2413,6 +2413,40 @@ def q107_ivf_pq_topk(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"), "adc_dist")
 
 
+def q109_ivf_pq_indexed_topk(spark, sf_dir):
+    """The persisted IVF-PQ serving path (VERDICT r7 ask #6): the
+    corpus's PQ codes are materialized ONCE beside the inverted-list
+    partition dirs (ivf_write_index(pq_m=8) — built per session here;
+    at scale a standing index), and a query scans ONLY its 4 probed
+    ``codes/_ivf_list=<i>/`` directories (PartitionFilters) and ONLY
+    the (id, codes) columns — the raw embedding column never leaves
+    storage (both plan-asserted in tests/test_plans.py). Same stride
+    codebooks and ADC math as the inline composition, so the oracle
+    is exactly the IVF-probe + PQ-encode + decimal-ADC replay with
+    the unrefined book0."""
+    import tempfile
+
+    from tinyflux_spark.operators.similarity import (
+        ivf_pq_topk_indexed,
+        ivf_write_index,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") != 0)
+    per_session = _IVF_INDEX_CACHE.setdefault(spark, {})
+    key = (sf_dir, "pq")
+    if key not in per_session:
+        path = tempfile.mkdtemp(prefix="tfs_ivfpq_")
+        ivf_write_index(
+            corpus, path, num_centroids=16, pq_m=8, pq_ksub=16
+        )
+        per_session[key] = path
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_pq_topk_indexed(
+        spark, per_session[key], qvec, k=10, nprobe=4
+    ).select(F.col("id").alias("vec_id"), "adc_dist")
+
+
 def q108_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis & Spirakis
     2006) — the data-mixing primitive: 50 documents drawn with
@@ -2595,6 +2629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_salted_join": q86_salted_join,
         "q87_version_diff": q87_version_diff,
         "q88_merge_intervals": q88_merge_intervals,
+        # new this round (r9 rotation candidates):
+        "q109_ivf_pq_indexed_topk": q109_ivf_pq_indexed_topk,
     }
 
 
@@ -4955,6 +4991,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, e FROM ivfasg
                 WHERE lst IN (SELECT code FROM probes)
             ){_pq_refine_ctes(2)}{_pq_enc_adc_sql("book2", "cand")}
+        """,
+        # q109: the persisted IVF-PQ layout is semantically identical
+        # to the inline composition with unrefined (stride) codebooks
+        # — IVF probe CTEs + the shared encode/ADC tail over book0.
+        "q109_ivf_pq_indexed_topk": f"""
+            WITH {_PQ_BASE_CTES},
+            ivfasg AS (
+                SELECT c.vec_id, c.e,
+                       (SELECT code FROM cent
+                        ORDER BY ROUND(
+                            list_dot_product(c.e, ce)
+                            / (sqrt(list_dot_product(c.e, c.e))
+                               * sqrt(list_dot_product(ce, ce))), 6
+                        ) DESC, code
+                        LIMIT 1) AS lst
+                FROM corpus c
+            ),
+            probes AS (
+                SELECT code FROM cent, q
+                ORDER BY ROUND(
+                    list_dot_product(qe, ce)
+                    / (sqrt(list_dot_product(qe, qe))
+                       * sqrt(list_dot_product(ce, ce))), 6
+                ) DESC, code
+                LIMIT 4
+            ),
+            cand AS (
+                SELECT vec_id, e FROM ivfasg
+                WHERE lst IN (SELECT code FROM probes)
+            ){_pq_enc_adc_sql("book0", "cand")}
         """,
         # q106: stream == batch for the sketch family — bottom-k merge
         # is associative, so the streamed sketch's standing estimate

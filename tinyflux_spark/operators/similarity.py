@@ -526,15 +526,28 @@ def ivf_write_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_centroids: int = 16,
+    pq_m: Optional[int] = None,
+    pq_ksub: int = 16,
+    pq_refine_iters: int = 0,
 ):
     """Build and persist an IVF-Flat index: inverted lists as
     ``<path>/lists/_ivf_list=<i>/`` parquet partitions plus the codebook
     at ``<path>/codebook.json``. Returns the codebook.
 
-    One pass over the corpus (the same distributed bucket-min codebook
-    build as ``ivf_centroids``, then a narrow assign + clustered write).
-    Rebuild when the corpus drifts; queries meanwhile touch only their
-    probed directories.
+    With ``pq_m`` set, ALSO persists the IVF-PQ serving layout: every
+    vector's m-int PQ code lands beside its inverted list as
+    ``<path>/codes/_ivf_list=<i>/`` parquet of ``(id, codes)`` ONLY —
+    no raw vectors — plus the sub-codebooks at ``<path>/pq_books.json``.
+    A query then probe-prunes list directories (PartitionFilters) and
+    ADC-scans an m-int column (:func:`ivf_pq_topk_indexed`); the raw
+    ``lists/`` stay available for re-rank exactness recovery.
+
+    One pass over the corpus per artifact (the same distributed
+    bucket-min codebook build as ``ivf_centroids``, then a narrow
+    assign + clustered write; the codes pass adds pq_train's bounded
+    aggregations and one more clustered write). Rebuild when the
+    corpus drifts; queries meanwhile touch only their probed
+    directories.
     """
     import json as _json
     import os as _os
@@ -549,6 +562,23 @@ def ivf_write_index(
     )
     with open(_os.path.join(path, "codebook.json"), "w") as f:
         _json.dump([[i, list(v)] for i, v in cents], f)
+    if pq_m is not None:
+        books = pq_train(
+            df, id_col, vec_col, m=pq_m, ksub=pq_ksub,
+            refine_iters=pq_refine_iters,
+        )
+        codes = pq_encode(
+            assigned, books, id_col, vec_col,
+            extra_cols=("_ivf_list",),
+        )
+        (
+            codes.repartition(F.col("_ivf_list"))
+            .write.mode("overwrite")
+            .partitionBy("_ivf_list")
+            .parquet(_os.path.join(path, "codes"))
+        )
+        with open(_os.path.join(path, "pq_books.json"), "w") as f:
+            _json.dump(books, f)
     return cents
 
 
@@ -581,6 +611,52 @@ def ivf_topk_indexed(
     lists = spark.read.parquet(_os.path.join(path, "lists"))
     cand = lists.where(F.col("_ivf_list").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a persisted IVF-PQ index (``ivf_write_index``
+    with ``pq_m``) — the 100 TB vector-serving read path made
+    concrete: rank the coarse codebook driver-side, scan ONLY the
+    ``nprobe`` probed ``codes/_ivf_list=<i>/`` directories (partition
+    pruning — PartitionFilters, asserted in tests/test_plans.py) and
+    ONLY their ``(id, codes)`` columns (column pruning: no raw vector
+    is ever read), and rank by the exact-decimal ADC sum. Identical
+    results to :func:`ivf_pq_topk` built with the same parameters.
+
+    ``rerank=c`` re-scores the ADC top-c against the raw ``lists/``
+    partitions of the SAME probed directories (partition-pruned AND
+    id-filtered — a c-row read) and returns exact-cosine top-k,
+    :func:`pq_adc_topk`'s exactness-recovery contract.
+    """
+    import json as _json
+    import os as _os
+
+    cents = ivf_read_codebook(path)
+    with open(_os.path.join(path, "pq_books.json")) as f:
+        books = _json.load(f)
+    probes = _ivf_probes(cents, query_vec, nprobe)
+    codes = spark.read.parquet(_os.path.join(path, "codes")).where(
+        F.col("_ivf_list").isin(probes)
+    )
+    if not rerank:
+        return pq_adc_topk(codes, books, query_vec, k)
+    lists = spark.read.parquet(_os.path.join(path, "lists")).where(
+        F.col("_ivf_list").isin(probes)
+    )
+    return pq_adc_topk(
+        codes, books, query_vec, k,
+        rerank=rerank, raw_df=lists,
+        raw_id_col=id_col, raw_vec_col=vec_col,
+    )
 
 
 def srp_write_index(
@@ -1106,6 +1182,7 @@ def pq_encode(
     codebooks: dict,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """PQ-encode every vector: per subspace, the code of the nearest
     sub-codeword by squared L2 (distances rounded to 6dp before the
@@ -1149,6 +1226,7 @@ def pq_encode(
         f"`{id_col}` AS id",
         "CAST(array(" + ", ".join(code_exprs) + ") AS array<int>) "
         "AS codes",
+        *[f"`{c}`" for c in extra_cols],
     )
 
 

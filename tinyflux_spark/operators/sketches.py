@@ -22,6 +22,7 @@ __all__ = [
     "kmv_estimate_from_bottom",
     "kmv_hash_col",
     "kmv_quantiles",
+    "kmv_quantiles_by_key",
     "kmv_set_overlap",
 ]
 
