@@ -2447,6 +2447,26 @@ def q109_ivf_pq_indexed_topk(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"), "adc_dist")
 
 
+def q110_kmv_quantiles_by_key(spark, sf_dir):
+    """Per-source document-length quantile table from per-group KMV
+    bottom-128 samples (VERDICT r7 ask #8's depth pick — the GROUP BY
+    form of q104, the shape a data card actually wants): each source's
+    128 lowest-md5(doc_id) rows are an independent uniform sample, and
+    p25/p50/p75/p90 are type-1 order statistics at rank ceil(p*n). One
+    shuffle on source serves the bottom-k, rank, and total windows; a
+    hot source still keeps only k sample rows. Per-group sketches
+    merge by union + re-bottom-k — day-over-day per-source length
+    profiles never rescan history. All md5 order statistics + integer
+    ranks, so the oracle computes identical samples and estimates."""
+    from tinyflux_spark.operators.sketches import kmv_quantiles_by_key
+
+    docs = _t("documents")(spark, sf_dir)
+    return kmv_quantiles_by_key(
+        docs, "n_chars", "doc_id", "source",
+        probs=(0.25, 0.5, 0.75, 0.9), k=128,
+    )
+
+
 def q108_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis & Spirakis
     2006) — the data-mixing primitive: 50 documents drawn with
@@ -2631,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_merge_intervals": q88_merge_intervals,
         # new this round (r9 rotation candidates):
         "q109_ivf_pq_indexed_topk": q109_ivf_pq_indexed_topk,
+        "q110_kmv_quantiles_by_key": q110_kmv_quantiles_by_key,
     }
 
 
@@ -5053,6 +5074,49 @@ def oracle_sql() -> dict[str, str]:
         # the shared encode/ADC tail against the refined book2.
         "q105_pq_adc_topk": f"""
             WITH {_PQ_BASE_CTES}{_pq_refine_ctes(2)}{_pq_enc_adc_sql("book2", "corpus")}
+        """,
+        # q110: q104's replay partitioned by source — per-group
+        # bottom-128 by md5(doc_id), per-group ROW_NUMBER order
+        # statistics, rank = greatest(1, ceil(p * n_g)).
+        "q110_kmv_quantiles_by_key": """
+            WITH kept AS (
+                SELECT source AS grp,
+                       ('0x' || substr(md5('kmvq:'
+                            || CAST(doc_id AS VARCHAR)), 1, 12))
+                           ::BIGINT AS h,
+                       CAST(n_chars AS DOUBLE) AS v
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                      AND source IS NOT NULL
+            ),
+            tot AS (
+                SELECT grp, COUNT(*) AS n_total FROM kept GROUP BY grp
+            ),
+            samp AS (
+                SELECT grp, h, v
+                FROM kept
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY grp ORDER BY h) <= 128
+            ),
+            ranked AS (
+                SELECT grp, v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY grp ORDER BY v, h) AS r,
+                       COUNT(*) OVER (PARTITION BY grp) AS n_sample
+                FROM samp
+            ),
+            p AS (
+                SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE)
+                           AS prob
+            )
+            SELECT rk.grp AS "group", p.prob, rk.r AS rank,
+                   rk.n_sample, rk.v AS estimate,
+                   (rk.n_sample >= t.n_total) AS exact
+            FROM ranked rk
+            JOIN tot t ON t.grp = rk.grp
+            JOIN p ON rk.r = greatest(
+                1, CAST(ceil(p.prob * rk.n_sample) AS BIGINT))
+            ORDER BY 1, 2
         """,
         # q104: the bottom-256 rows by md5(event_id) are the uniform
         # sample; ROW_NUMBER over (value, hash) gives the order

@@ -2955,3 +2955,90 @@ def test_pq_adc_rerank_recovers_exact_topk(spark):
         sim.pq_adc_topk(codes, books, qvec, k=10, rerank=5, raw_df=corpus)
     with pytest.raises(ValueError, match="requires raw_df"):
         sim.pq_adc_topk(codes, books, qvec, k=10, rerank=50)
+
+
+def test_kmv_quantiles_by_key_merge_and_single_group(spark):
+    """Grouped KMV quantiles: (a) a single-group table equals
+    kmv_quantiles on that slice (same sample, same order statistics);
+    (b) the mergeability contract — per-group union of two days'
+    bottom-k sketches re-bottom-k'd equals the one-shot sketch over
+    the union (so day-over-day profiles never rescan history);
+    (c) groups smaller than k are exact; (d) null keys/values/groups
+    are ignored."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.sketches import (
+        kmv_hash_col,
+        kmv_quantiles,
+        kmv_quantiles_by_key,
+    )
+
+    rows = [
+        (i, "g%d" % (i % 3), float((i * 29) % 101))
+        for i in range(600)
+    ]
+    rows += [(None, "g0", 1.0), (9001, None, 1.0), (9002, "g1", None)]
+    df = spark.createDataFrame(rows, "id: long, grp: string, v: double")
+    out = kmv_quantiles_by_key(
+        df, "v", "id", "grp", probs=(0.5, 0.9), k=64
+    ).collect()
+    assert len(out) == 6  # 3 groups x 2 probs; null rows ignored
+    # (a) single group == ungrouped kmv_quantiles on the slice
+    g0 = df.where("grp = 'g0'")
+    want = {
+        (r["prob"], r["rank"], r["n_sample"], r["estimate"], r["exact"])
+        for r in kmv_quantiles(
+            g0, "v", "id", probs=(0.5, 0.9), k=64
+        ).collect()
+    }
+    got = {
+        (r["prob"], r["rank"], r["n_sample"], r["estimate"], r["exact"])
+        for r in out
+        if r["group"] == "g0"
+    }
+    assert got == want
+    # (c) a small group is exact
+    small = spark.createDataFrame(
+        [(i, "s", float(i)) for i in range(10)],
+        "id: long, grp: string, v: double",
+    )
+    res = kmv_quantiles_by_key(
+        small, "v", "id", "grp", probs=(0.5,), k=64
+    ).collect()
+    assert res[0]["exact"] is True and res[0]["n_sample"] == 10
+    assert res[0]["estimate"] == 4.0  # rank ceil(.5*10)=5 -> value 4.0
+    # (b) mergeability: day1 ∪ day2 sketches re-bottom-k'd == one-shot
+    day1 = df.where("id % 2 = 0 AND id IS NOT NULL")
+    day2 = df.where("id % 2 = 1")
+    k = 64
+
+    def sketch(d):
+        return (
+            d.where("id IS NOT NULL AND grp IS NOT NULL AND v IS NOT NULL")
+            .select(
+                F.col("grp"), kmv_hash_col(F.col("id"), "kmvq"), F.col("v")
+            )
+            .withColumn(
+                "_bk",
+                F.row_number().over(
+                    Window.partitionBy("grp").orderBy("_h")
+                ),
+            )
+            .where(F.col("_bk") <= k)
+            .drop("_bk")
+        )
+
+    merged = (
+        sketch(day1).union(sketch(day2))
+        .withColumn(
+            "_bk",
+            F.row_number().over(Window.partitionBy("grp").orderBy("_h")),
+        )
+        .where(F.col("_bk") <= k)
+        .select("grp", "_h", "v")
+    )
+    oneshot = sketch(df).select("grp", "_h", "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )

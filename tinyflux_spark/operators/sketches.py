@@ -315,3 +315,100 @@ def kmv_quantiles(
         )
         .orderBy("prob")
     )
+
+
+def kmv_quantiles_by_key(
+    df: DataFrame,
+    value_col,
+    key_col,
+    group_col,
+    probs=(0.25, 0.5, 0.75, 0.9),
+    k: int = 256,
+    salt: str = "kmvq",
+) -> DataFrame:
+    """Per-group quantile table from per-group KMV bottom-k samples —
+    the GROUP BY form of :func:`kmv_quantiles`, and the shape a data
+    card actually wants ("p50/p90 doc length per source"). Each
+    group's k lowest-hash rows form an independent simple random
+    sample (the md5 hash is uniform and independent of both value and
+    group), and each requested quantile is the type-1 order statistic
+    at rank max(1, ceil(p * n_g)). All md5 order statistics + integer
+    ranks: both engines compute identical samples and identical
+    estimates per group.
+
+    ``key_col`` must be unique per row. Rows with a null key, value,
+    or group are ignored. ``exact = true`` for groups fully inside
+    their sample (n_g_total <= k).
+
+    Plan shape: ONE shuffle on ``group_col`` serving three window
+    passes — per-group total count, per-group bottom-k (row_number
+    over hash), and per-group rank over the surviving <= k sample
+    rows — then the probs arrive as an exploded LITERAL array and a
+    pure filter picks each group's order-statistic rows: zero joins
+    anywhere. A hot group still retains only k sample rows after the
+    bottom-k filter. Per-group sketch state is k (hash, value) rows
+    and merges by union + per-group re-bottom-k on the carried hash,
+    so day-over-day per-source quantiles never rescan history.
+
+    Returns one row per (group, prob), ordered:
+    ``(group, prob, rank, n_sample, estimate, exact)``.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    probs = [float(p) for p in probs]
+    if not probs or any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError("probs must be non-empty, each in (0, 1]")
+    kc = F.col(key_col) if isinstance(key_col, str) else key_col
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    vc = (F.col(value_col) if isinstance(value_col, str) else value_col)
+    vc = vc.cast("double")
+    kept = df.where(kc.isNotNull() & vc.isNotNull() & gc.isNotNull())
+    hashed = kept.select(
+        gc.alias("group"),
+        kmv_hash_col(kc, salt),
+        vc.alias("_v"),
+        F.count("*")
+        .over(Window.partitionBy(gc))
+        .cast("long")
+        .alias("_n_total"),
+    )
+    samp = hashed.withColumn(
+        "_bk",
+        F.row_number().over(
+            Window.partitionBy("group").orderBy("_h")
+        ),
+    ).where(F.col("_bk") <= k)
+    ranked = samp.select(
+        "group",
+        "_v",
+        "_n_total",
+        F.row_number()
+        .over(Window.partitionBy("group").orderBy("_v", "_h"))
+        .alias("_r"),
+        F.count("*")
+        .over(Window.partitionBy("group"))
+        .cast("long")
+        .alias("n_sample"),
+    )
+    probs_arr = F.array(*[F.lit(p) for p in probs])
+    return (
+        ranked.withColumn("prob", F.explode(probs_arr))
+        .where(
+            F.col("_r")
+            == F.greatest(
+                F.lit(1),
+                F.ceil(F.col("prob") * F.col("n_sample")),
+            ).cast("int")
+        )
+        .select(
+            "group",
+            "prob",
+            F.col("_r").alias("rank"),
+            "n_sample",
+            F.col("_v").alias("estimate"),
+            (F.col("n_sample") >= F.col("_n_total")).alias("exact"),
+        )
+        .orderBy("group", "prob")
+    )
