@@ -55,6 +55,9 @@ PANEL = [
     ("q105_pq_adc_topk", (1, 10, 100)),
     ("q106_stream_kmv_distinct", (1, 10, 100)),
     ("q107_ivf_pq_topk", (1, 10, 100)),
+    ("q108_weighted_sample", (1, 10, 100)),
+    ("q109_ivf_pq_indexed_topk", (1, 10, 100)),
+    ("q110_kmv_quantiles_by_key", (1, 10, 100)),
 ]
 
 # Queries whose probe builder takes the scale factor (K ~ sqrt(N) —
