@@ -3042,3 +3042,37 @@ def test_kmv_quantiles_by_key_merge_and_single_group(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, oneshot.collect())
     )
+
+
+def test_ivf_pq_residual_topk_sanity_and_determinism(spark):
+    """Residual IVFPQ (q113): deterministic across runs; on a
+    two-cluster fixture with a trained coarse quantizer the query's
+    own near-duplicate ranks first with near-zero ADC distance
+    (residual codes explain cluster members almost exactly); degenerate
+    configs raise through the shared pq_train validation."""
+    import pytest
+
+    from tinyflux_spark.operators import similarity as sim
+
+    dim = 8
+    rows = []
+    for i in range(1, 41):
+        base = [5.0, 0, 0, 0, 0, 0, 0, 0] if i % 2 else [0, 0, 0, 0, 0, 0, 5.0, 0]
+        rows.append((i, [b + (i % 7) * 0.01 for b in base]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    qvec = [5.0, 0, 0, 0, 0, 0, 0, 0]
+    got = sim.ivf_pq_residual_topk(
+        df, qvec, k=5, num_centroids=2, nprobe=1, m=2, ksub=4,
+        coarse_refine_iters=1,
+    ).collect()
+    again = sim.ivf_pq_residual_topk(
+        df, qvec, k=5, num_centroids=2, nprobe=1, m=2, ksub=4,
+        coarse_refine_iters=1,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    assert len(got) == 5
+    # every returned id is from the query's cluster (odd ids)
+    assert all(r["id"] % 2 == 1 for r in got)
+    assert all(r["adc_dist"] is not None and r["adc_dist"] < 1.0 for r in got)
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.ivf_pq_residual_topk(df, qvec, num_centroids=2, m=3)

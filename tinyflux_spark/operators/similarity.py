@@ -370,18 +370,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     num_centroids: int = 16,
     nprobe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: the second ANN scale path beside
     SRP-LSH (srp_lsh_topk).
 
     Build: assign every vector to its nearest codebook centroid (the
     inverted list; at scale ``_ivf_list`` is a partition/cluster
-    column written once). Probe: rank centroids against the query
-    driver-side, scan only the ``nprobe`` nearest lists, brute-force
-    the survivors — per-query work ~ nprobe/K of the corpus, recall
-    tunable by nprobe.
+    column written once; ``refine_iters`` Lloyd rounds tighten the
+    codebook first — see :func:`ivf_centroids`). Probe: rank
+    centroids against the query driver-side, scan only the ``nprobe``
+    nearest lists, brute-force the survivors — per-query work ~
+    nprobe/K of the corpus, recall tunable by nprobe.
     """
-    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    cents = ivf_centroids(
+        df, id_col, vec_col, num_centroids, refine_iters
+    )
     probes = _ivf_probes(cents, query_vec, nprobe)
     assigned = df.withColumn(
         "_ivf_list", ivf_assign(F.col(vec_col), cents)
@@ -1372,3 +1376,124 @@ def ivf_pq_topk(
     ).where(F.col("_ivf_list").isin(probes))
     codes = pq_encode(cand, books, id_col, vec_col)
     return pq_adc_topk(codes, books, query_vec, k)
+
+
+def ivf_pq_residual_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    pq_refine_iters: int = 0,
+    coarse_refine_iters: int = 0,
+) -> DataFrame:
+    """The FULL FAISS IVFPQ design, residuals included: PQ quantizes
+    each vector's RESIDUAL from its assigned coarse centroid (x -
+    c_list) rather than x itself — residuals concentrate near the
+    origin, so the same ksub codewords spend their resolution on the
+    part of x the coarse quantizer didn't already explain. The query
+    side builds a SEPARATE ADC table per probed list from that list's
+    query residual (q - c_list): per candidate row the distance is
+    ||(q - c_l) - pq(x - c_l)||^2, FAISS's ADC-with-residual.
+
+    Every stage stays oracle-replayable: the residual is an exact
+    elementwise IEEE subtraction of two doubles both engines hold
+    bit-identically (the vector and the codebook literal), residual
+    PQ books come from the same stride init (+ optional
+    ``pq_refine_iters`` integer-grid Lloyd rounds), and each per-list
+    table entry is DECIMAL(20,12)-quantized exactly like
+    :func:`pq_adc_topk`'s.
+
+    Scale shape: identical to :func:`ivf_pq_topk` — at rest this is
+    the same (id, codes) column beside the inverted-list partition
+    dirs (codes just encode residuals); per query, nprobe directory
+    scans of an m-int column plus m array lookups + m decimal adds
+    per row (the per-list CASE dissolves at scan time: rows of one
+    partition all take one branch).
+
+    Residuals pay off only when the coarse quantizer is TRAINED
+    (their whole premise is that c_list explains most of x):
+    measured on the sf0.01 fixture at the q107 budget, recall@10
+    hits/50 were 11 raw-PQ, 3 residual-over-stride, and 15 residual
+    with ``coarse_refine_iters=2`` — pair residual encoding with
+    coarse Lloyd rounds (as FAISS's own training does) or prefer
+    plain :func:`ivf_pq_topk` with an untrained coarse codebook.
+    """
+    cents = ivf_centroids(
+        df, id_col, vec_col, num_centroids, coarse_refine_iters
+    )
+    probes = _ivf_probes(cents, query_vec, nprobe)
+    cent_arrs = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in cvec) + ")"
+        for _, cvec in cents
+    ) + ")"
+    assigned = df.withColumn(
+        "_ivf_list", ivf_assign(F.col(vec_col), cents)
+    )
+    res = assigned.withColumn(
+        "_res",
+        F.expr(
+            f"zip_with(`{vec_col}`, "
+            f"element_at({cent_arrs}, _ivf_list + 1), "
+            "(x, y) -> CAST(x AS DOUBLE) - y)"
+        ),
+    )
+    books = pq_train(
+        res, id_col, "_res", m=m, ksub=ksub,
+        refine_iters=pq_refine_iters,
+    )
+    cand = res.where(F.col("_ivf_list").isin(probes))
+    codes = pq_encode(
+        cand, books, id_col, "_res", extra_cols=("_ivf_list",)
+    )
+
+    q = [float(x) for x in query_vec]
+    sub = books["sub"]
+
+    def fold_sqdist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            acc += d * d
+        return acc
+
+    # One ADC table per probed list, from that list's query residual;
+    # each row picks its list's table via a CASE on the partition
+    # column (constant within a list directory at rest).
+    adc = None
+    for s in range(m):
+        per_list = None
+        for lst in probes:
+            cvec = dict(cents)[lst]
+            qr = [qx - cx for qx, cx in zip(q, cvec)]
+            qsub = qr[s * sub:(s + 1) * sub]
+            tbl = F.expr(
+                "array("
+                + ", ".join(
+                    f"CAST({fold_sqdist(qsub, bsub)!r}D "
+                    "AS DECIMAL(20,12))"
+                    for bsub in books["books"][s]
+                )
+                + ")"
+            )
+            cond = F.col("_ivf_list") == lst
+            per_list = (
+                F.when(cond, tbl)
+                if per_list is None
+                else per_list.when(cond, tbl)
+            )
+        term = F.element_at(
+            per_list, F.element_at(F.col("codes"), s + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes.select(
+            F.col("id"), adc.cast("double").alias("adc_dist")
+        )
+        .orderBy("adc_dist", "id")
+        .limit(k)
+    )

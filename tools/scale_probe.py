@@ -58,6 +58,9 @@ PANEL = [
     ("q108_weighted_sample", (1, 10, 100)),
     ("q109_ivf_pq_indexed_topk", (1, 10, 100)),
     ("q110_kmv_quantiles_by_key", (1, 10, 100)),
+    ("q111_pq_rerank_topk", (1, 10, 100)),
+    ("q112_ivf_refined_topk", (1, 10, 100)),
+    ("q113_ivf_pq_residual_topk", (1, 10, 100)),
 ]
 
 # Queries whose probe builder takes the scale factor (K ~ sqrt(N) —
