@@ -314,6 +314,55 @@ def main() -> None:
     print("length quantiles:  ",
           {r["prob"]: r["estimate"] for r in quants})
 
+    # 11. The per-source data card: p50/p90 doc length per source from
+    # per-group KMV samples — one shuffle, k rows of state per source,
+    # mergeable day-over-day.
+    from tinyflux_spark.operators.sketches import kmv_quantiles_by_key
+
+    card = kmv_quantiles_by_key(
+        docs.select("doc_id", "source", F.length("text").alias("len")),
+        "len", "doc_id", "source", probs=(0.5, 0.9), k=128,
+    ).collect()
+    by_src = {}
+    for r in card:
+        by_src.setdefault(r["group"], {})[r["prob"]] = r["estimate"]
+    first = sorted(by_src)[0]
+    print(f"per-source card:    {len(by_src)} sources; "
+          f"{first} p50/p90 = {by_src[first][0.5]:.0f}/"
+          f"{by_src[first][0.9]:.0f}")
+
+    # 12. The persisted vector-serving index: IVF-PQ codes written
+    # beside the inverted-list partition dirs ONCE; a query is nprobe
+    # directory scans of the 8-int codes column (PartitionFilters +
+    # column pruning), with rerank=c re-reading just c raw rows for
+    # exact results. Codebooks are Lloyd-trained (refine_iters) —
+    # deterministic, no seed, same index every build.
+    import shutil
+    import tempfile
+
+    from tinyflux_spark.operators.similarity import (
+        ivf_pq_topk_indexed,
+        ivf_write_index,
+    )
+
+    idx = tempfile.mkdtemp(prefix="tfs_example_ivfpq_")
+    try:
+        ivf_write_index(
+            emb, idx, num_centroids=16,
+            pq_m=8, pq_ksub=16, pq_refine_iters=2,
+        )
+        fast = ivf_pq_topk_indexed(spark, idx, qvec, k=3, nprobe=4)
+        exact = ivf_pq_topk_indexed(
+            spark, idx, qvec, k=3, nprobe=8, rerank=200
+        )
+        print("ivf-pq serving:    adc",
+              [(r["id"], round(r["adc_dist"], 4)) for r in fast.collect()],
+              "| reranked",
+              [(r["vec_id"], round(r["cosine_sim"], 4))
+               for r in exact.collect()])
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
