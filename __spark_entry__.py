@@ -2538,6 +2538,30 @@ def q113_ivf_pq_residual_topk(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"), "adc_dist")
 
 
+def q114_kmv_sketch_merge(spark, sf_dir):
+    """The day-over-day sketch lifecycle end-to-end: the corpus is
+    split into two disjoint 'days' (doc_id parity), each day builds
+    its one-row-per-source quantile sketch (kmv_quantile_sketch),
+    the two sketch tables MERGE (union samples, re-bottom-k, totals
+    add — history never rescanned), and estimates come off the merged
+    sketch alone (kmv_quantiles_from_sketch). The oracle is the
+    ONE-SHOT per-group SQL over the whole table — their equality is
+    exactly the KMV merge theorem, gated."""
+    from tinyflux_spark.operators.sketches import (
+        kmv_quantile_sketch,
+        kmv_quantile_sketch_merge,
+        kmv_quantiles_from_sketch,
+    )
+
+    docs = _t("documents")(spark, sf_dir)
+    day1 = docs.where(F.col("doc_id") % 2 == 0)
+    day2 = docs.where(F.col("doc_id") % 2 == 1)
+    s1 = kmv_quantile_sketch(day1, "n_chars", "doc_id", "source", k=96)
+    s2 = kmv_quantile_sketch(day2, "n_chars", "doc_id", "source", k=96)
+    merged = kmv_quantile_sketch_merge(s1, s2, k=96)
+    return kmv_quantiles_from_sketch(merged, probs=(0.5, 0.9))
+
+
 def q108_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis & Spirakis
     2006) — the data-mixing primitive: 50 documents drawn with
@@ -2726,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_pq_rerank_topk": q111_pq_rerank_topk,
         "q112_ivf_refined_topk": q112_ivf_refined_topk,
         "q113_ivf_pq_residual_topk": q113_ivf_pq_residual_topk,
+        "q114_kmv_sketch_merge": q114_kmv_sketch_merge,
     }
 
 
@@ -3205,6 +3230,54 @@ def _pq_refine_ctes(iters: int) -> str:
                 LEFT JOIN nb{i} nb ON nb.s = b.s AND nb.code = b.code
             )""")
     return "".join(parts)
+
+
+def _kmv_byk_oracle(k: int, probs_lit: str) -> str:
+    """Per-group KMV quantile replay (q110/q114's shared text): the k
+    lowest-md5(doc_id) rows per source are the uniform sample,
+    per-group ROW_NUMBER over (value, hash) gives the order
+    statistics, rank = greatest(1, ceil(p * n_g)). q114 runs this
+    ONE-SHOT text against the engine's sketch→merge→estimate path —
+    the KMV merge theorem is the equality being gated."""
+    return f"""
+            WITH kept AS (
+                SELECT source AS grp,
+                       ('0x' || substr(md5('kmvq:'
+                            || CAST(doc_id AS VARCHAR)), 1, 12))
+                           ::BIGINT AS h,
+                       CAST(n_chars AS DOUBLE) AS v
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+                      AND source IS NOT NULL
+            ),
+            tot AS (
+                SELECT grp, COUNT(*) AS n_total FROM kept GROUP BY grp
+            ),
+            samp AS (
+                SELECT grp, h, v
+                FROM kept
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY grp ORDER BY h, v) <= {k}
+            ),
+            ranked AS (
+                SELECT grp, v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY grp ORDER BY v, h) AS r,
+                       COUNT(*) OVER (PARTITION BY grp) AS n_sample
+                FROM samp
+            ),
+            p AS (
+                SELECT CAST(unnest({probs_lit}) AS DOUBLE) AS prob
+            )
+            SELECT rk.grp AS "group", p.prob, rk.r AS rank,
+                   rk.n_sample, rk.v AS estimate,
+                   (rk.n_sample >= t.n_total) AS exact
+            FROM ranked rk
+            JOIN tot t ON t.grp = rk.grp
+            JOIN p ON rk.r = greatest(
+                1, CAST(ceil(p.prob * rk.n_sample) AS BIGINT))
+            ORDER BY 1, 2
+        """
 
 
 # emb/q/corpus/bounds/cids/cent: the coarse stride codebook with the
@@ -5384,46 +5457,15 @@ def oracle_sql() -> dict[str, str]:
         # q110: q104's replay partitioned by source — per-group
         # bottom-128 by md5(doc_id), per-group ROW_NUMBER order
         # statistics, rank = greatest(1, ceil(p * n_g)).
-        "q110_kmv_quantiles_by_key": """
-            WITH kept AS (
-                SELECT source AS grp,
-                       ('0x' || substr(md5('kmvq:'
-                            || CAST(doc_id AS VARCHAR)), 1, 12))
-                           ::BIGINT AS h,
-                       CAST(n_chars AS DOUBLE) AS v
-                FROM documents
-                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
-                      AND source IS NOT NULL
-            ),
-            tot AS (
-                SELECT grp, COUNT(*) AS n_total FROM kept GROUP BY grp
-            ),
-            samp AS (
-                SELECT grp, h, v
-                FROM kept
-                QUALIFY ROW_NUMBER() OVER (
-                    PARTITION BY grp ORDER BY h) <= 128
-            ),
-            ranked AS (
-                SELECT grp, v,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY grp ORDER BY v, h) AS r,
-                       COUNT(*) OVER (PARTITION BY grp) AS n_sample
-                FROM samp
-            ),
-            p AS (
-                SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE)
-                           AS prob
-            )
-            SELECT rk.grp AS "group", p.prob, rk.r AS rank,
-                   rk.n_sample, rk.v AS estimate,
-                   (rk.n_sample >= t.n_total) AS exact
-            FROM ranked rk
-            JOIN tot t ON t.grp = rk.grp
-            JOIN p ON rk.r = greatest(
-                1, CAST(ceil(p.prob * rk.n_sample) AS BIGINT))
-            ORDER BY 1, 2
-        """,
+        "q110_kmv_quantiles_by_key": _kmv_byk_oracle(
+            128, "[0.25, 0.5, 0.75, 0.9]"
+        ),
+        # q114: the SAME one-shot SQL over the whole table IS the
+        # oracle for the engine's two-day sketch → merge → estimate
+        # path — equality is exactly the KMV merge theorem (per-group
+        # bottom-k of a union == bottom-k of the union of per-slice
+        # bottom-ks, for any total order on the hashes).
+        "q114_kmv_sketch_merge": _kmv_byk_oracle(96, "[0.5, 0.9]"),
         # q104: the bottom-256 rows by md5(event_id) are the uniform
         # sample; ROW_NUMBER over (value, hash) gives the order
         # statistics; rank = greatest(1, ceil(p * n)). Raw parquet

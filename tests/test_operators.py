@@ -3076,3 +3076,53 @@ def test_ivf_pq_residual_topk_sanity_and_determinism(spark):
     assert all(r["adc_dist"] is not None and r["adc_dist"] < 1.0 for r in got)
     with pytest.raises(ValueError, match="not divisible"):
         sim.ivf_pq_residual_topk(df, qvec, num_centroids=2, m=3)
+
+
+def test_kmv_quantile_sketch_lifecycle(spark, tmp_path):
+    """The persistable sketch API: (a) from_sketch(sketch(df)) ==
+    kmv_quantiles_by_key(df) exactly; (b) merge of two disjoint-slice
+    sketches == the one-shot sketch of the union (the KMV merge
+    theorem), surviving a parquet round trip of each day's sketch;
+    (c) merged totals add; (d) invalid probs raise."""
+    import pytest
+
+    from tinyflux_spark.operators.sketches import (
+        kmv_quantile_sketch,
+        kmv_quantile_sketch_merge,
+        kmv_quantiles_by_key,
+        kmv_quantiles_from_sketch,
+    )
+
+    rows = [
+        (i, "g%d" % (i % 3), float((i * 29) % 101)) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id: long, grp: string, v: double")
+    probs = (0.5, 0.9)
+    direct = sorted(
+        map(tuple, kmv_quantiles_by_key(
+            df, "v", "id", "grp", probs=probs, k=64
+        ).collect())
+    )
+    via_sketch = sorted(
+        map(tuple, kmv_quantiles_from_sketch(
+            kmv_quantile_sketch(df, "v", "id", "grp", k=64), probs
+        ).collect())
+    )
+    assert via_sketch == direct
+    # persist each day's sketch, reload, merge, estimate
+    d1 = df.where("id % 2 = 0")
+    d2 = df.where("id % 2 = 1")
+    p1, p2 = str(tmp_path / "day1"), str(tmp_path / "day2")
+    kmv_quantile_sketch(d1, "v", "id", "grp", k=64).write.parquet(p1)
+    kmv_quantile_sketch(d2, "v", "id", "grp", k=64).write.parquet(p2)
+    merged = kmv_quantile_sketch_merge(
+        spark.read.parquet(p1), spark.read.parquet(p2), k=64
+    )
+    assert sorted(
+        map(tuple, kmv_quantiles_from_sketch(merged, probs).collect())
+    ) == direct
+    # totals added across days
+    tot = {r["group"]: r["n_total"] for r in merged.collect()}
+    assert tot == {"g0": 200, "g1": 200, "g2": 200}
+    with pytest.raises(ValueError, match="probs"):
+        kmv_quantiles_from_sketch(merged, probs=())

@@ -21,8 +21,11 @@ __all__ = [
     "kmv_distinct",
     "kmv_estimate_from_bottom",
     "kmv_hash_col",
+    "kmv_quantile_sketch",
+    "kmv_quantile_sketch_merge",
     "kmv_quantiles",
     "kmv_quantiles_by_key",
+    "kmv_quantiles_from_sketch",
     "kmv_set_overlap",
 ]
 
@@ -374,10 +377,14 @@ def kmv_quantiles_by_key(
         .cast("long")
         .alias("_n_total"),
     )
+    # (_h, _v) retention order: _h ties (48-bit collisions) are
+    # near-impossible but the deterministic tiebreak keeps this path,
+    # the sketch/merge path (kmv_quantile_sketch) and the SQL oracle
+    # bit-identical even on one.
     samp = hashed.withColumn(
         "_bk",
         F.row_number().over(
-            Window.partitionBy("group").orderBy("_h")
+            Window.partitionBy("group").orderBy("_h", "_v")
         ),
     ).where(F.col("_bk") <= k)
     ranked = samp.select(
@@ -409,6 +416,174 @@ def kmv_quantiles_by_key(
             "n_sample",
             F.col("_v").alias("estimate"),
             (F.col("n_sample") >= F.col("_n_total")).alias("exact"),
+        )
+        .orderBy("group", "prob")
+    )
+
+
+def _bottom_k_rows(rows: DataFrame, k: int) -> DataFrame:
+    """Per-group bottom-k of (group, _h, _v) rows by hash — the shared
+    retention step of the sketch build and the sketch merge."""
+    from pyspark.sql import Window
+
+    return (
+        rows.withColumn(
+            "_bk",
+            F.row_number().over(
+                Window.partitionBy("group").orderBy("_h", "_v")
+            ),
+        )
+        .where(F.col("_bk") <= k)
+        .drop("_bk")
+    )
+
+
+def _collect_sketch(rows: DataFrame, totals: DataFrame) -> DataFrame:
+    """Assemble one sketch row per group: sorted (hash, value) sample
+    array + the group's total row count."""
+    samples = rows.groupBy("group").agg(
+        F.sort_array(
+            F.collect_list(F.struct("_h", "_v"))
+        ).alias("sample")
+    )
+    return samples.join(totals, "group").select(
+        "group", "n_total", "sample"
+    )
+
+
+def kmv_quantile_sketch(
+    df: DataFrame,
+    value_col,
+    key_col,
+    group_col,
+    k: int = 256,
+    salt: str = "kmvq",
+) -> DataFrame:
+    """Build the PERSISTABLE per-group quantile sketch behind
+    :func:`kmv_quantiles_by_key`: ONE ROW PER GROUP holding the
+    group's total row count and its bottom-k (hash, value) sample as
+    a sorted array — k <= a few hundred, so a day's sketch of a
+    million groups is a million tiny rows, not a corpus.
+
+    This is the day-over-day API: sketch each day once, persist the
+    sketch table, and answer "p50/p90 per source over any span" by
+    :func:`kmv_quantile_sketch_merge`-ing the days and reading
+    estimates with :func:`kmv_quantiles_from_sketch` — history is
+    never rescanned. ``kmv_quantiles_by_key(df, ...)`` equals
+    ``kmv_quantiles_from_sketch(kmv_quantile_sketch(df, ...))``
+    exactly, and the merge of disjoint slices equals the one-shot
+    sketch of their union (both pytest-asserted; the merge theorem is
+    also the q114 gate).
+
+    ``key_col`` must be unique per row ACROSS the slices that will be
+    merged (re-ingesting the same rows would double-count
+    ``n_total``). Rows with a null key, value, or group are ignored.
+
+    Plan shape: one shuffle on ``group_col`` serving the total count
+    + bottom-k windows, then a per-group collect into the bounded
+    sample array.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    kc = F.col(key_col) if isinstance(key_col, str) else key_col
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    vc = (F.col(value_col) if isinstance(value_col, str) else value_col)
+    vc = vc.cast("double")
+    kept = df.where(kc.isNotNull() & vc.isNotNull() & gc.isNotNull())
+    hashed = kept.select(
+        gc.alias("group"),
+        kmv_hash_col(kc, salt),
+        vc.alias("_v"),
+        F.count("*")
+        .over(Window.partitionBy(gc))
+        .cast("long")
+        .alias("n_total"),
+    )
+    totals = hashed.groupBy("group").agg(
+        F.first("n_total").alias("n_total")
+    )
+    return _collect_sketch(
+        _bottom_k_rows(hashed.drop("n_total"), k), totals
+    )
+
+
+def kmv_quantile_sketch_merge(
+    a: DataFrame, b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Merge two per-group quantile sketches built over DISJOINT row
+    slices (two days, two shards): per group, union the samples and
+    re-take the bottom k by hash; totals add. The result is
+    bit-identical to the one-shot sketch over the concatenated input
+    — the KMV merge theorem (the bottom-k of a union is the bottom-k
+    of the union of bottom-ks), so estimates never drift however the
+    history was sliced. Use the same ``k``/salt the inputs were built
+    with (a larger k cannot be recovered from smaller sketches)."""
+
+    def explode_side(s: DataFrame) -> DataFrame:
+        return s.select(
+            "group", F.explode("sample").alias("p")
+        ).select("group", F.col("p._h").alias("_h"),
+                 F.col("p._v").alias("_v"))
+
+    rows = explode_side(a).union(explode_side(b))
+    totals = (
+        a.select("group", "n_total")
+        .union(b.select("group", "n_total"))
+        .groupBy("group")
+        .agg(F.sum("n_total").cast("long").alias("n_total"))
+    )
+    return _collect_sketch(_bottom_k_rows(rows, k), totals)
+
+
+def kmv_quantiles_from_sketch(
+    sketch: DataFrame,
+    probs=(0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Read per-group quantile estimates from a persisted/merged
+    sketch — :func:`kmv_quantiles_by_key`'s exact output shape
+    ``(group, prob, rank, n_sample, estimate, exact)``, computed from
+    the k-row samples alone (the corpus is long gone). Zero joins:
+    probs explode from a literal and a filter picks each group's
+    order-statistic rows."""
+    from pyspark.sql import Window
+
+    probs = [float(p) for p in probs]
+    if not probs or any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError("probs must be non-empty, each in (0, 1]")
+    rows = sketch.select(
+        "group",
+        "n_total",
+        F.size("sample").cast("long").alias("n_sample"),
+        F.explode("sample").alias("p"),
+    ).select(
+        "group", "n_total", "n_sample",
+        F.col("p._h").alias("_h"), F.col("p._v").alias("_v"),
+    )
+    ranked = rows.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("group").orderBy("_v", "_h")
+        ),
+    )
+    probs_arr = F.array(*[F.lit(p) for p in probs])
+    return (
+        ranked.withColumn("prob", F.explode(probs_arr))
+        .where(
+            F.col("_r")
+            == F.greatest(
+                F.lit(1),
+                F.ceil(F.col("prob") * F.col("n_sample")),
+            ).cast("int")
+        )
+        .select(
+            "group",
+            "prob",
+            F.col("_r").alias("rank"),
+            "n_sample",
+            F.col("_v").alias("estimate"),
+            (F.col("n_sample") >= F.col("n_total")).alias("exact"),
         )
         .orderBy("group", "prob")
     )
