@@ -61,6 +61,7 @@ PANEL = [
     ("q111_pq_rerank_topk", (1, 10, 100)),
     ("q112_ivf_refined_topk", (1, 10, 100)),
     ("q113_ivf_pq_residual_topk", (1, 10, 100)),
+    ("q114_kmv_sketch_merge", (1, 10, 100)),
 ]
 
 # Queries whose probe builder takes the scale factor (K ~ sqrt(N) —
