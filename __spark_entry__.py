@@ -2562,6 +2562,50 @@ def q114_kmv_sketch_merge(spark, sf_dir):
     return kmv_quantiles_from_sketch(merged, probs=(0.5, 0.9))
 
 
+def q115_stream_kmv_quantiles(spark, sf_dir):
+    """Streaming per-group quantile-sketch maintenance end-to-end
+    (streaming/ingest.stream_kmv_quantiles_insert): the 'new shard'
+    of documents (doc_id % 5 == 0) arrives as a finite file stream in
+    three micro-batches; each batch MERGES into the persisted
+    one-row-per-source sketch (epoch=N idempotent overwrite with
+    lineage+batch-id replay detection — totals are not a set union,
+    so a redelivered batch is skipped, not re-added). Sketch merge is
+    associative, so the standing estimate equals the ONE-SHOT batch
+    sketch over the whole shard — the oracle is the q110-form SQL on
+    the shard slice (stream == batch, the q106 convention)."""
+    import shutil
+    import tempfile
+
+    from tinyflux_spark.streaming import ingest as st
+
+    docs = _t("documents")(spark, sf_dir)
+    shard = docs.where(F.col("doc_id") % 5 == 0)
+    root = tempfile.mkdtemp(prefix="tfs_q115_")
+    try:
+        src = root + "/src"
+        shard.repartition(3).write.mode("overwrite").parquet(src)
+        stream = st.point_stream_from_files(
+            spark, src, shard.schema, max_files_per_trigger=1
+        )
+        q = st.stream_kmv_quantiles_insert(
+            stream, root + "/state", "n_chars", "doc_id", "source",
+            k=64, checkpoint_dir=root + "/ck",
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "q115 stream_kmv_quantiles_insert did not finish "
+                "within 240s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        return st.kmv_quantiles_state_estimate(
+            spark, root + "/state", probs=(0.5, 0.9)
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q108_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis & Spirakis
     2006) — the data-mixing primitive: 50 documents drawn with
@@ -2751,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_ivf_refined_topk": q112_ivf_refined_topk,
         "q113_ivf_pq_residual_topk": q113_ivf_pq_residual_topk,
         "q114_kmv_sketch_merge": q114_kmv_sketch_merge,
+        "q115_stream_kmv_quantiles": q115_stream_kmv_quantiles,
     }
 
 
@@ -3232,13 +3277,15 @@ def _pq_refine_ctes(iters: int) -> str:
     return "".join(parts)
 
 
-def _kmv_byk_oracle(k: int, probs_lit: str) -> str:
-    """Per-group KMV quantile replay (q110/q114's shared text): the k
-    lowest-md5(doc_id) rows per source are the uniform sample,
+def _kmv_byk_oracle(k: int, probs_lit: str, extra_where: str = "") -> str:
+    """Per-group KMV quantile replay (q110/q114/q115's shared text):
+    the k lowest-md5(doc_id) rows per source are the uniform sample,
     per-group ROW_NUMBER over (value, hash) gives the order
     statistics, rank = greatest(1, ceil(p * n_g)). q114 runs this
     ONE-SHOT text against the engine's sketch→merge→estimate path —
-    the KMV merge theorem is the equality being gated."""
+    the KMV merge theorem is the equality being gated; q115 runs it
+    against the STREAMED sketch over the shard slice (stream ==
+    batch)."""
     return f"""
             WITH kept AS (
                 SELECT source AS grp,
@@ -3248,7 +3295,7 @@ def _kmv_byk_oracle(k: int, probs_lit: str) -> str:
                        CAST(n_chars AS DOUBLE) AS v
                 FROM documents
                 WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
-                      AND source IS NOT NULL
+                      AND source IS NOT NULL {extra_where}
             ),
             tot AS (
                 SELECT grp, COUNT(*) AS n_total FROM kept GROUP BY grp
@@ -5466,6 +5513,12 @@ def oracle_sql() -> dict[str, str]:
         # bottom-k of a union == bottom-k of the union of per-slice
         # bottom-ks, for any total order on the hashes).
         "q114_kmv_sketch_merge": _kmv_byk_oracle(96, "[0.5, 0.9]"),
+        # q115: stream == batch for the quantile-sketch family — the
+        # streamed per-group sketch's standing estimate over the
+        # shard equals the one-shot SQL on the shard slice.
+        "q115_stream_kmv_quantiles": _kmv_byk_oracle(
+            64, "[0.5, 0.9]", "AND doc_id % 5 = 0"
+        ),
         # q104: the bottom-256 rows by md5(event_id) are the uniform
         # sample; ROW_NUMBER over (value, hash) gives the order
         # statistics; rank = greatest(1, ceil(p * n)). Raw parquet

@@ -894,3 +894,117 @@ def test_fresh_checkpoint_wipes_stale_result_epochs(spark, tmp_path):
     )
     assert q2.awaitTermination(300) and q2.exception() is None
     assert spark.read.parquet(res).count() == n_after_first
+
+
+def test_stream_kmv_quantiles_matches_batch_resumes_and_skips_replay(
+    spark, tmp_path
+):
+    """Streaming per-group quantile sketch: (a) 3 micro-batches ==
+    the one-shot batch table (merge associativity); (b) a second run
+    over NEW rows (same lineage continuing) folds in — estimates equal
+    the batch over the union; (c) the at-least-once replay guard: re-
+    folding an already-committed batch id in the same lineage changes
+    NOTHING, while the totals-carrying fold would otherwise double-
+    count; (d) param mismatch on reuse raises; (e) epoch dirs stay
+    bounded by keep_epochs."""
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from tinyflux_spark.operators.sketches import kmv_quantiles_by_key
+    from tinyflux_spark.streaming import ingest
+
+    rows1 = [(i, "g%d" % (i % 3), float((i * 31) % 97)) for i in range(600)]
+    df1 = spark.createDataFrame(rows1, "id: long, grp: string, v: double")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    src1 = str(tmp_path / "src1")
+    df1.repartition(3).write.parquet(src1)
+    state = str(tmp_path / "state")
+    probs = (0.5, 0.9)
+    q = ingest.stream_kmv_quantiles_insert(
+        ingest.point_stream_from_files(
+            spark, src1, schema, max_files_per_trigger=1
+        ),
+        state, "v", "id", "grp", k=64,
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    assert q.awaitTermination(300) and q.exception() is None
+    got = sorted(map(tuple, ingest.kmv_quantiles_state_estimate(
+        spark, state, probs
+    ).collect()))
+    want = sorted(map(tuple, kmv_quantiles_by_key(
+        df1, "v", "id", "grp", probs=probs, k=64
+    ).collect()))
+    assert got == want
+    epochs = [d for d in os.listdir(state) if d.startswith("epoch=")]
+    assert len(epochs) <= 2  # keep_epochs GC
+
+    # (b) second run over disjoint NEW rows, fresh checkpoint but new
+    # source data only (the documented contract)
+    rows2 = [(1000 + i, "g%d" % (i % 3), float((i * 13) % 89))
+             for i in range(300)]
+    df2 = spark.createDataFrame(rows2, "id: long, grp: string, v: double")
+    src2 = str(tmp_path / "src2")
+    df2.repartition(2).write.parquet(src2)
+    q2 = ingest.stream_kmv_quantiles_insert(
+        ingest.point_stream_from_files(
+            spark, src2, schema, max_files_per_trigger=1
+        ),
+        state, "v", "id", "grp", k=64,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    assert q2.awaitTermination(300) and q2.exception() is None
+    got2 = sorted(map(tuple, ingest.kmv_quantiles_state_estimate(
+        spark, state, probs
+    ).collect()))
+    want2 = sorted(map(tuple, kmv_quantiles_by_key(
+        df1.union(df2), "v", "id", "grp", probs=probs, k=64
+    ).collect()))
+    assert got2 == want2
+
+    # (c) replay guard, exercised directly on the fold: the newest
+    # committed epoch of lineage ck2 carries its last batch id;
+    # re-folding that same (lineage, batch id) must change nothing.
+    latest = ingest._latest_committed_epoch(spark, state)
+    meta = spark.read.parquet(f"{state}/epoch={latest}").select(
+        "_lineage", "_batch_id"
+    ).first()
+    ingest._fold_quantile_sketch_batch(
+        df2, state, "v", "id", "grp", 64, "kmvq", 2,
+        meta["_lineage"], int(meta["_batch_id"]),
+    )
+    assert ingest._latest_committed_epoch(spark, state) == latest
+    got3 = sorted(map(tuple, ingest.kmv_quantiles_state_estimate(
+        spark, state, probs
+    ).collect()))
+    assert got3 == got2
+    # ...whereas a HIGHER batch id in the same lineage does fold (and
+    # double-counts df2 — the documented disjointness contract)
+    ingest._fold_quantile_sketch_batch(
+        df2, state, "v", "id", "grp", 64, "kmvq", 2,
+        meta["_lineage"], int(meta["_batch_id"]) + 1,
+    )
+    tot = {
+        r["group"]: r["n_total"]
+        for r in spark.read.parquet(
+            "{}/epoch={}".format(
+                state, ingest._latest_committed_epoch(spark, state)
+            )
+        ).collect()
+    }
+    assert tot == {"g0": 400, "g1": 400, "g2": 400}
+
+    # (d) param mismatch raises before any stream starts
+    with pytest.raises(ValueError, match="built with"):
+        ingest.stream_kmv_quantiles_insert(
+            ingest.point_stream_from_files(
+                spark, src2, schema, max_files_per_trigger=1
+            ),
+            state, "v", "id", "grp", k=128,
+            checkpoint_dir=str(tmp_path / "ck3"),
+        )

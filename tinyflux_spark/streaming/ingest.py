@@ -621,6 +621,192 @@ def stream_kmv_insert(
     return writer.start()
 
 
+def _fold_quantile_sketch_batch(
+    batch_df: DataFrame,
+    state_path: str,
+    value_col: str,
+    key_col: str,
+    group_col: str,
+    k: int,
+    salt: str,
+    keep_epochs: int,
+    lineage: str,
+    epoch_id: int,
+) -> None:
+    """One micro-batch fold of :func:`stream_kmv_quantiles_insert` —
+    module-level so the at-least-once replay guard is directly unit-
+    testable: a batch id <= the one recorded in the newest committed
+    epoch of the SAME lineage is a redelivery and must change
+    nothing."""
+    from ..operators.sketches import (
+        _bottom_k_rows,
+        _collect_sketch,
+        kmv_hash_col,
+    )
+
+    spark = batch_df.sparkSession
+    fs, jroot = _hadoop_path(spark, state_path)
+    kc, gc = F.col(key_col), F.col(group_col)
+    vc = F.col(value_col).cast("double")
+    batch_rows = batch_df.where(
+        kc.isNotNull() & vc.isNotNull() & gc.isNotNull()
+    ).select(
+        gc.alias("group"),
+        kmv_hash_col(kc, salt),
+        vc.alias("_v"),
+    )
+    batch_totals = batch_rows.groupBy("group").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    prev = _latest_committed_epoch(spark, state_path)
+    rows, totals = batch_rows, batch_totals
+    if prev is not None:
+        state = spark.read.parquet(f"{state_path}/epoch={prev}")
+        meta = state.select("_lineage", "_batch_id").first()
+        if (
+            meta is not None
+            and meta["_lineage"] == lineage
+            and int(meta["_batch_id"]) >= epoch_id
+        ):
+            return  # redelivered batch already folded
+        prev_rows = state.select(
+            "group", F.explode("sample").alias("p")
+        ).select(
+            "group",
+            F.col("p._h").alias("_h"),
+            F.col("p._v").alias("_v"),
+        )
+        prev_totals = state.select("group", "n_total")
+        rows = prev_rows.union(batch_rows)
+        totals = (
+            prev_totals.union(batch_totals)
+            .groupBy("group")
+            .agg(F.sum("n_total").cast("long").alias("n_total"))
+        )
+    merged = _collect_sketch(_bottom_k_rows(rows, k), totals)
+    nxt = 0 if prev is None else prev + 1
+    merged.withColumn("_lineage", F.lit(lineage)).withColumn(
+        "_batch_id", F.lit(epoch_id).cast("long")
+    ).write.mode("overwrite").parquet(f"{state_path}/epoch={nxt}")
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if not name.startswith("epoch="):
+            continue
+        if int(name.split("=", 1)[1]) <= nxt - keep_epochs:
+            fs.delete(st.getPath(), True)
+
+
+def stream_kmv_quantiles_insert(
+    values_stream: DataFrame,
+    state_path: str,
+    value_col: str,
+    key_col: str,
+    group_col: str,
+    k: int = 256,
+    salt: str = "kmvq",
+    keep_epochs: int = 2,
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Maintain the persisted PER-GROUP quantile sketch
+    (``operators.sketches.kmv_quantile_sketch`` — one row per group:
+    total count + bottom-k (hash, value) sample) from a live stream —
+    the streaming form of q110/q114's data card, and the standing
+    answer to "p50/p90 per source over everything ever ingested"
+    without rescanning history: state is k sample rows per group.
+
+    Each micro-batch folds in as one sketch MERGE (union samples,
+    re-bottom-k by the deterministic (hash, value) order, totals add)
+    against the newest **committed** ``epoch=N`` dir, writing
+    ``epoch=N+1`` idempotently (_SUCCESS-gated reads + per-epoch
+    overwrite + ``keep_epochs`` GC — :func:`stream_kmv_insert`'s
+    durability recipe). Unlike the distinct-count sketch, the TOTALS
+    are not a set union, so a replayed micro-batch must be detected,
+    not absorbed: every epoch records the checkpoint lineage and the
+    foreachBatch batch id that produced it, and a batch with an id
+    <= the recorded one in the SAME lineage is skipped (at-least-once
+    redelivery after a committed fold — the double-count hole the
+    distinct sketch doesn't have). A NEW lineage (fresh checkpoint)
+    folds whatever its source carries — point it at NEW rows only;
+    ``key_col`` values must be unique across the stream's whole
+    history (the same disjointness contract as
+    ``kmv_quantile_sketch_merge``).
+
+    Read the standing estimates with
+    :func:`kmv_quantiles_state_estimate`.
+    """
+    from ..operators.sketches import (
+        _bottom_k_rows,
+        _collect_sketch,
+        kmv_hash_col,
+    )
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if keep_epochs < 2:
+        raise ValueError(
+            "keep_epochs must be >= 2 (the new epoch plus one "
+            "predecessor of crash-recovery headroom)"
+        )
+    spark = values_stream.sparkSession
+    params = {
+        "kind": "kmv_quantile_sketch",
+        "value_col": value_col,
+        "key_col": key_col,
+        "group_col": group_col,
+        "k": k,
+        "salt": salt,
+    }
+    fs, jroot = _hadoop_path(spark, state_path)
+    if fs.exists(jroot):
+        _check_params_manifest(
+            spark, state_path, params, "persisted quantile sketch"
+        )
+    else:
+        fs.mkdirs(jroot)
+        _write_params_manifest(spark, state_path, params)
+    lineage = checkpoint_dir or "<none>"
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        _fold_quantile_sketch_batch(
+            batch_df, state_path, value_col, key_col, group_col,
+            k, salt, keep_epochs, lineage, epoch_id,
+        )
+
+    writer = (
+        values_stream.writeStream.foreachBatch(sink).outputMode("append")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def kmv_quantiles_state_estimate(
+    spark: SparkSession,
+    state_path: str,
+    probs=(0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Standing per-group quantile estimates from a
+    :func:`stream_kmv_quantiles_insert` state dir: read the newest
+    committed epoch's one-row-per-group sketch and rank its bounded
+    samples — ``kmv_quantiles_by_key``'s output shape, computed from
+    k rows per group however long the stream has run."""
+    from ..operators.sketches import kmv_quantiles_from_sketch
+
+    _read_params_manifest(spark, state_path)  # validates provenance
+    latest = _latest_committed_epoch(spark, state_path)
+    if latest is None:
+        raise ValueError(
+            f"no committed sketch epochs at {state_path!r}"
+        )
+    sketch = spark.read.parquet(f"{state_path}/epoch={latest}")
+    return kmv_quantiles_from_sketch(
+        sketch.select("group", "n_total", "sample"), probs
+    )
+
+
 def kmv_state_estimate(spark: SparkSession, state_path: str) -> DataFrame:
     """Standing estimate from a :func:`stream_kmv_insert` state dir:
     reads the newest **committed** ``epoch=N`` sketch (``_SUCCESS``
