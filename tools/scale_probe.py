@@ -62,6 +62,7 @@ PANEL = [
     ("q112_ivf_refined_topk", (1, 10, 100)),
     ("q113_ivf_pq_residual_topk", (1, 10, 100)),
     ("q114_kmv_sketch_merge", (1, 10, 100)),
+    ("q115_stream_kmv_quantiles", (1, 10, 100)),
 ]
 
 # Queries whose probe builder takes the scale factor (K ~ sqrt(N) —
@@ -190,6 +191,7 @@ def run(out_path: str, dirs: dict[int, str]) -> None:
             if name not in (
                 "q102_stream_semantic_dedup",
                 "q106_stream_kmv_distinct",
+                "q115_stream_kmv_quantiles",
             ):
                 build().write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()
