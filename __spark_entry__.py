@@ -2606,6 +2606,20 @@ def q115_stream_kmv_quantiles(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q116_kmv_distinct_by_key(spark, sf_dir):
+    """Per-group distinct-count sketches — the other half of the data
+    card beside q110/q114's per-group quantiles: distinct users per
+    event type, each group an independent KMV bottom-64 with Beyer's
+    estimator, exact (flagged) below k. One shuffle on (group, hash),
+    zero joins; per-group state is k hashes and merges by union +
+    re-bottom-k. The oracle replays the per-group bottom-k and the
+    estimator arithmetic exactly."""
+    from tinyflux_spark.operators.sketches import kmv_distinct_by_key
+
+    ev = _t("events")(spark, sf_dir)
+    return kmv_distinct_by_key(ev, "user_id", "event_type", k=64)
+
+
 def q108_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis & Spirakis
     2006) — the data-mixing primitive: 50 documents drawn with
@@ -2796,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_ivf_pq_residual_topk": q113_ivf_pq_residual_topk,
         "q114_kmv_sketch_merge": q114_kmv_sketch_merge,
         "q115_stream_kmv_quantiles": q115_stream_kmv_quantiles,
+        "q116_kmv_distinct_by_key": q116_kmv_distinct_by_key,
     }
 
 
@@ -5519,6 +5534,37 @@ def oracle_sql() -> dict[str, str]:
         "q115_stream_kmv_quantiles": _kmv_byk_oracle(
             64, "[0.5, 0.9]", "AND doc_id % 5 = 0"
         ),
+        # q116: per-group KMV distinct replay — per-group bottom-64
+        # of distinct md5(user_id) hashes, Beyer estimator per group,
+        # exact below k.
+        "q116_kmv_distinct_by_key": """
+            WITH h AS (
+                SELECT DISTINCT event_type AS grp,
+                       ('0x' || substr(md5('kmv:'
+                            || CAST(user_id AS VARCHAR)), 1, 12))
+                           ::BIGINT AS h
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ),
+            b AS (
+                SELECT grp, h FROM h
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY grp ORDER BY h) <= 64
+            ),
+            a AS (
+                SELECT grp, COUNT(*) AS n_seen, MAX(h) AS kth_hash
+                FROM b GROUP BY grp
+            )
+            SELECT grp AS "group", n_seen, kth_hash,
+                   ROUND(CASE WHEN n_seen < 64
+                         THEN CAST(n_seen AS DOUBLE)
+                         ELSE 63.0 / (CAST(kth_hash AS DOUBLE)
+                                      / 281474976710656.0)
+                         END, 4) AS estimate,
+                   (n_seen < 64) AS exact
+            FROM a
+            ORDER BY 1
+        """,
         # q104: the bottom-256 rows by md5(event_id) are the uniform
         # sample; ROW_NUMBER over (value, hash) gives the order
         # statistics; rank = greatest(1, ceil(p * n)). Raw parquet

@@ -3126,3 +3126,60 @@ def test_kmv_quantile_sketch_lifecycle(spark, tmp_path):
     assert tot == {"g0": 200, "g1": 200, "g2": 200}
     with pytest.raises(ValueError, match="probs"):
         kmv_quantiles_from_sketch(merged, probs=())
+
+
+def test_kmv_distinct_by_key_matches_ungrouped_and_merges(spark):
+    """Per-group distinct sketches: (a) a single-group table equals
+    kmv_distinct on that slice; (b) exact below k; (c) per-group
+    merge (union + re-bottom-k) equals the one-shot sketch over the
+    union; (d) nulls ignored."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_distinct_by_key,
+        kmv_hash_col,
+    )
+
+    rows = [(i, "g%d" % (i % 2), (i // 2) % (150 if i % 2 else 20))
+            for i in range(800)]
+    rows += [(9000, None, 5), (9001, "g0", None)]
+    df = spark.createDataFrame(rows, "seq: long, grp: string, uid: long")
+    out = {r["group"]: r for r in
+           kmv_distinct_by_key(df, "uid", "grp", k=64).collect()}
+    assert set(out) == {"g0", "g1"}
+    # g0 has 20 distinct (< k): exact
+    assert out["g0"]["exact"] is True and out["g0"]["estimate"] == 20.0
+    # g1 has 120 distinct (> k): estimated, matches ungrouped slice
+    want = kmv_distinct(
+        df.where("grp = 'g1'"), "uid", k=64
+    ).collect()[0]
+    got = out["g1"]
+    assert got["exact"] is False
+    assert (got["n_seen"], got["kth_hash"], got["estimate"]) == (
+        want["n_seen"], want["kth_hash"], want["estimate"]
+    )
+    # merge theorem per group
+    d1, d2 = df.where("seq % 2 = 0"), df.where("seq % 2 = 1")
+
+    def grp_bottom(d):
+        return (
+            d.where("uid IS NOT NULL AND grp IS NOT NULL")
+            .select(F.col("grp").alias("group"),
+                    kmv_hash_col(F.col("uid")))
+            .distinct()
+            .withColumn("_bk", F.row_number().over(
+                Window.partitionBy("group").orderBy("_h")))
+            .where("_bk <= 64").drop("_bk")
+        )
+
+    merged = (
+        grp_bottom(d1).union(grp_bottom(d2)).distinct()
+        .withColumn("_bk", F.row_number().over(
+            Window.partitionBy("group").orderBy("_h")))
+        .where("_bk <= 64").drop("_bk")
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, grp_bottom(df).collect())
+    )

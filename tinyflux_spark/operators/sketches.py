@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "kmv_distinct",
+    "kmv_distinct_by_key",
     "kmv_estimate_from_bottom",
     "kmv_hash_col",
     "kmv_quantile_sketch",
@@ -587,3 +588,64 @@ def kmv_quantiles_from_sketch(
         )
         .orderBy("group", "prob")
     )
+
+
+def kmv_distinct_by_key(
+    df: DataFrame,
+    col,
+    group_col,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV distinct-count estimates — the GROUP BY form of
+    :func:`kmv_distinct` and the other half of the data card
+    (q110/q114 answer "p50/p90 per source", this answers "distinct
+    users per source/event type"): each group keeps its k smallest
+    DISTINCT md5 hashes and applies Beyer et al. 2007's estimator
+    independently; groups with fewer than k distinct values report
+    the exact count (``exact = true``).
+
+    Plan shape: one hash projection (codegen), ONE shuffle on
+    (group, hash) serving the distinct + the per-group bottom-k
+    window + the per-group aggregate — zero joins. A hot group still
+    retains k rows after the window filter. Per-group sketch state is
+    k hashes and merges by union + per-group re-bottom-k, so
+    day-over-day distinct counts never rescan history.
+
+    Returns one row per group, ordered:
+    ``(group, n_seen, kth_hash, estimate, exact)``. Null values and
+    null groups are ignored.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    c = F.col(col) if isinstance(col, str) else col
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    hashed = (
+        df.where(c.isNotNull() & gc.isNotNull())
+        .select(gc.alias("group"), kmv_hash_col(c, salt))
+        .distinct()
+    )
+    bottom = hashed.withColumn(
+        "_bk",
+        F.row_number().over(
+            Window.partitionBy("group").orderBy("_h")
+        ),
+    ).where(F.col("_bk") <= k)
+    agg = bottom.groupBy("group").agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.max("_h").alias("kth_hash"),
+    )
+    exact = F.col("n_seen") < k
+    est = F.when(exact, F.col("n_seen").cast("double")).otherwise(
+        F.lit(float(k - 1))
+        / (F.col("kth_hash").cast("double") / F.lit(_KMV_DOMAIN))
+    )
+    return agg.select(
+        "group",
+        "n_seen",
+        "kth_hash",
+        F.round(est, 4).alias("estimate"),
+        exact.alias("exact"),
+    ).orderBy("group")
