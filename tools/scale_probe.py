@@ -63,6 +63,7 @@ PANEL = [
     ("q113_ivf_pq_residual_topk", (1, 10, 100)),
     ("q114_kmv_sketch_merge", (1, 10, 100)),
     ("q115_stream_kmv_quantiles", (1, 10, 100)),
+    ("q116_kmv_distinct_by_key", (1, 10, 100)),
 ]
 
 # Queries whose probe builder takes the scale factor (K ~ sqrt(N) —
