@@ -2687,7 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q51–q69 as space allows). q70–q75, q17, q90 just miss and lead
     # the r9 rotation alongside the r7-window rows (q101/q102/q89/q01/
     # q04/q06/... — all driver-green at r7 semantics). New round-8
-    # operators (q109–q115) land below the window as r9 candidates.
+    # operators (q109–q116) land below the window as r9 candidates.
     # tools/check_gate.py remains the per-commit guard over the full
     # registry.
     return {
