@@ -930,3 +930,47 @@ def test_ivf_pq_index_prunes_partitions_and_columns(spark, tmp_path):
     rr = ivf_pq_topk_indexed(spark, path, q, k=5, nprobe=8, rerank=200)
     exact = cosine_topk(corpus, q, k=5).collect()
     assert [tuple(r) for r in rr.collect()] == [tuple(r) for r in exact]
+
+
+def test_grouped_kmv_totals_partial_aggregate_not_count_window(spark):
+    """Skew-funnel regression guard (VERDICT r8): the per-group TOTAL
+    in kmv_quantiles_by_key / kmv_quantile_sketch must come from a
+    groupBy().count() (map-side partial_count) joined onto the <= k
+    sample, never from `count(*) over (partition by group)` computed
+    on the raw rows — an unbounded count window BELOW the bottom-k
+    WindowGroupLimit has no partial aggregation and funnels every row
+    of a hot group through one task. In the tree-printed physical
+    plan, parents print above children, so any count window must
+    appear ABOVE (before) the first WindowGroupLimit: the only one
+    allowed is n_sample's, computed over the already-bounded sample."""
+    import re
+
+    from tinyflux_spark.operators.sketches import (
+        kmv_quantile_sketch,
+        kmv_quantiles_by_key,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cases = {
+        "kmv_quantiles_by_key": kmv_quantiles_by_key(
+            docs, F.length("text"), "doc_id", "source", k=64
+        ),
+        "kmv_quantile_sketch": kmv_quantile_sketch(
+            docs, F.length("text"), "doc_id", "source", k=64
+        ),
+    }
+    for name, df in cases.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial_count" in plan, f"{name}: totals lost map-side combine"
+        assert "WindowGroupLimit" in plan, f"{name}: bottom-k lost group limit"
+        first_wgl = plan.index("WindowGroupLimit")
+        for m in re.finditer(r"count\(1\) windowspecdefinition", plan):
+            assert m.start() < first_wgl, (
+                f"{name}: unbounded count window below the group limit "
+                "(hot-group single-task funnel)"
+            )
+    sketch_plan = (
+        cases["kmv_quantile_sketch"]
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "count(1) windowspecdefinition" not in sketch_plan

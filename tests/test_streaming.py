@@ -1008,3 +1008,104 @@ def test_stream_kmv_quantiles_matches_batch_resumes_and_skips_replay(
             state, "v", "id", "grp", k=128,
             checkpoint_dir=str(tmp_path / "ck3"),
         )
+
+
+def test_recreated_checkpoint_gets_fresh_lineage_no_silent_skip(
+    spark, tmp_path
+):
+    """A checkpoint DELETED and RECREATED at the same path restarts
+    foreachBatch's epoch ids at 0. The replay guard keys on the query
+    id Spark persists in <checkpoint>/metadata (regenerated with every
+    fresh checkpoint), NOT the path string — under a path-string
+    lineage the second run's batch ids (0, 1, ...) would compare <=
+    the first run's recorded id and be skipped as redeliveries:
+    silent data loss, the exact inverse of the double-count the guard
+    exists to prevent."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from tinyflux_spark.operators.sketches import kmv_quantiles_by_key
+    from tinyflux_spark.streaming import ingest
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    rows1 = [(i, "g%d" % (i % 2), float((i * 7) % 53)) for i in range(200)]
+    df1 = spark.createDataFrame(rows1, "id: long, grp: string, v: double")
+    src1 = str(tmp_path / "src1")
+    df1.repartition(3).write.parquet(src1)  # 3 files -> batch ids 0..2
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")  # SAME path both runs
+    q = ingest.stream_kmv_quantiles_insert(
+        ingest.point_stream_from_files(
+            spark, src1, schema, max_files_per_trigger=1
+        ),
+        state, "v", "id", "grp", k=32, checkpoint_dir=ck,
+    )
+    assert q.awaitTermination(300) and q.exception() is None
+
+    shutil.rmtree(ck)  # checkpoint lost; same path recreated below
+    rows2 = [(1000 + i, "g%d" % (i % 2), float((i * 11) % 43))
+             for i in range(100)]
+    df2 = spark.createDataFrame(rows2, "id: long, grp: string, v: double")
+    src2 = str(tmp_path / "src2")
+    df2.repartition(2).write.parquet(src2)  # batch ids restart at 0
+    q2 = ingest.stream_kmv_quantiles_insert(
+        ingest.point_stream_from_files(
+            spark, src2, schema, max_files_per_trigger=1
+        ),
+        state, "v", "id", "grp", k=32, checkpoint_dir=ck,
+    )
+    assert q2.awaitTermination(300) and q2.exception() is None
+
+    # Both runs' lineage tokens must differ (fresh query id), and the
+    # second run's rows must have folded in.
+    latest = ingest._latest_committed_epoch(spark, state)
+    got = sorted(map(tuple, ingest.kmv_quantiles_state_estimate(
+        spark, state, (0.5,)
+    ).collect()))
+    want = sorted(map(tuple, kmv_quantiles_by_key(
+        df1.union(df2), "v", "id", "grp", probs=(0.5,), k=32
+    ).collect()))
+    assert got == want
+    tot = {
+        r["group"]: r["n_total"]
+        for r in spark.read.parquet(f"{state}/epoch={latest}").collect()
+    }
+    assert tot == {"g0": 150, "g1": 150}
+
+
+def test_corrupt_manifest_surfaces_parse_error_not_missing(
+    spark, tmp_path
+):
+    """A truncated/corrupt _params.json must fail as a JSON parse
+    error, not be misreported as 'has no _params.json manifest'
+    (json.JSONDecodeError subclasses ValueError, so a blanket except
+    would mask corruption behind the missing-manifest message)."""
+    import json as _json
+    import os
+
+    import pytest
+
+    from tinyflux_spark.streaming import ingest
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    with open(os.path.join(state, "_params.json"), "w") as f:
+        f.write('{"kind": "kmv_sketch", "k": 64')  # truncated
+    with pytest.raises(_json.JSONDecodeError):
+        ingest._read_params_manifest(spark, state)
+    with pytest.raises(_json.JSONDecodeError):
+        ingest._check_params_manifest(
+            spark, state, {"kind": "kmv_sketch", "k": 64}, "state"
+        )
+    # and a genuinely MISSING manifest still reports as missing
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no _params.json"):
+        ingest._check_params_manifest(
+            spark, empty, {"k": 64}, "state"
+        )

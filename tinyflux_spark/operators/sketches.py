@@ -344,15 +344,22 @@ def kmv_quantiles_by_key(
     or group are ignored. ``exact = true`` for groups fully inside
     their sample (n_g_total <= k).
 
-    Plan shape: ONE shuffle on ``group_col`` serving three window
-    passes — per-group total count, per-group bottom-k (row_number
-    over hash), and per-group rank over the surviving <= k sample
-    rows — then the probs arrive as an exploded LITERAL array and a
-    pure filter picks each group's order-statistic rows: zero joins
-    anywhere. A hot group still retains only k sample rows after the
-    bottom-k filter. Per-group sketch state is k (hash, value) rows
-    and merges by union + per-group re-bottom-k on the carried hash,
-    so day-over-day per-source quantiles never rescan history.
+    Plan shape: the bottom-k window (row_number over hash) gets
+    Partial+Final WindowGroupLimit — only k rows per group leave each
+    map partition — and the per-group TOTAL is a separate
+    ``groupBy(group).count()`` (map-side partial aggregation)
+    equi-joined onto the <= k-row sample. Both legs shuffle on
+    ``group_col`` and nothing ever funnels a whole hot group through
+    one task: an unbounded ``count(*) over (partition by group)``
+    would sit below the group limit and scan every row of the
+    hottest group in a single window task, which at 100 TB with a
+    skewed source column is the data-card bottleneck (that shape is
+    plan-banned in tests/test_plans.py). The per-group rank window
+    runs over the surviving <= k sample rows only; probs arrive as an
+    exploded LITERAL array and a pure filter picks each group's
+    order-statistic rows. Per-group sketch state is k (hash, value)
+    rows and merges by union + per-group re-bottom-k on the carried
+    hash, so day-over-day per-source quantiles never rescan history.
 
     Returns one row per (group, prob), ordered:
     ``(group, prob, rank, n_sample, estimate, exact)``.
@@ -373,21 +380,24 @@ def kmv_quantiles_by_key(
         gc.alias("group"),
         kmv_hash_col(kc, salt),
         vc.alias("_v"),
-        F.count("*")
-        .over(Window.partitionBy(gc))
-        .cast("long")
-        .alias("_n_total"),
+    )
+    totals = hashed.groupBy("group").agg(
+        F.count("*").cast("long").alias("_n_total")
     )
     # (_h, _v) retention order: _h ties (48-bit collisions) are
     # near-impossible but the deterministic tiebreak keeps this path,
     # the sketch/merge path (kmv_quantile_sketch) and the SQL oracle
     # bit-identical even on one.
-    samp = hashed.withColumn(
-        "_bk",
-        F.row_number().over(
-            Window.partitionBy("group").orderBy("_h", "_v")
-        ),
-    ).where(F.col("_bk") <= k)
+    samp = (
+        hashed.withColumn(
+            "_bk",
+            F.row_number().over(
+                Window.partitionBy("group").orderBy("_h", "_v")
+            ),
+        )
+        .where(F.col("_bk") <= k)
+        .join(totals, "group")
+    )
     ranked = samp.select(
         "group",
         "_v",
@@ -480,12 +490,15 @@ def kmv_quantile_sketch(
     merged (re-ingesting the same rows would double-count
     ``n_total``). Rows with a null key, value, or group are ignored.
 
-    Plan shape: one shuffle on ``group_col`` serving the total count
-    + bottom-k windows, then a per-group collect into the bounded
-    sample array.
+    Plan shape: the bottom-k window gets WindowGroupLimit (<= k rows
+    per group leave each map partition) and the total is a
+    map-side-combining ``groupBy(group).count()`` joined in by
+    :func:`_collect_sketch` — no unbounded count window, so a hot
+    group never funnels through one task (same skew discipline as
+    :func:`kmv_quantiles_by_key`, plan-asserted). Both legs shuffle
+    on ``group_col``; the collect into the sample array runs over the
+    bounded sample only.
     """
-    from pyspark.sql import Window
-
     if k < 2:
         raise ValueError("k must be >= 2")
     kc = F.col(key_col) if isinstance(key_col, str) else key_col
@@ -497,17 +510,11 @@ def kmv_quantile_sketch(
         gc.alias("group"),
         kmv_hash_col(kc, salt),
         vc.alias("_v"),
-        F.count("*")
-        .over(Window.partitionBy(gc))
-        .cast("long")
-        .alias("n_total"),
     )
     totals = hashed.groupBy("group").agg(
-        F.first("n_total").alias("n_total")
+        F.count("*").cast("long").alias("n_total")
     )
-    return _collect_sketch(
-        _bottom_k_rows(hashed.drop("n_total"), k), totals
-    )
+    return _collect_sketch(_bottom_k_rows(hashed, k), totals)
 
 
 def kmv_quantile_sketch_merge(

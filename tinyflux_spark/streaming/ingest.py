@@ -55,6 +55,15 @@ def _write_params_manifest(
         out.close()
 
 
+class _MissingManifestError(ValueError):
+    """State dir exists but carries no ``_params.json`` manifest.
+
+    Distinct from ``ValueError`` so :func:`_check_params_manifest`
+    can rewrap ONLY the missing-manifest case: ``json.JSONDecodeError``
+    also subclasses ``ValueError``, and a corrupt/truncated manifest
+    must surface as a parse error, not be misreported as absent."""
+
+
 def _read_params_manifest(spark: SparkSession, dir_path: str) -> dict:
     """Read a ``_params.json`` manifest through the Hadoop FS API (so
     any supported scheme works — ``spark.read.text`` can't: Spark's
@@ -63,7 +72,7 @@ def _read_params_manifest(spark: SparkSession, dir_path: str) -> dict:
     ~100 bytes by construction."""
     fs, mpath = _hadoop_path(spark, dir_path + "/_params.json")
     if not fs.exists(mpath):
-        raise ValueError(
+        raise _MissingManifestError(
             f"no _params.json manifest at {dir_path!r}; the state "
             "predates manifest stamping or was built by other means — "
             "delete it (or rebuild through this function) before reuse"
@@ -92,7 +101,7 @@ def _check_params_manifest(
     into a loud ValueError at start()."""
     try:
         stored = _read_params_manifest(spark, dir_path)
-    except ValueError:
+    except _MissingManifestError:
         raise ValueError(
             f"{what} at {dir_path!r} has no _params.json manifest; it "
             "predates manifest stamping or was built by other means — "
@@ -104,6 +113,47 @@ def _check_params_manifest(
             f"run asks for {params}; reusing it would emit wrong pairs "
             "— delete the state or pass matching parameters"
         )
+
+
+def _checkpoint_query_lineage(
+    spark: SparkSession, checkpoint_dir: Optional[str]
+) -> str:
+    """Lineage token identifying ONE streaming query incarnation.
+
+    The replay guard in :func:`_fold_quantile_sketch_batch` compares
+    batch ids only within the same lineage, so the token must change
+    exactly when foreachBatch's epoch numbering restarts at 0 — i.e.
+    with every FRESH checkpoint. The checkpoint path string is wrong
+    for that (a deleted-and-recreated checkpoint at the same path, or
+    two no-checkpoint runs, reuse the token while numbering restarts,
+    so the guard would skip the new run's first batches as
+    redeliveries — silent data loss). Instead read the query id Spark
+    persists in ``<checkpoint>/metadata`` at query start: stable
+    across RESUMES of the same checkpoint (numbering continues),
+    regenerated when the checkpoint is fresh (numbering restarts).
+    Call AFTER ``start()`` has created the metadata file — the sinks
+    resolve it lazily on their first batch. With no checkpoint at all
+    every run is its own lineage: a per-run UUID."""
+    import uuid
+
+    if not checkpoint_dir:
+        return "run-" + uuid.uuid4().hex
+    fs, mpath = _hadoop_path(spark, checkpoint_dir + "/metadata")
+    if not fs.exists(mpath):
+        # Defensive: Spark writes metadata before the first batch, so
+        # a sink never lands here; treat as a fresh incarnation.
+        return "run-" + uuid.uuid4().hex
+    stream = fs.open(mpath)
+    try:
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+    finally:
+        stream.close()
+    return "query-" + str(json.loads(buf.decode("utf-8"))["id"])
 
 
 def _reset_stale_result_epochs(
@@ -735,12 +785,6 @@ def stream_kmv_quantiles_insert(
     Read the standing estimates with
     :func:`kmv_quantiles_state_estimate`.
     """
-    from ..operators.sketches import (
-        _bottom_k_rows,
-        _collect_sketch,
-        kmv_hash_col,
-    )
-
     if k < 2:
         raise ValueError("k must be >= 2")
     if keep_epochs < 2:
@@ -765,12 +809,22 @@ def stream_kmv_quantiles_insert(
     else:
         fs.mkdirs(jroot)
         _write_params_manifest(spark, state_path, params)
-    lineage = checkpoint_dir or "<none>"
+    # Lineage resolves lazily on the first batch: the query id in
+    # <checkpoint>/metadata exists only once start() has run, and it
+    # (not the path string) is what tracks epoch-numbering restarts
+    # (_checkpoint_query_lineage).
+    lineage_cell: list = []
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not lineage_cell:
+            lineage_cell.append(
+                _checkpoint_query_lineage(
+                    batch_df.sparkSession, checkpoint_dir
+                )
+            )
         _fold_quantile_sketch_batch(
             batch_df, state_path, value_col, key_col, group_col,
-            k, salt, keep_epochs, lineage, epoch_id,
+            k, salt, keep_epochs, lineage_cell[0], epoch_id,
         )
 
     writer = (
