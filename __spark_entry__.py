@@ -2678,41 +2678,94 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS artifact records
     # only the FIRST 50 entries. The order rotates each round so every
-    # query periodically lands in that window. Round 8: the six round-7
-    # operators (q103–q108) lead — registered after round 7's window
-    # froze, never driver-gated — then q99 (its r7 plan trim post-dates
-    # its r6 row); the remaining 43 slots follow VERDICT r7's rotation
-    # list: the r6-green rows longest unrefreshed (q91–q98, q100,
-    # q02/q03/q05/q07/q08/q10, q33, q38, q42–q46, q48/q49, then
-    # q51–q69 as space allows). q70–q75, q17, q90 just miss and lead
-    # the r9 rotation alongside the r7-window rows (q101/q102/q89/q01/
-    # q04/q06/... — all driver-green at r7 semantics). New round-8
-    # operators (q109–q116) land below the window as r9 candidates.
+    # query periodically lands in that window. Round 9 (VERDICT r8 ask
+    # #1): the eight round-8 operators (q109-q116) lead - registered
+    # after round 8's window froze, never driver-gated - then the rows
+    # that just missed r8 (q70-q75, q17, q90), then the r7-window rows
+    # longest unrefreshed (q101/q102/q89/q01/q04/q06/q09/q11-q16/
+    # q18-q25/q27-q32/q34-q37/q39-q41): exactly 50, after which every
+    # operator ever shipped has a driver row at current semantics.
+    # Below the window: q47/q50/q76-q88 (next-longest unrefreshed, lead
+    # the r10 rotation) and the rows driver-refreshed in r8. New
+    # round-9 operators (q117+) land at the bottom as r10 candidates.
     # tools/check_gate.py remains the per-commit guard over the full
     # registry.
     return {
-        "q103_fivegram_logprob": q103_fivegram_logprob,
-        "q104_kmv_quantiles": q104_kmv_quantiles,
-        "q105_pq_adc_topk": q105_pq_adc_topk,
-        "q106_stream_kmv_distinct": q106_stream_kmv_distinct,
-        "q107_ivf_pq_topk": q107_ivf_pq_topk,
-        "q108_weighted_sample": q108_weighted_sample,
-        "q99_text_semantic_dedup": q99_text_semantic_dedup,
-        "q91_bigram_logprob": q91_bigram_logprob,
-        "q92_normalize_text": q92_normalize_text,
-        "q93_stream_near_dup": q93_stream_near_dup,
-        "q94_trigram_logprob": q94_trigram_logprob,
-        "q95_semantic_dedup": q95_semantic_dedup,
-        "q96_ppl_buckets": q96_ppl_buckets,
-        "q97_importance_weights": q97_importance_weights,
-        "q98_kneser_ney": q98_kneser_ney,
-        "q100_kmv_distinct": q100_kmv_distinct,
+        "q109_ivf_pq_indexed_topk": q109_ivf_pq_indexed_topk,
+        "q110_kmv_quantiles_by_key": q110_kmv_quantiles_by_key,
+        "q111_pq_rerank_topk": q111_pq_rerank_topk,
+        "q112_ivf_refined_topk": q112_ivf_refined_topk,
+        "q113_ivf_pq_residual_topk": q113_ivf_pq_residual_topk,
+        "q114_kmv_sketch_merge": q114_kmv_sketch_merge,
+        "q115_stream_kmv_quantiles": q115_stream_kmv_quantiles,
+        "q116_kmv_distinct_by_key": q116_kmv_distinct_by_key,
+        "q70_stream_rollup_store": q70_stream_rollup_store,
+        "q71_time_travel": q71_time_travel,
+        "q72_decontaminate": q72_decontaminate,
+        "q73_shard_assign": q73_shard_assign,
+        "q74_pack_sequences": q74_pack_sequences,
+        "q75_ivf_batch_topk": q75_ivf_batch_topk,
+        "q17_dedup_exact": q17_dedup_exact,
+        "q90_rollup_card": q90_rollup_card,
+        "q101_kmv_set_overlap": q101_kmv_set_overlap,
+        "q102_stream_semantic_dedup": q102_stream_semantic_dedup,
+        "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
+        "q01_search_time_range": q01_search_time_range,
+        "q04_search_compound": q04_search_compound,
+        "q06_count": q06_count,
+        "q09_get_measurements": q09_get_measurements,
+        "q11_agg_pricing_summary": q11_agg_pricing_summary,
+        "q12_daily_revenue_ma7": q12_daily_revenue_ma7,
+        "q13_topk_users_per_type": q13_topk_users_per_type,
+        "q14_region_revenue": q14_region_revenue,
+        "q15_hourly_window": q15_hourly_window,
+        "q16_asof_join": q16_asof_join,
+        "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
+        "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
+        "q20_simhash": q20_simhash,
+        "q21_text_quality": q21_text_quality,
+        "q22_lang_id": q22_lang_id,
+        "q23_doc_fingerprint": q23_doc_fingerprint,
+        "q24_ann_cosine_topk": q24_ann_cosine_topk,
+        "q25_embedding_near_dup": q25_embedding_near_dup,
+        "q27_simhash_hamming_pairs": q27_simhash_hamming_pairs,
+        "q28_sessionize": q28_sessionize,
+        "q29_ewma_last": q29_ewma_last,
+        "q30_token_stats": q30_token_stats,
+        "q31_srp_ann_topk": q31_srp_ann_topk,
+        "q32_frame_sample_plan": q32_frame_sample_plan,
+        "q34_get_field_keys": q34_get_field_keys,
+        "q35_get_tag_values": q35_get_tag_values,
+        "q36_stream_ewma": q36_stream_ewma,
+        "q37_dml_update_unset_remove": q37_dml_update_unset_remove,
+        "q39_get_tag_keys": q39_get_tag_keys,
+        "q40_get_field_values": q40_get_field_values,
+        "q41_get_timestamps": q41_get_timestamps,
+        # --- driver window boundary (50 above; below all have
+        # r7/r8 driver-green rows at current semantics and stay
+        # gated by tools/check_gate.py) ---
+        "q47_map_test_predicates": q47_map_test_predicates,
+        "q50_csv_interop": q50_csv_interop,
+        "q76_quality_filter": q76_quality_filter,
+        "q77_bm25_scores": q77_bm25_scores,
+        "q78_quantize_embeddings": q78_quantize_embeddings,
+        "q79_edit_distance_pairs": q79_edit_distance_pairs,
+        "q80_incremental_dedup_join": q80_incremental_dedup_join,
+        "q81_corpus_profile": q81_corpus_profile,
+        "q82_remove_boilerplate": q82_remove_boilerplate,
+        "q83_temperature_sample": q83_temperature_sample,
+        "q84_interval_join": q84_interval_join,
+        "q85_unigram_logprob": q85_unigram_logprob,
+        "q86_salted_join": q86_salted_join,
+        "q87_version_diff": q87_version_diff,
+        "q88_merge_intervals": q88_merge_intervals,
         "q02_search_tag_eq": q02_search_tag_eq,
         "q03_search_field_range": q03_search_field_range,
         "q05_search_measurement_regex": q05_search_measurement_regex,
         "q07_field_missing_key": q07_field_missing_key,
         "q08_not_exists": q08_not_exists,
         "q10_select_projection": q10_select_projection,
+        "q26_stream_hourly_rollup": q26_stream_hourly_rollup,
         "q33_media_features": q33_media_features,
         "q38_get_contains": q38_get_contains,
         "q42_all_len_iter": q42_all_len_iter,
@@ -2741,76 +2794,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_db_sql": q67_db_sql,
         "q68_downsample": q68_downsample,
         "q69_from_table": q69_from_table,
-        # --- driver window boundary (50 above; below all have
-        # r5/r6/r7 driver-green rows at current semantics and stay
-        # gated by tools/check_gate.py) ---
-        "q70_stream_rollup_store": q70_stream_rollup_store,
-        "q71_time_travel": q71_time_travel,
-        "q72_decontaminate": q72_decontaminate,
-        "q73_shard_assign": q73_shard_assign,
-        "q74_pack_sequences": q74_pack_sequences,
-        "q75_ivf_batch_topk": q75_ivf_batch_topk,
-        "q17_dedup_exact": q17_dedup_exact,
-        "q90_rollup_card": q90_rollup_card,
-        "q101_kmv_set_overlap": q101_kmv_set_overlap,
-        "q102_stream_semantic_dedup": q102_stream_semantic_dedup,
-        "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
-        "q01_search_time_range": q01_search_time_range,
-        "q04_search_compound": q04_search_compound,
-        "q06_count": q06_count,
-        "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
-        "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
-        "q37_dml_update_unset_remove": q37_dml_update_unset_remove,
-        "q47_map_test_predicates": q47_map_test_predicates,
-        "q50_csv_interop": q50_csv_interop,
-        "q76_quality_filter": q76_quality_filter,
-        "q09_get_measurements": q09_get_measurements,
-        "q11_agg_pricing_summary": q11_agg_pricing_summary,
-        "q12_daily_revenue_ma7": q12_daily_revenue_ma7,
-        "q13_topk_users_per_type": q13_topk_users_per_type,
-        "q14_region_revenue": q14_region_revenue,
-        "q15_hourly_window": q15_hourly_window,
-        "q16_asof_join": q16_asof_join,
-        "q20_simhash": q20_simhash,
-        "q21_text_quality": q21_text_quality,
-        "q22_lang_id": q22_lang_id,
-        "q23_doc_fingerprint": q23_doc_fingerprint,
-        "q24_ann_cosine_topk": q24_ann_cosine_topk,
-        "q25_embedding_near_dup": q25_embedding_near_dup,
-        "q26_stream_hourly_rollup": q26_stream_hourly_rollup,
-        "q27_simhash_hamming_pairs": q27_simhash_hamming_pairs,
-        "q28_sessionize": q28_sessionize,
-        "q29_ewma_last": q29_ewma_last,
-        "q30_token_stats": q30_token_stats,
-        "q31_srp_ann_topk": q31_srp_ann_topk,
-        "q32_frame_sample_plan": q32_frame_sample_plan,
-        "q34_get_field_keys": q34_get_field_keys,
-        "q35_get_tag_values": q35_get_tag_values,
-        "q36_stream_ewma": q36_stream_ewma,
-        "q39_get_tag_keys": q39_get_tag_keys,
-        "q40_get_field_values": q40_get_field_values,
-        "q41_get_timestamps": q41_get_timestamps,
-        "q77_bm25_scores": q77_bm25_scores,
-        "q78_quantize_embeddings": q78_quantize_embeddings,
-        "q79_edit_distance_pairs": q79_edit_distance_pairs,
-        "q80_incremental_dedup_join": q80_incremental_dedup_join,
-        "q81_corpus_profile": q81_corpus_profile,
-        "q82_remove_boilerplate": q82_remove_boilerplate,
-        "q83_temperature_sample": q83_temperature_sample,
-        "q84_interval_join": q84_interval_join,
-        "q85_unigram_logprob": q85_unigram_logprob,
-        "q86_salted_join": q86_salted_join,
-        "q87_version_diff": q87_version_diff,
-        "q88_merge_intervals": q88_merge_intervals,
-        # new this round (r9 rotation candidates):
-        "q109_ivf_pq_indexed_topk": q109_ivf_pq_indexed_topk,
-        "q110_kmv_quantiles_by_key": q110_kmv_quantiles_by_key,
-        "q111_pq_rerank_topk": q111_pq_rerank_topk,
-        "q112_ivf_refined_topk": q112_ivf_refined_topk,
-        "q113_ivf_pq_residual_topk": q113_ivf_pq_residual_topk,
-        "q114_kmv_sketch_merge": q114_kmv_sketch_merge,
-        "q115_stream_kmv_quantiles": q115_stream_kmv_quantiles,
-        "q116_kmv_distinct_by_key": q116_kmv_distinct_by_key,
+        "q91_bigram_logprob": q91_bigram_logprob,
+        "q92_normalize_text": q92_normalize_text,
+        "q93_stream_near_dup": q93_stream_near_dup,
+        "q94_trigram_logprob": q94_trigram_logprob,
+        "q95_semantic_dedup": q95_semantic_dedup,
+        "q96_ppl_buckets": q96_ppl_buckets,
+        "q97_importance_weights": q97_importance_weights,
+        "q98_kneser_ney": q98_kneser_ney,
+        "q99_text_semantic_dedup": q99_text_semantic_dedup,
+        "q100_kmv_distinct": q100_kmv_distinct,
+        "q103_fivegram_logprob": q103_fivegram_logprob,
+        "q104_kmv_quantiles": q104_kmv_quantiles,
+        "q105_pq_adc_topk": q105_pq_adc_topk,
+        "q106_stream_kmv_distinct": q106_stream_kmv_distinct,
+        "q107_ivf_pq_topk": q107_ivf_pq_topk,
+        "q108_weighted_sample": q108_weighted_sample,
     }
 
 
