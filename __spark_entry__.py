@@ -2620,6 +2620,82 @@ def q116_kmv_distinct_by_key(spark, sf_dir):
     return kmv_distinct_by_key(ev, "user_id", "event_type", k=64)
 
 
+def q117_ivf_append_serve(spark, sf_dir):
+    """Incremental index lifecycle (VERDICT r8 ask #4) end-to-end:
+    the IVF-PQ index is BUILT on two thirds of the corpus, the last
+    third arrives later as an ivf_append_index batch — assigned and
+    PQ-encoded against the FROZEN codebook.json / pq_books.json and
+    appended into the existing lists//codes/ partition dirs, no
+    retrain (the reference's only ingest story is batched append,
+    tinyflux database.py:623-656; at 100 TB a retrain per batch is
+    the one cost the serving layout can't pay) — and the query serves
+    through q109's unchanged read path: nprobe partition-dir scans of
+    the codes column. The oracle replays the asymmetry exactly:
+    codebooks trained on the BASE rows only, assignment + encode over
+    the FULL corpus."""
+    import tempfile
+
+    from tinyflux_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_pq_topk_indexed,
+        ivf_write_index,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") != 0)
+    per_session = _IVF_INDEX_CACHE.setdefault(spark, {})
+    key = (sf_dir, "pq_append")
+    if key not in per_session:
+        path = tempfile.mkdtemp(prefix="tfs_ivfpq_app_")
+        ivf_write_index(
+            corpus.where(F.col("vec_id") % 3 != 0), path,
+            num_centroids=16, pq_m=8, pq_ksub=16,
+        )
+        ivf_append_index(corpus.where(F.col("vec_id") % 3 == 0), path)
+        per_session[key] = path
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_pq_topk_indexed(
+        spark, per_session[key], qvec, k=10, nprobe=4
+    ).select(F.col("id").alias("vec_id"), "adc_dist")
+
+
+def q118_ivf_pq_residual_indexed(spark, sf_dir):
+    """q113's full FAISS IVFPQ — trained coarse + residual codes —
+    composed into the PERSISTED layout (VERDICT r8 ask #5):
+    ivf_write_index(residual=True, coarse_refine_iters=2) persists
+    residual codes beside the inverted-list dirs, and
+    ivf_pq_topk_indexed reads the params.json manifest and builds one
+    DECIMAL-quantized ADC table per probed list from that list's
+    QUERY residual. Same at-rest layout and plan shape as q109
+    (PartitionFilters + codes-only ReadSchema, plan-asserted in
+    tests/test_plans.py); the recall benefit is q113's measured
+    15/50-vs-11/50. The oracle is q113's full replay — persisted vs
+    inline is a storage difference, not a math difference
+    (pytest-asserted equality in tests/test_operators.py)."""
+    import tempfile
+
+    from tinyflux_spark.operators.similarity import (
+        ivf_pq_topk_indexed,
+        ivf_write_index,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") != 0)
+    per_session = _IVF_INDEX_CACHE.setdefault(spark, {})
+    key = (sf_dir, "pq_residual")
+    if key not in per_session:
+        path = tempfile.mkdtemp(prefix="tfs_ivfpq_res_")
+        ivf_write_index(
+            corpus, path, num_centroids=16, pq_m=8, pq_ksub=16,
+            residual=True, coarse_refine_iters=2,
+        )
+        per_session[key] = path
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_pq_topk_indexed(
+        spark, per_session[key], qvec, k=10, nprobe=4
+    ).select(F.col("id").alias("vec_id"), "adc_dist")
+
+
 def q108_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis & Spirakis
     2006) — the data-mixing primitive: 50 documents drawn with
@@ -2810,6 +2886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_stream_kmv_distinct": q106_stream_kmv_distinct,
         "q107_ivf_pq_topk": q107_ivf_pq_topk,
         "q108_weighted_sample": q108_weighted_sample,
+        # new this round (r10 rotation candidates):
+        "q117_ivf_append_serve": q117_ivf_append_serve,
+        "q118_ivf_pq_residual_indexed": q118_ivf_pq_residual_indexed,
     }
 
 
@@ -3460,7 +3539,7 @@ def oracle_sql() -> dict[str, str]:
     # so every oracle spells whitespace as the explicit class
     # [\s\x0B] — identical semantics in both engines for any input,
     # not just inputs that happen to avoid \x0B.
-    return {
+    d = {
         "q01_search_time_range": f"""
             {_FLAT_SQL}
             WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
@@ -6118,3 +6197,67 @@ def oracle_sql() -> dict[str, str]:
             FROM nrm
         """,
     }
+    # q118 is q113's exact replay: persisted (residual codes at rest,
+    # params.json-routed serving) vs inline is a storage difference,
+    # not a math difference - pytest asserts the engine-side equality.
+    d["q118_ivf_pq_residual_indexed"] = d["q113_ivf_pq_residual_topk"]
+    # q117: the append lifecycle's asymmetry - codebooks (coarse cent
+    # + PQ book0) trained on the BASE two-thirds only (ivf_write_index
+    # before the append), assignment + encode + ADC over the FULL
+    # corpus (the appended rows are folded at the frozen artifacts).
+    d["q117_ivf_append_serve"] = f"""
+            WITH emb AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+            corpus AS (SELECT * FROM emb WHERE vec_id <> 0),
+            train AS (SELECT * FROM corpus WHERE vec_id % 3 <> 0),
+            bounds AS (
+                SELECT MIN(vec_id) AS lo, MAX(vec_id) AS hi FROM train
+            ),
+            cids AS (
+                SELECT MIN(vec_id) AS cid
+                FROM train, bounds
+                GROUP BY ((vec_id - lo) * 16) // (hi - lo + 1)
+            ),
+            cent AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY c.vec_id) - 1
+                           AS code,
+                       c.e AS ce
+                FROM train c JOIN cids ON c.vec_id = cids.cid
+            ),
+            sp AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+            book0 AS (
+                SELECT sp.s, cent.code,
+                       ce[sp.s * 8 + 1 : sp.s * 8 + 8] AS bsub
+                FROM cent, sp
+            ),
+            ivfasg AS (
+                SELECT c.vec_id, c.e,
+                       (SELECT code FROM cent
+                        ORDER BY ROUND(
+                            list_dot_product(c.e, ce)
+                            / (sqrt(list_dot_product(c.e, c.e))
+                               * sqrt(list_dot_product(ce, ce))), 6
+                        ) DESC, code
+                        LIMIT 1) AS lst
+                FROM corpus c
+            ),
+            probes AS (
+                SELECT code FROM cent, q
+                ORDER BY ROUND(
+                    list_dot_product(qe, ce)
+                    / (sqrt(list_dot_product(qe, qe))
+                       * sqrt(list_dot_product(ce, ce))), 6
+                ) DESC, code
+                LIMIT 4
+            ),
+            cand AS (
+                SELECT vec_id, e FROM ivfasg
+                WHERE lst IN (SELECT code FROM probes)
+            ){_pq_enc_adc_sql("book0", "cand")}
+        """
+    return d

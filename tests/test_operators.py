@@ -3183,3 +3183,165 @@ def test_kmv_distinct_by_key_matches_ungrouped_and_merges(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, grp_bottom(df).collect())
     )
+
+
+def test_ivf_append_index_equals_rebuild_at_frozen_codebooks(
+    spark, tmp_path
+):
+    """Incremental index append (VERDICT r8 ask #4): appending a new
+    batch at the FROZEN codebooks must leave lists/ and codes/
+    bit-identical to encoding old ∪ new against those same frozen
+    codebooks — the serving read then needs no knowledge of how the
+    index grew. Also: the appended index serves ADC results equal to
+    pq_adc_topk over the manually-encoded union; appending with
+    mismatched columns or to a manifest-less index is refused."""
+    import json
+    import os
+
+    import pytest
+
+    from tinyflux_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") != 0)
+    base = corpus.where(F.col("vec_id") % 3 != 0)
+    batch = corpus.where(F.col("vec_id") % 3 == 0)
+    qvec = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+
+    path = str(tmp_path / "ivfpq")
+    sim.ivf_write_index(base, path, num_centroids=8, pq_m=8, pq_ksub=8)
+    frozen_cents = sim.ivf_read_codebook(path)
+    with open(os.path.join(path, "pq_books.json")) as f:
+        frozen_books = json.load(f)
+
+    n = sim.ivf_append_index(batch, path)
+    assert n == batch.count()
+
+    # codebooks did NOT move
+    assert sim.ivf_read_codebook(path) == frozen_cents
+
+    # lists/ == assign(old ∪ new) at the frozen codebook
+    lists = spark.read.parquet(os.path.join(path, "lists"))
+    want_lists = corpus.withColumn(
+        "_ivf_list", sim.ivf_assign(F.col("embedding"), frozen_cents)
+    )
+    got = sorted(
+        (r["vec_id"], int(r["_ivf_list"])) for r in lists.collect()
+    )
+    want = sorted(
+        (r["vec_id"], int(r["_ivf_list"])) for r in want_lists.collect()
+    )
+    assert got == want
+
+    # codes/ == encode(old ∪ new) at the frozen books
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    want_codes = sim.pq_encode(
+        want_lists, frozen_books, extra_cols=("_ivf_list",)
+    )
+    got_c = sorted(
+        (r["id"], tuple(r["codes"]), int(r["_ivf_list"]))
+        for r in codes.collect()
+    )
+    want_c = sorted(
+        (r["id"], tuple(r["codes"]), int(r["_ivf_list"]))
+        for r in want_codes.collect()
+    )
+    assert got_c == want_c
+
+    # serving read over the appended index == ADC over the union's
+    # codes restricted to the same probes
+    probes = sim._ivf_probes(frozen_cents, qvec, 3)
+    served = sim.ivf_pq_topk_indexed(spark, path, qvec, k=5, nprobe=3)
+    inline = sim.pq_adc_topk(
+        want_codes.where(F.col("_ivf_list").isin(probes)),
+        frozen_books, qvec, k=5,
+    )
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+
+    # refusal paths
+    with pytest.raises(ValueError, match="id_col"):
+        sim.ivf_append_index(batch, path, id_col="other_id")
+    bare = str(tmp_path / "bare")
+    base.withColumn(
+        "_ivf_list", sim.ivf_assign(F.col("embedding"), frozen_cents)
+    ).write.partitionBy("_ivf_list").parquet(os.path.join(bare, "lists"))
+    with open(os.path.join(bare, "codebook.json"), "w") as f:
+        json.dump([[i, list(v)] for i, v in frozen_cents], f)
+    with pytest.raises(ValueError, match="params.json"):
+        sim.ivf_append_index(batch, bare)
+
+
+def test_residual_index_serves_ivf_pq_residual_topk_and_appends(
+    spark, tmp_path
+):
+    """Residual + trained coarse composed into the persisted layout
+    (VERDICT r8 ask #5): ivf_write_index(residual=True,
+    coarse_refine_iters=) must serve, through ivf_pq_topk_indexed,
+    exactly what the inline ivf_pq_residual_topk computes with the
+    same parameters; rerank recovers exact cosine; and
+    ivf_append_index folds new rows in at the frozen coarse +
+    residual books (equivalence on the codes content)."""
+    import json
+    import os
+
+    from tinyflux_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.where(F.col("vec_id") != 0)
+    qvec = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+
+    path = str(tmp_path / "ivfpq_res")
+    sim.ivf_write_index(
+        corpus, path, num_centroids=8, pq_m=8, pq_ksub=8,
+        residual=True, coarse_refine_iters=2,
+    )
+    served = sim.ivf_pq_topk_indexed(spark, path, qvec, k=5, nprobe=3)
+    inline = sim.ivf_pq_residual_topk(
+        corpus, qvec, k=5, num_centroids=8, nprobe=3, m=8, ksub=8,
+        coarse_refine_iters=2,
+    )
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+
+    # rerank=c returns exact cosine over the probed candidates
+    rr = sim.ivf_pq_topk_indexed(
+        spark, path, qvec, k=5, nprobe=8, rerank=200
+    )
+    exact = sim.cosine_topk(corpus, qvec, k=5)
+    assert [tuple(r) for r in rr.collect()] == [
+        tuple(r) for r in exact.collect()
+    ]
+
+    # append at frozen coarse + residual books: codes/ equals the
+    # union re-encoded at the frozen artifacts
+    path2 = str(tmp_path / "ivfpq_res2")
+    base = corpus.where(F.col("vec_id") % 3 != 0)
+    batch = corpus.where(F.col("vec_id") % 3 == 0)
+    sim.ivf_write_index(
+        base, path2, num_centroids=8, pq_m=8, pq_ksub=8,
+        residual=True, coarse_refine_iters=1,
+    )
+    cents = sim.ivf_read_codebook(path2)
+    with open(os.path.join(path2, "pq_books.json")) as f:
+        books = json.load(f)
+    sim.ivf_append_index(batch, path2)
+    got = sorted(
+        (r["id"], tuple(r["codes"]), int(r["_ivf_list"]))
+        for r in spark.read.parquet(
+            os.path.join(path2, "codes")
+        ).collect()
+    )
+    assigned = corpus.withColumn(
+        "_ivf_list", sim.ivf_assign(F.col("embedding"), cents)
+    )
+    want_codes = sim._encode_for_index(
+        assigned, cents, books, "vec_id", "embedding", True
+    )
+    want = sorted(
+        (r["id"], tuple(r["codes"]), int(r["_ivf_list"]))
+        for r in want_codes.collect()
+    )
+    assert got == want

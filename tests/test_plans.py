@@ -974,3 +974,33 @@ def test_grouped_kmv_totals_partial_aggregate_not_count_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "count(1) windowspecdefinition" not in sketch_plan
+
+
+def test_residual_ivf_pq_index_read_prunes_partitions_and_columns(
+    spark, tmp_path
+):
+    """The residual persisted-index serving read (VERDICT r8 ask #5)
+    keeps q109's plan shape: probe filter as directory-level
+    PartitionFilters, scan schema = (id, codes) only — the per-list
+    residual ADC CASE adds expressions, never columns, and the raw
+    embedding column never leaves storage."""
+    from tinyflux_spark.operators.similarity import (
+        ivf_pq_topk_indexed,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    corpus = emb.where(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivfpq_res")
+    ivf_write_index(
+        corpus, path, num_centroids=8, pq_m=8, pq_ksub=8,
+        residual=True, coarse_refine_iters=1,
+    )
+    res = ivf_pq_topk_indexed(spark, path, q, k=5, nprobe=2)
+    plan = plan_of(res)
+    assert "PartitionFilters" in plan
+    assert "_ivf_list" in plan.split("PartitionFilters")[1][:300]
+    scan = plan.split("ReadSchema")[1][:300]
+    assert "codes" in scan
+    assert "embedding" not in scan

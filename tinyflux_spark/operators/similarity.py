@@ -524,6 +524,59 @@ def _ivf_probes(centroids, query_vec: Sequence[float], nprobe: int):
     return [i for _, i in ranked[:nprobe]]
 
 
+def _residual_col(vec_col: str, cents) -> Column:
+    """Elementwise residual ``x - c_list`` of a vector from its
+    assigned coarse centroid (``_ivf_list`` must already be present) —
+    an exact IEEE subtraction of two doubles both engines hold
+    bit-identically, so every downstream PQ stage stays
+    oracle-replayable."""
+    cent_arrs = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in cvec) + ")"
+        for _, cvec in cents
+    ) + ")"
+    return F.expr(
+        f"zip_with(`{vec_col}`, "
+        f"element_at({cent_arrs}, _ivf_list + 1), "
+        "(x, y) -> CAST(x AS DOUBLE) - y)"
+    )
+
+
+def _encode_for_index(assigned: DataFrame, cents, books, id_col: str,
+                      vec_col: str, residual: bool) -> DataFrame:
+    """The one shared codes-building step of the index WRITE and
+    APPEND paths: PQ-encode the assigned rows (the raw vectors, or
+    their coarse residuals when the index is residual) at the given
+    FROZEN books — write/append can never drift on what a code
+    means."""
+    if residual:
+        src = assigned.withColumn("_res", _residual_col(vec_col, cents))
+        return pq_encode(
+            src, books, id_col, "_res", extra_cols=("_ivf_list",)
+        )
+    return pq_encode(
+        assigned, books, id_col, vec_col, extra_cols=("_ivf_list",)
+    )
+
+
+def _index_params_path(path: str) -> str:
+    import os as _os
+
+    return _os.path.join(path, "params.json")
+
+
+def _read_index_params(path: str) -> Optional[dict]:
+    """Index manifest, or None for a pre-manifest index (round-8
+    layout: plain IVF-PQ, no residual — the defaults)."""
+    import json as _json
+    import os as _os
+
+    p = _index_params_path(path)
+    if not _os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)
+
+
 def ivf_write_index(
     df: DataFrame,
     path: str,
@@ -533,6 +586,8 @@ def ivf_write_index(
     pq_m: Optional[int] = None,
     pq_ksub: int = 16,
     pq_refine_iters: int = 0,
+    residual: bool = False,
+    coarse_refine_iters: int = 0,
 ):
     """Build and persist an IVF-Flat index: inverted lists as
     ``<path>/lists/_ivf_list=<i>/`` parquet partitions plus the codebook
@@ -546,17 +601,34 @@ def ivf_write_index(
     ADC-scans an m-int column (:func:`ivf_pq_topk_indexed`); the raw
     ``lists/`` stay available for re-rank exactness recovery.
 
+    ``residual=True`` persists FAISS-style residual codes instead: the
+    coarse quantizer takes ``coarse_refine_iters`` deterministic Lloyd
+    rounds (residuals only pay off against a TRAINED coarse codebook —
+    :func:`ivf_pq_residual_topk`'s measured 15/50-vs-11/50 recall
+    note), PQ books train on the residuals ``x - c_list``, and the
+    at-rest layout is IDENTICAL — the codes column just encodes
+    residuals, which :func:`ivf_pq_topk_indexed` serves via per-list
+    query-residual ADC tables. A ``params.json`` manifest stamps every
+    build parameter so the serving read and :func:`ivf_append_index`
+    can never misread what the codes mean.
+
     One pass over the corpus per artifact (the same distributed
     bucket-min codebook build as ``ivf_centroids``, then a narrow
     assign + clustered write; the codes pass adds pq_train's bounded
-    aggregations and one more clustered write). Rebuild when the
-    corpus drifts; queries meanwhile touch only their probed
-    directories.
+    aggregations and one more clustered write). Full rebuild when the
+    corpus DRIFTS (codebooks stale); for pure growth,
+    :func:`ivf_append_index` folds new batches in at the frozen
+    codebooks without retraining. Queries meanwhile touch only their
+    probed directories.
     """
     import json as _json
     import os as _os
 
-    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    if residual and pq_m is None:
+        raise ValueError("residual=True requires pq_m")
+    cents = ivf_centroids(
+        df, id_col, vec_col, num_centroids, coarse_refine_iters
+    )
     assigned = df.withColumn("_ivf_list", ivf_assign(F.col(vec_col), cents))
     (
         assigned.repartition(F.col("_ivf_list"))
@@ -567,13 +639,21 @@ def ivf_write_index(
     with open(_os.path.join(path, "codebook.json"), "w") as f:
         _json.dump([[i, list(v)] for i, v in cents], f)
     if pq_m is not None:
-        books = pq_train(
-            df, id_col, vec_col, m=pq_m, ksub=pq_ksub,
-            refine_iters=pq_refine_iters,
-        )
-        codes = pq_encode(
-            assigned, books, id_col, vec_col,
-            extra_cols=("_ivf_list",),
+        if residual:
+            train = assigned.withColumn(
+                "_res", _residual_col(vec_col, cents)
+            )
+            books = pq_train(
+                train, id_col, "_res", m=pq_m, ksub=pq_ksub,
+                refine_iters=pq_refine_iters,
+            )
+        else:
+            books = pq_train(
+                df, id_col, vec_col, m=pq_m, ksub=pq_ksub,
+                refine_iters=pq_refine_iters,
+            )
+        codes = _encode_for_index(
+            assigned, cents, books, id_col, vec_col, residual
         )
         (
             codes.repartition(F.col("_ivf_list"))
@@ -583,7 +663,102 @@ def ivf_write_index(
         )
         with open(_os.path.join(path, "pq_books.json"), "w") as f:
             _json.dump(books, f)
+    with open(_index_params_path(path), "w") as f:
+        _json.dump(
+            {
+                "kind": "ivf_index",
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "num_centroids": num_centroids,
+                "pq_m": pq_m,
+                "pq_ksub": pq_ksub,
+                "pq_refine_iters": pq_refine_iters,
+                "residual": residual,
+                "coarse_refine_iters": coarse_refine_iters,
+            },
+            f,
+            sort_keys=True,
+        )
     return cents
+
+
+def ivf_append_index(
+    df_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incrementally ingest a NEW batch into a persisted IVF(-PQ)
+    index at its FROZEN codebooks — the reference's only ingest story
+    is batched append (tinyflux database.py:623-656's
+    insert_multiple), and at 100 TB a full retrain per ingest batch
+    is the one cost the serving layout can't pay. Each new row is
+    assigned against the frozen ``codebook.json``, (residual-)encoded
+    against the frozen ``pq_books.json`` when the index carries
+    codes, and appended INTO the existing ``lists/_ivf_list=<i>/``
+    (and ``codes/_ivf_list=<i>/``) partition directories. The result
+    is bit-identical to a full rebuild over old ∪ new at the same
+    frozen codebooks (pytest-asserted), so serving reads are
+    unchanged in shape: nprobe directory scans, codes-only columns.
+
+    Crash safety is the parquet commit protocol's: appending tasks
+    stage under ``_temporary/`` (invisible to readers — underscore
+    prefix) and only rename in at job commit, so a killed append
+    leaves the index exactly as it was. Append is not concurrent:
+    one writer at a time (the reference's single-writer model).
+
+    The codebooks NEVER move here — that is the point (queries keep
+    probing the same directories) and the cost (a drifting corpus
+    degrades recall; retrain with :func:`ivf_write_index` when it
+    does — the same rebuild-vs-recall trade FAISS documents for
+    IVF add() after train()). Returns the number of appended rows.
+
+    ``id_col``/``vec_col`` must match the build's — validated against
+    the ``params.json`` manifest (indexes written before manifests
+    were stamped are refused: appending without knowing the build
+    parameters could silently write codes that mean something else).
+    """
+    import json as _json
+    import os as _os
+
+    params = _read_index_params(path)
+    if params is None:
+        raise ValueError(
+            f"no params.json manifest at {path!r}; the index predates "
+            "manifest stamping — rebuild it with ivf_write_index "
+            "before appending"
+        )
+    if params["id_col"] != id_col or params["vec_col"] != vec_col:
+        raise ValueError(
+            f"index at {path!r} was built with id_col="
+            f"{params['id_col']!r}, vec_col={params['vec_col']!r}; "
+            f"append asked for {id_col!r}/{vec_col!r}"
+        )
+    cents = ivf_read_codebook(path)
+    assigned = df_new.withColumn(
+        "_ivf_list", ivf_assign(F.col(vec_col), cents)
+    )
+    n = assigned.count()
+    (
+        assigned.repartition(F.col("_ivf_list"))
+        .write.mode("append")
+        .partitionBy("_ivf_list")
+        .parquet(_os.path.join(path, "lists"))
+    )
+    if params.get("pq_m") is not None:
+        with open(_os.path.join(path, "pq_books.json")) as f:
+            books = _json.load(f)
+        codes = _encode_for_index(
+            assigned, cents, books, id_col, vec_col,
+            bool(params.get("residual")),
+        )
+        (
+            codes.repartition(F.col("_ivf_list"))
+            .write.mode("append")
+            .partitionBy("_ivf_list")
+            .parquet(_os.path.join(path, "codes"))
+        )
+    return n
 
 
 def ivf_read_codebook(path: str):
@@ -640,6 +815,13 @@ def ivf_pq_topk_indexed(
     partitions of the SAME probed directories (partition-pruned AND
     id-filtered — a c-row read) and returns exact-cosine top-k,
     :func:`pq_adc_topk`'s exactness-recovery contract.
+
+    On a ``residual=True`` index (read from the ``params.json``
+    manifest) the codes encode coarse residuals, so the read builds
+    one ADC table per probed list from that list's QUERY residual
+    (:func:`_residual_adc_col` — :func:`ivf_pq_residual_topk`'s exact
+    math over the same at-rest layout); the plan shape is unchanged:
+    PartitionFilters + codes-only ReadSchema.
     """
     import json as _json
     import os as _os
@@ -647,10 +829,30 @@ def ivf_pq_topk_indexed(
     cents = ivf_read_codebook(path)
     with open(_os.path.join(path, "pq_books.json")) as f:
         books = _json.load(f)
+    params = _read_index_params(path) or {}
     probes = _ivf_probes(cents, query_vec, nprobe)
     codes = spark.read.parquet(_os.path.join(path, "codes")).where(
         F.col("_ivf_list").isin(probes)
     )
+    if params.get("residual"):
+        adc = _residual_adc_col(cents, probes, books, query_vec)
+        ranked = (
+            codes.select(
+                F.col("id"), adc.cast("double").alias("adc_dist")
+            )
+            .orderBy("adc_dist", "id")
+            .limit(rerank if rerank else k)
+        )
+        if not rerank:
+            return ranked
+        if rerank < k:
+            raise ValueError("rerank must be >= k")
+        cand_ids = [r["id"] for r in ranked.select("id").collect()]
+        lists = spark.read.parquet(_os.path.join(path, "lists")).where(
+            F.col("_ivf_list").isin(probes)
+            & F.col(id_col).isin(cand_ids)
+        )
+        return cosine_topk(lists, query_vec, k, id_col, vec_col)
     if not rerank:
         return pq_adc_topk(codes, books, query_vec, k)
     lists = spark.read.parquet(_os.path.join(path, "lists")).where(
@@ -1451,8 +1653,28 @@ def ivf_pq_residual_topk(
         cand, books, id_col, "_res", extra_cols=("_ivf_list",)
     )
 
+    adc = _residual_adc_col(cents, probes, books, query_vec)
+    return (
+        codes.select(
+            F.col("id"), adc.cast("double").alias("adc_dist")
+        )
+        .orderBy("adc_dist", "id")
+        .limit(k)
+    )
+
+
+def _residual_adc_col(cents, probes, books, query_vec) -> Column:
+    """FAISS's ADC-with-residual as ONE column expression: per probed
+    list, a DECIMAL(20,12)-quantized lookup table of the query
+    RESIDUAL's (q - c_list) squared subspace distances, picked per
+    row by a CASE on ``_ivf_list`` — constant within a list partition
+    directory, so at rest the CASE dissolves at scan time. Shared by
+    the inline :func:`ivf_pq_residual_topk` and the persisted-index
+    serving read (:func:`ivf_pq_topk_indexed` on a ``residual=True``
+    index), so fresh-build and serve can never drift on the math.
+    Expects ``(_ivf_list, codes)`` columns on the rows it scores."""
     q = [float(x) for x in query_vec]
-    sub = books["sub"]
+    m, sub = books["m"], books["sub"]
 
     def fold_sqdist(a, b):
         acc = 0.0
@@ -1461,14 +1683,12 @@ def ivf_pq_residual_topk(
             acc += d * d
         return acc
 
-    # One ADC table per probed list, from that list's query residual;
-    # each row picks its list's table via a CASE on the partition
-    # column (constant within a list directory at rest).
+    cent_by_id = {int(i): v for i, v in cents}
     adc = None
     for s in range(m):
         per_list = None
         for lst in probes:
-            cvec = dict(cents)[lst]
+            cvec = cent_by_id[int(lst)]
             qr = [qx - cx for qx, cx in zip(q, cvec)]
             qsub = qr[s * sub:(s + 1) * sub]
             tbl = F.expr(
@@ -1490,10 +1710,4 @@ def ivf_pq_residual_topk(
             per_list, F.element_at(F.col("codes"), s + 1) + 1
         )
         adc = term if adc is None else adc + term
-    return (
-        codes.select(
-            F.col("id"), adc.cast("double").alias("adc_dist")
-        )
-        .orderBy("adc_dist", "id")
-        .limit(k)
-    )
+    return adc
