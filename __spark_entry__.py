@@ -2696,6 +2696,27 @@ def q118_ivf_pq_residual_indexed(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"), "adc_dist")
 
 
+def q119_data_card(spark, sf_dir):
+    """One-pass per-source data card (VERDICT r8 ask #7): q81's
+    counts/volume + q110's quantiles + q116's distinct counts, but
+    the corpus is scanned and shuffled ONCE — each row explodes into
+    a (kind=0, value) histogram row and a (kind=1, lang) distinct
+    row, one groupBy(group, kind, value).count() partial-combines
+    both map-side (skew spread over the value domain), and every
+    downstream stage runs on the HISTOGRAM (plan-asserted: exactly
+    one FileScan + one corpus Exchange, reused). Quantiles here are
+    EXACT type-1 order statistics off the full value histogram (the
+    right trade for integer lengths; kmv_quantiles_by_key remains the
+    bounded-state path for unbounded-cardinality doubles), so the
+    oracle replays every number exactly."""
+    from tinyflux_spark.operators.sketches import data_card
+
+    docs = _t("documents")(spark, sf_dir)
+    return data_card(
+        docs, "n_chars", "source", "lang", probs=(0.25, 0.5, 0.75, 0.9)
+    )
+
+
 def q108_weighted_sample(spark, sf_dir):
     """Weighted sampling without replacement (Efraimidis & Spirakis
     2006) — the data-mixing primitive: 50 documents drawn with
@@ -2889,6 +2910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round (r10 rotation candidates):
         "q117_ivf_append_serve": q117_ivf_append_serve,
         "q118_ivf_pq_residual_indexed": q118_ivf_pq_residual_indexed,
+        "q119_data_card": q119_data_card,
     }
 
 
@@ -6259,5 +6281,51 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, e FROM ivfasg
                 WHERE lst IN (SELECT code FROM probes)
             ){_pq_enc_adc_sql("book0", "cand")}
+        """
+    # q119: the one-pass data card is EXACT (histogram quantiles,
+    # true distinct counts), so the oracle is the straightforward
+    # per-group SQL - no sketch replay needed.
+    d["q119_data_card"] = """
+            WITH kept AS (
+                SELECT source AS grp, CAST(n_chars AS DOUBLE) AS v, lang
+                FROM documents WHERE source IS NOT NULL
+            ),
+            g AS (
+                SELECT grp, COUNT(*) AS n_rows, COUNT(v) AS n_vals,
+                       SUM(v) AS total_value,
+                       COUNT(DISTINCT lang) AS n_distinct
+                FROM kept GROUP BY grp
+            ),
+            hist AS (
+                SELECT grp, v, COUNT(*) AS n FROM kept
+                WHERE v IS NOT NULL GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT grp, v,
+                       SUM(n) OVER (PARTITION BY grp ORDER BY v) AS c,
+                       SUM(n) OVER (PARTITION BY grp ORDER BY v) - n
+                           AS pc
+                FROM hist
+            ),
+            picked AS (
+                SELECT cum.grp, p.p, cum.v
+                FROM cum
+                JOIN g ON g.grp = cum.grp,
+                UNNEST([0.25, 0.5, 0.75, 0.9]) AS p(p)
+                WHERE pc < GREATEST(1, CEIL(p.p * n_vals))
+                  AND GREATEST(1, CEIL(p.p * n_vals)) <= c
+            ),
+            q AS (
+                SELECT grp,
+                       MAX(CASE WHEN p = 0.25 THEN v END) AS p25,
+                       MAX(CASE WHEN p = 0.5 THEN v END) AS p50,
+                       MAX(CASE WHEN p = 0.75 THEN v END) AS p75,
+                       MAX(CASE WHEN p = 0.9 THEN v END) AS p90
+                FROM picked GROUP BY grp
+            )
+            SELECT g.grp AS "group", n_rows, n_vals, total_value,
+                   n_distinct, p25, p50, p75, p90
+            FROM g LEFT JOIN q ON q.grp = g.grp
+            ORDER BY g.grp
         """
     return d

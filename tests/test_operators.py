@@ -3345,3 +3345,31 @@ def test_residual_index_serves_ivf_pq_residual_topk_and_appends(
         for r in want_codes.collect()
     )
     assert got == want
+
+
+def test_data_card_exact_and_null_semantics(spark):
+    """One-pass data card (VERDICT r8 ask #7): exact n_rows /
+    n_vals / total_value / n_distinct / type-1 quantiles per group,
+    with the family's null rules — null groups dropped, null values
+    counted in n_rows but not n_vals/quantiles, null distinct keys
+    ignored; quantile = smallest value whose cumulative count reaches
+    max(1, ceil(p * n_vals))."""
+    from tinyflux_spark.operators.sketches import data_card
+
+    rows = [
+        # (group, value, key)
+        ("a", 1, "x"), ("a", 2, "x"), ("a", 3, "y"), ("a", 4, "z"),
+        ("a", None, "x"),           # null value: n_rows only
+        ("b", 10, None), ("b", 20, "u"),
+        (None, 99, "q"),            # null group: dropped
+    ]
+    df = spark.createDataFrame(rows, "g: string, v: long, d: string")
+    got = {
+        r["group"]: tuple(r)[1:]
+        for r in data_card(df, "v", "g", "d", probs=(0.5, 1.0)).collect()
+    }
+    # a: 5 rows, 4 vals sum 10, 3 distinct; p50 = rank ceil(.5*4)=2 -> 2
+    assert got["a"] == (5, 4, 10.0, 3, 2.0, 4.0)
+    # b: p50 = rank 1 -> 10, p100 = rank 2 -> 20; one null key ignored
+    assert got["b"] == (2, 2, 30.0, 1, 10.0, 20.0)
+    assert set(got) == {"a", "b"}

@@ -1004,3 +1004,32 @@ def test_residual_ivf_pq_index_read_prunes_partitions_and_columns(
     scan = plan.split("ReadSchema")[1][:300]
     assert "codes" in scan
     assert "embedding" not in scan
+
+
+def test_data_card_shares_one_corpus_exchange(spark):
+    """The one-pass data card (VERDICT r8 ask #7) must scan and
+    shuffle the corpus ONCE: the executed plan carries exactly one
+    FileScan and exactly one corpus-sized Exchange on (group, kind,
+    value) — partial_count-combined, skew spread over the value
+    domain — with the quantile branch reading it as a ReusedExchange.
+    Everything else is histogram-sized exchanges on the group column
+    (the q57 bounded kind)."""
+    import re
+
+    from tinyflux_spark.operators.sketches import data_card
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = data_card(docs, "n_chars", "source", "lang")
+    out.collect()  # materialize so AQE settles the final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    corpus_ex = [
+        ln
+        for ln in final.splitlines()
+        if re.search(r"\bExchange hashpartitioning\(group#\d+, _kind", ln)
+        and "ReusedExchange" not in ln  # the reuse line prints its target
+    ]
+    assert len(corpus_ex) == 1, corpus_ex
+    assert "ReusedExchange" in final
+    assert "partial_count" in final  # map-side combine below it

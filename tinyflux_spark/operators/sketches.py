@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "data_card",
     "kmv_distinct",
     "kmv_distinct_by_key",
     "kmv_estimate_from_bottom",
@@ -656,3 +657,178 @@ def kmv_distinct_by_key(
         F.round(est, 4).alias("estimate"),
         exact.alias("exact"),
     ).orderBy("group")
+
+
+def data_card(
+    df: DataFrame,
+    value_col,
+    group_col,
+    distinct_col,
+    probs=(0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """One-pass per-group data card (VERDICT r8 ask #7): row count,
+    value total, EXACT type-1 quantiles of ``value_col``, and the
+    EXACT distinct count of ``distinct_col`` — the summary q81 + q110
+    + q116 publish, composed so the corpus is scanned ONCE and
+    shuffled ONCE instead of three times.
+
+    How one shuffle carries three different aggregations: each input
+    row explodes into two tagged rows — ``(_kind=0, _vnum=value)``
+    for the value histogram and ``(_kind=1, _vstr=distinct key)`` for
+    the distinct set — and ONE ``groupBy(group, _kind, _vnum,
+    _vstr).count()`` collapses both. That aggregation partial-
+    combines map-side AND spreads a hot group across its value/key
+    domain, so the only corpus-sized Exchange carries combined
+    (group, kind, value) partials, never raw rows, and no single
+    task ever scans a whole hot group (the q110 skew discipline).
+    Everything downstream runs on the HISTOGRAM — rows bounded by
+    per-group value cardinality (q57's bounded kind), the one
+    size-contract of this operator: quantiles here are EXACT because
+    they come off the full value histogram, the right trade for
+    discrete/integer values (lengths, token counts); for unbounded-
+    cardinality doubles use :func:`kmv_quantiles_by_key`'s bounded
+    k-row sample instead.
+
+    Quantile convention is the family's: type-1 order statistic at
+    rank ``max(1, ceil(p * n_vals))`` over non-null values — the
+    smallest histogram value whose cumulative count reaches the
+    rank. Null values count in ``n_rows`` but not in ``n_vals`` /
+    quantiles; null distinct keys are ignored (COUNT DISTINCT
+    semantics). Rows with a null group are ignored.
+
+    Returns one row per group, ordered:
+    ``(group, n_rows, n_vals, total_value, n_distinct, p<pct>...)``
+    with one exact-double quantile column per requested prob.
+    """
+    from pyspark.sql import Window
+
+    probs = [float(p) for p in probs]
+    if not probs or any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError("probs must be non-empty, each in (0, 1]")
+    names = []
+    for p in probs:
+        pct = p * 100
+        name = f"p{pct:g}".replace(".", "_")
+        names.append(name)
+    if len(set(names)) != len(names):
+        raise ValueError(f"probs collide on column names {names}")
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    vc = (F.col(value_col) if isinstance(value_col, str) else value_col)
+    vc = vc.cast("double")
+    dc = (
+        F.col(distinct_col)
+        if isinstance(distinct_col, str)
+        else distinct_col
+    ).cast("string")
+    kept = df.where(gc.isNotNull())
+    tagged = kept.select(
+        gc.alias("group"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("_kind"),
+                    vc.alias("_vnum"),
+                    F.lit(None).cast("string").alias("_vstr"),
+                ),
+                F.struct(
+                    F.lit(1).alias("_kind"),
+                    F.lit(None).cast("double").alias("_vnum"),
+                    dc.alias("_vstr"),
+                ),
+            )
+        ).alias("t"),
+    ).select("group", "t._kind", "t._vnum", "t._vstr")
+    # THE one corpus-sized shuffle: combined partials on
+    # (group, kind, value) — map-side count, skew spread over values.
+    hist = tagged.groupBy("group", "_kind", "_vnum", "_vstr").agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    g = hist.groupBy("group").agg(
+        F.sum(F.when(F.col("_kind") == 0, F.col("_n")))
+        .cast("long")
+        .alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("_kind") == 0) & F.col("_vnum").isNotNull(),
+                F.col("_n"),
+            )
+        )
+        .cast("long")
+        .alias("n_vals"),
+        F.sum(
+            F.when(
+                (F.col("_kind") == 0) & F.col("_vnum").isNotNull(),
+                F.col("_vnum") * F.col("_n"),
+            )
+        )
+        .alias("total_value"),
+        F.sum(
+            F.when(
+                (F.col("_kind") == 1) & F.col("_vstr").isNotNull(),
+                F.lit(1),
+            )
+        )
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    # Quantile branch: the SAME hist subtree, unfiltered below the
+    # window — a where() before the window would push a kind/vnum
+    # filter beneath the corpus Exchange, making its child differ
+    # from g's and defeating ReuseExchange (the corpus would shuffle
+    # twice). Instead non-value rows ride through contributing 0 to
+    # the running sum and are dropped ABOVE the window; window
+    # filters on non-partition columns cannot sink below it, so both
+    # branches share one identical — hence reused — corpus Exchange.
+    is_val = (F.col("_kind") == 0) & F.col("_vnum").isNotNull()
+    w_cum = (
+        Window.partitionBy("group")
+        .orderBy("_kind", "_vnum")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        hist.withColumn(
+            "_cum",
+            F.sum(F.when(is_val, F.col("_n")).otherwise(0)).over(w_cum),
+        )
+        .withColumn(
+            "_nv",
+            F.sum(F.when(is_val, F.col("_n")).otherwise(0)).over(
+                Window.partitionBy("group")
+            ),
+        )
+        .where(is_val)
+        .withColumn("_prev", F.col("_cum") - F.col("_n"))
+    )
+    # probs arrive as an exploded LITERAL; a histogram row serves
+    # prob p iff its cumulative span covers rank ceil(p * n_vals).
+    probs_arr = F.array(*[F.lit(p) for p in probs])
+    picked = (
+        cum.withColumn("_p", F.explode(probs_arr))
+        .withColumn(
+            "_r",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_p") * F.col("_nv")),
+            ).cast("long"),
+        )
+        .where(
+            (F.col("_prev") < F.col("_r"))
+            & (F.col("_r") <= F.col("_cum"))
+        )
+    )
+    qcols = picked.groupBy("group").agg(
+        *[
+            F.max(
+                F.when(F.col("_p") == p, F.col("_vnum"))
+            ).alias(name)
+            for p, name in zip(probs, names)
+        ]
+    )
+    return (
+        g.join(qcols, "group", "left")
+        .select(
+            "group", "n_rows", "n_vals", "total_value", "n_distinct",
+            *names,
+        )
+        .orderBy("group")
+    )
