@@ -179,8 +179,184 @@ def _reset_stale_result_epochs(
         if ofs.exists(opath) and len(ofs.listStatus(opath)) > 0:
             return  # resumed lineage: numbering continues
     for st in fs.listStatus(jroot):
-        if st.getPath().getName().startswith("epoch="):
+        name = st.getPath().getName()
+        if name.startswith("epoch=") or name == "_base":
             fs.delete(st.getPath(), True)
+
+
+def _read_small_file(fs, jpath) -> bytes:
+    """Byte-loop read of a tiny file through the Hadoop FS API (the
+    manifest-reading recipe — spark.read.text can't see
+    underscore-prefixed files)."""
+    stream = fs.open(jpath)
+    try:
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+    finally:
+        stream.close()
+    return bytes(buf)
+
+
+def _latest_committed_base(spark: SparkSession, result_path: str):
+    """Newest committed compaction of a pair-result dir: the largest
+    ``_base/v=V`` holding BOTH ``_SUCCESS`` and ``_folded.json``.
+    Returns ``(version, folded_through)`` or ``(None, -1)``."""
+    fs, jbase = _hadoop_path(spark, result_path + "/_base")
+    if not fs.exists(jbase):
+        return None, -1
+    best, folded = None, -1
+    for st in fs.listStatus(jbase):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        v = int(name.split("=", 1)[1])
+        vdir = f"{result_path}/_base/v={v}"
+        _, jsucc = _hadoop_path(spark, vdir + "/_SUCCESS")
+        _, jman = _hadoop_path(spark, vdir + "/_folded.json")
+        if not (fs.exists(jsucc) and fs.exists(jman)):
+            continue
+        if best is None or v > best:
+            best = v
+            folded = int(
+                json.loads(_read_small_file(fs, jman).decode())[
+                    "folded_through"
+                ]
+            )
+    return best, folded
+
+
+def _committed_epoch_ids(spark: SparkSession, result_path: str):
+    """Sorted ids of ``epoch=N`` dirs holding a ``_SUCCESS`` marker."""
+    fs, jroot = _hadoop_path(spark, result_path)
+    if not fs.exists(jroot):
+        return []
+    out = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if not name.startswith("epoch="):
+            continue
+        e = int(name.split("=", 1)[1])
+        _, jsucc = _hadoop_path(
+            spark, f"{result_path}/epoch={e}/_SUCCESS"
+        )
+        if fs.exists(jsucc):
+            out.append(e)
+    return sorted(out)
+
+
+def _write_epoch_result(
+    pairs: DataFrame,
+    result_path: str,
+    epoch_id: int,
+    compact_every,
+) -> None:
+    """The shared result-sink step of the streaming dedup pipelines:
+    idempotent per-epoch overwrite, plus — when ``compact_every`` is
+    set — bounded-retention COMPACTION so a long-lived single-lineage
+    stream doesn't grow one directory per micro-batch forever.
+
+    Compaction folds every SETTLED epoch (committed, below the one
+    just written — the current epoch may still be redelivered) into a
+    versioned ``_base/v=V`` dir once ``compact_every`` of them
+    accumulate: new base = old base ∪ folded epochs, committed by the
+    parquet ``_SUCCESS`` plus a ``_folded.json`` manifest recording
+    the highest folded epoch id, THEN the folded epoch dirs and bases
+    older than V-1 are deleted. Readers (:func:`read_stream_pairs`)
+    take the newest committed base and only epochs ABOVE its
+    folded_through, so a crash at any point between those steps shows
+    each pair exactly once — a half-written base lacks its manifest
+    and is invisible; a written base with undeleted epochs masks them
+    via folded_through (the next compaction GCs the leftovers).
+    ``_base`` is underscore-prefixed: invisible to a plain
+    ``spark.read.parquet(result_path)``, which is why compaction is
+    opt-in — with it on, read through :func:`read_stream_pairs`."""
+    spark = pairs.sparkSession
+    pairs.write.mode("overwrite").parquet(
+        f"{result_path}/epoch={epoch_id}"
+    )
+    if not compact_every:
+        return
+    if compact_every < 2:
+        raise ValueError("compact_every must be >= 2")
+    fs, jroot = _hadoop_path(spark, result_path)
+    base_v, folded = _latest_committed_base(spark, result_path)
+    epochs = _committed_epoch_ids(spark, result_path)
+    # GC epochs already folded by an earlier (possibly interrupted)
+    # compaction — readers ignore them, but the dirs linger.
+    for e in epochs:
+        if e <= folded:
+            fs.delete(
+                _hadoop_path(spark, f"{result_path}/epoch={e}")[1], True
+            )
+    live = [e for e in epochs if folded < e < epoch_id]
+    if len(live) < compact_every:
+        return
+    fold_through = max(live)
+    parts = [
+        spark.read.parquet(f"{result_path}/epoch={e}") for e in live
+    ]
+    if base_v is not None:
+        parts.append(
+            spark.read.parquet(f"{result_path}/_base/v={base_v}")
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    new_v = 0 if base_v is None else base_v + 1
+    new_dir = f"{result_path}/_base/v={new_v}"
+    merged.write.mode("overwrite").parquet(new_dir)
+    out = fs.create(_hadoop_path(spark, new_dir + "/_folded.json")[1], True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps({"folded_through": fold_through}).encode()
+            )
+        )
+    finally:
+        out.close()
+    # Only after the new base committed: drop the folded epochs and
+    # bases older than the predecessor (one version of headroom).
+    for e in live:
+        fs.delete(
+            _hadoop_path(spark, f"{result_path}/epoch={e}")[1], True
+        )
+    jbase = _hadoop_path(spark, result_path + "/_base")[1]
+    for st in fs.listStatus(jbase):
+        name = st.getPath().getName()
+        if name.startswith("v=") and int(name.split("=", 1)[1]) < new_v - 1:
+            fs.delete(st.getPath(), True)
+
+
+def read_stream_pairs(spark: SparkSession, result_path: str) -> DataFrame:
+    """Read the standing pair results of a streaming dedup sink
+    (:func:`stream_near_dup_insert` / :func:`stream_semantic_dedup_insert`)
+    regardless of whether compaction has run: the newest committed
+    ``_base/v=V`` plus every committed ``epoch=N`` dir ABOVE its
+    folded_through — each pair exactly once, whatever instant a crash
+    froze the layout at. Without compaction this is just the union of
+    the epoch dirs (``spark.read.parquet(result_path)`` minus the
+    bookkeeping partition column)."""
+    base_v, folded = _latest_committed_base(spark, result_path)
+    paths = []
+    if base_v is not None:
+        paths.append(f"{result_path}/_base/v={base_v}")
+    paths.extend(
+        f"{result_path}/epoch={e}"
+        for e in _committed_epoch_ids(spark, result_path)
+        if e > folded
+    )
+    if not paths:
+        raise ValueError(
+            f"no committed pair results at {result_path!r}"
+        )
+    out = spark.read.parquet(paths[0])
+    for p in paths[1:]:
+        out = out.unionByName(spark.read.parquet(p))
+    return out
 
 
 def point_stream_from_files(
@@ -461,6 +637,7 @@ def stream_near_dup_insert(
     signatures_path: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     trigger_available_now: bool = True,
+    compact_every: Optional[int] = None,
 ):
     """Streaming near-duplicate detection: every micro-batch of an
     ingest stream is checked against an EXISTING corpus via the
@@ -495,6 +672,14 @@ def stream_near_dup_insert(
     a NEW lineage against an existing ``result_path`` first wipes the
     prior run's epoch dirs (a resumed checkpoint keeps them — they are
     this lineage's own committed output).
+
+    A long-lived single-lineage stream grows one epoch dir per
+    micro-batch; ``compact_every=c`` bounds that by folding settled
+    epochs into a ``_SUCCESS``-gated ``_base/v=V`` dir once c of them
+    accumulate (:func:`_write_epoch_result` — pairs unchanged,
+    crash-safe at every step). With compaction on, read through
+    :func:`read_stream_pairs` (``_base`` is underscore-prefixed, so a
+    plain directory read would miss the folded pairs).
     """
     from ..operators.dedup import banded_signatures, minhash_lsh_join
 
@@ -530,10 +715,9 @@ def stream_near_dup_insert(
         )
         # Per-epoch overwrite, not blind append: foreachBatch is
         # at-least-once, so a retried micro-batch must land in the
-        # same epoch=N directory idempotently.
-        pairs.write.mode("overwrite").parquet(
-            f"{result_path}/epoch={epoch_id}"
-        )
+        # same epoch=N directory idempotently; compaction (if on)
+        # folds settled epochs into the bounded _base.
+        _write_epoch_result(pairs, result_path, epoch_id, compact_every)
 
     writer = (
         docs_stream.writeStream.foreachBatch(sink).outputMode("append")
@@ -968,6 +1152,7 @@ def stream_semantic_dedup_insert(
     state_path: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     trigger_available_now: bool = True,
+    compact_every: Optional[int] = None,
 ):
     """Streaming SEMANTIC dedup: every micro-batch of an ingest stream
     is checked against an existing corpus in embedding space —
@@ -1137,10 +1322,11 @@ def stream_semantic_dedup_insert(
         )
         # Per-epoch overwrite, not blind append: foreachBatch is
         # at-least-once, so a retried micro-batch must land in the
-        # same epoch=N directory idempotently.
-        pairs.write.mode("overwrite").parquet(
-            f"{result_path}/epoch={epoch_id}"
-        )
+        # same epoch=N directory idempotently; compaction (if on)
+        # folds settled epochs into the bounded _base
+        # (stream_near_dup_insert's retention contract —
+        # read_stream_pairs is the reader).
+        _write_epoch_result(pairs, result_path, epoch_id, compact_every)
 
     writer = (
         docs_stream.writeStream.foreachBatch(sink).outputMode("append")
