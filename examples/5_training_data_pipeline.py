@@ -363,6 +363,38 @@ def main() -> None:
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
+    # --- Index lifecycle: grow without retraining ------------------
+    # New vectors fold in at the FROZEN codebooks (assign + encode +
+    # append into the probed partition dirs) — a 100 TB index never
+    # retrains per ingest batch; rebuild only when the corpus drifts.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from tinyflux_spark.operators.similarity import ivf_append_index
+
+    idx2 = tempfile.mkdtemp(prefix="tfs_example_ivfpq_grow_")
+    try:
+        old = emb.where(F.col("vec_id") % 3 != 0)
+        new = emb.where(F.col("vec_id") % 3 == 0)
+        ivf_write_index(old, idx2, num_centroids=16, pq_m=8, pq_ksub=16)
+        n = ivf_append_index(new, idx2)
+        grown = ivf_pq_topk_indexed(spark, idx2, qvec, k=3, nprobe=4)
+        print(f"ivf-pq append:     +{n} vectors at frozen codebooks ->",
+              [(r["id"], round(r["adc_dist"], 4))
+               for r in grown.collect()])
+    finally:
+        shutil.rmtree(idx2, ignore_errors=True)
+
+    # --- One-pass data card ----------------------------------------
+    # Counts, volume, EXACT length quantiles and EXACT distinct langs
+    # per source — one corpus scan, one corpus shuffle.
+    from tinyflux_spark.operators.sketches import data_card
+
+    raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    card = data_card(raw_docs, "n_chars", "source", "lang",
+                     probs=(0.5, 0.9))
+    print("data card (first 3 sources):",
+          [tuple(r) for r in card.limit(3).collect()])
+
 
 if __name__ == "__main__":
     main()

@@ -64,7 +64,47 @@ PANEL = [
     ("q114_kmv_sketch_merge", (1, 10, 100)),
     ("q115_stream_kmv_quantiles", (1, 10, 100)),
     ("q116_kmv_distinct_by_key", (1, 10, 100)),
+    ("q117_ivf_append_serve", (1, 10, 100)),
+    ("q118_ivf_pq_residual_indexed", (1, 10, 100)),
+    ("q119_data_card", (1, 10, 100)),
 ]
+
+# ANN family: besides sec/rows, record recall@10 against the exact
+# cosine top-10 (q24's ranking) on the SAME scale dir — latency that
+# holds at 100x is worthless if approximation quality falls off a
+# cliff there (VERDICT r8 ask #6). The exact baseline is computed
+# once per dir and cached.
+ANN_RECALL = {
+    "q105_pq_adc_topk",
+    "q107_ivf_pq_topk",
+    "q109_ivf_pq_indexed_topk",
+    "q111_pq_rerank_topk",
+    "q112_ivf_refined_topk",
+    "q113_ivf_pq_residual_topk",
+    "q117_ivf_append_serve",
+    "q118_ivf_pq_residual_indexed",
+}
+
+_EXACT_TOP10 = {}
+
+
+def exact_top10_ids(spark, sf_dir):
+    """Exact cosine top-10 ids for the standard probe query (vec_id 0
+    against the rest), q24's convention — cached per scale dir."""
+    if sf_dir not in _EXACT_TOP10:
+        from pyspark.sql import functions as F
+
+        from tinyflux_spark.operators.similarity import cosine_topk
+
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+        qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        rows = cosine_topk(
+            emb.where(F.col("vec_id") != 0), list(qvec), k=10
+        ).collect()
+        _EXACT_TOP10[sf_dir] = {int(r[0]) for r in rows}
+    return _EXACT_TOP10[sf_dir]
 
 # Queries whose probe builder takes the scale factor (K ~ sqrt(N) —
 # SemDedup's contract; probing at fixed K would measure a mis-use).
@@ -203,8 +243,20 @@ def run(out_path: str, dirs: dict[int, str]) -> None:
                 "sec": round(sec, 3),
                 "rows": df.count(),
             }
+            if name in ANN_RECALL:
+                got = {int(r[0]) for r in df.collect()}
+                exact = exact_top10_ids(spark, sf_dir)
+                entry[str(f)]["recall_at_10"] = round(
+                    len(got & exact) / max(len(exact), 1), 2
+                )
             print(f"{name} @{f}x: {sec:.2f}s "
-                  f"{entry[str(f)]['rows']} rows", flush=True)
+                  f"{entry[str(f)]['rows']} rows"
+                  + (
+                      f" recall@10={entry[str(f)]['recall_at_10']}"
+                      if name in ANN_RECALL
+                      else ""
+                  ),
+                  flush=True)
         fs = sorted(int(k) for k in entry)
         for lo, hi in zip(fs, fs[1:]):
             step = hi // lo
@@ -222,7 +274,8 @@ def run(out_path: str, dirs: dict[int, str]) -> None:
             "fresh plan per timed run; gen_scale replicas are "
             "vocabulary/key-disjoint so expected output scales "
             "linearly; q95 probed with K scaled with N (SemDedup's "
-            "contract)"
+            "contract); ANN rows carry recall_at_10 vs the exact "
+            "cosine top-10 on the same dir"
         ),
         "queries": results,
     }
