@@ -2659,6 +2659,61 @@ def q117_ivf_append_serve(spark, sf_dir):
     ).select(F.col("id").alias("vec_id"), "adc_dist")
 
 
+def q120_stream_ivf_append(spark, sf_dir):
+    """Streaming maintenance of the persisted IVF-PQ index (the
+    round-9 lifecycle completed): the index is built on two thirds of
+    the corpus, the last third arrives as a STREAM in three
+    micro-batches through stream_ivf_append_insert — each batch
+    assigned + PQ-encoded at the FROZEN codebooks and appended into
+    the probed partition dirs, with an exactly-once (lineage,
+    batch-id) high-water + intent-marker protocol around the
+    non-idempotent append — and the query serves through q109's
+    unchanged read path. Stream == batch append == q117 exactly, so
+    the oracle IS q117's replay (codebooks trained on the base split,
+    assignment + encode over the full corpus): the gate checks the
+    streaming protocol changed nothing."""
+    import tempfile
+
+    from tinyflux_spark.operators.similarity import (
+        ivf_pq_topk_indexed,
+        ivf_write_index,
+    )
+    from tinyflux_spark.streaming.ingest import (
+        point_stream_from_files,
+        stream_ivf_append_insert,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") != 0)
+    per_session = _IVF_INDEX_CACHE.setdefault(spark, {})
+    key = (sf_dir, "pq_stream_append")
+    if key not in per_session:
+        root = tempfile.mkdtemp(prefix="tfs_ivfpq_stream_")
+        path = root + "/index"
+        ivf_write_index(
+            corpus.where(F.col("vec_id") % 3 != 0), path,
+            num_centroids=16, pq_m=8, pq_ksub=16,
+        )
+        src = root + "/src"
+        corpus.where(F.col("vec_id") % 3 == 0).repartition(3).write.parquet(src)
+        q = stream_ivf_append_insert(
+            point_stream_from_files(
+                spark, src, corpus.schema, max_files_per_trigger=1
+            ),
+            path, checkpoint_dir=root + "/ck",
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("q120 append stream timed out")
+        if q.exception() is not None:
+            raise q.exception()
+        per_session[key] = path
+    qvec = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_pq_topk_indexed(
+        spark, per_session[key], qvec, k=10, nprobe=4
+    ).select(F.col("id").alias("vec_id"), "adc_dist")
+
+
 def q118_ivf_pq_residual_indexed(spark, sf_dir):
     """q113's full FAISS IVFPQ — trained coarse + residual codes —
     composed into the PERSISTED layout (VERDICT r8 ask #5):
@@ -2911,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_ivf_append_serve": q117_ivf_append_serve,
         "q118_ivf_pq_residual_indexed": q118_ivf_pq_residual_indexed,
         "q119_data_card": q119_data_card,
+        "q120_stream_ivf_append": q120_stream_ivf_append,
     }
 
 
@@ -6282,6 +6338,10 @@ def oracle_sql() -> dict[str, str]:
                 WHERE lst IN (SELECT code FROM probes)
             ){_pq_enc_adc_sql("book0", "cand")}
         """
+    # q120: the streaming append protocol must change NOTHING vs the
+    # batch append - the oracle is q117's replay verbatim (stream ==
+    # batch == frozen-codebook encode of the full corpus).
+    d["q120_stream_ivf_append"] = d["q117_ivf_append_serve"]
     # q119: the one-pass data card is EXACT (histogram quantiles,
     # true distinct counts), so the oracle is the straightforward
     # per-group SQL - no sketch replay needed.
