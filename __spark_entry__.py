@@ -2817,6 +2817,75 @@ def q103_fivegram_logprob(spark, sf_dir):
     )
 
 
+def q121_weighted_sample_by_key(spark, sf_dir):
+    """Per-group Efraimidis-Spirakis weighted sampling — q108's GROUP
+    BY form and the sampling row of the data card: each source draws
+    its own 10-doc length-weighted audit sample in one pass. Same md5
+    dyadic uniforms and DECIMAL(38,12) ln(u)/w grid as q108 (the hash
+    ignores the group, so a doc's uniform never depends on how the
+    corpus is sliced); the per-group top-k is a rank window whose
+    filter becomes Partial+Final WindowGroupLimit — at most k rows
+    per group leave each map task, so a hot source never funnels its
+    full row count through one task (plan-asserted)."""
+    from tinyflux_spark.operators.sampling import weighted_sample_by_key
+
+    docs = _t("documents")(spark, sf_dir)
+    return weighted_sample_by_key(
+        docs, "doc_id", "n_chars", "source", k=10
+    ).select(
+        F.col("group").alias("source"),
+        F.col("id").alias("doc_id"),
+        "weight",
+        "es_key",
+        "rank",
+    )
+
+
+def q122_top_tokens_by_key(spark, sf_dir):
+    """Per-group token heavy hitters — q62's GROUP BY form and the
+    vocabulary row of the data card (per-source drift check between
+    ingest batches). groupBy(group, token) partial-aggregates
+    map-side so shuffle volume is distinct (group, token) pairs, and
+    the per-group top-k gets the WindowGroupLimit rewrite over the
+    vocabulary-sized aggregate — no global sort, no TakeOrdered
+    funnel, no unbounded per-group scan (plan-asserted)."""
+    from tinyflux_spark.operators.text import top_tokens_by_key
+
+    docs = _t("documents")(spark, sf_dir)
+    return top_tokens_by_key(docs, "source", "text", k=10).select(
+        F.col("group").alias("source"), "token", "n", "rank"
+    )
+
+
+def q123_decontaminate_bloom(spark, sf_dir):
+    """q72's decontamination with the eval side folded into a Bloom
+    bitmap instead of broadcast as raw strings — the 100 TB shape for
+    a LARGE eval suite (tens of millions of shingles): only the
+    packed-long word table broadcasts (2^16 bits here ≡ 1024 rows ≡
+    8 KB; 3 orders smaller than the string set at production size),
+    each train shingle probes 5 Kirsch-Mitzenmacher double-hashed
+    positions via narrow broadcast word-lookups, and survivors verify
+    against the exact eval set with a SHUFFLE join (candidates only
+    on the corpus side, no broadcast of the strings). The bitmap's
+    false positives die in the verify join, so the result is EXACT —
+    the oracle is q72's plain exact SQL, and the equality IS the
+    correctness claim (pytest additionally pins bloom == broadcast
+    down to a deliberately undersized 2^10 bitmap)."""
+    from tinyflux_spark.operators.dedup import contamination_hits
+
+    docs = _t("documents")(spark, sf_dir)
+    test = docs.where(F.col("doc_id") % 41 == 0)
+    train = docs.where(F.col("doc_id") % 41 != 0)
+    return contamination_hits(
+        train, test, "doc_id", n=3,
+        prefilter="bloom", bloom_bits=1 << 16, bloom_hashes=5,
+    ).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "sample_shingle",
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -2967,6 +3036,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_ivf_pq_residual_indexed": q118_ivf_pq_residual_indexed,
         "q119_data_card": q119_data_card,
         "q120_stream_ivf_append": q120_stream_ivf_append,
+        "q121_weighted_sample_by_key": q121_weighted_sample_by_key,
+        "q122_top_tokens_by_key": q122_top_tokens_by_key,
+        "q123_decontaminate_bloom": q123_decontaminate_bloom,
     }
 
 
@@ -6388,4 +6460,64 @@ def oracle_sql() -> dict[str, str]:
             FROM g LEFT JOIN q ON q.grp = g.grp
             ORDER BY g.grp
         """
+    # q121: q108's ES replay with a per-group rank instead of the
+    # global LIMIT — the sampled SET per group is the bit-stability
+    # claim being gated.
+    d["q121_weighted_sample_by_key"] = """
+            WITH s AS (
+                SELECT source, doc_id AS id,
+                       CAST(n_chars AS DOUBLE) AS weight,
+                       CAST(ln((('0x' || substr(md5('wsample:'
+                                || CAST(doc_id AS VARCHAR)), 1, 12))
+                                ::BIGINT + 1)
+                               / 281474976710656.0)
+                            / CAST(n_chars AS DOUBLE)
+                            AS DECIMAL(38,12)) AS k
+                FROM documents
+                WHERE doc_id IS NOT NULL AND source IS NOT NULL
+                      AND n_chars IS NOT NULL
+                      AND CAST(n_chars AS DOUBLE) > 0
+            ),
+            r AS (
+                SELECT source, id, weight, k,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY k DESC, id
+                       ) AS rank
+                FROM s
+            )
+            SELECT source, id AS doc_id, weight,
+                   CAST(k AS DOUBLE) AS es_key,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10
+            ORDER BY source, rank
+        """
+    # q122: q62's tokenization with a per-group rank window.
+    d["q122_top_tokens_by_key"] = """
+            WITH t AS (
+                SELECT source,
+                       unnest(str_split_regex(trim(text),
+                                              '[\\s\\x0B]+')) AS token
+                FROM (SELECT * REPLACE (coalesce(text, '') AS text)
+                      FROM documents)
+                WHERE source IS NOT NULL AND trim(text) <> ''
+            ),
+            c AS (
+                SELECT source, token, COUNT(*) AS n
+                FROM t GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT source, token, n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY n DESC, token
+                       ) AS rank
+                FROM c
+            )
+            SELECT source, token, n, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10
+            ORDER BY source, rank
+        """
+    # q123: the bloom prefilter is exact by construction (false
+    # positives die in the verify join), so the oracle is q72's
+    # plain exact decontamination SQL — the equality IS the claim.
+    d["q123_decontaminate_bloom"] = d["q72_decontaminate"]
     return d

@@ -3373,3 +3373,117 @@ def test_data_card_exact_and_null_semantics(spark):
     # b: p50 = rank 1 -> 10, p100 = rank 2 -> 20; one null key ignored
     assert got["b"] == (2, 2, 30.0, 1, 10.0, 20.0)
     assert set(got) == {"a", "b"}
+
+
+def test_weighted_sample_by_key_equals_per_group_extraction(spark):
+    """The grouped ES sample must pick, for every group, EXACTLY what
+    weighted_sample would pick if that group were extracted and
+    sampled alone — the hash ignores the group, so slicing the corpus
+    never changes a row's uniform. Null groups are excluded, rank is
+    1-based per group."""
+    import pytest
+
+    from tinyflux_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_by_key,
+    )
+
+    rows = [
+        (i, float((i * 37) % 91 + 1), f"g{i % 3}") for i in range(150)
+    ]
+    rows += [(900, 5.0, None), (None, 5.0, "g0"), (901, 0.0, "g1")]
+    df = spark.createDataFrame(rows, "doc_id: long, w: double, g: string")
+    got = weighted_sample_by_key(df, "doc_id", "w", "g", k=7).collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["group"], []).append(r)
+    assert set(by_group) == {"g0", "g1", "g2"}
+    for g, rs in by_group.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        solo = weighted_sample(
+            df.where(F.col("g") == g), "doc_id", "w", k=7
+        ).collect()
+        assert [(r["id"], r["weight"], r["es_key"]) for r in rs] == [
+            (s["id"], s["weight"], s["es_key"]) for s in solo
+        ]
+    ids = {r["id"] for r in got}
+    assert not ids & {900, 901}
+    with pytest.raises(ValueError):
+        weighted_sample_by_key(df, "doc_id", "w", "g", k=0)
+
+
+def test_top_tokens_by_key_model(spark):
+    """Per-group wordcount top-k replayed in plain Python: whitespace
+    tokens, ties lexicographic, min_count honored, null groups and
+    blank texts contribute nothing."""
+    import pytest
+
+    from tinyflux_spark.operators.text import top_tokens_by_key
+
+    rows = [
+        ("a", "x x y z"),
+        ("a", "y x  q"),
+        ("a", "   "),
+        ("b", "z z z y"),
+        (None, "x x x x x"),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "g: string, text: string")
+    got = [
+        (r["group"], r["token"], r["n"], r["rank"])
+        for r in top_tokens_by_key(df, "g", "text", k=2).collect()
+    ]
+    assert got == [
+        ("a", "x", 3, 1),
+        ("a", "y", 2, 2),
+        ("b", "z", 3, 1),
+        ("b", "y", 1, 2),
+    ]
+    mc = top_tokens_by_key(df, "g", "text", k=5, min_count=2).collect()
+    assert [(r["group"], r["token"]) for r in mc] == [
+        ("a", "x"),
+        ("a", "y"),
+        ("b", "z"),
+    ]
+    with pytest.raises(ValueError):
+        top_tokens_by_key(df, "g", "text", k=0)
+
+
+def test_contamination_bloom_prefilter_is_exact(spark):
+    """prefilter='bloom' must return byte-identical results to the
+    broadcast path — Bloom false positives die in the exact verify
+    join. Pinned down to a deliberately undersized 2^10-bit / 2-hash
+    bitmap (guaranteed heavy FP traffic through the verify join) and
+    a 1-hash config. Parameter validation raises early."""
+    import pytest
+
+    from tinyflux_spark.operators.dedup import contamination_hits
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    test = docs.where(F.col("doc_id") % 41 == 0)
+    train = docs.where(F.col("doc_id") % 41 != 0)
+    want = sorted(
+        tuple(r)
+        for r in contamination_hits(
+            train, test, "doc_id", n=3
+        ).collect()
+    )
+    assert want, "fixture must produce contamination hits"
+    for bits, j in [(1 << 16, 5), (1 << 10, 2), (1 << 12, 1)]:
+        got = sorted(
+            tuple(r)
+            for r in contamination_hits(
+                train, test, "doc_id", n=3,
+                prefilter="bloom", bloom_bits=bits, bloom_hashes=j,
+            ).collect()
+        )
+        assert got == want, (bits, j)
+    for bad in [dict(bloom_bits=100), dict(bloom_bits=1 << 32),
+                dict(bloom_hashes=0), dict(prefilter="nope")]:
+        with pytest.raises(ValueError):
+            contamination_hits(
+                train, test, "doc_id", n=3,
+                **{"prefilter": "bloom", **bad},
+            )

@@ -772,6 +772,9 @@ def contamination_hits(
     text_col: str = "text",
     n: int = 13,
     unit: str = "word",
+    prefilter: str = "broadcast",
+    bloom_bits: int = 1 << 20,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Train/test decontamination: flag training documents that share
     any text n-gram with a held-out evaluation set.
@@ -782,13 +785,35 @@ def contamination_hits(
     one (evidence for manual review). Training docs with zero overlap
     are absent (the common case; the result is the removal list).
 
-    Scale design: the eval set is small (thousands of docs) against a
-    100 TB train corpus, so its DISTINCT shingle set broadcasts and the
-    train side is shingle-generate → broadcast hash join → partial
-    count — the corpus is never shuffled on raw n-gram text, and docs
-    with no overlap produce zero join output. Production pipelines use
+    Scale design, ``prefilter="broadcast"`` (default): the eval set
+    is small (thousands of docs) against a 100 TB train corpus, so
+    its DISTINCT shingle set broadcasts and the train side is
+    shingle-generate → broadcast hash join → partial count — the
+    corpus is never shuffled on raw n-gram text, and docs with no
+    overlap produce zero join output. Production pipelines use
     n = 8..13 word-grams (the GPT-3-style 13-gram decontamination
     rule); smaller n flags more aggressively.
+
+    ``prefilter="bloom"``: when the eval suite is itself large (a
+    full held-out shard — tens of millions of shingles), its raw
+    string set no longer broadcasts. The eval shingles fold into a
+    Bloom bitmap instead — ``bloom_bits`` bits as ``bloom_bits/64``
+    packed-long words built by ONE ``bit_or`` aggregation — and only
+    the word table (8 bytes/word: 2^20 bits ≡ 16 K rows ≡ 128 KB,
+    three orders smaller than the strings) broadcasts. Each train
+    shingle probes its ``bloom_hashes`` double-hashed positions
+    (Kirsch-Mitzenmacher ``h1 + i·h2``, xxhash64 halves, all codegen)
+    via per-probe broadcast joins on the word index — fully narrow,
+    the corpus still never shuffles on raw text. Survivors (true hits
+    + the bitmap's false positives) then verify against the exact
+    eval set with a plain shuffle join — the eval side SHUFFLES
+    instead of broadcasting, and the train side ships candidates
+    only. The final result is therefore EXACT — identical to the
+    broadcast path (pytest-asserted); the bitmap only bounds the
+    verify join's input. Size ``bloom_bits ≈ 14×`` the eval shingle
+    count for ~1e-3 FP (bits/entry = 14 ⇒ j=5 is near-optimal);
+    at 100 M eval shingles that is 2^31 bits = 256 MB of words —
+    still a broadcastable table where the string set is not.
     """
     test_g = (
         exploded_shingles(test, id_col, text_col, n=n, unit=unit)
@@ -796,9 +821,77 @@ def contamination_hits(
         .distinct()
     )
     train_g = exploded_shingles(train, id_col, text_col, n=n, unit=unit)
+    if prefilter == "broadcast":
+        matched = train_g.join(F.broadcast(test_g), "shingle")
+    elif prefilter == "bloom":
+        if bloom_bits < 64 or bloom_bits & (bloom_bits - 1):
+            raise ValueError("bloom_bits must be a power of two >= 64")
+        if bloom_bits > 1 << 31:
+            raise ValueError("bloom_bits must be <= 2^31 (256 MB)")
+        if bloom_hashes < 1:
+            raise ValueError("bloom_hashes must be >= 1")
+        m = F.lit(bloom_bits)
+        # Both halves reduced to 31 bits so h1 + j*h2 can never
+        # overflow a BIGINT under ANSI arithmetic (Spark 4 default);
+        # 31 bits >= any supported bloom_bits' entropy need.
+        h1 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(1 << 31))
+        # Odd step so the probe sequence walks the full power-of-two
+        # ring (gcd(h2, m) == 1).
+        h2 = F.pmod(
+            F.xxhash64(F.col("shingle"), F.lit(1)), F.lit(1 << 31)
+        ).bitwiseOR(F.lit(1).cast("long"))
+
+        def _pos(i: int):
+            return F.pmod(h1 + F.lit(i) * h2, m)
+
+        # Eval side: explode the j probe positions, pack into
+        # bloom_bits/64 longs. One narrow explode + ONE bit_or
+        # aggregation; the result is the only thing kept.
+        pos = F.explode(
+            F.array(*[_pos(i) for i in range(bloom_hashes)])
+        ).alias("_p")
+        words = (
+            test_g.select(pos)
+            .select(
+                (F.col("_p") / F.lit(64)).cast("long").alias("_w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))"
+                ).alias("_b"),
+            )
+            .groupBy("_w")
+            .agg(F.bit_or("_b").alias("_bits"))
+        )
+        # Train side: j narrow broadcast lookups of the word table —
+        # a probe misses iff its word row is absent or its bit unset.
+        cand = train_g
+        hit = F.lit(True)
+        for i in range(bloom_hashes):
+            p = _pos(i)
+            wtab = F.broadcast(
+                words.select(
+                    F.col("_w").alias(f"_w{i}"),
+                    F.col("_bits").alias(f"_bits{i}"),
+                )
+            )
+            cand = (
+                cand.withColumn(f"_w{i}", (p / F.lit(64)).cast("long"))
+                .withColumn(f"_m{i}", (p % 64).cast("int"))
+                .join(wtab, f"_w{i}", "left")
+            )
+            hit = hit & F.expr(
+                f"(coalesce(_bits{i}, CAST(0 AS BIGINT)) & "
+                f"shiftleft(CAST(1 AS BIGINT), _m{i})) != 0"
+            )
+        survivors = cand.where(hit).select("id", "shingle")
+        # Exact verify: candidates only vs the full eval set — a
+        # shuffle join on the shingle (NO broadcast of the strings).
+        matched = survivors.hint("shuffle_hash").join(test_g, "shingle")
+    else:
+        raise ValueError(
+            f"prefilter must be 'broadcast' or 'bloom', got {prefilter!r}"
+        )
     return (
-        train_g.join(F.broadcast(test_g), "shingle")
-        .groupBy("id")
+        matched.groupBy("id")
         .agg(
             F.count("*").alias("n_hits"),
             F.min("shingle").alias("sample_shingle"),

@@ -27,6 +27,7 @@ __all__ = [
     "stratified_quota",
     "temperature_sample",
     "weighted_sample",
+    "weighted_sample_by_key",
 ]
 
 # Number of distinct values of the 4-hex-digit hash prefix.
@@ -404,3 +405,89 @@ def weighted_sample(
             "id", "weight", F.col("_k").cast("double").alias("es_key")
         )
     )
+
+
+def weighted_sample_by_key(
+    df: DataFrame,
+    id_col,
+    weight_col,
+    group_col,
+    k: int = 100,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-group weighted sampling WITHOUT replacement — the GROUP BY
+    form of :func:`weighted_sample` and the sampling half of the data
+    card family (q110/q116 describe each source; this DRAWS a
+    length- or quality-weighted audit sample from each source in one
+    pass). Every group independently runs Efraimidis & Spirakis 2006:
+    the k rows with the largest ``ln(u)/w`` keys per group are that
+    group's sample, with the same md5 dyadic uniforms and
+    DECIMAL(38,12) key grid as the global form, so the selected set
+    per group is bit-stable across engines, partitionings and reruns
+    (and is exactly what ``weighted_sample`` would pick if the group
+    were extracted and sampled alone — the hash ignores the group, so
+    regrouping documents never changes a row's uniform).
+
+    Plan shape: one hash projection (codegen) and ONE shuffle on the
+    group column; the per-group top-k is a rank window whose filter
+    Spark rewrites to Partial+Final **WindowGroupLimit** — each map
+    task forwards at most k rows per group before the shuffle, so a
+    hot group costs k rows of shuffle per input partition, never its
+    full row count. No joins, no global sort, no TakeOrdered funnel
+    through the driver. (Same skew contract as kmv_quantiles_by_key;
+    the count-window anti-pattern this family had in round 8 is
+    plan-asserted against regression in tests/test_plans.py.)
+
+    Returns ``(group, id, weight double, es_key double, rank int)``
+    with rank 1 = largest key, ordered by (group, rank).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    wc = wc.cast("double")
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), idc.cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 48))
+    key = (F.log(u) / wc).cast("decimal(38,12)")
+    ranked = (
+        df.where(
+            idc.isNotNull()
+            & gc.isNotNull()
+            & wc.isNotNull()
+            & (wc > 0)
+        )
+        .select(
+            gc.alias("group"),
+            idc.alias("id"),
+            wc.alias("weight"),
+            key.alias("_k"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("group").orderBy(
+                    F.col("_k").desc(), F.col("id")
+                )
+            ),
+        )
+        .where(F.col("rank") <= k)
+    )
+    return ranked.select(
+        "group",
+        "id",
+        "weight",
+        F.col("_k").cast("double").alias("es_key"),
+        "rank",
+    ).orderBy("group", "rank")

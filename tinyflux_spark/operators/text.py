@@ -402,6 +402,61 @@ def top_tokens(
     )
 
 
+def top_tokens_by_key(
+    df: DataFrame,
+    group_col,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 1,
+) -> DataFrame:
+    """Per-group token heavy hitters — the GROUP BY form of
+    :func:`top_tokens` and the vocabulary row of the data card: the k
+    most frequent whitespace tokens *within each group* (source,
+    language, shard), ties broken lexicographically. Comparing the
+    per-source lists against the corpus-level q62 list is the
+    standard drift check between ingest batches.
+
+    Plan shape: explode is a narrow map; ``groupBy(group, token)``
+    partial-aggregates map-side, so shuffle volume is per-partition
+    DISTINCT (group, token) pairs, never corpus tokens; the per-group
+    top-k is a rank window whose filter Spark rewrites to
+    Partial+Final **WindowGroupLimit** over the vocabulary-sized
+    aggregate — at most k rows per group leave each map task, so a
+    hot group's vocabulary never funnels through one task unbounded.
+    No joins, no global sort, no driver collection.
+
+    Returns ``(group, token, n, rank int)`` with rank 1 = most
+    frequent, ordered by (group, rank).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    gc = F.col(group_col) if isinstance(group_col, str) else group_col
+    t = F.trim(null_to_empty(text_col))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    counts = (
+        df.where(gc.isNotNull())
+        .select(gc.alias("group"), F.explode(toks).alias("token"))
+        .groupBy("group", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("group").orderBy(
+                F.col("n").desc(), F.col("token")
+            )
+        ),
+    ).where(F.col("rank") <= k)
+    return ranked.select("group", "token", "n", "rank").orderBy(
+        "group", "rank"
+    )
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str,
