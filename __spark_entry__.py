@@ -2886,6 +2886,36 @@ def q123_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def q124_audio_features(spark, sf_dir):
+    """q33's audio sibling: the multimodal table holds genuine mono
+    16-bit PCM WAV bytes (RIFF header + frames via the stdlib codec)
+    of a closed-form int16 pattern, media_decode sniffs the RIFF
+    magic and parses them back, and each feature pools 4 consecutive
+    samples. Same bit-exactness argument as q33: sample sums are
+    integers (exact in double), /4.0 is a power of two, and the
+    oracle recomputes every sample from the generative formula — a
+    wrong byte anywhere in the WAV encode or decode path breaks the
+    hash match. Bytes stay inside the Arrow batch; only the 16-double
+    feature vector survives the mapInPandas (the 100 TB contract:
+    blobs never cross a shuffle)."""
+    from tinyflux_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        media_decode,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=64, kind="audio", codec="wav")
+    out = extract_features(media, decode=media_decode)
+    return out.select(
+        "media_id",
+        "kind",
+        F.round(F.col("feature")[0], 6).alias("f0"),
+        F.round(F.col("feature")[FEATURE_DIM - 1], 6).alias("f_last"),
+        "n_bytes",
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -3039,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_weighted_sample_by_key": q121_weighted_sample_by_key,
         "q122_top_tokens_by_key": q122_top_tokens_by_key,
         "q123_decontaminate_bloom": q123_decontaminate_bloom,
+        "q124_audio_features": q124_audio_features,
     }
 
 
@@ -3330,6 +3361,50 @@ def _media_features_oracle_sql(n: int = 64) -> str:
         ),
         nb(media_id, n_bytes) AS (VALUES {nb})
         SELECT f.media_id, 'image' AS kind,
+               ROUND(s0, 6) AS f0,
+               ROUND(s_last, 6) AS f_last,
+               CAST(n_bytes AS BIGINT) AS n_bytes
+        FROM feat f JOIN nb ON f.media_id = nb.media_id
+    """
+
+
+def _audio_features_oracle_sql(n: int = 64, n_samples: int = 64) -> str:
+    """Replays q124 in SQL from the generative sample formula: the
+    Spark side decodes REAL RIFF/WAV bytes of synthetic_samples(i)
+    where s(j) = (i*73 + j*29) % 4096 - 2048; the oracle recomputes
+    every int16 sample and pools the same 4-sample means. Sample sums
+    are integers (exact in double) and /4.0 is a power of two, so the
+    compare is bit-exact. Per-item WAV byte lengths are a CONTAINER
+    property (44-byte RIFF header + 2 bytes/sample) — generated here
+    from the same encoder and inlined, exactly as q33 inlines its
+    zlib stream lengths."""
+    from tinyflux_spark.operators.multimodal import (
+        FEATURE_DIM,
+        encode_wav,
+        synthetic_samples,
+    )
+
+    nb = ", ".join(
+        f"({i}, {len(encode_wav(synthetic_samples(i, n_samples)))})"
+        for i in range(n)
+    )
+    pool = n_samples // FEATURE_DIM
+    lo_last = (FEATURE_DIM - 1) * pool
+    return f"""
+        WITH s AS (
+            SELECT CAST(i AS BIGINT) AS media_id, j,
+                   (i*73 + j*29) % 4096 - 2048 AS v
+            FROM range({n}) t(i), range({n_samples}) t2(j)
+        ),
+        feat AS (
+            SELECT media_id,
+                   SUM(CASE WHEN j < {pool} THEN v END) / {pool}.0 AS s0,
+                   SUM(CASE WHEN j >= {lo_last} THEN v END) / {pool}.0
+                       AS s_last
+            FROM s GROUP BY 1
+        ),
+        nb(media_id, n_bytes) AS (VALUES {nb})
+        SELECT f.media_id, 'audio' AS kind,
                ROUND(s0, 6) AS f0,
                ROUND(s_last, 6) AS f_last,
                CAST(n_bytes AS BIGINT) AS n_bytes
@@ -6520,4 +6595,5 @@ def oracle_sql() -> dict[str, str]:
     # positives die in the verify join), so the oracle is q72's
     # plain exact decontamination SQL — the equality IS the claim.
     d["q123_decontaminate_bloom"] = d["q72_decontaminate"]
+    d["q124_audio_features"] = _audio_features_oracle_sql()
     return d
