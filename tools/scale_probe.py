@@ -67,6 +67,9 @@ PANEL = [
     ("q117_ivf_append_serve", (1, 10, 100)),
     ("q118_ivf_pq_residual_indexed", (1, 10, 100)),
     ("q119_data_card", (1, 10, 100)),
+    ("q121_weighted_sample_by_key", (1, 10, 100)),
+    ("q122_top_tokens_by_key", (1, 10, 100)),
+    ("q123_decontaminate_bloom", (1, 10, 100)),
 ]
 
 # ANN family: besides sec/rows, record recall@10 against the exact
@@ -207,12 +210,18 @@ def probe_fn(name):
     return em.queries()[name]
 
 
-def run(out_path: str, dirs: dict[int, str]) -> None:
+def run(out_path: str, dirs: dict[int, str], only=None) -> None:
+    """only=: probe just those query names and MERGE their rows into
+    an existing out_path document (incremental panel extension —
+    re-probing 30+ multi-minute queries to add three rows would burn
+    an hour re-measuring numbers that have not changed)."""
     from tinyflux_spark.schema import get_spark
 
     spark = get_spark()
     results = {}
     for name, factors in PANEL:
+        if only and name not in only:
+            continue
         fn = probe_fn(name)
         entry = {}
         for f in sorted(factors):
@@ -279,6 +288,12 @@ def run(out_path: str, dirs: dict[int, str]) -> None:
         ),
         "queries": results,
     }
+    if only and os.path.exists(out_path):
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        prev["queries"].update(results)
+        prev["dirs"] = doc["dirs"]
+        doc = prev
     with open(out_path, "w") as fh:
         json.dump(doc, fh, indent=1)
     print(f"wrote {out_path}")
@@ -287,7 +302,11 @@ def run(out_path: str, dirs: dict[int, str]) -> None:
 if __name__ == "__main__":
     out = sys.argv[1]
     dirs = {}
+    only = set()
     for arg in sys.argv[2:]:
+        if arg.startswith("--only="):
+            only = set(arg.split("=", 1)[1].split(","))
+            continue
         k, v = arg.split("=", 1)
         dirs[int(k)] = v
-    run(out, dirs)
+    run(out, dirs, only=only or None)
