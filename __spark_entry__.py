@@ -2916,6 +2916,54 @@ def q124_audio_features(spark, sf_dir):
     )
 
 
+def q125_stream_self_dedup(spark, sf_dir):
+    """Streaming dedup against EVERYTHING SEEN SO FAR
+    (streaming/ingest.stream_self_dedup_insert) — q93's self-growing
+    form: the shard (doc_id % 5 == 0) arrives in THREE micro-batches;
+    each batch is checked against the base corpus AND every earlier
+    batch (its signatures then fold into the standing state under the
+    q120 exactly-once append protocol), plus its own within-batch
+    pairs. A duplicate arriving two batches after its original IS
+    caught — the static-corpus form (q93) structurally cannot see it.
+    Stream/batch unification: the result must equal the one-shot
+    minhash_lsh_pairs over corpus ∪ shard restricted to pairs
+    touching the shard — which is exactly what the oracle replays
+    (q19's SQL with the shard-membership filter)."""
+    import shutil
+    import tempfile
+
+    from tinyflux_spark.streaming import ingest as st
+
+    docs = _t("documents")(spark, sf_dir)
+    shard = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    root = tempfile.mkdtemp(prefix="tfs_q125_")
+    try:
+        src = root + "/src"
+        shard.repartition(3).write.mode("overwrite").parquet(src)
+        stream = st.point_stream_from_files(
+            spark, src, docs.schema, max_files_per_trigger=1
+        )
+        res = root + "/pairs"
+        q = st.stream_self_dedup_insert(
+            stream, corpus, res, root + "/state", "doc_id",
+            num_hashes=12, bands=4, verify_threshold=0.7,
+            checkpoint_dir=root + "/ck",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "q125 stream_self_dedup_insert did not finish in 300s"
+            )
+        if q.exception() is not None:
+            raise q.exception()
+        return spark.read.parquet(res).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -3070,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_top_tokens_by_key": q122_top_tokens_by_key,
         "q123_decontaminate_bloom": q123_decontaminate_bloom,
         "q124_audio_features": q124_audio_features,
+        "q125_stream_self_dedup": q125_stream_self_dedup,
     }
 
 
@@ -6596,4 +6645,22 @@ def oracle_sql() -> dict[str, str]:
     # plain exact decontamination SQL — the equality IS the claim.
     d["q123_decontaminate_bloom"] = d["q72_decontaminate"]
     d["q124_audio_features"] = _audio_features_oracle_sql()
+    # q125: stream-vs-everything-seen == one-shot all-pairs LSH over
+    # corpus ∪ shard restricted to pairs touching the shard (q19's
+    # replay + the membership filter; id_a < id_b is canonical).
+    d["q125_stream_self_dedup"] = f"""
+        WITH {_SHINGLE_CTE},
+        {_MINHASH_BAND_CTE},
+        cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l
+            JOIN banded r ON l.band = r.band AND l.bsig = r.bsig
+            WHERE l.doc_id < r.doc_id
+              AND (l.doc_id % 5 = 0 OR r.doc_id % 5 = 0)
+        )
+        SELECT c.id_a, c.id_b, j.jaccard
+        FROM cand c
+        JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+        WHERE j.jaccard >= 0.7
+    """
     return d

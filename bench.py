@@ -42,6 +42,7 @@ HEAVY = {
     "q33_media_features", "q36_stream_ewma",
     "q37_dml_update_unset_remove", "q38_get_contains",
     "q51_dedup_clusters", "q72_decontaminate",
+    "q123_decontaminate_bloom",
     "q78_quantize_embeddings", "q79_edit_distance_pairs",
     "q80_incremental_dedup_join", "q86_salted_join",
     "q89_excise_duplicate_spans", "q91_bigram_logprob",
@@ -51,6 +52,7 @@ HEAVY = {
     # standing result); q94's three ref-count aggregations are the
     # expensive pass.
     "q93_stream_near_dup", "q94_trigram_logprob",
+    "q125_stream_self_dedup",
     "q102_stream_semantic_dedup", "q103_fivegram_logprob",
     "q106_stream_kmv_distinct",
     # q95/q99: clustering + within-cluster pair scan (EAGER_PER_RUN

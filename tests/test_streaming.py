@@ -1329,3 +1329,109 @@ def test_stream_ivf_append_matches_batch_and_exactly_once(
     )
     assert q2.awaitTermination(300) and q2.exception() is None
     assert codes_of(path) == codes_of(ref)
+
+
+def test_stream_self_dedup_matches_batch_all_pairs(spark, tmp_path):
+    """stream_self_dedup_insert: (a) streaming the shard in 3
+    micro-batches yields EXACTLY the one-shot minhash_lsh_pairs over
+    corpus ∪ shard restricted to pairs touching the shard — including
+    stream-vs-stream pairs the static-corpus form (q93) cannot see;
+    (b) a second availableNow run over the same checkpoint redelivers
+    nothing (pairs and state byte-stable); (c) the crash probe
+    answers from the batch's own ids; (d) a parameter mismatch on
+    restart is refused."""
+    import os
+
+    import pytest
+
+    from tinyflux_spark.operators.dedup import minhash_lsh_pairs
+    from tinyflux_spark.streaming import ingest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    shard = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    src = str(tmp_path / "src")
+    shard.repartition(3).write.parquet(src)
+    res = str(tmp_path / "pairs")
+    state = str(tmp_path / "state")
+
+    def run():
+        return ingest.stream_self_dedup_insert(
+            ingest.point_stream_from_files(
+                spark, src, docs.schema, max_files_per_trigger=1
+            ),
+            corpus, res, state, "doc_id",
+            num_hashes=12, bands=4, verify_threshold=0.7,
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+
+    q = run()
+    assert q.awaitTermination(300) and q.exception() is None
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(res)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    )
+    allp = minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=12, bands=4, verify_threshold=0.7
+    )
+    want = sorted(
+        tuple(r)
+        for r in allp.where(
+            (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
+        ).collect()
+    )
+    assert got == want
+    # the new capability: at least one stream-vs-stream pair exists
+    # in the fixture and was caught
+    assert any(a % 5 == 0 and b % 5 == 0 for a, b, _ in got)
+
+    def state_rows():
+        sig = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(state, "sig")
+            ).collect()
+        )
+        sd = sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(state, "docs")
+            ).collect()
+        )
+        return sig, sd
+
+    before = state_rows()
+    # (b) same checkpoint, same source: nothing re-delivers
+    q2 = run()
+    assert q2.awaitTermination(300) and q2.exception() is None
+    assert sorted(
+        tuple(r)
+        for r in spark.read.parquet(res)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    ) == want
+    assert state_rows() == before
+
+    # (c) crash probe: shard ids are in the docs state; ghosts are not
+    assert ingest._self_dedup_batch_already_appended(
+        spark, state, shard, "doc_id"
+    )
+    ghost = shard.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    assert not ingest._self_dedup_batch_already_appended(
+        spark, state, ghost, "doc_id"
+    )
+
+    # (d) restart with different banding is refused by the manifest
+    with pytest.raises(ValueError):
+        ingest.stream_self_dedup_insert(
+            ingest.point_stream_from_files(
+                spark, src, docs.schema, max_files_per_trigger=1
+            ),
+            corpus, res, state, "doc_id",
+            num_hashes=12, bands=6, verify_threshold=0.7,
+            checkpoint_dir=str(tmp_path / "ck2"),
+        )

@@ -729,6 +729,216 @@ def stream_near_dup_insert(
     return writer.start()
 
 
+def _self_dedup_batch_already_appended(
+    spark: SparkSession, state_path: str, batch_df: DataFrame,
+    id_col: str,
+) -> bool:
+    """Crash-recovery probe for :func:`stream_self_dedup_insert`: did
+    the interrupted previous attempt's state append commit? Same
+    argument as the IVF probe — the parquet job commit is atomic and
+    ids are unique across the stream's history, so any batch id
+    present in the docs state ⇔ the whole append committed."""
+    import os as _os
+
+    sample = [r[0] for r in batch_df.select(id_col).limit(5).collect()]
+    if not sample:
+        return True
+    docs_dir = _os.path.join(state_path, "docs")
+    fs, jpath = _hadoop_path(spark, docs_dir)
+    if not fs.exists(jpath):
+        return False
+    existing = spark.read.parquet(docs_dir)
+    return existing.where(F.col("id").isin(sample)).limit(1).count() > 0
+
+
+def stream_self_dedup_insert(
+    docs_stream: DataFrame,
+    corpus: DataFrame,
+    result_path: str,
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+    unit: str = "word",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+    compact_every: Optional[int] = None,
+):
+    """Streaming near-duplicate detection against EVERYTHING SEEN SO
+    FAR — the self-growing form of :func:`stream_near_dup_insert`:
+    each micro-batch is checked against the base corpus AND every
+    earlier micro-batch, and its own signatures are then folded into
+    the standing state, so a duplicate arriving three batches after
+    its original is caught. This is the continuous-ingest dedup story
+    a 100 TB pipeline actually runs (the static-corpus form misses
+    stream-vs-stream duplicates entirely); the batch equivalent is
+    ``minhash_lsh_pairs`` over corpus ∪ stream restricted to pairs
+    touching the stream — exactly what the q125 oracle replays.
+
+    Per batch: (1) band-join the batch's signatures against the
+    standing signature state (corpus signatures built once at start,
+    plus every earlier batch's — candidates only, never a corpus
+    re-scan), verify exact Jaccard on candidate texts; (2) the
+    batch's own WITHIN-batch pairs via ``minhash_lsh_pairs`` (a
+    batch-sized self-join); (3) write the canonicalized
+    ``(id_a < id_b, jaccard)`` union as this epoch's result
+    (idempotent per-epoch overwrite); (4) append the batch's
+    signatures and ``(id, text)`` to the state dirs. Each pair is
+    discovered in EXACTLY one epoch (batches are disjoint and state
+    holds strictly-earlier docs), so reading the result store needs
+    no dedup pass.
+
+    State appends are NOT idempotent, so step (4) runs under the
+    exactly-once protocol of :func:`stream_ivf_append_insert`: a
+    ``(lineage, batch_id)`` high-water mark in
+    ``<state>/_ingest.json`` (redelivered batches at/below it skip
+    entirely — their epoch result was committed BEFORE their state
+    append, so nothing recomputes against a state that now contains
+    the batch itself), a ``_pending.json`` intent marker bracketing
+    the appends, and a crash probe that decides "did the append
+    commit?" from the batch's own ids. Lineage derives from the
+    checkpoint's persisted query id. Ids must be unique across the
+    stream's WHOLE history ∪ corpus (the ingest contract — replaying
+    old docs under a fresh checkpoint would self-match against their
+    own state); single writer per state dir.
+
+    State layout: ``<state>/sig`` (id, band, bsig — corpus + appended
+    batches), ``<state>/docs`` (id, text — appended batches only;
+    corpus texts stay in ``corpus``), ``_params.json`` manifest
+    validated on reuse. The two appends are separate parquet jobs
+    (sig first, docs second; the crash probe reads docs), so a crash
+    BETWEEN them can leave the batch's signature rows duplicated by
+    the retry — harmless: candidates are ``.distinct()``-ed before
+    verify, and docs (which feed the verify texts) can never
+    double-append. State grows with the stream (near-dup needs
+    the texts for exact verify — this is the corpus growing, not
+    bookkeeping); per-batch cost tracks batch size × candidate count,
+    never total history size, because the band equi-join prunes
+    everything else.
+    """
+    import os as _os
+
+    from ..operators.dedup import (
+        banded_signatures,
+        minhash_lsh_join,
+        minhash_lsh_pairs,
+    )
+
+    spark = corpus.sparkSession
+    _reset_stale_result_epochs(spark, result_path, checkpoint_dir)
+    kw = dict(text_col=text_col, n=n, num_hashes=num_hashes,
+              bands=bands, unit=unit)
+    sig_dir = _os.path.join(state_path, "sig")
+    docs_dir = _os.path.join(state_path, "docs")
+    params = {"kind": "self_dedup_state", "id_col": id_col, **kw}
+    fs, jsig = _hadoop_path(spark, sig_dir)
+    if not fs.exists(jsig):
+        banded_signatures(corpus, id_col, **kw).write.mode(
+            "overwrite"
+        ).parquet(sig_dir)
+        _write_params_manifest(spark, state_path, params)
+    else:
+        _check_params_manifest(
+            spark, state_path, params, "self-dedup state"
+        )
+    hw_path = _os.path.join(state_path, "_ingest.json")
+    pend_path = _os.path.join(state_path, "_pending.json")
+    lineage_cell: list = []
+    base_docs = corpus.select(
+        F.col(id_col), F.col(text_col)
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not lineage_cell:
+            lineage_cell.append(
+                _checkpoint_query_lineage(
+                    batch_df.sparkSession, checkpoint_dir
+                )
+            )
+        lineage = lineage_cell[0]
+        sp = batch_df.sparkSession
+        hw = _read_json_marker(sp, hw_path)
+        if (
+            hw is not None
+            and hw["lineage"] == lineage
+            and int(hw["batch_id"]) >= epoch_id
+        ):
+            return  # redelivered: result + state already committed
+        pend = _read_json_marker(sp, pend_path)
+        if (
+            pend is not None
+            and pend["lineage"] == lineage
+            and int(pend["batch_id"]) == epoch_id
+            and _self_dedup_batch_already_appended(
+                sp, state_path, batch_df, id_col
+            )
+        ):
+            # crashed between state-append commit and finalize: the
+            # epoch result committed even earlier — just finalize.
+            _write_json_marker(
+                sp, hw_path, {"lineage": lineage, "batch_id": epoch_id}
+            )
+            _delete_path(sp, pend_path)
+            return
+        seen_sigs = sp.read.parquet(sig_dir)
+        fs_b, jdocs = _hadoop_path(sp, docs_dir)
+        seen_docs = base_docs
+        if fs_b.exists(jdocs):
+            seen_docs = base_docs.unionByName(
+                sp.read.parquet(docs_dir).select(
+                    F.col("id").alias(id_col),
+                    F.col("text").alias(text_col),
+                )
+            )
+        cross = minhash_lsh_join(
+            batch_df, seen_docs, id_col,
+            verify_threshold=verify_threshold,
+            right_banded=seen_sigs, **kw,
+        ).select(
+            F.least("id_left", "id_right").alias("id_a"),
+            F.greatest("id_left", "id_right").alias("id_b"),
+            "jaccard",
+        )
+        within = minhash_lsh_pairs(
+            batch_df, id_col,
+            verify_threshold=verify_threshold, **kw,
+        ).select("id_a", "id_b", "jaccard")
+        _write_epoch_result(
+            cross.unionByName(within), result_path, epoch_id,
+            compact_every,
+        )
+        if batch_df.isEmpty():
+            _write_json_marker(
+                sp, hw_path, {"lineage": lineage, "batch_id": epoch_id}
+            )
+            return
+        _write_json_marker(
+            sp, pend_path, {"lineage": lineage, "batch_id": epoch_id}
+        )
+        banded_signatures(batch_df, id_col, **kw).write.mode(
+            "append"
+        ).parquet(sig_dir)
+        batch_df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        ).write.mode("append").parquet(docs_dir)
+        _write_json_marker(
+            sp, hw_path, {"lineage": lineage, "batch_id": epoch_id}
+        )
+        _delete_path(sp, pend_path)
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(sink).outputMode("append")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _latest_committed_epoch(spark: SparkSession, state_path: str):
     """Largest N for which ``state_path/epoch=N`` holds a committed
     parquet write (its ``_SUCCESS`` marker exists). Marker-less dirs —
