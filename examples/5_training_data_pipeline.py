@@ -160,6 +160,12 @@ def main() -> None:
     ).select(F.col("id").alias("doc_id"))
     clean = train.join(F.broadcast(tainted), "doc_id", "left_anti")
     n3 = clean.count()
+    # When the eval suite is itself huge (a full held-out shard, tens
+    # of millions of shingles), swap in prefilter="bloom": only the
+    # packed-long bitmap words broadcast and survivors verify with a
+    # shuffle join — same exact result, no string broadcast.
+    #   contamination_hits(train, eval_set, "doc_id", n=3,
+    #                      prefilter="bloom", bloom_bits=1 << 28)
 
     # 4. Mix rebalancing: language-level temperature sampling (pull
     # the mix toward p ∝ n^0.5, smallest language kept whole), then
@@ -394,6 +400,21 @@ def main() -> None:
                      probs=(0.5, 0.9))
     print("data card (first 3 sources):",
           [tuple(r) for r in card.limit(3).collect()])
+
+    # Per-source audit sample and vocabulary drift rows for the card:
+    # both are WindowGroupLimit-bounded (at most k rows per source
+    # leave each map task — a hot source never funnels one task).
+    from tinyflux_spark.operators.sampling import weighted_sample_by_key
+    from tinyflux_spark.operators.text import top_tokens_by_key
+
+    audit = weighted_sample_by_key(
+        raw_docs, "doc_id", "n_chars", "source", k=3
+    )
+    vocab = top_tokens_by_key(raw_docs, "source", "text", k=3)
+    print("audit sample (first source):",
+          [tuple(r) for r in audit.limit(3).collect()])
+    print("top tokens (first source):",
+          [tuple(r) for r in vocab.limit(3).collect()])
 
 
 if __name__ == "__main__":
