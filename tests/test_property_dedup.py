@@ -348,3 +348,43 @@ def test_semantic_dedup_matches_python_model(spark, vecs):
         assert got[i][0] == want[i][0], (i, "cluster")
         assert abs(got[i][1] - want[i][1]) < 1e-9, (i, "centroid_sim")
         assert got[i][2] == want[i][2], (i, "is_dup")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    corpus_strategy,
+    st.sampled_from([1 << 8, 1 << 10, 1 << 14]),
+    st.integers(min_value=1, max_value=6),
+)
+def test_bloom_prefilter_equals_broadcast_contamination(
+    spark, texts, bloom_bits, bloom_hashes
+):
+    """For ANY corpus and ANY bloom sizing — including bitmaps so
+    small that nearly every probe collides — the bloom-prefiltered
+    decontamination must equal the broadcast path exactly: false
+    positives are the bitmap's problem, never the result's."""
+    from tinyflux_spark.operators.dedup import contamination_hits
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    test = df.where(df.doc_id % 3 == 0)
+    train = df.where(df.doc_id % 3 != 0)
+    want = sorted(
+        tuple(r)
+        for r in contamination_hits(train, test, "doc_id", n=2).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in contamination_hits(
+            train, test, "doc_id", n=2,
+            prefilter="bloom",
+            bloom_bits=bloom_bits,
+            bloom_hashes=bloom_hashes,
+        ).collect()
+    )
+    assert got == want
