@@ -2964,6 +2964,38 @@ def q125_stream_self_dedup(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q126_ivf_batch_indexed(spark, sf_dir):
+    """Batch ANN against the PERSISTED IVF index — q75's retrieval
+    shape (top-5 for every vec_id % 100 == 0 query in one plan)
+    served from q59's index layout instead of a per-run codebook
+    build + full-corpus assignment: probe lists ranked engine-side
+    from the persisted codebook literals, the union of probed ids
+    (one K-bounded driver round-trip) prunes the lists/ scan to those
+    partition directories, the exploded query batch broadcasts onto
+    it, and the per-query top-k compiles to WindowGroupLimit
+    (PartitionFilters + the window limit both plan-asserted in
+    tests/test_plans.py). Identical math to q75 end-to-end, so its
+    oracle gates this path verbatim."""
+    import tempfile
+
+    from tinyflux_spark.operators.similarity import (
+        ivf_topk_batch_indexed,
+        ivf_write_index,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    per_session = _IVF_INDEX_CACHE.setdefault(spark, {})
+    key = sf_dir + "#full16"
+    if key not in per_session:
+        path = tempfile.mkdtemp(prefix="tfs_ivf_full_")
+        ivf_write_index(emb, path, num_centroids=16)
+        per_session[key] = path
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ivf_topk_batch_indexed(
+        spark, per_session[key], queries, k=5, nprobe=4
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -3119,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_decontaminate_bloom": q123_decontaminate_bloom,
         "q124_audio_features": q124_audio_features,
         "q125_stream_self_dedup": q125_stream_self_dedup,
+        "q126_ivf_batch_indexed": q126_ivf_batch_indexed,
     }
 
 
@@ -6663,4 +6696,8 @@ def oracle_sql() -> dict[str, str]:
         JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
         WHERE j.jaccard >= 0.7
     """
+    # q126: the persisted-index batch read must equal q75's recompute
+    # bit-for-bit (same codebook derivation, assignment, probes,
+    # ranking) — one oracle gates both, the q52/q59 convention.
+    d["q126_ivf_batch_indexed"] = d["q75_ivf_batch_topk"]
     return d

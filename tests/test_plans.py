@@ -1097,3 +1097,59 @@ def test_bloom_decontamination_never_broadcasts_eval_strings(spark):
     ]
     assert joins, "verify join on shingle missing from plan"
     assert all("Broadcast" not in ln for ln in joins), joins
+
+
+def test_ivf_batch_indexed_prunes_partitions_and_limits_groups(
+    spark, tmp_path
+):
+    """The persisted-index BATCH read (q126) keeps both scale
+    contracts at once: the lists/ scan is pruned to the union of the
+    queries' probed directories (PartitionFilters on _ivf_list), and
+    the per-query top-k compiles to WindowGroupLimit. Results must be
+    identical to the recompute path (ivf_topk_batch) and to one
+    ivf_topk_indexed call per query."""
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.similarity import (
+        ivf_topk_batch,
+        ivf_topk_batch_indexed,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    path = str(tmp_path / "idx")
+    ivf_write_index(emb, path, num_centroids=16)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    res = ivf_topk_batch_indexed(spark, path, queries, k=5, nprobe=4)
+    plan = plan_of(res)
+    assert "PartitionFilters" in plan
+    assert "_ivf_list" in plan.split("PartitionFilters")[1][:300]
+    assert "WindowGroupLimit" in plan
+    got = sorted(tuple(r) for r in res.collect())
+    live = sorted(
+        tuple(r)
+        for r in ivf_topk_batch(
+            emb, queries, k=5, num_centroids=16, nprobe=4
+        ).collect()
+    )
+    assert got == live
+    # per-query serving equivalence for one representative query
+    q0 = queries.orderBy("vec_id").first()
+    solo = ivf_topk_indexed(
+        spark, path, list(q0["embedding"]), k=6, nprobe=4
+    )
+    solo_ids = [
+        r["vec_id"]
+        for r in solo.collect()
+        if r["vec_id"] != q0["vec_id"]
+    ][:5]
+    batch_ids = [
+        r["vec_id"]
+        for r in res.where(F.col("query_id") == q0["vec_id"])
+        .orderBy("rank")
+        .collect()
+    ]
+    assert batch_ids == solo_ids

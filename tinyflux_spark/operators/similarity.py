@@ -447,6 +447,19 @@ def ivf_topk_batch(
     assigned = corpus.withColumn(
         "_ivf_list", ivf_assign(F.col(vec_col), cents)
     ).withColumn("_nrm", _norm(F.col(vec_col)))
+    q_exp = _batch_query_probes(queries, cents, qid, qvc, nprobe)
+    return _batch_topk_over_candidates(
+        assigned, q_exp, k, id_col, vec_col, exclude_self
+    )
+
+
+def _batch_query_probes(
+    queries: DataFrame, cents, qid: str, qvc: str, nprobe: int
+) -> DataFrame:
+    """``(_qid, _qvec, _qnrm, _ivf_list)`` — each query row exploded
+    to its ``nprobe`` probe list ids, selected ENGINE-side with the
+    same rounded-cosine ranking (ties toward the lower centroid
+    index, zero-norm sentinel) as ``_ivf_probes``/``ivf_assign``."""
     qv = F.col(qvc)
     qn = _norm(qv)
     scored = []
@@ -463,7 +476,7 @@ def ivf_topk_batch(
         # toward the lower index — identical to _ivf_probes.
         scored.append(F.struct((-sim).alias("ns"), F.lit(i).alias("i")))
     probes = F.slice(F.array_sort(F.array(*scored)), 1, nprobe)
-    q_exp = queries.select(
+    return queries.select(
         F.col(qid).alias("_qid"),
         qv.alias("_qvec"),
         _norm(qv).alias("_qnrm"),
@@ -471,6 +484,23 @@ def ivf_topk_batch(
             "_ivf_list"
         ),
     )
+
+
+def _batch_topk_over_candidates(
+    assigned: DataFrame,
+    q_exp: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Broadcast the exploded query batch onto the ``_ivf_list``-keyed
+    corpus rows (which must already carry ``_nrm``), score exact
+    cosine per candidate, and keep the per-query top-k via a rank
+    window (WindowGroupLimit: at most k rows per query leave each map
+    task)."""
+    from pyspark.sql import Window
+
     joined = assigned.join(F.broadcast(q_exp), "_ivf_list")
     if exclude_self:
         joined = joined.where(F.col(id_col) != F.col("_qid"))
@@ -790,6 +820,61 @@ def ivf_topk_indexed(
     lists = spark.read.parquet(_os.path.join(path, "lists"))
     cand = lists.where(F.col("_ivf_list").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_topk_batch_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    query_vec_col: Optional[str] = None,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch ANN against a PERSISTED IVF index — :func:`ivf_topk_batch`
+    without its per-run codebook build + full-corpus assignment scan:
+    the kNN-graph / hard-negative-mining read a serving corpus
+    actually runs. Results are identical to ``ivf_topk_batch`` built
+    with the same parameters (pytest-asserted), and to issuing
+    :func:`ivf_topk_indexed` once per query row.
+
+    Plan shape: probe lists are ranked ENGINE-side per query from the
+    persisted codebook literals (no scan), the UNION of probed list
+    ids — bounded by the codebook size, the one driver round-trip —
+    prunes the ``lists/`` read to those partition directories
+    (PartitionFilters, plan-asserted), the exploded query batch
+    BROADCASTS onto the pruned scan (the corpus side never shuffles),
+    and the per-query top-k is a rank window whose filter compiles to
+    WindowGroupLimit — at most k candidates per query leave each map
+    task. At 100 TB this reads ~|union probes|/K of the corpus once,
+    regardless of |queries|.
+    """
+    import os as _os
+
+    if k <= 0:
+        raise ValueError("ivf_topk_batch_indexed: k must be positive")
+    if nprobe <= 0:
+        raise ValueError("ivf_topk_batch_indexed: nprobe must be positive")
+    qid = query_id_col or id_col
+    qvc = query_vec_col or vec_col
+    cents = ivf_read_codebook(path)
+    q_exp = _batch_query_probes(queries, cents, qid, qvc, nprobe)
+    # K-bounded driver round-trip (<= num_centroids ids): the literal
+    # IN list is what becomes directory-level PartitionFilters.
+    probe_ids = sorted(
+        r[0] for r in q_exp.select("_ivf_list").distinct().collect()
+    )
+    lists = (
+        spark.read.parquet(_os.path.join(path, "lists"))
+        .where(F.col("_ivf_list").isin(probe_ids))
+        .withColumn("_nrm", _norm(F.col(vec_col)))
+    )
+    return _batch_topk_over_candidates(
+        lists, q_exp, k, id_col, vec_col, exclude_self
+    )
 
 
 def ivf_pq_topk_indexed(
