@@ -2996,6 +2996,26 @@ def q126_ivf_batch_indexed(spark, sf_dir):
     )
 
 
+def q127_holt_last(spark, sf_dir):
+    """Per-user FINAL Holt double-exponential smoothing (level +
+    linear trend, alpha=0.3, beta=0.1) over the time-ordered value
+    series — q29's forecasting sibling: one shuffle on the key, the
+    coupled (level, trend) recurrence folds JVM-side with a struct
+    accumulator, and ``forecast = level + trend`` is the
+    one-step-ahead prediction. Every step is the same IEEE double
+    arithmetic in the same order in both engines (the oracle replays
+    the recurrence with a recursive CTE; the (1-alpha)/(1-beta)
+    complements are written as subtractions on BOTH sides so neither
+    engine constant-folds to a different double), rounded at the end
+    only."""
+    from tinyflux_spark.operators.aggregates import holt_last
+
+    ev = _t("events")(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"), "ts", "value"
+    )
+    return holt_last(ev, "user_id", "ts", "value", alpha=0.3, beta=0.1)
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -3152,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_audio_features": q124_audio_features,
         "q125_stream_self_dedup": q125_stream_self_dedup,
         "q126_ivf_batch_indexed": q126_ivf_batch_indexed,
+        "q127_holt_last": q127_holt_last,
     }
 
 
@@ -6700,4 +6721,40 @@ def oracle_sql() -> dict[str, str]:
     # bit-for-bit (same codebook derivation, assignment, probes,
     # ranking) — one oracle gates both, the q52/q59 convention.
     d["q126_ivf_batch_indexed"] = d["q75_ivf_batch_topk"]
+    # q127: Holt's coupled (level, trend) recurrence replayed with a
+    # recursive CTE — list_reduce can't carry a 2-field accumulator
+    # (its accumulator type is the element type), so the recursion
+    # joins step i against state i-1 per key. The complements are
+    # written as (1.0 - alpha)/(1.0 - beta) subtractions to match the
+    # engine's arithmetic exactly.
+    d["q127_holt_last"] = """
+        WITH RECURSIVE o AS (
+            SELECT CAST(user_id AS VARCHAR) AS k,
+                   CAST(value AS DOUBLE) AS v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, value
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        s AS (
+            SELECT k, rn AS i, v AS l, 0.0::DOUBLE AS b, n
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.k, o.rn,
+                   0.3::DOUBLE * o.v
+                       + (1.0::DOUBLE - 0.3::DOUBLE) * (s.l + s.b),
+                   0.1::DOUBLE * ((0.3::DOUBLE * o.v
+                       + (1.0::DOUBLE - 0.3::DOUBLE) * (s.l + s.b))
+                       - s.l)
+                       + (1.0::DOUBLE - 0.1::DOUBLE) * s.b,
+                   s.n
+            FROM s JOIN o ON o.k = s.k AND o.rn = s.i + 1
+        )
+        SELECT k AS user_id,
+               ROUND(l, 6) AS level,
+               ROUND(b, 6) AS trend,
+               ROUND(l + b, 6) AS forecast
+        FROM s WHERE i = n
+    """
     return d

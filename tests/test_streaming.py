@@ -1435,3 +1435,51 @@ def test_stream_self_dedup_matches_batch_all_pairs(spark, tmp_path):
             num_hashes=12, bands=6, verify_threshold=0.7,
             checkpoint_dir=str(tmp_path / "ck2"),
         )
+
+
+def test_holt_last_matches_python_model(spark):
+    """Holt double-exponential smoothing replayed in plain Python:
+    l_0 = v_0, b_0 = 0; l_i = a*v + (1-a)(l+b); b_i = B(l_i - l) +
+    (1-B)b — the struct-accumulator fold must reproduce it per key,
+    with forecast = level + trend; the boundedness guard fires with
+    an actionable message."""
+    from tinyflux_spark.operators import aggregates
+
+    rows = [
+        (str(k), T0 + timedelta(minutes=i), float((i * 7 + k) % 23))
+        for k in range(3)
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, ["key", "time", "value"])
+    a, B = 0.3, 0.1
+
+    def model(series):
+        l, b = series[0], 0.0
+        for v in series[1:]:
+            nl = a * v + (1.0 - a) * (l + b)
+            b = B * (nl - l) + (1.0 - B) * b
+            l = nl
+        return l, b
+
+    got = aggregates.holt_last(
+        df, "key", "time", "value", alpha=a, beta=B
+    ).collect()
+    assert len(got) == 3
+    for r in got:
+        series = [v for kk, _, v in rows if kk == r["key"]]
+        l, b = model(series)
+        assert r["level"] == pytest.approx(l, abs=1e-6)
+        assert r["trend"] == pytest.approx(b, abs=1e-6)
+        assert r["forecast"] == pytest.approx(l + b, abs=1e-6)
+
+    with pytest.raises(Exception) as ei:
+        aggregates.holt_last(
+            df, "key", "time", "value", max_series_rows=2
+        ).collect()
+    assert "max_series_rows" in str(ei.value)
+    # a single-point series: level = v, trend = 0, forecast = v
+    one = spark.createDataFrame(
+        [("x", T0, 5.0)], ["key", "time", "value"]
+    )
+    r = aggregates.holt_last(one, "key", "time", "value").collect()[0]
+    assert (r["level"], r["trend"], r["forecast"]) == (5.0, 0.0, 5.0)

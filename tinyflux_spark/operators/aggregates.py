@@ -275,6 +275,95 @@ def ewma_last(
     return agg.select(key_col, guarded.alias("ewma"))
 
 
+def holt_last(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    max_series_rows: int = 1_000_000,
+) -> DataFrame:
+    """Per-key FINAL Holt double-exponential smoothing (level +
+    linear trend) — :func:`ewma_last`'s forecasting sibling:
+
+    ``l_0 = v_0, b_0 = 0``;
+    ``l_i = alpha*v_i + (1-alpha)*(l_{i-1} + b_{i-1})``;
+    ``b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}``
+
+    over the key's time-ordered series. Returns one row per key:
+    ``(key, level, trend, forecast)`` with ``forecast = level +
+    trend`` (the one-step-ahead prediction — the quantity an
+    IoT/metrics pipeline alerts on when the next reading deviates).
+
+    Same execution contract as ``ewma_last``: ONE shuffle on the key,
+    the coupled recurrence folds JVM-side over the in-row collected
+    series with a struct ``(l, b)`` accumulator — so a key's whole
+    series must fit in one row, enforced by ``max_series_rows``
+    with an actionable error. Every step is the same IEEE double
+    arithmetic in the same order in any engine (the oracle replays it
+    with a recursive CTE), rounded at the END only.
+    """
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(time_col).alias("t"),
+                    F.col(value_col).alias("v"),
+                )
+            )
+        ),
+        lambda s: s["v"],
+    )
+    a = F.lit(float(alpha))
+    bt = F.lit(float(beta))
+    init = F.struct(
+        F.lit(None).cast("double").alias("l"),
+        F.lit(None).cast("double").alias("b"),
+    )
+
+    def step(acc, v):
+        newl = a * v.cast("double") + (F.lit(1.0) - a) * (
+            acc["l"] + acc["b"]
+        )
+        newb = bt * (newl - acc["l"]) + (F.lit(1.0) - bt) * acc["b"]
+        return F.when(
+            acc["l"].isNull(),
+            F.struct(
+                v.cast("double").alias("l"),
+                F.lit(0.0).alias("b"),
+            ),
+        ).otherwise(F.struct(newl.alias("l"), newb.alias("b")))
+
+    fold = F.aggregate(ordered, init, step)
+    agg = df.groupBy(key_col).agg(
+        fold.alias("_hb"), F.count(F.lit(1)).alias("_n")
+    )
+    level = F.col("_hb")["l"]
+    trend = F.col("_hb")["b"]
+    if max_series_rows is not None:
+        level = F.when(
+            F.col("_n") > int(max_series_rows),
+            F.raise_error(
+                F.concat(
+                    F.lit("holt_last: series for key "),
+                    F.col(key_col).cast("string"),
+                    F.lit(
+                        f" exceeds max_series_rows={int(max_series_rows)};"
+                        " fold the series through ewma_running-style"
+                        " Arrow batches for unbounded series"
+                    ),
+                )
+            ).cast("double"),
+        ).otherwise(level)
+    return agg.select(
+        key_col,
+        F.round(level, 6).alias("level"),
+        F.round(trend, 6).alias("trend"),
+        F.round(level + trend, 6).alias("forecast"),
+    )
+
+
 def ewma_running(
     df: DataFrame,
     key_col: str,
