@@ -57,6 +57,14 @@ def main() -> None:
         "user_id", "ts", "value", "rate"
     ).show(5)
 
+    # 2b. Forecast: per-user Holt level + trend; the one-step-ahead
+    # prediction is what a metrics pipeline alerts against.
+    from tinyflux_spark.operators.aggregates import holt_last
+
+    fc = holt_last(ev, "user_id", "ts", "value", alpha=0.3, beta=0.1)
+    print("per-user one-step forecasts:")
+    fc.orderBy("user_id").show(5)
+
     # 3. Anomalies: each value vs its own trailing 20 observations.
     flags = rolling_zscore(
         ev, "ts", "user_id", "value",
