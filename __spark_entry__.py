@@ -3016,6 +3016,35 @@ def q127_holt_last(spark, sf_dir):
     return holt_last(ev, "user_id", "ts", "value", alpha=0.3, beta=0.1)
 
 
+def q128_srp_batch_indexed(spark, sf_dir):
+    """Batch ANN against the PERSISTED SRP index — q126's sibling for
+    the hyperplane family (and q31's batch form): top-5 for every
+    vec_id % 100 == 0 query in one plan, each query's bucket + 1-bit
+    multiprobe neighborhood computed engine-side from the seeded
+    plane literals, the union of probed bucket ids pruning the
+    buckets/ scan to partition directories, per-query top-k via
+    WindowGroupLimit. The oracle replays planes, buckets, multiprobe,
+    pruning and ranking per query in SQL."""
+    import tempfile
+
+    from tinyflux_spark.operators.similarity import (
+        srp_topk_batch_indexed,
+        srp_write_index,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    per_session = _IVF_INDEX_CACHE.setdefault(spark, {})
+    key = sf_dir + "#srp4"
+    if key not in per_session:
+        path = tempfile.mkdtemp(prefix="tfs_srp_b_")
+        srp_write_index(emb, path, num_planes=4)
+        per_session[key] = path
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return srp_topk_batch_indexed(
+        spark, per_session[key], queries, k=5, multiprobe=1
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -3173,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_stream_self_dedup": q125_stream_self_dedup,
         "q126_ivf_batch_indexed": q126_ivf_batch_indexed,
         "q127_holt_last": q127_holt_last,
+        "q128_srp_batch_indexed": q128_srp_batch_indexed,
     }
 
 
@@ -3425,6 +3455,61 @@ def _srp_ann_oracle_sql(num_planes: int = 4, dim: int = 64,
         FROM b, q
         WHERE vec_id <> 0 AND ({probes})
         ORDER BY cosine_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _srp_batch_oracle_sql(num_planes: int = 4, dim: int = 64,
+                          seed: int = 42, k: int = 5) -> str:
+    """q31's replay generalized to a query SET (q128): every
+    vec_id % 100 == 0 row is a query, its bucket + 1-bit multiprobe
+    neighborhood computed in SQL from the same inlined seeded
+    hyperplanes, candidates pruned per query, per-query rank <= k
+    with self excluded — exactly srp_topk_batch_indexed's semantics
+    over the persisted layout."""
+    from tinyflux_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(dim, num_planes, seed)
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lit}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    probes = " OR ".join(
+        ["b.bucket = q.qb"]
+        + [f"b.bucket = xor(q.qb, {1 << i})" for i in range(num_planes)]
+    )
+    return f"""
+        WITH emb AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        b AS (SELECT vec_id, e, {bucket} AS bucket FROM emb),
+        q AS (
+            SELECT vec_id AS qid, e AS qe, bucket AS qb FROM b
+            WHERE vec_id % 100 = 0
+        ),
+        cand AS (
+            SELECT q.qid AS query_id, b.vec_id,
+                   ROUND(list_dot_product(b.e, q.qe)
+                         / (sqrt(list_dot_product(b.e, b.e))
+                            * sqrt(list_dot_product(q.qe, q.qe))),
+                         6) AS cosine_sim
+            FROM b, q
+            WHERE b.vec_id <> q.qid AND ({probes})
+        )
+        SELECT query_id, vec_id, cosine_sim,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine_sim DESC, vec_id) AS rank
+            FROM cand
+        )
+        WHERE rank <= {k}
     """
 
 
@@ -6757,4 +6842,7 @@ def oracle_sql() -> dict[str, str]:
                ROUND(l + b, 6) AS forecast
         FROM s WHERE i = n
     """
+    d["q128_srp_batch_indexed"] = _srp_batch_oracle_sql(
+        num_planes=4, dim=64, seed=42, k=5
+    )
     return d

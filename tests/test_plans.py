@@ -1153,3 +1153,50 @@ def test_ivf_batch_indexed_prunes_partitions_and_limits_groups(
         .collect()
     ]
     assert batch_ids == solo_ids
+
+
+def test_srp_batch_indexed_prunes_buckets_and_limits_groups(
+    spark, tmp_path
+):
+    """q128 keeps q126's two scale contracts on the SRP layout: the
+    buckets/ scan is pruned to the union of probed bucket directories
+    (PartitionFilters on _bucket) and the per-query top-k compiles to
+    WindowGroupLimit; results equal per-query srp_topk_indexed."""
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.similarity import (
+        srp_topk_batch_indexed,
+        srp_topk_indexed,
+        srp_write_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    path = str(tmp_path / "srp")
+    srp_write_index(emb, path, num_planes=4)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    res = srp_topk_batch_indexed(spark, path, queries, k=5)
+    plan = plan_of(res)
+    assert "PartitionFilters" in plan
+    assert "_bucket" in plan.split("PartitionFilters")[1][:300]
+    assert "WindowGroupLimit" in plan
+    rows = res.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine_sim"])
+        )
+    for q in queries.collect():
+        solo = srp_topk_indexed(
+            spark, path, list(q["embedding"]), k=6, multiprobe=1
+        )
+        solo_rows = [
+            (r["vec_id"], r["cosine_sim"])
+            for r in solo.collect()
+            if r["vec_id"] != q["vec_id"]
+        ][:5]
+        got = [
+            (v, c) for _, v, c in sorted(by_q.get(q["vec_id"], []))
+        ]
+        assert got == solo_rows

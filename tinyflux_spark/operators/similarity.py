@@ -493,15 +493,16 @@ def _batch_topk_over_candidates(
     id_col: str,
     vec_col: str,
     exclude_self: bool,
+    key: str = "_ivf_list",
 ) -> DataFrame:
-    """Broadcast the exploded query batch onto the ``_ivf_list``-keyed
+    """Broadcast the exploded query batch onto the ``key``-bucketed
     corpus rows (which must already carry ``_nrm``), score exact
     cosine per candidate, and keep the per-query top-k via a rank
     window (WindowGroupLimit: at most k rows per query leave each map
     task)."""
     from pyspark.sql import Window
 
-    joined = assigned.join(F.broadcast(q_exp), "_ivf_list")
+    joined = assigned.join(F.broadcast(q_exp), key)
     if exclude_self:
         joined = joined.where(F.col(id_col) != F.col("_qid"))
     bden = F.col("_nrm") * F.col("_qnrm")
@@ -1009,6 +1010,75 @@ def srp_topk_indexed(
     buckets = spark.read.parquet(_os.path.join(path, "buckets"))
     cand = buckets.where(F.col("_bucket").isin(list(probes)))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def srp_topk_batch_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    query_vec_col: Optional[str] = None,
+    multiprobe: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch ANN against a PERSISTED SRP index —
+    :func:`ivf_topk_batch_indexed`'s sibling for the hyperplane
+    family: top-k corpus neighbors for every query row in one plan,
+    served from ``srp_write_index``'s bucket partition directories.
+    Results equal issuing :func:`srp_topk_indexed` once per query.
+
+    Each query's bucket and its ``multiprobe``-bit neighborhood are
+    computed ENGINE-side from the seed-derived plane literals (no
+    scan, no driver math per query); the union of probed bucket ids —
+    bounded by 2^planes, the one driver round-trip — prunes the
+    ``buckets/`` read to those partition directories
+    (PartitionFilters), the exploded query batch broadcasts onto it,
+    and the per-query top-k compiles to WindowGroupLimit. Scoring
+    work is |queries| x |probed buckets' rows| — hold per-query cost
+    by growing ``num_planes`` with the corpus (the q126 lesson,
+    SRP-flavored: more planes = smaller buckets).
+    """
+    import json as _json
+    import os as _os
+
+    if k <= 0:
+        raise ValueError("srp_topk_batch_indexed: k must be positive")
+    if multiprobe not in (0, 1):
+        raise ValueError(
+            "srp_topk_batch_indexed: multiprobe must be 0 or 1"
+        )
+    qid = query_id_col or id_col
+    qvc = query_vec_col or vec_col
+    with open(_os.path.join(path, "planes.json")) as f:
+        rec = _json.load(f)
+    planes = srp_planes(rec["dim"], rec["num_planes"], rec["seed"])
+    qb = srp_bucket(F.col(qvc), planes)
+    probe_cols = [qb]
+    if multiprobe >= 1:
+        probe_cols += [
+            qb.bitwiseXOR(F.lit(1 << i))
+            for i in range(rec["num_planes"])
+        ]
+    q_exp = queries.select(
+        F.col(qid).alias("_qid"),
+        F.col(qvc).alias("_qvec"),
+        _norm(F.col(qvc)).alias("_qnrm"),
+        F.explode(F.array(*probe_cols)).alias("_bucket"),
+    )
+    probe_ids = sorted(
+        r[0] for r in q_exp.select("_bucket").distinct().collect()
+    )
+    buckets = (
+        spark.read.parquet(_os.path.join(path, "buckets"))
+        .where(F.col("_bucket").isin(probe_ids))
+        .withColumn("_nrm", _norm(F.col(vec_col)))
+    )
+    return _batch_topk_over_candidates(
+        buckets, q_exp, k, id_col, vec_col, exclude_self, key="_bucket"
+    )
 
 
 def quantize_embeddings(
