@@ -73,6 +73,7 @@ PANEL = [
     ("q125_stream_self_dedup", (1, 10, 100)),
     ("q126_ivf_batch_indexed", (1, 10, 100)),
     ("q127_holt_last", (1, 10, 100)),
+    ("q128_srp_batch_indexed", (1, 10, 100)),
 ]
 
 # ANN family: besides sec/rows, record recall@10 against the exact
