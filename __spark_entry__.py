@@ -3045,6 +3045,38 @@ def q128_srp_batch_indexed(spark, sf_dir):
     )
 
 
+def q129_stream_holt(spark, sf_dir):
+    """Per-user running Holt level/trend/forecast over the event
+    stream via applyInPandasWithState — q36's forecasting sibling and
+    q127's streaming twin (identical recurrence; state is (count,
+    level, trend) per key, O(1) at any history). Emits one row per
+    event; the oracle replays EVERY intermediate state with a
+    recursive CTE (not just the final row — each micro-step of the
+    coupled recurrence is gated), complements written as subtractions
+    on both sides."""
+    import uuid
+
+    from tinyflux_spark.streaming import ingest as st
+
+    stream = _stream_event_source(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"), "ts", "value"
+    )
+    out = st.stateful_holt(
+        stream, "user_id", "ts", "value", alpha=0.3, beta=0.1
+    )
+    name = f"q129_out_{uuid.uuid4().hex[:8]}"
+    st.run_to_memory(out, name, output_mode="append",
+                     shuffle_partitions=8)
+    return spark.table(name).select(
+        "user_id",
+        "ts",
+        "value",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -3203,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_ivf_batch_indexed": q126_ivf_batch_indexed,
         "q127_holt_last": q127_holt_last,
         "q128_srp_batch_indexed": q128_srp_batch_indexed,
+        "q129_stream_holt": q129_stream_holt,
     }
 
 
@@ -6845,4 +6878,35 @@ def oracle_sql() -> dict[str, str]:
     d["q128_srp_batch_indexed"] = _srp_batch_oracle_sql(
         num_planes=4, dim=64, seed=42, k=5
     )
+    # q129: q127's recursion emitting EVERY position (ts carried
+    # through), so each micro-step of the streaming state fold is
+    # gated, not just the final row.
+    d["q129_stream_holt"] = """
+        WITH RECURSIVE o AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, ts,
+                   CAST(value AS DOUBLE) AS v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, value
+                   ) AS rn
+            FROM events
+        ),
+        s AS (
+            SELECT k, ts, rn AS i, v, v AS l, 0.0::DOUBLE AS b
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.k, o.ts, o.rn, o.v,
+                   0.3::DOUBLE * o.v
+                       + (1.0::DOUBLE - 0.3::DOUBLE) * (s.l + s.b),
+                   0.1::DOUBLE * ((0.3::DOUBLE * o.v
+                       + (1.0::DOUBLE - 0.3::DOUBLE) * (s.l + s.b))
+                       - s.l)
+                       + (1.0::DOUBLE - 0.1::DOUBLE) * s.b
+            FROM s JOIN o ON o.k = s.k AND o.rn = s.i + 1
+        )
+        SELECT k AS user_id, ts, v AS value,
+               ROUND(l, 6) AS level,
+               ROUND(b, 6) AS trend,
+               ROUND(l + b, 6) AS forecast
+        FROM s
+    """
     return d

@@ -52,7 +52,7 @@ HEAVY = {
     # standing result); q94's three ref-count aggregations are the
     # expensive pass.
     "q93_stream_near_dup", "q94_trigram_logprob",
-    "q125_stream_self_dedup",
+    "q125_stream_self_dedup", "q129_stream_holt",
     "q102_stream_semantic_dedup", "q103_fivegram_logprob",
     "q106_stream_kmv_distinct",
     # q95/q99: clustering + within-cluster pair scan (EAGER_PER_RUN

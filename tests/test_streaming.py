@@ -1483,3 +1483,74 @@ def test_holt_last_matches_python_model(spark):
     )
     r = aggregates.holt_last(one, "key", "time", "value").collect()[0]
     assert (r["level"], r["trend"], r["forecast"]) == (5.0, 0.0, 5.0)
+
+
+def test_stateful_holt_stream_equals_batch_fold(spark, tmp_path):
+    """stateful_holt over a time-ordered finite stream must land each
+    key's FINAL (level, trend, forecast) exactly on holt_last's batch
+    fold of the same rows, and every intermediate row must equal the
+    plain-Python recurrence prefix."""
+    from tinyflux_spark.operators import aggregates
+    from tinyflux_spark.streaming import ingest
+
+    rows = [
+        (str(k), T0 + timedelta(minutes=i), float((i * 7 + k) % 23))
+        for k in range(3)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["key", "time", "value"])
+    src = str(tmp_path / "src")
+    # one file per time-slice so arrival order is time order per key
+    for j in range(3):
+        df.where(
+            (F.col("time") >= T0 + timedelta(minutes=j * 4))
+            & (F.col("time") < T0 + timedelta(minutes=(j + 1) * 4))
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ingest.stateful_holt(
+        stream, "key", "time", "value", alpha=0.3, beta=0.1
+    )
+    ingest.run_to_memory(out, "holt_t", output_mode="append",
+                         shuffle_partitions=4)
+    got = spark.table("holt_t")
+    finals = {
+        r["key"]: (r["level"], r["trend"], r["forecast"])
+        for r in got.orderBy("key", "time")
+        .groupBy("key")
+        .agg(
+            F.last("level").alias("level"),
+            F.last("trend").alias("trend"),
+            F.last("forecast").alias("forecast"),
+        )
+        .collect()
+    }
+    batch = aggregates.holt_last(
+        df, "key", "time", "value", alpha=0.3, beta=0.1
+    )
+    for r in batch.collect():
+        l, t, f = finals[r["key"]]
+        assert round(l, 6) == r["level"]
+        assert round(t, 6) == r["trend"]
+        assert round(f, 6) == r["forecast"]
+    # every row is the Python prefix fold
+    a, B = 0.3, 0.1
+    for k in ("0", "1", "2"):
+        series = [v for kk, _, v in rows if kk == k]
+        l, b = series[0], 0.0
+        states = [(l, b)]
+        for v in series[1:]:
+            nl = a * v + (1.0 - a) * (l + b)
+            b = B * (nl - l) + (1.0 - B) * b
+            l = nl
+            states.append((l, b))
+        got_rows = (
+            got.where(F.col("key") == k).orderBy("time").collect()
+        )
+        assert len(got_rows) == len(states)
+        for r, (ml, mb) in zip(got_rows, states):
+            assert r["level"] == pytest.approx(ml, abs=1e-9)
+            assert r["trend"] == pytest.approx(mb, abs=1e-9)

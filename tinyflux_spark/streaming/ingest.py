@@ -623,6 +623,86 @@ def stateful_ewma(
     )
 
 
+def stateful_holt(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str = "time",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    state_ttl_minutes: Optional[int] = None,
+) -> DataFrame:
+    """Per-key running Holt double-exponential smoothing over an
+    unbounded stream — :func:`stateful_ewma`'s forecasting sibling
+    and the streaming twin of ``operators.aggregates.holt_last``
+    (identical recurrence: l_0 = v_0, b_0 = 0; l = a·v + (1-a)(l+b);
+    b = B(l - l_prev) + (1-B)b). Emits one row per event:
+    ``(key, time, value, level, trend, forecast)`` with ``forecast =
+    level + trend`` — the one-step-ahead prediction a metrics
+    pipeline compares the NEXT reading against.
+
+    The (count, level, trend) state per key persists in the state
+    store across micro-batches; state is O(1) per key at any history.
+    Rows are folded in (time, value) order within each batch; the
+    stream == batch equality assumes per-key arrivals are
+    time-ordered across batches (the q36 contract).
+    ``state_ttl_minutes`` reclaims idle keys on continuous
+    deployments; leave ``None`` for finite (availableNow) runs.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        f"{key_col} string, {time_col} timestamp, "
+        f"{value_col} double, level double, trend double, "
+        "forecast double"
+    )
+    state_schema = "cnt long, l double, b double"
+    with_ttl = state_ttl_minutes is not None
+
+    def fn(key, pdfs, state: GroupState):
+        if with_ttl and state.hasTimedOut:
+            state.remove()
+            return
+        cnt, l, b = state.get if state.exists else (0, 0.0, 0.0)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([time_col, value_col])
+            for t, v in zip(pdf[time_col], pdf[value_col]):
+                v = float(v)
+                if cnt == 0:
+                    l, b = v, 0.0
+                else:
+                    nl = alpha * v + (1.0 - alpha) * (l + b)
+                    b = beta * (nl - l) + (1.0 - beta) * b
+                    l = nl
+                cnt += 1
+                rows.append((str(key[0]), t, v, l, b, l + b))
+        state.update((cnt, l, b))
+        if with_ttl:
+            state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                key_col, time_col, value_col,
+                "level", "trend", "forecast",
+            ],
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if with_ttl
+        else GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_near_dup_insert(
     docs_stream: DataFrame,
     corpus: DataFrame,
