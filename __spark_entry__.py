@@ -3222,7 +3222,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_stream_kmv_distinct": q106_stream_kmv_distinct,
         "q107_ivf_pq_topk": q107_ivf_pq_topk,
         "q108_weighted_sample": q108_weighted_sample,
-        # new this round (r10 rotation candidates):
+        # new this round — q117-q129 have judge-gate evidence only
+        # (registered after the r9 window froze, never driver-gated):
+        # they lead the r10 rotation, followed by q47/q50/q76-q88
+        # (next-longest unrefreshed driver rows).
         "q117_ivf_append_serve": q117_ivf_append_serve,
         "q118_ivf_pq_residual_indexed": q118_ivf_pq_residual_indexed,
         "q119_data_card": q119_data_card,
