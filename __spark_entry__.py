@@ -3090,19 +3090,68 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS artifact records
     # only the FIRST 50 entries. The order rotates each round so every
-    # query periodically lands in that window. Round 9 (VERDICT r8 ask
-    # #1): the eight round-8 operators (q109-q116) lead - registered
-    # after round 8's window froze, never driver-gated - then the rows
-    # that just missed r8 (q70-q75, q17, q90), then the r7-window rows
-    # longest unrefreshed (q101/q102/q89/q01/q04/q06/q09/q11-q16/
-    # q18-q25/q27-q32/q34-q37/q39-q41): exactly 50, after which every
-    # operator ever shipped has a driver row at current semantics.
-    # Below the window: q47/q50/q76-q88 (next-longest unrefreshed, lead
-    # the r10 rotation) and the rows driver-refreshed in r8. New
-    # round-9 operators (q117+) land at the bottom as r10 candidates.
+    # query periodically lands in that window. Round 10 (VERDICT r9 ask
+    # #1): the thirteen round-9 operators q117-q129 lead - registered
+    # after round 9's window froze, never driver-gated - then q47/q50/
+    # q76-q88 (next-longest unrefreshed), then the longest-unrefreshed
+    # r8-window rows (q02/q03/q05/q07/q08/q10/q33/q38/q42-q46/q48/q49/
+    # q51-q57): exactly 50. New round-10 operators (q130+) are inserted
+    # at the TOP of the window when registered, so they ship with a
+    # driver row in the same round instead of waiting one rotation.
+    # Below the window: q58-q69/q26 + the rows driver-refreshed in r9.
     # tools/check_gate.py remains the per-commit guard over the full
     # registry.
     return {
+        "q117_ivf_append_serve": q117_ivf_append_serve,
+        "q118_ivf_pq_residual_indexed": q118_ivf_pq_residual_indexed,
+        "q119_data_card": q119_data_card,
+        "q120_stream_ivf_append": q120_stream_ivf_append,
+        "q121_weighted_sample_by_key": q121_weighted_sample_by_key,
+        "q122_top_tokens_by_key": q122_top_tokens_by_key,
+        "q123_decontaminate_bloom": q123_decontaminate_bloom,
+        "q124_audio_features": q124_audio_features,
+        "q125_stream_self_dedup": q125_stream_self_dedup,
+        "q126_ivf_batch_indexed": q126_ivf_batch_indexed,
+        "q127_holt_last": q127_holt_last,
+        "q128_srp_batch_indexed": q128_srp_batch_indexed,
+        "q129_stream_holt": q129_stream_holt,
+        "q47_map_test_predicates": q47_map_test_predicates,
+        "q50_csv_interop": q50_csv_interop,
+        "q76_quality_filter": q76_quality_filter,
+        "q77_bm25_scores": q77_bm25_scores,
+        "q78_quantize_embeddings": q78_quantize_embeddings,
+        "q79_edit_distance_pairs": q79_edit_distance_pairs,
+        "q80_incremental_dedup_join": q80_incremental_dedup_join,
+        "q81_corpus_profile": q81_corpus_profile,
+        "q82_remove_boilerplate": q82_remove_boilerplate,
+        "q83_temperature_sample": q83_temperature_sample,
+        "q84_interval_join": q84_interval_join,
+        "q85_unigram_logprob": q85_unigram_logprob,
+        "q86_salted_join": q86_salted_join,
+        "q87_version_diff": q87_version_diff,
+        "q88_merge_intervals": q88_merge_intervals,
+        "q02_search_tag_eq": q02_search_tag_eq,
+        "q03_search_field_range": q03_search_field_range,
+        "q05_search_measurement_regex": q05_search_measurement_regex,
+        "q07_field_missing_key": q07_field_missing_key,
+        "q08_not_exists": q08_not_exists,
+        "q10_select_projection": q10_select_projection,
+        "q33_media_features": q33_media_features,
+        "q38_get_contains": q38_get_contains,
+        "q42_all_len_iter": q42_all_len_iter,
+        "q43_update_all": q43_update_all,
+        "q44_remove_all": q44_remove_all,
+        "q45_drop_measurement": q45_drop_measurement,
+        "q46_insert_point_path": q46_insert_point_path,
+        "q48_search_predicate": q48_search_predicate,
+        "q49_measurement_handle": q49_measurement_handle,
+        "q51_dedup_clusters": q51_dedup_clusters,
+        "q52_ivf_ann_topk": q52_ivf_ann_topk,
+        "q53_hash_sample": q53_hash_sample,
+        "q54_repetition_stats": q54_repetition_stats,
+        "q55_source_quota": q55_source_quota,
+        "q56_embedding_dup_clusters": q56_embedding_dup_clusters,
+        "q57_length_deciles": q57_length_deciles,
         "q109_ivf_pq_indexed_topk": q109_ivf_pq_indexed_topk,
         "q110_kmv_quantiles_by_key": q110_kmv_quantiles_by_key,
         "q111_pq_rerank_topk": q111_pq_rerank_topk,
@@ -3153,47 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_get_tag_keys": q39_get_tag_keys,
         "q40_get_field_values": q40_get_field_values,
         "q41_get_timestamps": q41_get_timestamps,
-        # --- driver window boundary (50 above; below all have
-        # r7/r8 driver-green rows at current semantics and stay
-        # gated by tools/check_gate.py) ---
-        "q47_map_test_predicates": q47_map_test_predicates,
-        "q50_csv_interop": q50_csv_interop,
-        "q76_quality_filter": q76_quality_filter,
-        "q77_bm25_scores": q77_bm25_scores,
-        "q78_quantize_embeddings": q78_quantize_embeddings,
-        "q79_edit_distance_pairs": q79_edit_distance_pairs,
-        "q80_incremental_dedup_join": q80_incremental_dedup_join,
-        "q81_corpus_profile": q81_corpus_profile,
-        "q82_remove_boilerplate": q82_remove_boilerplate,
-        "q83_temperature_sample": q83_temperature_sample,
-        "q84_interval_join": q84_interval_join,
-        "q85_unigram_logprob": q85_unigram_logprob,
-        "q86_salted_join": q86_salted_join,
-        "q87_version_diff": q87_version_diff,
-        "q88_merge_intervals": q88_merge_intervals,
-        "q02_search_tag_eq": q02_search_tag_eq,
-        "q03_search_field_range": q03_search_field_range,
-        "q05_search_measurement_regex": q05_search_measurement_regex,
-        "q07_field_missing_key": q07_field_missing_key,
-        "q08_not_exists": q08_not_exists,
-        "q10_select_projection": q10_select_projection,
         "q26_stream_hourly_rollup": q26_stream_hourly_rollup,
-        "q33_media_features": q33_media_features,
-        "q38_get_contains": q38_get_contains,
-        "q42_all_len_iter": q42_all_len_iter,
-        "q43_update_all": q43_update_all,
-        "q44_remove_all": q44_remove_all,
-        "q45_drop_measurement": q45_drop_measurement,
-        "q46_insert_point_path": q46_insert_point_path,
-        "q48_search_predicate": q48_search_predicate,
-        "q49_measurement_handle": q49_measurement_handle,
-        "q51_dedup_clusters": q51_dedup_clusters,
-        "q52_ivf_ann_topk": q52_ivf_ann_topk,
-        "q53_hash_sample": q53_hash_sample,
-        "q54_repetition_stats": q54_repetition_stats,
-        "q55_source_quota": q55_source_quota,
-        "q56_embedding_dup_clusters": q56_embedding_dup_clusters,
-        "q57_length_deciles": q57_length_deciles,
         "q58_dedup_keep_canonical": q58_dedup_keep_canonical,
         "q59_ivf_indexed_topk": q59_ivf_indexed_topk,
         "q60_resample_gapfill": q60_resample_gapfill,
@@ -3222,23 +3231,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_stream_kmv_distinct": q106_stream_kmv_distinct,
         "q107_ivf_pq_topk": q107_ivf_pq_topk,
         "q108_weighted_sample": q108_weighted_sample,
-        # new this round — q117-q129 have judge-gate evidence only
-        # (registered after the r9 window froze, never driver-gated):
-        # they lead the r10 rotation, followed by q47/q50/q76-q88
-        # (next-longest unrefreshed driver rows).
-        "q117_ivf_append_serve": q117_ivf_append_serve,
-        "q118_ivf_pq_residual_indexed": q118_ivf_pq_residual_indexed,
-        "q119_data_card": q119_data_card,
-        "q120_stream_ivf_append": q120_stream_ivf_append,
-        "q121_weighted_sample_by_key": q121_weighted_sample_by_key,
-        "q122_top_tokens_by_key": q122_top_tokens_by_key,
-        "q123_decontaminate_bloom": q123_decontaminate_bloom,
-        "q124_audio_features": q124_audio_features,
-        "q125_stream_self_dedup": q125_stream_self_dedup,
-        "q126_ivf_batch_indexed": q126_ivf_batch_indexed,
-        "q127_holt_last": q127_holt_last,
-        "q128_srp_batch_indexed": q128_srp_batch_indexed,
-        "q129_stream_holt": q129_stream_holt,
     }
 
 
