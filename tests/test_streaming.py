@@ -1437,6 +1437,109 @@ def test_stream_self_dedup_matches_batch_all_pairs(spark, tmp_path):
         )
 
 
+def test_stream_self_dedup_crash_between_sig_and_docs_append(
+    spark, tmp_path
+):
+    """Crash-retry soundness for the sig-committed/docs-missing gap
+    (ADVICE r9 high): a crash BETWEEN the sig append and the docs
+    append leaves the batch's own signatures in the standing state
+    while the crash probe (docs-based) reports "not appended", so the
+    epoch recomputes against a state containing the batch itself.
+    The retried epoch must equal a clean run: no (id, id) self-pairs,
+    no doubled within-batch pairs, final store == the one-shot
+    all-pairs oracle restricted to shard-touching pairs."""
+    import json
+    import os
+
+    from tinyflux_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_pairs,
+    )
+    from tinyflux_spark.streaming import ingest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    shard = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    part1 = shard.where(F.col("doc_id") % 10 == 0)
+    part2 = shard.where(F.col("doc_id") % 10 != 0)
+    src = str(tmp_path / "src")
+    part1.coalesce(1).write.parquet(src)
+    res = str(tmp_path / "pairs")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        return ingest.stream_self_dedup_insert(
+            ingest.point_stream_from_files(
+                spark, src, docs.schema, max_files_per_trigger=1
+            ),
+            corpus, res, state, "doc_id",
+            num_hashes=12, bands=4, verify_threshold=0.7,
+            checkpoint_dir=ck,
+        )
+
+    q = run()
+    assert q.awaitTermination(300) and q.exception() is None
+
+    # Simulate the crashed attempt at the NEXT epoch: part2's sig
+    # append committed, docs append did not, pending marker on disk.
+    lineage = ingest._checkpoint_query_lineage(spark, ck)
+    assert not lineage.startswith("run-")  # persisted query id, not UUID
+    banded_signatures(
+        part2, "doc_id", num_hashes=12, bands=4
+    ).write.mode("append").parquet(os.path.join(state, "sig"))
+    ingest._write_json_marker(
+        spark,
+        os.path.join(state, "_pending.json"),
+        {"lineage": lineage, "batch_id": 1},
+    )
+    # hw is still at batch 0 (the committed epoch)
+    hw = ingest._read_json_marker(
+        spark, os.path.join(state, "_ingest.json")
+    )
+    assert hw is not None and int(hw["batch_id"]) == 0
+
+    # Deliver part2 for real: same checkpoint redelivers it as epoch 1
+    # into the poisoned state.
+    part2.coalesce(1).write.mode("append").parquet(src)
+    q2 = run()
+    assert q2.awaitTermination(300) and q2.exception() is None
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(res)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    )
+    assert all(a != b for a, b, _ in got), "self-pairs leaked"
+    assert len(got) == len(set((a, b) for a, b, _ in got)), (
+        "within-batch pairs doubled by the retried epoch"
+    )
+    allp = minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=12, bands=4, verify_threshold=0.7
+    )
+    want = sorted(
+        tuple(r)
+        for r in allp.where(
+            (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
+        ).collect()
+    )
+    assert got == want
+    # protocol finalized: pending cleared, hw advanced
+    assert (
+        ingest._read_json_marker(
+            spark, os.path.join(state, "_pending.json")
+        )
+        is None
+    )
+    hw2 = ingest._read_json_marker(
+        spark, os.path.join(state, "_ingest.json")
+    )
+    assert int(hw2["batch_id"]) == 1
+
+
 def test_holt_last_matches_python_model(spark):
     """Holt double-exponential smoothing replayed in plain Python:
     l_0 = v_0, b_0 = 0; l_i = a*v + (1-a)(l+b); b_i = B(l_i - l) +

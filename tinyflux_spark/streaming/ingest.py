@@ -890,10 +890,14 @@ def stream_self_dedup_insert(
     corpus texts stay in ``corpus``), ``_params.json`` manifest
     validated on reuse. The two appends are separate parquet jobs
     (sig first, docs second; the crash probe reads docs), so a crash
-    BETWEEN them can leave the batch's signature rows duplicated by
-    the retry — harmless: candidates are ``.distinct()``-ed before
-    verify, and docs (which feed the verify texts) can never
-    double-append. State grows with the stream (near-dup needs
+    BETWEEN them can leave the batch's signature rows in the state
+    when the retried epoch recomputes — the retry therefore
+    anti-joins the batch's own ids out of the standing signatures
+    before the cross join (otherwise the batch band-joins against
+    itself: self-pairs at jaccard 1.0 plus a second copy of every
+    within-batch pair), and any sig rows duplicated by the retry's
+    re-append are harmless afterwards because candidates are
+    ``.distinct()``-ed before verify. State grows with the stream (near-dup needs
     the texts for exact verify — this is the corpus growing, not
     bookkeeping); per-batch cost tracks batch size × candidate count,
     never total history size, because the band equi-join prunes
@@ -963,7 +967,21 @@ def stream_self_dedup_insert(
             )
             _delete_path(sp, pend_path)
             return
-        seen_sigs = sp.read.parquet(sig_dir)
+        # A crash BETWEEN the sig append and the docs append leaves
+        # the batch's OWN signatures in sig/ while the crash probe
+        # (which reads docs/) says "not appended" — the retried epoch
+        # would then band-join the batch against itself and emit
+        # (id, id, 1.0) self-pairs plus a second copy of every
+        # within-batch pair (the verify reads both sides' shingles
+        # from the batch, so the missing docs rows don't save us).
+        # Anti-joining the batch's ids out of the standing state makes
+        # the retried epoch identical to a clean run; the id_a != id_b
+        # belt below guards any future state writer with the same gap.
+        seen_sigs = sp.read.parquet(sig_dir).join(
+            F.broadcast(batch_df.select(F.col(id_col).alias("id"))),
+            "id",
+            "left_anti",
+        )
         fs_b, jdocs = _hadoop_path(sp, docs_dir)
         seen_docs = base_docs
         if fs_b.exists(jdocs):
@@ -977,7 +995,7 @@ def stream_self_dedup_insert(
             batch_df, seen_docs, id_col,
             verify_threshold=verify_threshold,
             right_banded=seen_sigs, **kw,
-        ).select(
+        ).where(F.col("id_left") != F.col("id_right")).select(
             F.least("id_left", "id_right").alias("id_a"),
             F.greatest("id_left", "id_right").alias("id_b"),
             "jaccard",
