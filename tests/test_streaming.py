@@ -1588,6 +1588,66 @@ def test_holt_last_matches_python_model(spark):
     assert (r["level"], r["trend"], r["forecast"]) == (5.0, 0.0, 5.0)
 
 
+def test_stateful_folds_sort_across_arrow_chunks(spark, tmp_path):
+    """ADVICE r9 medium: applyInPandasWithState yields MULTIPLE Arrow
+    chunks per key when a key's micro-batch rows exceed
+    spark.sql.execution.arrow.maxRecordsPerBatch. Per-chunk sorting is
+    not a global time order — with the conf forced to 7 and a 40-row
+    single-batch key written in DESCENDING time order, the fold must
+    still equal the plain-Python recurrence over the time-ordered
+    series, for both stateful_ewma and stateful_holt."""
+    from tinyflux_spark.streaming import ingest
+
+    rows = [
+        ("k", T0 + timedelta(minutes=i), float((i * 7 + 3) % 23))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        list(reversed(rows)), ["key", "time", "value"]
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)  # ONE file => ONE micro-batch
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = ingest.point_stream_from_files(
+            spark, src, df.schema, fmt="parquet"
+        )
+        out = ingest.stateful_holt(
+            stream, "key", "time", "value", alpha=0.3, beta=0.1
+        )
+        ingest.run_to_memory(out, "holt_chunks", output_mode="append")
+        stream2 = ingest.point_stream_from_files(
+            spark, src, df.schema, fmt="parquet"
+        )
+        out2 = ingest.stateful_ewma(
+            stream2, "key", "time", "value", alpha=0.3
+        )
+        ingest.run_to_memory(out2, "ewma_chunks", output_mode="append")
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    series = [v for _, _, v in rows]
+    a, B = 0.3, 0.1
+    l, b = series[0], 0.0
+    holt_states = [(l, b)]
+    for v in series[1:]:
+        nl = a * v + (1.0 - a) * (l + b)
+        b = B * (nl - l) + (1.0 - B) * b
+        l = nl
+        holt_states.append((l, b))
+    got = spark.table("holt_chunks").orderBy("time").collect()
+    assert len(got) == 40
+    for r, (ml, mb) in zip(got, holt_states):
+        assert r["level"] == pytest.approx(ml, abs=1e-9)
+        assert r["trend"] == pytest.approx(mb, abs=1e-9)
+    got_e = spark.table("ewma_chunks").orderBy("time").collect()
+    assert [r["ewma"] for r in got_e] == pytest.approx(
+        _py_ewma(series)
+    )
+
+
 def test_stateful_holt_stream_equals_batch_fold(spark, tmp_path):
     """stateful_holt over a time-ordered finite stream must land each
     key's FINAL (level, trend, forecast) exactly on holt_last's batch

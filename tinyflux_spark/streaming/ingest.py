@@ -597,8 +597,16 @@ def stateful_ewma(
             return
         cnt, ew = state.get if state.exists else (0, 0.0)
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(time_col)
+        # applyInPandasWithState hands a key's micro-batch rows as
+        # MULTIPLE Arrow chunks once they exceed
+        # spark.sql.execution.arrow.maxRecordsPerBatch — sorting each
+        # chunk independently would not give a globally time-ordered
+        # fold, so concatenate first and sort ONCE.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                time_col
+            )
             for t, v in zip(pdf[time_col], pdf[value_col]):
                 v = float(v)
                 ew = v if cnt == 0 else alpha * v + (1 - alpha) * ew
@@ -669,8 +677,13 @@ def stateful_holt(
             return
         cnt, l, b = state.get if state.exists else (0, 0.0, 0.0)
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([time_col, value_col])
+        # Same multi-chunk contract as stateful_ewma: one global sort
+        # over the key's whole micro-batch, not per Arrow chunk.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                [time_col, value_col]
+            )
             for t, v in zip(pdf[time_col], pdf[value_col]):
                 v = float(v)
                 if cnt == 0:
