@@ -1097,6 +1097,10 @@ def test_bloom_decontamination_never_broadcasts_eval_strings(spark):
     ]
     assert joins, "verify join on shingle missing from plan"
     assert all("Broadcast" not in ln for ln in joins), joins
+    # The bitmap is built ONCE (eager localCheckpoint), not re-planned
+    # per probe: no bit_or aggregation may remain in the query plan —
+    # the j broadcasts must ship the precomputed word table.
+    assert "bit_or" not in plan, "bitmap aggregation re-planned per probe"
 
 
 def test_ivf_batch_indexed_prunes_partitions_and_limits_groups(

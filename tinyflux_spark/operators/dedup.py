@@ -798,8 +798,11 @@ def contamination_hits(
     full held-out shard — tens of millions of shingles), its raw
     string set no longer broadcasts. The eval shingles fold into a
     Bloom bitmap instead — ``bloom_bits`` bits as ``bloom_bits/64``
-    packed-long words built by ONE ``bit_or`` aggregation — and only
-    the word table (8 bytes/word: 2^20 bits ≡ 16 K rows ≡ 128 KB,
+    packed-long words built by ONE ``bit_or`` aggregation, then
+    eagerly materialized (``localCheckpoint``: the bloom arm runs
+    that one job at call time) so the j per-probe joins broadcast a
+    precomputed table instead of re-planning the aggregation — and
+    only the word table (8 bytes/word: 2^20 bits ≡ 16 K rows ≡ 128 KB,
     three orders smaller than the strings) broadcasts. Each train
     shingle probes its ``bloom_hashes`` double-hashed positions
     (Kirsch-Mitzenmacher ``h1 + i·h2``, xxhash64 halves, all codegen)
@@ -861,6 +864,15 @@ def contamination_hits(
             .groupBy("_w")
             .agg(F.bit_or("_b").alias("_bits"))
         )
+        # Materialize the bitmap ONCE (eager — this triggers a job at
+        # call time): the j per-probe joins below each broadcast the
+        # word table under a different alias, so exchange reuse cannot
+        # canonicalize them and, unmaterialized, the eval-side shingle
+        # scan + bit_or aggregation would be re-planned and re-executed
+        # j times — at the documented 256 MB scale, j full bitmap
+        # rebuilds. After the checkpoint each broadcast ships the same
+        # precomputed <= bloom_bits/64-row table.
+        words = words.localCheckpoint(eager=True)
         # Train side: j narrow broadcast lookups of the word table —
         # a probe misses iff its word row is absent or its bit unset.
         cand = train_g
