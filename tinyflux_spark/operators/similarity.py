@@ -769,26 +769,33 @@ def ivf_append_index(
     assigned = df_new.withColumn(
         "_ivf_list", ivf_assign(F.col(vec_col), cents)
     )
-    n = assigned.count()
-    (
-        assigned.repartition(F.col("_ivf_list"))
-        .write.mode("append")
-        .partitionBy("_ivf_list")
-        .parquet(_os.path.join(path, "lists"))
-    )
-    if params.get("pq_m") is not None:
-        with open(_os.path.join(path, "pq_books.json")) as f:
-            books = _json.load(f)
-        codes = _encode_for_index(
-            assigned, cents, books, id_col, vec_col,
-            bool(params.get("residual")),
-        )
+    # The count, the lists/ write, and (with codes) the encode+write
+    # are three jobs over the same batch — without this persist each
+    # would recompute the K-dot-product assignment over df_new.
+    assigned.persist()
+    try:
+        n = assigned.count()
         (
-            codes.repartition(F.col("_ivf_list"))
+            assigned.repartition(F.col("_ivf_list"))
             .write.mode("append")
             .partitionBy("_ivf_list")
-            .parquet(_os.path.join(path, "codes"))
+            .parquet(_os.path.join(path, "lists"))
         )
+        if params.get("pq_m") is not None:
+            with open(_os.path.join(path, "pq_books.json")) as f:
+                books = _json.load(f)
+            codes = _encode_for_index(
+                assigned, cents, books, id_col, vec_col,
+                bool(params.get("residual")),
+            )
+            (
+                codes.repartition(F.col("_ivf_list"))
+                .write.mode("append")
+                .partitionBy("_ivf_list")
+                .parquet(_os.path.join(path, "codes"))
+            )
+    finally:
+        assigned.unpersist()
     return n
 
 
