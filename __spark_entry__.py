@@ -3016,6 +3016,59 @@ def q127_holt_last(spark, sf_dir):
     return holt_last(ev, "user_id", "ts", "value", alpha=0.3, beta=0.1)
 
 
+def q130_srp_append_serve(spark, sf_dir):
+    """The full SRP index lifecycle (round-10, closing VERDICT r9's
+    missing half): build the persisted index on two thirds of the
+    corpus at frozen seed-derived planes, BATCH-append half the
+    remainder with srp_append_index, STREAM-append the other half in
+    micro-batches through stream_srp_append_insert (the shared
+    exactly-once marker protocol), then serve q128's batch ANN read
+    over the grown index. The bucket is a pure function of the
+    planes, so append ≡ rebuild is exact with NO drift caveat —
+    the oracle is therefore q128's replay over the full corpus,
+    verbatim: the gate checks the whole grow-path changed nothing."""
+    import tempfile
+
+    from tinyflux_spark.operators.similarity import (
+        srp_append_index,
+        srp_topk_batch_indexed,
+        srp_write_index,
+    )
+    from tinyflux_spark.streaming.ingest import (
+        point_stream_from_files,
+        stream_srp_append_insert,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    per_session = _IVF_INDEX_CACHE.setdefault(spark, {})
+    key = (sf_dir, "srp_append_lifecycle")
+    if key not in per_session:
+        root = tempfile.mkdtemp(prefix="tfs_srp_grow_")
+        path = root + "/index"
+        srp_write_index(
+            emb.where(F.col("vec_id") % 3 != 0), path, num_planes=4
+        )
+        srp_append_index(emb.where(F.col("vec_id") % 6 == 0), path)
+        src = root + "/src"
+        emb.where(F.col("vec_id") % 6 == 3).repartition(2).write.parquet(src)
+        q = stream_srp_append_insert(
+            point_stream_from_files(
+                spark, src, emb.schema, max_files_per_trigger=1
+            ),
+            path, checkpoint_dir=root + "/ck",
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("q130 append stream timed out")
+        if q.exception() is not None:
+            raise q.exception()
+        per_session[key] = path
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return srp_topk_batch_indexed(
+        spark, per_session[key], queries, k=5, multiprobe=1
+    )
+
+
 def q128_srp_batch_indexed(spark, sf_dir):
     """Batch ANN against the PERSISTED SRP index — q126's sibling for
     the hyperplane family (and q31's batch form): top-5 for every
@@ -3102,6 +3155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_gate.py remains the per-commit guard over the full
     # registry.
     return {
+        "q130_srp_append_serve": q130_srp_append_serve,
         "q117_ivf_append_serve": q117_ivf_append_serve,
         "q118_ivf_pq_residual_indexed": q118_ivf_pq_residual_indexed,
         "q119_data_card": q119_data_card,
@@ -6871,6 +6925,12 @@ def oracle_sql() -> dict[str, str]:
         FROM s WHERE i = n
     """
     d["q128_srp_batch_indexed"] = _srp_batch_oracle_sql(
+        num_planes=4, dim=64, seed=42, k=5
+    )
+    # q130: append ≡ rebuild is exact at frozen planes, so the grown
+    # index serves identically to a full build — q128's oracle
+    # verbatim gates the whole batch+stream append lifecycle.
+    d["q130_srp_append_serve"] = _srp_batch_oracle_sql(
         num_planes=4, dim=64, seed=42, k=5
     )
     # q129: q127's recursion emitting EVERY position (ts carried

@@ -1331,6 +1331,144 @@ def test_stream_ivf_append_matches_batch_and_exactly_once(
     assert codes_of(path) == codes_of(ref)
 
 
+def test_srp_append_index_equals_rebuild(spark, tmp_path):
+    """srp_append_index: appending new batches at the frozen planes is
+    bit-identical to a one-shot srp_write_index over old ∪ new (the
+    bucket is a pure function of the seed-derived planes — no drift
+    caveat), and pre-stamp / mismatched-column indexes are refused."""
+    import json
+    import os
+
+    from tinyflux_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+
+    def buckets_of(path):
+        return sorted(
+            (r["vec_id"], int(r["_bucket"]))
+            for r in spark.read.parquet(
+                os.path.join(path, "buckets")
+            ).select("vec_id", "_bucket").collect()
+        )
+
+    ref = str(tmp_path / "ref")
+    sim.srp_write_index(emb, ref, num_planes=6, seed=7)
+    path = str(tmp_path / "idx")
+    sim.srp_write_index(base, path, num_planes=6, seed=7)
+    n = sim.srp_append_index(batch, path)
+    assert n == batch.count()
+    assert buckets_of(path) == buckets_of(ref)
+    # serving read over the grown index == over the rebuilt one
+    qv = [float(x) for x in emb.first()["embedding"]]
+    got = sim.srp_topk_indexed(spark, path, qv, k=5).collect()
+    want = sim.srp_topk_indexed(spark, ref, qv, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # refusals: mismatched columns; pre-stamp planes.json
+    with pytest.raises(ValueError, match="id_col"):
+        sim.srp_append_index(batch, path, id_col="other")
+    rec = json.load(open(os.path.join(path, "planes.json")))
+    for kk in ("id_col", "vec_col"):
+        rec.pop(kk)
+    json.dump(rec, open(os.path.join(path, "planes.json"), "w"))
+    with pytest.raises(ValueError, match="stamping"):
+        sim.srp_append_index(batch, path)
+
+
+def test_stream_srp_append_matches_batch_and_exactly_once(
+    spark, tmp_path
+):
+    """stream_srp_append_insert: (a) streaming the new third in 3
+    micro-batches leaves buckets/ bit-identical to one batch
+    srp_append_index of the same rows at the same frozen planes;
+    (b) a second availableNow run over the same checkpoint redelivers
+    nothing; (c) the crash probe answers from the batch's own ids;
+    (d) param mismatch and pre-stamp indexes are refused before the
+    stream starts."""
+    import json
+    import os
+
+    from tinyflux_spark.operators import similarity as sim
+    from tinyflux_spark.streaming import ingest
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+
+    def buckets_of(path):
+        return sorted(
+            (r["vec_id"], int(r["_bucket"]))
+            for r in spark.read.parquet(
+                os.path.join(path, "buckets")
+            ).select("vec_id", "_bucket").collect()
+        )
+
+    ref = str(tmp_path / "ref")
+    sim.srp_write_index(base, ref, num_planes=6, seed=7)
+    sim.srp_append_index(batch, ref)
+
+    path = str(tmp_path / "idx")
+    sim.srp_write_index(base, path, num_planes=6, seed=7)
+    src = str(tmp_path / "src")
+    batch.repartition(3).write.parquet(src)
+
+    def run(ck="ck"):
+        return ingest.stream_srp_append_insert(
+            ingest.point_stream_from_files(
+                spark, src, emb.schema, max_files_per_trigger=1
+            ),
+            path, checkpoint_dir=str(tmp_path / ck),
+        )
+
+    q = run()
+    assert q.awaitTermination(300) and q.exception() is None
+    assert buckets_of(path) == buckets_of(ref)
+
+    # (b) same checkpoint, same source: nothing re-delivers
+    q2 = run()
+    assert q2.awaitTermination(300) and q2.exception() is None
+    assert buckets_of(path) == buckets_of(ref)
+    hw = ingest._read_json_marker(
+        spark, os.path.join(path, "_ingest.json")
+    )
+    assert hw is not None and int(hw["batch_id"]) == 2
+
+    # (c) crash probe
+    assert ingest._srp_batch_already_appended(
+        spark, path, batch, "vec_id"
+    )
+    ghost = batch.withColumn("vec_id", F.col("vec_id") + 100000)
+    assert not ingest._srp_batch_already_appended(
+        spark, path, ghost, "vec_id"
+    )
+
+    # (d) refusals before start
+    with pytest.raises(ValueError, match="id_col"):
+        ingest.stream_srp_append_insert(
+            ingest.point_stream_from_files(
+                spark, src, emb.schema, max_files_per_trigger=1
+            ),
+            path, id_col="other",
+        )
+    rec = json.load(open(os.path.join(path, "planes.json")))
+    for kk in ("id_col", "vec_col"):
+        rec.pop(kk)
+    json.dump(rec, open(os.path.join(path, "planes.json"), "w"))
+    with pytest.raises(ValueError, match="stamping"):
+        ingest.stream_srp_append_insert(
+            ingest.point_stream_from_files(
+                spark, src, emb.schema, max_files_per_trigger=1
+            ),
+            path,
+        )
+
+
 def test_stream_self_dedup_matches_batch_all_pairs(spark, tmp_path):
     """stream_self_dedup_insert: (a) streaming the shard in 3
     micro-batches yields EXACTLY the one-shot minhash_lsh_pairs over

@@ -983,7 +983,80 @@ def srp_write_index(
         .parquet(_os.path.join(path, "buckets"))
     )
     with open(_os.path.join(path, "planes.json"), "w") as f:
-        _json.dump({"dim": dim, "num_planes": num_planes, "seed": seed}, f)
+        _json.dump(
+            {
+                "dim": dim,
+                "num_planes": num_planes,
+                "seed": seed,
+                # build-parameter stamp: srp_append_index refuses to
+                # append without knowing what the bucketed rows mean
+                "id_col": id_col,
+                "vec_col": vec_col,
+            },
+            f,
+        )
+
+
+def srp_append_index(
+    df_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incrementally ingest a NEW batch into a persisted SRP index at
+    its FROZEN hyperplanes — :func:`ivf_append_index`'s sibling, and
+    the simpler half of the lifecycle: the bucket of a vector is a
+    pure function of the seed-derived planes, so append ≡ rebuild is
+    EXACT with no drift caveat at all (an IVF codebook is trained on
+    a corpus and degrades as it drifts; SRP planes are corpus-blind).
+    The reference's ingest story is batched append keeping the index
+    current (tinyflux database.py:623-656); here each new row lands
+    in its ``buckets/_bucket=<b>/`` partition directory and every
+    serving read (:func:`srp_topk_indexed`,
+    :func:`srp_topk_batch_indexed`) sees it immediately.
+
+    Crash safety is the parquet commit protocol's (staged under
+    ``_temporary/``, renamed in atomically at job commit); one writer
+    at a time. ``id_col``/``vec_col`` must match the build's —
+    validated against the ``planes.json`` stamp (indexes written
+    before stamping are refused: rebuild with
+    :func:`srp_write_index`). Returns the number of appended rows.
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "planes.json")) as f:
+        rec = _json.load(f)
+    if "id_col" not in rec:
+        raise ValueError(
+            f"planes.json at {path!r} predates build-parameter "
+            "stamping; rebuild the index with srp_write_index before "
+            "appending"
+        )
+    if rec["id_col"] != id_col or rec["vec_col"] != vec_col:
+        raise ValueError(
+            f"index at {path!r} was built with id_col="
+            f"{rec['id_col']!r}, vec_col={rec['vec_col']!r}; "
+            f"append asked for {id_col!r}/{vec_col!r}"
+        )
+    planes = srp_planes(rec["dim"], rec["num_planes"], rec["seed"])
+    bucketed = df_new.withColumn(
+        "_bucket", srp_bucket(F.col(vec_col), planes)
+    )
+    # count + write are two jobs over the same batch: persist so the
+    # plane projections run once (ivf_append_index's pattern).
+    bucketed.persist()
+    try:
+        n = bucketed.count()
+        (
+            bucketed.repartition(F.col("_bucket"))
+            .write.mode("append")
+            .partitionBy("_bucket")
+            .parquet(_os.path.join(path, "buckets"))
+        )
+    finally:
+        bucketed.unpersist()
+    return n
 
 
 def srp_topk_indexed(

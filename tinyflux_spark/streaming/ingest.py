@@ -1750,14 +1750,11 @@ def stream_ivf_append_insert(
     own rule. Codebooks never move; rebuild with ``ivf_write_index``
     when the corpus drifts (recall, not correctness).
     """
-    import os as _os
-
     from ..operators.similarity import (
         _read_index_params,
         ivf_append_index,
     )
 
-    spark = vec_stream.sparkSession
     params = _read_index_params(index_path)
     if params is None:
         raise ValueError(
@@ -1771,8 +1768,42 @@ def stream_ivf_append_insert(
             f"this stream asks for {id_col!r}/{vec_col!r}"
         )
     has_codes = params.get("pq_m") is not None
-    hw_path = _os.path.join(index_path, "_ingest.json")
-    pend_path = _os.path.join(index_path, "_pending.json")
+    return _start_exactly_once_append(
+        vec_stream,
+        index_path,
+        lambda b: ivf_append_index(b, index_path, id_col, vec_col),
+        lambda sp, b: _ivf_batch_already_appended(
+            sp, index_path, b, id_col, has_codes
+        ),
+        checkpoint_dir,
+        trigger_available_now,
+    )
+
+
+def _start_exactly_once_append(
+    stream: DataFrame,
+    state_root: str,
+    append_fn,
+    already_appended_fn,
+    checkpoint_dir: Optional[str],
+    trigger_available_now: bool,
+):
+    """The shared exactly-once foreachBatch protocol for
+    NON-IDEMPOTENT index appends (:func:`stream_ivf_append_insert`,
+    :func:`stream_srp_append_insert`): a ``(lineage, batch_id)``
+    high-water mark in ``<root>/_ingest.json`` written AFTER each
+    committed append (redelivered batch ids at or below it skip), a
+    ``_pending.json`` intent marker bracketing the append itself, and
+    on a pending-marked retry a crash probe
+    ``already_appended_fn(spark, batch_df)`` that decides "did the
+    interrupted append JOB commit?" from the batch's own ids (parquet
+    job commit is atomic; ids unique) — finalize if so, re-append if
+    not. Lineage derives from the checkpoint's persisted query id so
+    a recreated checkpoint cannot alias an old numbering."""
+    import os as _os
+
+    hw_path = _os.path.join(state_root, "_ingest.json")
+    pend_path = _os.path.join(state_root, "_pending.json")
     lineage_cell: list = []
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1796,9 +1827,7 @@ def stream_ivf_append_insert(
             pend is not None
             and pend["lineage"] == lineage
             and int(pend["batch_id"]) == epoch_id
-            and _ivf_batch_already_appended(
-                sp, index_path, batch_df, id_col, has_codes
-            )
+            and already_appended_fn(sp, batch_df)
         ):
             # previous attempt crashed between append-commit and
             # finalize: the rows are in; just finalize.
@@ -1810,17 +1839,94 @@ def stream_ivf_append_insert(
         _write_json_marker(
             sp, pend_path, {"lineage": lineage, "batch_id": epoch_id}
         )
-        ivf_append_index(batch_df, index_path, id_col, vec_col)
+        append_fn(batch_df)
         _write_json_marker(
             sp, hw_path, {"lineage": lineage, "batch_id": epoch_id}
         )
         _delete_path(sp, pend_path)
 
-    writer = (
-        vec_stream.writeStream.foreachBatch(sink).outputMode("append")
-    )
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _srp_batch_already_appended(
+    spark: SparkSession, index_path: str, batch_df: DataFrame,
+    id_col: str,
+) -> bool:
+    """Crash-recovery probe for :func:`stream_srp_append_insert`:
+    same decision as :func:`_ivf_batch_already_appended` (atomic
+    parquet job commit + unique ids ⇒ any-present ⇔ all-present),
+    read from the SRP ``buckets/`` layout."""
+    import os as _os
+
+    sample = [
+        r[0] for r in batch_df.select(id_col).limit(5).collect()
+    ]
+    if not sample:
+        return True  # empty batch: nothing to (re-)append
+    existing = spark.read.parquet(_os.path.join(index_path, "buckets"))
+    return (
+        existing.where(F.col(id_col).isin(sample)).limit(1).count() > 0
+    )
+
+
+def stream_srp_append_insert(
+    vec_stream: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming maintenance of a persisted SRP index
+    (``operators.similarity.srp_write_index``):
+    :func:`stream_ivf_append_insert`'s hyperplane sibling, and the
+    drift-free half of the lifecycle — each micro-batch is folded in
+    with :func:`~tinyflux_spark.operators.similarity.srp_append_index`
+    at the FROZEN seed-derived planes, so stream == batch append ==
+    one-shot build is EXACT (the bucket is a pure function of the
+    planes; there is no trained codebook to go stale). The serving
+    reads (``srp_topk_indexed`` / ``srp_topk_batch_indexed``) see
+    every ingested vector without any retrain existing in the design
+    at all. Mirrors the reference's insert→index-maintenance story
+    (tinyflux database.py:371-417).
+
+    Exactly-once via the shared marker protocol
+    (:func:`_start_exactly_once_append`): ``(lineage, batch_id)``
+    high-water mark, ``_pending.json`` intent marker, id-presence
+    crash probe against ``buckets/``. ``id_col`` values must be
+    unique across the stream's whole history and the index's
+    existing contents; single writer."""
+    import json as _json
+    import os as _os
+
+    from ..operators.similarity import srp_append_index
+
+    with open(_os.path.join(index_path, "planes.json")) as f:
+        rec = _json.load(f)
+    if "id_col" not in rec:
+        raise ValueError(
+            f"planes.json at {index_path!r} predates build-parameter "
+            "stamping; rebuild with srp_write_index before streaming "
+            "appends"
+        )
+    if rec["id_col"] != id_col or rec["vec_col"] != vec_col:
+        raise ValueError(
+            f"index at {index_path!r} was built with id_col="
+            f"{rec['id_col']!r}, vec_col={rec['vec_col']!r}; "
+            f"this stream asks for {id_col!r}/{vec_col!r}"
+        )
+    return _start_exactly_once_append(
+        vec_stream,
+        index_path,
+        lambda b: srp_append_index(b, index_path, id_col, vec_col),
+        lambda sp, b: _srp_batch_already_appended(
+            sp, index_path, b, id_col
+        ),
+        checkpoint_dir,
+        trigger_available_now,
+    )
