@@ -3016,6 +3016,35 @@ def q127_holt_last(spark, sf_dir):
     return holt_last(ev, "user_id", "ts", "value", alpha=0.3, beta=0.1)
 
 
+def q131_index_recall_probe(spark, sf_dir):
+    """Sampled recall@k of the persisted SRP index vs exact cosine —
+    the round-10 operationalization of "retrain when the corpus
+    drifts" (SCALE_r9 measured residual recall collapsing 0.9 → 0.4
+    under drift with no number to alert on). One row per sampled
+    query: (query_id, hits, n_exact, recall), where the approx side
+    is the REAL serving read (srp_topk_batch_indexed over the q128
+    index) and the exact side is the brute-force rounded-cosine
+    ranking. The oracle replays BOTH rankings and the intersection
+    fraction in SQL."""
+    from tinyflux_spark.operators.similarity import (
+        index_recall_probe,
+        srp_write_index,
+    )
+    import tempfile
+
+    emb = _t("embeddings")(spark, sf_dir)
+    per_session = _IVF_INDEX_CACHE.setdefault(spark, {})
+    key = sf_dir + "#srp4"
+    if key not in per_session:
+        path = tempfile.mkdtemp(prefix="tfs_srp_b_")
+        srp_write_index(emb, path, num_planes=4)
+        per_session[key] = path
+    sample = emb.where(F.col("vec_id") % 100 == 0)
+    return index_recall_probe(
+        spark, per_session[key], sample, k=5, multiprobe=1
+    )
+
+
 def q130_srp_append_serve(spark, sf_dir):
     """The full SRP index lifecycle (round-10, closing VERDICT r9's
     missing half): build the persisted index on two thirds of the
@@ -3156,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registry.
     return {
         "q130_srp_append_serve": q130_srp_append_serve,
+        "q131_index_recall_probe": q131_index_recall_probe,
         "q117_ivf_append_serve": q117_ivf_append_serve,
         "q118_ivf_pq_residual_indexed": q118_ivf_pq_residual_indexed,
         "q119_data_card": q119_data_card,
@@ -3537,6 +3567,76 @@ def _srp_ann_oracle_sql(num_planes: int = 4, dim: int = 64,
         FROM b, q
         WHERE vec_id <> 0 AND ({probes})
         ORDER BY cosine_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _srp_recall_oracle_sql(num_planes: int = 4, dim: int = 64,
+                           seed: int = 42, k: int = 5) -> str:
+    """q131: replay BOTH rankings — the indexed (bucket-pruned,
+    multiprobe-1) read and the exact brute-force rounded-cosine
+    top-k — then the per-query intersection fraction, exactly
+    index_recall_probe's (query_id, hits, n_exact, recall) contract."""
+    from tinyflux_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(dim, num_planes, seed)
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lit}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    probes = " OR ".join(
+        ["b.bucket = q.qb"]
+        + [f"b.bucket = xor(q.qb, {1 << i})" for i in range(num_planes)]
+    )
+    return f"""
+        WITH emb AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        b AS (SELECT vec_id, e, {bucket} AS bucket FROM emb),
+        q AS (
+            SELECT vec_id AS qid, e AS qe, bucket AS qb FROM b
+            WHERE vec_id % 100 = 0
+        ),
+        scored AS (
+            SELECT q.qid AS query_id, b.vec_id, b.bucket, q.qb,
+                   ROUND(list_dot_product(b.e, q.qe)
+                         / (sqrt(list_dot_product(b.e, b.e))
+                            * sqrt(list_dot_product(q.qe, q.qe))),
+                         6) AS cosine_sim,
+                   ({probes}) AS probed
+            FROM b, q
+            WHERE b.vec_id <> q.qid
+        ),
+        approx AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, vec_id) AS r
+                FROM scored WHERE probed
+            ) WHERE r <= {k}
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, vec_id) AS r
+                FROM scored
+            ) WHERE r <= {k}
+        )
+        SELECT e.query_id,
+               CAST(count(a.vec_id) AS BIGINT) AS hits,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               ROUND(CAST(count(a.vec_id) AS DOUBLE) / count(*), 6)
+                   AS recall
+        FROM exact e
+        LEFT JOIN approx a
+          ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        GROUP BY e.query_id
     """
 
 
@@ -6925,6 +7025,10 @@ def oracle_sql() -> dict[str, str]:
         FROM s WHERE i = n
     """
     d["q128_srp_batch_indexed"] = _srp_batch_oracle_sql(
+        num_planes=4, dim=64, seed=42, k=5
+    )
+    # q131: recall probe — both rankings + the intersection fraction.
+    d["q131_index_recall_probe"] = _srp_recall_oracle_sql(
         num_planes=4, dim=64, seed=42, k=5
     )
     # q130: append ≡ rebuild is exact at frozen planes, so the grown

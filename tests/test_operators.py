@@ -3185,6 +3185,69 @@ def test_kmv_distinct_by_key_matches_ungrouped_and_merges(spark):
     )
 
 
+def test_index_recall_probe_measures_pruning_recall(spark, tmp_path):
+    """index_recall_probe: (a) an IVF index probed with nprobe ==
+    num_centroids scans every list, so recall is exactly 1.0 for
+    every sampled query; (b) on an SRP index the per-query recall
+    equals a Python replay of |approx ∩ exact| / |exact| computed
+    from the serving read and the exact ranking themselves; (c)
+    non-index paths are refused."""
+    from tinyflux_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    sample = emb.where(F.col("vec_id") % 200 == 0)
+
+    ivf = str(tmp_path / "ivf")
+    sim.ivf_write_index(emb, ivf, num_centroids=4)
+    full = sim.index_recall_probe(
+        spark, ivf, sample, k=10, nprobe=4
+    ).collect()
+    assert len(full) == sample.count()
+    assert all(r["recall"] == 1.0 for r in full)
+    assert all(r["hits"] == r["n_exact"] <= 10 for r in full)
+
+    # nprobe=1 probes a quarter of the corpus: recall may drop but
+    # stays a valid fraction, and the mean is what an operator alerts on
+    part = sim.index_recall_probe(
+        spark, ivf, sample, k=10, nprobe=1
+    ).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in part)
+
+    srp = str(tmp_path / "srp")
+    sim.srp_write_index(emb, srp, num_planes=3, seed=11)
+    got = {
+        r["query_id"]: (r["hits"], r["n_exact"], r["recall"])
+        for r in sim.index_recall_probe(
+            spark, srp, sample, k=7, multiprobe=1
+        ).collect()
+    }
+    approx = sim.srp_topk_batch_indexed(
+        spark, srp, sample, k=7, multiprobe=1
+    )
+    app = {}
+    for r in approx.collect():
+        app.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in sample.collect():
+        exact_ids = [
+            r["vec_id"]
+            for r in sim.cosine_topk(
+                emb.where(F.col("vec_id") != q["vec_id"]),
+                list(q["embedding"]), k=7,
+            ).collect()
+        ]
+        h = len(app.get(q["vec_id"], set()) & set(exact_ids))
+        assert got[q["vec_id"]] == (
+            h, len(exact_ids), round(h / len(exact_ids), 6)
+        )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="persisted"):
+        sim.index_recall_probe(spark, str(tmp_path), sample)
+
+
 def test_ivf_append_index_equals_rebuild_at_frozen_codebooks(
     spark, tmp_path
 ):

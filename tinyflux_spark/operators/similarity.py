@@ -1161,6 +1161,116 @@ def srp_topk_batch_indexed(
     )
 
 
+def index_recall_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: Optional[str] = None,
+    query_vec_col: Optional[str] = None,
+    nprobe: int = 4,
+    multiprobe: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Sampled recall@k of a PERSISTED index (IVF, IVF-PQ, residual,
+    or SRP — detected from the on-disk layout) against the exact
+    cosine top-k over the same corpus: the number that turns
+    "retrain when the corpus drifts" from a docstring rule into an
+    alertable measurement (SCALE_r9 measured residual-index recall
+    collapsing 0.9 → 0.4 under drift; this probe is how an operator
+    notices BEFORE queries degrade).
+
+    Returns one row per query: ``(query_id, hits, n_exact, recall)``
+    where ``hits`` counts the indexed read's top-k ids that appear in
+    the exact top-k, ``n_exact = min(k, corpus_size - self)`` is the
+    denominator, and ``recall = hits / n_exact``. Aggregate with
+    ``avg(recall)`` and alert on a drop.
+
+    Both rankings run over the index's OWN stored vectors (``lists/``
+    / ``buckets/`` hold the raw vectors), so the probe needs no
+    access to the original build input — point it at the index and a
+    query sample. The approximate side is the real serving read
+    (:func:`ivf_topk_batch_indexed` / :func:`srp_topk_batch_indexed`:
+    PartitionFilters-pruned scan, broadcast query batch,
+    WindowGroupLimit), so what's measured is exactly what production
+    queries get — for a PQ-carrying index this measures the
+    candidate/pruning recall of the frozen coarse codebook (the
+    drift-sensitive part); ADC ranking error is rerank's concern.
+    The exact side is a brute-force scan scored per query with the
+    same rounded-cosine ranking — per-query cost is |corpus|, which
+    is the point of SAMPLING the queries: probe tens of queries, not
+    the corpus.
+    """
+    import json as _json
+    import os as _os
+
+    if k <= 0:
+        raise ValueError("index_recall_probe: k must be positive")
+    if _os.path.exists(_os.path.join(path, "planes.json")):
+        with open(_os.path.join(path, "planes.json")) as f:
+            rec = _json.load(f)
+        id_col = rec.get("id_col", "vec_id")
+        vec_col = rec.get("vec_col", "embedding")
+        qid = query_id_col or id_col
+        qvc = query_vec_col or vec_col
+        corpus = spark.read.parquet(_os.path.join(path, "buckets"))
+        approx = srp_topk_batch_indexed(
+            spark, path, queries, k, id_col, vec_col,
+            qid, qvc, multiprobe, exclude_self,
+        )
+    elif _os.path.exists(_os.path.join(path, "codebook.json")):
+        params = _read_index_params(path) or {}
+        id_col = params.get("id_col", "vec_id")
+        vec_col = params.get("vec_col", "embedding")
+        qid = query_id_col or id_col
+        qvc = query_vec_col or vec_col
+        corpus = spark.read.parquet(_os.path.join(path, "lists"))
+        approx = ivf_topk_batch_indexed(
+            spark, path, queries, k, id_col, vec_col,
+            qid, qvc, nprobe, exclude_self,
+        )
+    else:
+        raise ValueError(
+            f"no planes.json or codebook.json at {path!r}: not a "
+            "persisted SRP/IVF index"
+        )
+    # Exact ground truth: the same broadcast-queries + WindowGroupLimit
+    # plan as the serving read, with the partition pruning disabled via
+    # a constant join key — every query scores the whole stored corpus.
+    q_exp = queries.select(
+        F.col(qid).alias("_qid"),
+        F.col(qvc).alias("_qvec"),
+        _norm(F.col(qvc)).alias("_qnrm"),
+        F.lit(0).alias("_all"),
+    )
+    exact = _batch_topk_over_candidates(
+        corpus.withColumn("_nrm", _norm(F.col(vec_col)))
+        .withColumn("_all", F.lit(0)),
+        q_exp, k, id_col, vec_col, exclude_self, key="_all",
+    )
+    hits = (
+        approx.select("query_id", id_col)
+        .join(exact.select("query_id", id_col), ["query_id", id_col])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            "n_exact",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0))
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

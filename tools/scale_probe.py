@@ -74,7 +74,47 @@ PANEL = [
     ("q126_ivf_batch_indexed", (1, 10, 100)),
     ("q127_holt_last", (1, 10, 100)),
     ("q128_srp_batch_indexed", (1, 10, 100)),
+    ("q130_srp_append_serve", (1, 10, 100)),
+    ("q131_index_recall_probe", (1, 10, 100)),
 ]
+
+# Persisted-index queries: after the timed run, measure SAMPLED
+# recall@10 with operators.similarity.index_recall_probe over the very
+# index the query served from (the entry module caches its path) — the
+# retrain-on-drift number VERDICT r9 asked to operationalize. Maps
+# query name -> the entry module's _IVF_INDEX_CACHE key.
+PROBE_INDEXED = {
+    "q109_ivf_pq_indexed_topk": lambda sf: (sf, "pq"),
+    "q117_ivf_append_serve": lambda sf: (sf, "pq_append"),
+    "q118_ivf_pq_residual_indexed": lambda sf: (sf, "pq_residual"),
+    "q126_ivf_batch_indexed": lambda sf: sf + "#full16",
+    "q128_srp_batch_indexed": lambda sf: sf + "#srp4",
+    "q130_srp_append_serve": lambda sf: (sf, "srp_append_lifecycle"),
+}
+
+
+def probe_index_recall(spark, sf_dir, name):
+    """Mean sampled recall@10 of the persisted index the query just
+    served from, or None if the index path is not cached."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.similarity import index_recall_probe
+
+    key = PROBE_INDEXED[name](sf_dir)
+    path = em._IVF_INDEX_CACHE.get(spark, {}).get(key)
+    if path is None:
+        return None
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sample = emb.where(F.col("vec_id") % 100 == 0)
+    mean_r = (
+        index_recall_probe(
+            spark, path, sample, k=10, nprobe=4, multiprobe=1
+        )
+        .agg(F.avg("recall"))
+        .first()[0]
+    )
+    return round(float(mean_r), 3)
 
 # ANN family: besides sec/rows, record recall@10 against the exact
 # cosine top-10 (q24's ranking) on the SAME scale dir — latency that
@@ -262,6 +302,10 @@ def run(out_path: str, dirs: dict[int, str], only=None) -> None:
                 entry[str(f)]["recall_at_10"] = round(
                     len(got & exact) / max(len(exact), 1), 2
                 )
+            if name in PROBE_INDEXED:
+                pr = probe_index_recall(spark, sf_dir, name)
+                if pr is not None:
+                    entry[str(f)]["probe_recall_at_10"] = pr
             print(f"{name} @{f}x: {sec:.2f}s "
                   f"{entry[str(f)]['rows']} rows"
                   + (
@@ -288,7 +332,9 @@ def run(out_path: str, dirs: dict[int, str], only=None) -> None:
             "vocabulary/key-disjoint so expected output scales "
             "linearly; q95 probed with K scaled with N (SemDedup's "
             "contract); ANN rows carry recall_at_10 vs the exact "
-            "cosine top-10 on the same dir"
+            "cosine top-10 on the same dir; persisted-index rows "
+            "also carry probe_recall_at_10 (mean sampled recall via "
+            "index_recall_probe over the served index)"
         ),
         "queries": results,
     }
