@@ -3185,6 +3185,85 @@ def test_kmv_distinct_by_key_matches_ungrouped_and_merges(spark):
     )
 
 
+def test_auto_sized_codebooks_hold_candidate_volume(spark, tmp_path):
+    """num_centroids='auto' (K ≈ √N) and num_planes='auto'
+    (planes ≈ log₂(N/target)) make the scale-safe configuration the
+    default: across 1×/4×/16× synthetic corpora, SRP's mean bucket
+    population stays pinned near the target (flat per-query
+    candidates) and IVF's per-query candidate count (nprobe·N/K)
+    grows ~√N — 16× the data, ~4× the candidates, never 16×."""
+    import json
+    import math
+    import os
+
+    from tinyflux_spark.operators import similarity as sim
+
+    def corpus(n):
+        # deterministic spread vectors: 16 hash-derived components
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda j: (
+                    (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2000))
+                     - F.lit(1000)) / F.lit(1000.0)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+
+    srp_mean_bucket, ivf_cands = {}, {}
+    for n in (1000, 4000, 16000):
+        df = corpus(n)
+        sp = str(tmp_path / f"srp{n}")
+        sim.srp_write_index(
+            df, sp, num_planes="auto", target_bucket_rows=64
+        )
+        rec = json.load(open(os.path.join(sp, "planes.json")))
+        assert rec["num_planes"] == max(
+            1, min(24, math.ceil(math.log2(n / 64)))
+        )
+        srp_mean_bucket[n] = n / (1 << rec["num_planes"])
+
+        ip = str(tmp_path / f"ivf{n}")
+        sim.ivf_write_index(df, ip, num_centroids="auto")
+        params = json.load(open(os.path.join(ip, "params.json")))
+        k = params["num_centroids"]
+        assert k == max(4, min(n, round(math.sqrt(n))))
+        ivf_cands[n] = 4 * n / k  # nprobe=4 probes ~4/K of the corpus
+
+    # SRP: expected bucket population pinned near the target at every
+    # scale (the per-query candidate volume is (1+planes)·this)
+    for n, mean in srp_mean_bucket.items():
+        assert 64 / 4 <= mean <= 64 * 2, (n, mean)
+    # IVF: 16x data -> ~4x candidates (√N), nowhere near 16x
+    growth = ivf_cands[16000] / ivf_cands[1000]
+    assert growth < 8, growth
+
+    # the auto-built artifacts serve normally
+    got = sim.srp_topk_indexed(
+        spark, str(tmp_path / "srp1000"),
+        [0.5] * 16, k=3,
+    ).collect()
+    assert len(got) == 3
+
+    import pytest
+
+    for bad in (dict(num_centroids="bogus"), dict(num_centroids=0)):
+        with pytest.raises(ValueError, match="num_centroids"):
+            sim.ivf_write_index(
+                corpus(100), str(tmp_path / "bad"), **bad
+            )
+    with pytest.raises(ValueError, match="num_planes"):
+        sim.srp_write_index(
+            corpus(100), str(tmp_path / "bad"), num_planes=0
+        )
+    with pytest.raises(ValueError, match="target_bucket_rows"):
+        sim.srp_write_index(
+            corpus(100), str(tmp_path / "bad"),
+            num_planes="auto", target_bucket_rows=0,
+        )
+
+
 def test_index_recall_probe_measures_pruning_recall(spark, tmp_path):
     """index_recall_probe: (a) an IVF index probed with nprobe ==
     num_centroids scans every list, so recall is exactly 1.0 for

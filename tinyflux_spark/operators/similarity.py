@@ -608,12 +608,39 @@ def _read_index_params(path: str) -> Optional[dict]:
         return _json.load(f)
 
 
+def _auto_num_centroids(n: int) -> int:
+    """K ≈ √N — FAISS's nlist guidance: per-query work is
+    nprobe·(N/K) candidate scans plus K centroid comparisons, and
+    √N balances the two, so per-query cost grows as √N instead of N.
+    Floor of 4 keeps tiny corpora from degenerating to a flat scan
+    with extra steps."""
+    import math as _math
+
+    return max(4, min(n, int(round(_math.sqrt(max(n, 1))))))
+
+
+def _auto_num_planes(n: int, target_bucket_rows: int) -> int:
+    """planes ≈ log₂(N / target_bucket_rows): 2^planes buckets keep
+    the EXPECTED bucket population at the target regardless of corpus
+    size, so per-query candidate volume ((1+planes)·target with 1-bit
+    multiprobe) stays roughly flat as the corpus grows. Capped at 24
+    (16M partition directories) — past that, grow target_bucket_rows
+    instead."""
+    import math as _math
+
+    if target_bucket_rows < 1:
+        raise ValueError("target_bucket_rows must be >= 1")
+    return max(
+        1, min(24, int(_math.ceil(_math.log2(max(n, 2) / target_bucket_rows))))
+    )
+
+
 def ivf_write_index(
     df: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_centroids: int = 16,
+    num_centroids=16,
     pq_m: Optional[int] = None,
     pq_ksub: int = 16,
     pq_refine_iters: int = 0,
@@ -623,6 +650,13 @@ def ivf_write_index(
     """Build and persist an IVF-Flat index: inverted lists as
     ``<path>/lists/_ivf_list=<i>/`` parquet partitions plus the codebook
     at ``<path>/codebook.json``. Returns the codebook.
+
+    ``num_centroids="auto"`` sizes K ≈ √N from a count of ``df``
+    (:func:`_auto_num_centroids` — FAISS's nlist guidance), making
+    the 100 TB-safe configuration the default instead of a footnote:
+    a fixed K means per-query candidate volume N/K grows linearly
+    with the corpus, while auto-K holds it to √N. The resolved int is
+    stamped in ``params.json``.
 
     With ``pq_m`` set, ALSO persists the IVF-PQ serving layout: every
     vector's m-int PQ code lands beside its inverted list as
@@ -657,6 +691,16 @@ def ivf_write_index(
 
     if residual and pq_m is None:
         raise ValueError("residual=True requires pq_m")
+    if num_centroids == "auto":
+        # K ≈ √N (one count job at build time — the build already
+        # scans the corpus). The resolved int is stamped in
+        # params.json so appends and reads see a plain number.
+        num_centroids = _auto_num_centroids(df.count())
+    elif not isinstance(num_centroids, int) or num_centroids < 1:
+        raise ValueError(
+            "num_centroids must be a positive int or 'auto', got "
+            f"{num_centroids!r}"
+        )
     cents = ivf_centroids(
         df, id_col, vec_col, num_centroids, coarse_refine_iters
     )
@@ -963,16 +1007,31 @@ def srp_write_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes=8,
     seed: int = 42,
+    target_bucket_rows: int = 1024,
 ):
     """Persist the SRP-LSH bucketed corpus: ``_bucket=<b>/`` parquet
     partitions plus the (dim, planes, seed) recipe at
     ``<path>/planes.json`` — the hyperplanes are seed-derived, so the
-    recipe, not the matrix, is the durable artifact."""
+    recipe, not the matrix, is the durable artifact.
+
+    ``num_planes="auto"`` sizes planes ≈ log₂(N / target_bucket_rows)
+    from a count of ``df`` (:func:`_auto_num_planes`): more planes =
+    smaller buckets, so auto-sizing holds the expected bucket
+    population — and with it per-query candidate volume — roughly
+    flat as the corpus grows, where a fixed plane count lets buckets
+    grow linearly. The resolved int lands in ``planes.json``."""
     import json as _json
     import os as _os
 
+    if num_planes == "auto":
+        num_planes = _auto_num_planes(df.count(), target_bucket_rows)
+    elif not isinstance(num_planes, int) or num_planes < 1:
+        raise ValueError(
+            "num_planes must be a positive int or 'auto', got "
+            f"{num_planes!r}"
+        )
     dim = len(df.select(vec_col).first()[0])
     planes = srp_planes(dim, num_planes, seed)
     bucketed = df.withColumn("_bucket", srp_bucket(F.col(vec_col), planes))
