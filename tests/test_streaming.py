@@ -1575,6 +1575,123 @@ def test_stream_self_dedup_matches_batch_all_pairs(spark, tmp_path):
         )
 
 
+def test_stream_self_dedup_state_compaction_long_stream(
+    spark, tmp_path
+):
+    """state_compact_every: a 20-epoch stream with a crash-retry
+    injected at the last epoch keeps (a) the pair results identical
+    to the one-shot all-pairs oracle, (b) the sig/docs state file
+    count BOUNDED (folds into <sub>_base/v=V instead of one parquet
+    job's files per epoch), (c) zero duplicate signature rows after
+    the fold's distinct() clears the crash-retry re-append."""
+    import json
+    import os
+
+    from tinyflux_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_pairs,
+    )
+    from tinyflux_spark.streaming import ingest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).where(F.col("doc_id") < 300)
+    shard = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    shard_rows = shard.collect()
+    # 20 single-row-group files => 20 micro-batches
+    n_files = 20
+    src = str(tmp_path / "src")
+    for i in range(n_files - 1):
+        spark.createDataFrame(
+            shard_rows[i::n_files], docs.schema
+        ).coalesce(1).write.mode("append").parquet(src)
+    last = spark.createDataFrame(
+        shard_rows[n_files - 1::n_files], docs.schema
+    )
+    res = str(tmp_path / "pairs")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        return ingest.stream_self_dedup_insert(
+            ingest.point_stream_from_files(
+                spark, src, docs.schema, max_files_per_trigger=1
+            ),
+            corpus, res, state, "doc_id",
+            num_hashes=12, bands=4, verify_threshold=0.7,
+            checkpoint_dir=ck, compact_every=5,
+            state_compact_every=5,
+        )
+
+    q = run()
+    assert q.awaitTermination(600) and q.exception() is None
+
+    # inject the sig-committed/docs-missing crash at the next epoch,
+    # then deliver it for real — epoch 19 retries into the poisoned
+    # state AND triggers a fold right after ((19+1) % 5 == 0)
+    lineage = ingest._checkpoint_query_lineage(spark, ck)
+    banded_signatures(
+        last, "doc_id", num_hashes=12, bands=4
+    ).write.mode("append").parquet(os.path.join(state, "sig"))
+    ingest._write_json_marker(
+        spark, os.path.join(state, "_pending.json"),
+        {"lineage": lineage, "batch_id": n_files - 1},
+    )
+    last.coalesce(1).write.mode("append").parquet(src)
+    q2 = run()
+    assert q2.awaitTermination(600) and q2.exception() is None
+
+    # (a) pairs == the one-shot oracle restricted to shard pairs
+    got = sorted(
+        tuple(r)
+        for r in ingest.read_stream_pairs(spark, res)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    )
+    allp = minhash_lsh_pairs(
+        docs, "doc_id", num_hashes=12, bands=4, verify_threshold=0.7
+    )
+    want = sorted(
+        tuple(r)
+        for r in allp.where(
+            (F.col("id_a") % 5 == 0) | (F.col("id_b") % 5 == 0)
+        ).collect()
+    )
+    assert got == want
+    assert all(a != b for a, b, _ in got)
+
+    # (b) bounded state: one committed base per dir, and the live
+    # tails hold at most state_compact_every epochs' files (each
+    # epoch appends ONE coalesced part file here) — nowhere near the
+    # 20 files an uncompacted run would hold
+    for sub in ("sig", "docs"):
+        base_v, folded = ingest._latest_committed_state_base(
+            spark, state, sub
+        )
+        assert base_v is not None, f"{sub}: no committed base"
+        live = [
+            f
+            for f in ingest._state_live_files(
+                spark, os.path.join(state, sub)
+            )
+            if f.rsplit("/", 1)[-1] not in folded
+        ]
+        assert len(live) <= 8, (sub, len(live))
+
+    # (c) the fold's distinct() cleared the crash-retry duplicates
+    sig = ingest._read_state_dir(spark, state, "sig")
+    assert sig.count() == sig.distinct().count()
+    # and the state content equals a clean one-shot signature build
+    want_sig = sorted(
+        tuple(r)
+        for r in banded_signatures(
+            docs, "doc_id", num_hashes=12, bands=4
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in sig.collect()) == want_sig
+
+
 def test_stream_self_dedup_crash_between_sig_and_docs_append(
     spark, tmp_path
 ):

@@ -248,6 +248,160 @@ def _committed_epoch_ids(spark: SparkSession, result_path: str):
     return sorted(out)
 
 
+def _state_live_files(spark: SparkSession, d: str):
+    """Data files currently in a flat append-state dir (sig/ docs/):
+    non-hidden regular files — parquet part files, not markers."""
+    fs, jd = _hadoop_path(spark, d)
+    if not fs.exists(jd):
+        return []
+    out = []
+    for st in fs.listStatus(jd):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append(str(st.getPath()))
+    return sorted(out)
+
+
+def _latest_committed_state_base(
+    spark: SparkSession, state_path: str, sub: str
+):
+    """Newest committed fold of an append-state dir: the largest
+    ``<sub>_base/v=V`` holding BOTH ``_SUCCESS`` and ``_folded.json``.
+    Returns ``(version, folded_file_basenames)`` or ``(None, set())``."""
+    root = f"{state_path}/{sub}_base"
+    fs, jbase = _hadoop_path(spark, root)
+    if not fs.exists(jbase):
+        return None, set()
+    best, files = None, set()
+    for st in fs.listStatus(jbase):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        v = int(name.split("=", 1)[1])
+        vdir = f"{root}/v={v}"
+        _, jsucc = _hadoop_path(spark, vdir + "/_SUCCESS")
+        _, jman = _hadoop_path(spark, vdir + "/_folded.json")
+        if not (fs.exists(jsucc) and fs.exists(jman)):
+            continue
+        if best is None or v > best:
+            best = v
+            files = set(
+                json.loads(_read_small_file(fs, jman).decode())["files"]
+            )
+    return best, files
+
+
+def _read_state_dir(
+    spark: SparkSession, state_path: str, sub: str
+) -> DataFrame:
+    """The standing contents of a compactable append-state dir:
+    newest committed ``<sub>_base/v=V`` plus the live append files
+    NOT yet folded into it (a crash between base-commit and
+    live-file delete leaves folded files lingering — the manifest's
+    basename list masks them, so nothing reads double)."""
+    base_v, folded_files = _latest_committed_state_base(
+        spark, state_path, sub
+    )
+    parts = []
+    if base_v is not None:
+        parts.append(
+            spark.read.parquet(f"{state_path}/{sub}_base/v={base_v}")
+        )
+    live = [
+        f
+        for f in _state_live_files(spark, f"{state_path}/{sub}")
+        if f.rsplit("/", 1)[-1] not in folded_files
+    ]
+    if live:
+        parts.append(spark.read.parquet(*live))
+    if not parts:
+        raise ValueError(
+            f"state dir {state_path}/{sub} has no data files"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _state_dir_exists(
+    spark: SparkSession, state_path: str, sub: str
+) -> bool:
+    base_v, _ = _latest_committed_state_base(spark, state_path, sub)
+    if base_v is not None:
+        return True
+    return bool(_state_live_files(spark, f"{state_path}/{sub}"))
+
+
+def _compact_state_dir(
+    spark: SparkSession,
+    state_path: str,
+    sub: str,
+    distinct: bool = False,
+) -> None:
+    """Fold an append-state dir's live files into a new versioned
+    base — the bounded-retention treatment the RESULT sinks got in
+    round 9 (``_write_epoch_result``), applied to the self-dedup
+    ``sig/``/``docs/`` state: without it a long-lived stream grows
+    one parquet job's files per epoch forever. Single writer (the
+    sink's own contract), so the listing is stable while folding.
+
+    Protocol, crash-safe at every step: (1) GC live files the newest
+    committed base already folded (leftovers of an interrupted
+    delete — readers mask them by manifest, the dirs linger);
+    (2) read base ∪ remaining live files, ``distinct()`` when asked
+    (sig rows duplicated by a crash-retry re-append collapse here);
+    (3) overwrite ``<sub>_base/v=V+1`` — invisible until BOTH
+    ``_SUCCESS`` and the ``_folded.json`` manifest (the folded live
+    files' basenames) exist; (4) only then delete the folded live
+    files and the superseded older bases (their rows are in V)."""
+    fs, _ = _hadoop_path(spark, state_path)
+    base_v, folded_files = _latest_committed_state_base(
+        spark, state_path, sub
+    )
+    live_all = _state_live_files(spark, f"{state_path}/{sub}")
+    for f in live_all:
+        if f.rsplit("/", 1)[-1] in folded_files:
+            fs.delete(_hadoop_path(spark, f)[1], False)
+    live = [
+        f
+        for f in live_all
+        if f.rsplit("/", 1)[-1] not in folded_files
+    ]
+    if not live:
+        return
+    merged = spark.read.parquet(*live)
+    if base_v is not None:
+        merged = merged.unionByName(
+            spark.read.parquet(f"{state_path}/{sub}_base/v={base_v}")
+        )
+    if distinct:
+        merged = merged.distinct()
+    new_v = 0 if base_v is None else base_v + 1
+    new_dir = f"{state_path}/{sub}_base/v={new_v}"
+    merged.write.mode("overwrite").parquet(new_dir)
+    out = fs.create(
+        _hadoop_path(spark, new_dir + "/_folded.json")[1], True
+    )
+    try:
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"files": [f.rsplit("/", 1)[-1] for f in live]}
+                ).encode()
+            )
+        )
+    finally:
+        out.close()
+    for f in live:
+        fs.delete(_hadoop_path(spark, f)[1], False)
+    jbase = _hadoop_path(spark, f"{state_path}/{sub}_base")[1]
+    for st in fs.listStatus(jbase):
+        name = st.getPath().getName()
+        if name.startswith("v=") and int(name.split("=", 1)[1]) < new_v:
+            fs.delete(st.getPath(), True)
+
+
 def _write_epoch_result(
     pairs: DataFrame,
     result_path: str,
@@ -831,16 +985,12 @@ def _self_dedup_batch_already_appended(
     argument as the IVF probe — the parquet job commit is atomic and
     ids are unique across the stream's history, so any batch id
     present in the docs state ⇔ the whole append committed."""
-    import os as _os
-
     sample = [r[0] for r in batch_df.select(id_col).limit(5).collect()]
     if not sample:
         return True
-    docs_dir = _os.path.join(state_path, "docs")
-    fs, jpath = _hadoop_path(spark, docs_dir)
-    if not fs.exists(jpath):
+    if not _state_dir_exists(spark, state_path, "docs"):
         return False
-    existing = spark.read.parquet(docs_dir)
+    existing = _read_state_dir(spark, state_path, "docs")
     return existing.where(F.col("id").isin(sample)).limit(1).count() > 0
 
 
@@ -859,6 +1009,7 @@ def stream_self_dedup_insert(
     checkpoint_dir: Optional[str] = None,
     trigger_available_now: bool = True,
     compact_every: Optional[int] = None,
+    state_compact_every: Optional[int] = None,
 ):
     """Streaming near-duplicate detection against EVERYTHING SEEN SO
     FAR — the self-growing form of :func:`stream_near_dup_insert`:
@@ -915,6 +1066,17 @@ def stream_self_dedup_insert(
     bookkeeping); per-batch cost tracks batch size × candidate count,
     never total history size, because the band equi-join prunes
     everything else.
+
+    The state dirs themselves get the same bounded-retention
+    treatment the result sinks got (``compact_every``):
+    ``state_compact_every=c`` folds the live append files of
+    ``sig/``/``docs/`` into a ``_SUCCESS``+manifest-gated
+    ``<sub>_base/v=V`` every c epochs (:func:`_compact_state_dir` —
+    sig rows ``distinct()``-ed on fold, clearing any crash-retry
+    duplicates), so a long-lived stream's state file count stays
+    bounded instead of growing one parquet job's files per epoch.
+    Readers and the crash probe go through :func:`_read_state_dir`
+    (newest committed base ∪ unfolded live files) either way.
     """
     import os as _os
 
@@ -931,8 +1093,9 @@ def stream_self_dedup_insert(
     sig_dir = _os.path.join(state_path, "sig")
     docs_dir = _os.path.join(state_path, "docs")
     params = {"kind": "self_dedup_state", "id_col": id_col, **kw}
-    fs, jsig = _hadoop_path(spark, sig_dir)
-    if not fs.exists(jsig):
+    if state_compact_every is not None and state_compact_every < 2:
+        raise ValueError("state_compact_every must be >= 2")
+    if not _state_dir_exists(spark, state_path, "sig"):
         banded_signatures(corpus, id_col, **kw).write.mode(
             "overwrite"
         ).parquet(sig_dir)
@@ -990,16 +1153,15 @@ def stream_self_dedup_insert(
         # Anti-joining the batch's ids out of the standing state makes
         # the retried epoch identical to a clean run; the id_a != id_b
         # belt below guards any future state writer with the same gap.
-        seen_sigs = sp.read.parquet(sig_dir).join(
+        seen_sigs = _read_state_dir(sp, state_path, "sig").join(
             F.broadcast(batch_df.select(F.col(id_col).alias("id"))),
             "id",
             "left_anti",
         )
-        fs_b, jdocs = _hadoop_path(sp, docs_dir)
         seen_docs = base_docs
-        if fs_b.exists(jdocs):
+        if _state_dir_exists(sp, state_path, "docs"):
             seen_docs = base_docs.unionByName(
-                sp.read.parquet(docs_dir).select(
+                _read_state_dir(sp, state_path, "docs").select(
                     F.col("id").alias(id_col),
                     F.col("text").alias(text_col),
                 )
@@ -1039,6 +1201,15 @@ def stream_self_dedup_insert(
             sp, hw_path, {"lineage": lineage, "batch_id": epoch_id}
         )
         _delete_path(sp, pend_path)
+        if (
+            state_compact_every
+            and (epoch_id + 1) % state_compact_every == 0
+        ):
+            # after finalize only: a fold never interleaves with a
+            # batch append, and a crash mid-fold is masked by the
+            # base manifest (readers never see rows twice).
+            _compact_state_dir(sp, state_path, "sig", distinct=True)
+            _compact_state_dir(sp, state_path, "docs")
 
     writer = (
         docs_stream.writeStream.foreachBatch(sink).outputMode("append")
