@@ -3159,6 +3159,79 @@ def q129_stream_holt(spark, sf_dir):
     )
 
 
+def q132_holt_winters_last(spark, sf_dir):
+    """Per-user FINAL additive Holt-Winters (level + trend + seasonal
+    indices, period 4; alpha=0.3, beta=0.1, gamma=0.2) — q127's
+    seasonal completion: the first season seeds l = mean(v_1..v_4),
+    b = 0, s_j = v_j - l, then the coupled THREE-term recurrence
+    folds JVM-side with a struct (i, l, b, s[4]) accumulator, one
+    shuffle on the key. forecast = level + trend + the seasonal index
+    the next reading lands on. The oracle replays the recurrence
+    with a recursive CTE carrying the four seasonal columns."""
+    from tinyflux_spark.operators.aggregates import holt_winters_last
+
+    ev = _t("events")(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"), "ts", "value"
+    )
+    out = holt_winters_last(
+        ev, "user_id", "ts", "value",
+        alpha=0.3, beta=0.1, gamma=0.2, period=4, round_digits=None,
+    )
+    # integer micro-units via floor(x*1e6 + 0.5) — q60's convention:
+    # the unrounded doubles are bit-identical across engines, but a
+    # decimal ROUND breaks half-ulp boundary values differently
+    # (Spark decimal-exact HALF_UP vs DuckDB scaled-double round —
+    # one such value exists in the sf0.01 event series).
+    return out.select(
+        "user_id",
+        *[
+            F.floor(F.col(c) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias(c + "_u")
+            for c in ("level", "trend", "season", "forecast")
+        ],
+    )
+
+
+def q133_stream_holt_winters(spark, sf_dir):
+    """Per-user running Holt-Winters over the event stream via
+    applyInPandasWithState — q132's streaming twin (identical
+    recurrence AND identical first-season initialization; state is
+    (cnt, l, b, s[4], buf) per key — O(period), not O(history)).
+    Emits one row per event: NULL level/trend/forecast during the
+    warm-up (the state is undefined), the first-season seed at the
+    init row, the recurrence after. The oracle replays EVERY
+    intermediate state — warm-up NULLs included — with a recursive
+    CTE carrying the four seasonal columns."""
+    import uuid
+
+    from tinyflux_spark.streaming import ingest as st
+
+    stream = _stream_event_source(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"), "ts", "value"
+    )
+    out = st.stateful_holt_winters(
+        stream, "user_id", "ts", "value",
+        alpha=0.3, beta=0.1, gamma=0.2, period=4,
+    )
+    name = f"q133_out_{uuid.uuid4().hex[:8]}"
+    st.run_to_memory(out, name, output_mode="append",
+                     shuffle_partitions=8)
+    # integer micro-units (q60's convention, see q132): NULL warm-up
+    # rows stay NULL through the floor.
+    return spark.table(name).select(
+        "user_id",
+        "ts",
+        "value",
+        *[
+            F.floor(F.col(c) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias(c + "_u")
+            for c in ("level", "trend", "forecast")
+        ],
+    )
+
+
 # ----------------------------------------------------------------------
 # Driver contract
 # ----------------------------------------------------------------------
@@ -3186,6 +3259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q130_srp_append_serve": q130_srp_append_serve,
         "q131_index_recall_probe": q131_index_recall_probe,
+        "q132_holt_winters_last": q132_holt_winters_last,
+        "q133_stream_holt_winters": q133_stream_holt_winters,
         "q117_ivf_append_serve": q117_ivf_append_serve,
         "q118_ivf_pq_residual_indexed": q118_ivf_pq_residual_indexed,
         "q119_data_card": q119_data_card,
@@ -3567,6 +3642,117 @@ def _srp_ann_oracle_sql(num_planes: int = 4, dim: int = 64,
         FROM b, q
         WHERE vec_id <> 0 AND ({probes})
         ORDER BY cosine_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _holt_winters_oracle_sql(every_row: bool) -> str:
+    """q132/q133: the coupled THREE-term Holt-Winters recurrence
+    (alpha=0.3, beta=0.1, gamma=0.2, period=4) replayed with a
+    recursive CTE carrying the four seasonal columns. The seed is the
+    first season pivoted wide: l = the same sequential left-fold mean
+    the engine's F.aggregate computes, s_j = v_j - l. Complements are
+    written as subtractions on both sides (q127's convention) so
+    neither engine constant-folds to a different double; rounding at
+    the end only. ``every_row=True`` (q133) emits every position —
+    warm-up NULLs, the init row, and each recursion step — so every
+    intermediate streaming state is gated; ``False`` (q132) keeps the
+    final row per key with the season/forecast projection."""
+    LAG = (
+        "(CASE ((o.rn - 1) % 4) WHEN 0 THEN s.s0 WHEN 1 THEN s.s1 "
+        "WHEN 2 THEN s.s2 ELSE s.s3 END)"
+    )
+    NL = (
+        f"(0.3::DOUBLE * (o.v - {LAG}) "
+        f"+ (1.0::DOUBLE - 0.3::DOUBLE) * (s.l + s.b))"
+    )
+    NB = (
+        f"(0.1::DOUBLE * ({NL} - s.l) "
+        f"+ (1.0::DOUBLE - 0.1::DOUBLE) * s.b)"
+    )
+    SNEW = (
+        f"(0.2::DOUBLE * (o.v - {NL}) "
+        f"+ (1.0::DOUBLE - 0.2::DOUBLE) * {LAG})"
+    )
+    s_cols = ",\n               ".join(
+        f"CASE WHEN (o.rn - 1) % 4 = {j} THEN {SNEW} "
+        f"ELSE s.s{j} END"
+        for j in range(4)
+    )
+    ts_seed = (
+        "MAX(CASE WHEN rn = 4 THEN ts END) AS ts,\n           "
+        if every_row
+        else ""
+    )
+    ts_sel = "seed.ts, " if every_row else ""
+    ts_rec = "o.ts, " if every_row else ""
+    head = f"""
+        WITH RECURSIVE o AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, ts,
+                   CAST(value AS DOUBLE) AS v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, value
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        seed AS (
+            SELECT k, MAX(n) AS n,
+           {ts_seed}((((0.0::DOUBLE
+                   + MAX(CASE WHEN rn = 1 THEN v END))
+                   + MAX(CASE WHEN rn = 2 THEN v END))
+                   + MAX(CASE WHEN rn = 3 THEN v END))
+                   + MAX(CASE WHEN rn = 4 THEN v END))
+                       / 4.0::DOUBLE AS l,
+                   MAX(CASE WHEN rn = 1 THEN v END) AS v1,
+                   MAX(CASE WHEN rn = 2 THEN v END) AS v2,
+                   MAX(CASE WHEN rn = 3 THEN v END) AS v3,
+                   MAX(CASE WHEN rn = 4 THEN v END) AS v4
+            FROM o WHERE rn <= 4 GROUP BY k
+        ),
+        s AS (
+            SELECT k, n, {ts_sel}v4 AS v, CAST(4 AS BIGINT) AS i,
+                   l, 0.0::DOUBLE AS b,
+                   v1 - l AS s0, v2 - l AS s1,
+                   v3 - l AS s2, v4 - l AS s3
+            FROM seed
+            UNION ALL
+            SELECT s.k, s.n, {ts_rec}o.v, o.rn,
+                   {NL},
+                   {NB},
+                   {s_cols}
+            FROM s JOIN o ON o.k = s.k AND o.rn = s.i + 1
+        )"""
+    season = (
+        "CASE (i % 4) WHEN 0 THEN s0 WHEN 1 THEN s1 "
+        "WHEN 2 THEN s2 ELSE s3 END"
+    )
+    # integer micro-units via floor(x*1e6 + 0.5) — q60's convention:
+    # decimal ROUND breaks half-ulp boundary values differently across
+    # engines; floor over the bit-identical IEEE product does not.
+    if every_row:
+        return head + f"""
+        SELECT k AS user_id, ts, v AS value,
+               CAST(NULL AS BIGINT) AS level_u,
+               CAST(NULL AS BIGINT) AS trend_u,
+               CAST(NULL AS BIGINT) AS forecast_u
+        FROM o WHERE rn < 4
+        UNION ALL
+        SELECT k AS user_id, ts, v AS value,
+               CAST(FLOOR(l * 1000000 + 0.5) AS BIGINT) AS level_u,
+               CAST(FLOOR(b * 1000000 + 0.5) AS BIGINT) AS trend_u,
+               CAST(FLOOR((l + b + {season}) * 1000000 + 0.5) AS BIGINT)
+                   AS forecast_u
+        FROM s
+    """
+    return head + f"""
+        SELECT k AS user_id,
+               CAST(FLOOR(l * 1000000 + 0.5) AS BIGINT) AS level_u,
+               CAST(FLOOR(b * 1000000 + 0.5) AS BIGINT) AS trend_u,
+               CAST(FLOOR(({season}) * 1000000 + 0.5) AS BIGINT)
+                   AS season_u,
+               CAST(FLOOR((l + b + {season}) * 1000000 + 0.5) AS BIGINT)
+                   AS forecast_u
+        FROM s WHERE i = n
     """
 
 
@@ -7027,6 +7213,11 @@ def oracle_sql() -> dict[str, str]:
     d["q128_srp_batch_indexed"] = _srp_batch_oracle_sql(
         num_planes=4, dim=64, seed=42, k=5
     )
+    # q132/q133: the three-term seasonal recurrence — final row per
+    # key (q132) and EVERY intermediate state incl. warm-up NULLs
+    # (q133), recursive CTEs carrying the four seasonal columns.
+    d["q132_holt_winters_last"] = _holt_winters_oracle_sql(False)
+    d["q133_stream_holt_winters"] = _holt_winters_oracle_sql(True)
     # q131: recall probe — both rankings + the intersection fraction.
     d["q131_index_recall_probe"] = _srp_recall_oracle_sql(
         num_planes=4, dim=64, seed=42, k=5

@@ -1795,6 +1795,31 @@ def test_stream_self_dedup_crash_between_sig_and_docs_append(
     assert int(hw2["batch_id"]) == 1
 
 
+def test_holt_winters_last_guards(spark):
+    """holt_winters_last boundedness + shortness guards fire with
+    actionable messages; period < 2 is refused at build time."""
+    from tinyflux_spark.operators import aggregates
+
+    rows = [
+        ("k", T0 + timedelta(minutes=i), float(i % 5))
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, ["key", "time", "value"])
+    with pytest.raises(Exception, match="max_series_rows"):
+        aggregates.holt_winters_last(
+            df, "key", "time", "value", period=4, max_series_rows=5
+        ).collect()
+    with pytest.raises(Exception, match="shorter than one season"):
+        aggregates.holt_winters_last(
+            spark.createDataFrame(rows[:3], ["key", "time", "value"]),
+            "key", "time", "value", period=4,
+        ).collect()
+    with pytest.raises(ValueError, match="period"):
+        aggregates.holt_winters_last(
+            df, "key", "time", "value", period=1
+        )
+
+
 def test_holt_last_matches_python_model(spark):
     """Holt double-exponential smoothing replayed in plain Python:
     l_0 = v_0, b_0 = 0; l_i = a*v + (1-a)(l+b); b_i = B(l_i - l) +
@@ -1841,6 +1866,106 @@ def test_holt_last_matches_python_model(spark):
     )
     r = aggregates.holt_last(one, "key", "time", "value").collect()[0]
     assert (r["level"], r["trend"], r["forecast"]) == (5.0, 0.0, 5.0)
+
+
+def test_stateful_holt_winters_stream_equals_batch_fold(
+    spark, tmp_path
+):
+    """stateful_holt_winters over a time-ordered finite stream: each
+    key's FINAL (level, trend, forecast) lands exactly on
+    holt_winters_last's batch fold of the same rows; every
+    intermediate row equals the plain-Python recurrence prefix
+    (warm-up rows NULL, init row = first-season seed); the period
+    guard refuses period < 2."""
+    from tinyflux_spark.operators import aggregates
+    from tinyflux_spark.streaming import ingest
+
+    a, B, g, m = 0.3, 0.1, 0.2, 4
+    rows = [
+        (str(k), T0 + timedelta(minutes=i), float((i * 7 + k) % 23))
+        for k in range(3)
+        for i in range(14)
+    ]
+    df = spark.createDataFrame(rows, ["key", "time", "value"])
+    src = str(tmp_path / "src")
+    # one file per time-slice so arrival order is time order per key;
+    # slice width 5 NOT aligned with the period: the init straddles
+    # a micro-batch boundary for every key
+    for j in range(3):
+        df.where(
+            (F.col("time") >= T0 + timedelta(minutes=j * 5))
+            & (F.col("time") < T0 + timedelta(minutes=(j + 1) * 5))
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ingest.stateful_holt_winters(
+        stream, "key", "time", "value",
+        alpha=a, beta=B, gamma=g, period=m,
+    )
+    ingest.run_to_memory(out, "hw_t", output_mode="append",
+                         shuffle_partitions=4)
+    got = spark.table("hw_t")
+
+    def py_states(series):
+        out_states = []
+        l = b = None
+        s, buf = [], []
+        for i, v in enumerate(series):
+            if i < m - 1:
+                buf.append(v)
+                out_states.append((None, None, None))
+            elif i == m - 1:
+                buf.append(v)
+                acc = 0.0
+                for x in buf:
+                    acc += x
+                l = acc / m
+                b = 0.0
+                s = [x - l for x in buf]
+                out_states.append((l, b, l + b + s[0]))
+            else:
+                lag = s[i % m]
+                nl = a * (v - lag) + (1 - a) * (l + b)
+                b = B * (nl - l) + (1 - B) * b
+                s[i % m] = g * (v - nl) + (1 - g) * lag
+                l = nl
+                out_states.append((l, b, l + b + s[(i + 1) % m]))
+        return out_states
+
+    batch = {
+        r["key"]: r
+        for r in aggregates.holt_winters_last(
+            df, "key", "time", "value",
+            alpha=a, beta=B, gamma=g, period=m,
+        ).collect()
+    }
+    for k in ("0", "1", "2"):
+        series = [v for kk, _, v in rows if kk == k]
+        states = py_states(series)
+        got_rows = (
+            got.where(F.col("key") == k).orderBy("time").collect()
+        )
+        assert len(got_rows) == len(states)
+        for r, (ml, mb, mf) in zip(got_rows, states):
+            if ml is None:
+                assert r["level"] is None and r["forecast"] is None
+            else:
+                assert r["level"] == pytest.approx(ml, abs=1e-9)
+                assert r["trend"] == pytest.approx(mb, abs=1e-9)
+                assert r["forecast"] == pytest.approx(mf, abs=1e-9)
+        # final streamed state == the batch fold (rounded at 6dp)
+        last = got_rows[-1]
+        assert round(last["level"], 6) == batch[k]["level"]
+        assert round(last["trend"], 6) == batch[k]["trend"]
+        assert round(last["forecast"], 6) == batch[k]["forecast"]
+
+    with pytest.raises(ValueError, match="period"):
+        ingest.stateful_holt_winters(
+            stream, "key", "time", "value", period=1
+        )
 
 
 def test_stateful_folds_sort_across_arrow_chunks(spark, tmp_path):

@@ -364,6 +364,182 @@ def holt_last(
     )
 
 
+def holt_winters_last(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    period: int = 4,
+    max_series_rows: int = 1_000_000,
+    round_digits: Optional[int] = 6,
+) -> DataFrame:
+    """Per-key FINAL additive Holt-Winters triple exponential
+    smoothing (level + linear trend + seasonal indices with period
+    ``m``) — the seasonal completion of :func:`holt_last` and the
+    standard IoT/metrics forecast for daily/weekly-cycling series.
+
+    Initialization (deterministic, SQL-replayable): the first full
+    season seeds the state —
+    ``l = mean(v_0..v_{m-1})``, ``b = 0``, ``s_j = v_j - l``;
+    then for ``i >= m`` the coupled three-term recurrence runs over
+    the time-ordered series:
+
+    ``l_i = alpha*(v_i - s_{i-m}) + (1-alpha)*(l_{i-1} + b_{i-1})``;
+    ``b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}``;
+    ``s_i = gamma*(v_i - l_i) + (1-gamma)*s_{i-m}``
+
+    Returns one row per key: ``(key, level, trend, season,
+    forecast)`` where ``season`` is the seasonal index the NEXT
+    reading lands on and ``forecast = level + trend + season`` —
+    the seasonal one-step-ahead prediction.
+
+    Same execution contract as ``holt_last``: ONE shuffle on the
+    key, the fold runs JVM-side over the in-row collected series
+    with a struct ``(i, l, b, s[m], buf)`` accumulator (the seasonal
+    ring updates via an indexed ``transform`` — O(m) per element,
+    m is small), bounded by ``max_series_rows`` with an actionable
+    error. A key with fewer than one full season cannot initialize
+    and raises (actionable: drop short keys first or shrink
+    ``period``). Every step is the same IEEE double arithmetic in
+    the same order in any engine — the q132/q133 oracles replay the
+    recurrence with a recursive CTE carrying the m seasonal columns —
+    rounded at the END only (``round_digits=None`` returns the raw
+    IEEE doubles — for callers that ship engine-portable integer
+    micro-units instead of a decimal rounding, q60's convention).
+    """
+    if period < 2:
+        raise ValueError("holt_winters_last: period must be >= 2")
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(time_col).alias("t"),
+                    F.col(value_col).alias("v"),
+                )
+            )
+        ),
+        lambda s: s["v"],
+    )
+    a = F.lit(float(alpha))
+    bt = F.lit(float(beta))
+    g = F.lit(float(gamma))
+    m = int(period)
+    m_lit = F.lit(m)
+    empty = F.array().cast("array<double>")
+    init = F.struct(
+        F.lit(0).alias("i"),
+        F.lit(None).cast("double").alias("l"),
+        F.lit(None).cast("double").alias("b"),
+        empty.alias("s"),
+        empty.alias("buf"),
+    )
+
+    def step(acc, v):
+        v = v.cast("double")
+        i = acc["i"]
+        buf2 = F.concat(acc["buf"], F.array(v))
+        # sequential left-fold mean: (((0+v0)+v1)+...)/m — the same
+        # addition order the oracle writes out literally
+        l0 = (
+            F.aggregate(buf2, F.lit(0.0), lambda s_, x: s_ + x) / m_lit
+        )
+        s_init = F.transform(buf2, lambda x: x - l0)
+        lag = F.element_at(acc["s"], (i % m_lit) + F.lit(1))
+        newl = a * (v - lag) + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        newb = bt * (newl - acc["l"]) + (F.lit(1.0) - bt) * acc["b"]
+        snew = g * (v - newl) + (F.lit(1.0) - g) * lag
+        s_upd = F.transform(
+            acc["s"],
+            lambda x, j: F.when(j == i % m_lit, snew).otherwise(x),
+        )
+        return (
+            F.when(
+                i < m_lit - F.lit(1),
+                F.struct(
+                    (i + F.lit(1)).alias("i"),
+                    acc["l"].alias("l"),
+                    acc["b"].alias("b"),
+                    acc["s"].alias("s"),
+                    buf2.alias("buf"),
+                ),
+            )
+            .when(
+                i == m_lit - F.lit(1),
+                F.struct(
+                    (i + F.lit(1)).alias("i"),
+                    l0.alias("l"),
+                    F.lit(0.0).alias("b"),
+                    s_init.alias("s"),
+                    empty.alias("buf"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    (i + F.lit(1)).alias("i"),
+                    newl.alias("l"),
+                    newb.alias("b"),
+                    s_upd.alias("s"),
+                    acc["buf"].alias("buf"),
+                )
+            )
+        )
+
+    fold = F.aggregate(ordered, init, step)
+    agg = df.groupBy(key_col).agg(
+        fold.alias("_hw"), F.count(F.lit(1)).alias("_n")
+    )
+    level = F.col("_hw")["l"]
+    trend = F.col("_hw")["b"]
+    # try_element_at: for a shorter-than-one-season key the s array is
+    # empty and a plain element_at would raise ITS error before the
+    # actionable raise_error guard on `level` gets a chance to.
+    season = F.try_element_at(
+        F.col("_hw")["s"],
+        ((F.col("_n") % m_lit) + F.lit(1)).cast("int"),
+    )
+    level = F.when(
+        F.col("_n") < m_lit,
+        F.raise_error(
+            F.concat(
+                F.lit("holt_winters_last: series for key "),
+                F.col(key_col).cast("string"),
+                F.lit(
+                    f" is shorter than one season (period={m}); "
+                    "drop short keys first or shrink period"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(level)
+    if max_series_rows is not None:
+        level = F.when(
+            F.col("_n") > int(max_series_rows),
+            F.raise_error(
+                F.concat(
+                    F.lit("holt_winters_last: series for key "),
+                    F.col(key_col).cast("string"),
+                    F.lit(
+                        f" exceeds max_series_rows={int(max_series_rows)};"
+                        " fold the series through stateful_holt_winters"
+                        " micro-batches for unbounded series"
+                    ),
+                )
+            ).cast("double"),
+        ).otherwise(level)
+    def _r(c):
+        return c if round_digits is None else F.round(c, round_digits)
+
+    return agg.select(
+        key_col,
+        _r(level).alias("level"),
+        _r(trend).alias("trend"),
+        _r(season).alias("season"),
+        _r(level + trend + season).alias("forecast"),
+    )
+
+
 def ewma_running(
     df: DataFrame,
     key_col: str,

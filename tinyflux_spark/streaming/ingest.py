@@ -870,6 +870,126 @@ def stateful_holt(
     )
 
 
+def stateful_holt_winters(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str = "time",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    period: int = 4,
+    state_ttl_minutes: Optional[int] = None,
+) -> DataFrame:
+    """Per-key running additive Holt-Winters (level + trend +
+    seasonal, period ``m``) over an unbounded stream —
+    :func:`stateful_holt`'s seasonal completion and the streaming
+    twin of ``operators.aggregates.holt_winters_last`` (identical
+    recurrence AND identical first-season initialization: the first
+    m values buffer, then seed ``l = mean, b = 0, s_j = v_j - l``).
+    Emits one row per event: ``(key, time, value, level, trend,
+    forecast)`` with ``forecast = level + trend + s_next`` (the
+    seasonal one-step-ahead prediction); warm-up rows (before one
+    full season has arrived) emit NULL level/trend/forecast — the
+    state is not yet defined, and a placeholder would alias a real
+    forecast.
+
+    State per key is ``(cnt, l, b, s[m], buf)`` — O(period), not
+    O(history). Rows fold in (time, value) order over the whole
+    micro-batch (chunks concatenated first — the stateful_ewma
+    contract); stream == batch equality assumes per-key arrivals are
+    time-ordered across batches. ``state_ttl_minutes`` reclaims idle
+    keys on continuous deployments."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    if period < 2:
+        raise ValueError("stateful_holt_winters: period must be >= 2")
+    m = int(period)
+    out_schema = (
+        f"{key_col} string, {time_col} timestamp, "
+        f"{value_col} double, level double, trend double, "
+        "forecast double"
+    )
+    state_schema = (
+        "cnt long, l double, b double, "
+        "s array<double>, buf array<double>"
+    )
+    with_ttl = state_ttl_minutes is not None
+
+    def fn(key, pdfs, state: GroupState):
+        if with_ttl and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            cnt, l, b, s, buf = state.get
+            s = list(s)
+            buf = list(buf)
+        else:
+            cnt, l, b, s, buf = 0, None, None, [], []
+        rows = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                [time_col, value_col]
+            )
+            for t, v in zip(pdf[time_col], pdf[value_col]):
+                v = float(v)
+                if cnt < m - 1:
+                    buf.append(v)
+                    rows.append(
+                        (str(key[0]), t, v, None, None, None)
+                    )
+                elif cnt == m - 1:
+                    buf.append(v)
+                    acc = 0.0
+                    for x in buf:
+                        acc = acc + x
+                    l = acc / m
+                    b = 0.0
+                    s = [x - l for x in buf]
+                    buf = []
+                    rows.append(
+                        (str(key[0]), t, v, l, b, l + b + s[m % m])
+                    )
+                else:
+                    lag = s[cnt % m]
+                    nl = alpha * (v - lag) + (1.0 - alpha) * (l + b)
+                    b = beta * (nl - l) + (1.0 - beta) * b
+                    s[cnt % m] = gamma * (v - nl) + (1.0 - gamma) * lag
+                    l = nl
+                    rows.append(
+                        (
+                            str(key[0]), t, v, l, b,
+                            l + b + s[(cnt + 1) % m],
+                        )
+                    )
+                cnt += 1
+        state.update((cnt, l, b, s, buf))
+        if with_ttl:
+            state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                key_col, time_col, value_col,
+                "level", "trend", "forecast",
+            ],
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if with_ttl
+        else GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_near_dup_insert(
     docs_stream: DataFrame,
     corpus: DataFrame,
