@@ -76,6 +76,7 @@ PANEL = [
     ("q128_srp_batch_indexed", (1, 10, 100)),
     ("q130_srp_append_serve", (1, 10, 100)),
     ("q131_index_recall_probe", (1, 10, 100)),
+    ("q132_holt_winters_last", (1, 10, 100)),
 ]
 
 # Persisted-index queries: after the timed run, measure SAMPLED
