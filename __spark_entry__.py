@@ -3246,16 +3246,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS artifact records
     # only the FIRST 50 entries. The order rotates each round so every
     # query periodically lands in that window. Round 10 (VERDICT r9 ask
-    # #1): the thirteen round-9 operators q117-q129 lead - registered
-    # after round 9's window froze, never driver-gated - then q47/q50/
+    # #1): the four round-10 operators q130-q133 lead (registered
+    # DURING the round, before the window froze — ending the
+    # "new operators wait a rotation" blemish), then the thirteen
+    # round-9 operators q117-q129 (never driver-gated), then q47/q50/
     # q76-q88 (next-longest unrefreshed), then the longest-unrefreshed
     # r8-window rows (q02/q03/q05/q07/q08/q10/q33/q38/q42-q46/q48/q49/
-    # q51-q57): exactly 50. New round-10 operators (q130+) are inserted
-    # at the TOP of the window when registered, so they ship with a
-    # driver row in the same round instead of waiting one rotation.
-    # Below the window: q58-q69/q26 + the rows driver-refreshed in r9.
-    # tools/check_gate.py remains the per-commit guard over the full
-    # registry.
+    # q51-q53): exactly 50. Below the window: q54-q69/q26 + the rows
+    # driver-refreshed in r9 (q54-q57 were displaced by q130-q133 and
+    # lead the r11 rotation). tools/check_gate.py remains the
+    # per-commit guard over the full registry.
     return {
         "q130_srp_append_serve": q130_srp_append_serve,
         "q131_index_recall_probe": q131_index_recall_probe,

@@ -55,6 +55,11 @@ HEAVY = {
     "q125_stream_self_dedup", "q129_stream_holt",
     "q102_stream_semantic_dedup", "q103_fivegram_logprob",
     "q106_stream_kmv_distinct",
+    # q133 runs a full finite stream per call (q129's convention);
+    # q130's first call builds + stream-appends the SRP index (then
+    # cached); q131 brute-forces exact cosine per sampled query.
+    "q130_srp_append_serve", "q131_index_recall_probe",
+    "q132_holt_winters_last", "q133_stream_holt_winters",
     # q95/q99: clustering + within-cluster pair scan (EAGER_PER_RUN
     # rebuilds the checkpointed assignment inside the timed window)
     "q95_semantic_dedup", "q99_text_semantic_dedup",
