@@ -77,7 +77,22 @@ PANEL = [
     ("q130_srp_append_serve", (1, 10, 100)),
     ("q131_index_recall_probe", (1, 10, 100)),
     ("q132_holt_winters_last", (1, 10, 100)),
+    # auto-K variants of the batch ANN reads (VERDICT r9 ask #4): the
+    # index is built per scale dir with num_centroids/num_planes
+    # "auto", so per-query candidate volume should hold ~sqrt(N)
+    # (IVF) / ~flat (SRP) instead of linear. Index build happens on
+    # the warmup call (cached per dir); the timed run is the serve.
+    ("q126_ivf_batch_indexed_autoK", (1, 10, 100)),
+    ("q128_srp_batch_indexed_autoK", (1, 10, 100)),
 ]
+
+# persisted auto-K index paths built by the probe itself, keyed by
+# (panel name, sf_dir) — probe_index_recall reads these too.
+AUTO_INDEX_PATHS: dict = {}
+AUTO_RECALL = {
+    "q126_ivf_batch_indexed_autoK",
+    "q128_srp_batch_indexed_autoK",
+}
 
 # Persisted-index queries: after the timed run, measure SAMPLED
 # recall@10 with operators.similarity.index_recall_probe over the very
@@ -102,8 +117,11 @@ def probe_index_recall(spark, sf_dir, name):
 
     from tinyflux_spark.operators.similarity import index_recall_probe
 
-    key = PROBE_INDEXED[name](sf_dir)
-    path = em._IVF_INDEX_CACHE.get(spark, {}).get(key)
+    if name in PROBE_INDEXED:
+        key = PROBE_INDEXED[name](sf_dir)
+        path = em._IVF_INDEX_CACHE.get(spark, {}).get(key)
+    else:
+        path = AUTO_INDEX_PATHS.get((name, sf_dir))
     if path is None:
         return None
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -165,6 +183,47 @@ SCALED = {
 
 def probe_fn(name):
     import __spark_entry__ as em
+
+    if name in ("q126_ivf_batch_indexed_autoK",
+                "q128_srp_batch_indexed_autoK"):
+        ivf = name.startswith("q126")
+
+        def auto_indexed(spark, sf_dir):
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from tinyflux_spark.operators.similarity import (
+                ivf_topk_batch_indexed,
+                ivf_write_index,
+                srp_topk_batch_indexed,
+                srp_write_index,
+            )
+
+            emb = spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")
+            )
+            key = (name, sf_dir)
+            if key not in AUTO_INDEX_PATHS:
+                path = tempfile.mkdtemp(prefix="tfs_probe_auto_")
+                if ivf:
+                    ivf_write_index(emb, path, num_centroids="auto")
+                else:
+                    srp_write_index(
+                        emb, path, num_planes="auto",
+                        target_bucket_rows=1024,
+                    )
+                AUTO_INDEX_PATHS[key] = path
+            queries = emb.where(F.col("vec_id") % 100 == 0)
+            if ivf:
+                return ivf_topk_batch_indexed(
+                    spark, AUTO_INDEX_PATHS[key], queries, k=5, nprobe=4
+                )
+            return srp_topk_batch_indexed(
+                spark, AUTO_INDEX_PATHS[key], queries, k=5, multiprobe=1
+            )
+
+        return auto_indexed
 
     if name == "q95_semantic_dedup":
 
@@ -303,7 +362,7 @@ def run(out_path: str, dirs: dict[int, str], only=None) -> None:
                 entry[str(f)]["recall_at_10"] = round(
                     len(got & exact) / max(len(exact), 1), 2
                 )
-            if name in PROBE_INDEXED:
+            if name in PROBE_INDEXED or name in AUTO_RECALL:
                 pr = probe_index_recall(spark, sf_dir, name)
                 if pr is not None:
                     entry[str(f)]["probe_recall_at_10"] = pr
