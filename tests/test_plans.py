@@ -371,6 +371,13 @@ def test_no_plan_antipatterns_across_registered_queries(spark):
         # q104: the 1-row n_sample / n_total count aggregates
         # crossJoined into the |probs|-row target-rank table.
         "q104_kmv_quantiles",
+        # q131: the recall probe's EXACT side is definitionally
+        # brute-force — every SAMPLED query scores the whole stored
+        # corpus — so the broadcast build is the query sample
+        # (bounded by the probe's sampling contract: tens of rows),
+        # and the corpus streams through once. A keyed join cannot
+        # express "score everything"; this BNLJ is the right plan.
+        "q131_index_recall_probe",
     }
     bad = {}
     for name, fn in em.queries().items():
