@@ -3045,6 +3045,43 @@ def q131_index_recall_probe(spark, sf_dir):
     )
 
 
+def q134_ivf_pq_batch_indexed(spark, sf_dir):
+    """Batch ADC against the persisted IVF-PQ index — q109's read for
+    a query SET (and q126's codes-only sibling): every vec_id % 100
+    query is served in ONE plan whose corpus side reads only the
+    probed codes/ directories and only the (id, codes) columns — the
+    raw vectors never leave storage even with a hundred queries. Probe
+    lists AND the per-query m × ksub decimal ADC tables are built
+    engine-side from the codebook/book literals; the (query, list,
+    tables) rows broadcast onto the pruned scan; per-query top-k is a
+    rank window. The oracle replays probe + encode + per-query
+    decimal-ADC + rank per query in SQL (q109's replay generalized
+    over the query set)."""
+    import tempfile
+
+    from tinyflux_spark.operators.similarity import (
+        ivf_pq_topk_batch_indexed,
+        ivf_write_index,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") != 0)
+    per_session = _IVF_INDEX_CACHE.setdefault(spark, {})
+    key = (sf_dir, "pq")
+    if key not in per_session:
+        path = tempfile.mkdtemp(prefix="tfs_ivfpq_")
+        ivf_write_index(
+            corpus, path, num_centroids=16, pq_m=8, pq_ksub=16
+        )
+        per_session[key] = path
+    queries = emb.where(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") != 0)
+    )
+    return ivf_pq_topk_batch_indexed(
+        spark, per_session[key], queries, k=10, nprobe=4
+    )
+
+
 def q130_srp_append_serve(spark, sf_dir):
     """The full SRP index lifecycle (round-10, closing VERDICT r9's
     missing half): build the persisted index on two thirds of the
@@ -3252,11 +3289,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-9 operators q117-q129 (never driver-gated), then q47/q50/
     # q76-q88 (next-longest unrefreshed), then the longest-unrefreshed
     # r8-window rows (q02/q03/q05/q07/q08/q10/q33/q38/q42-q46/q48/q49/
-    # q51-q53): exactly 50. Below the window: q54-q69/q26 + the rows
-    # driver-refreshed in r9 (q54-q57 were displaced by q130-q133 and
+    # q51-q52): exactly 50. Below the window: q53-q69/q26 + the rows
+    # driver-refreshed in r9 (q53-q57 were displaced by q130-q134 and
     # lead the r11 rotation). tools/check_gate.py remains the
     # per-commit guard over the full registry.
     return {
+        "q134_ivf_pq_batch_indexed": q134_ivf_pq_batch_indexed,
         "q130_srp_append_serve": q130_srp_append_serve,
         "q131_index_recall_probe": q131_index_recall_probe,
         "q132_holt_winters_last": q132_holt_winters_last,
@@ -6166,6 +6204,80 @@ def oracle_sql() -> dict[str, str]:
         # q109: the persisted IVF-PQ layout is semantically identical
         # to the inline composition with unrefined (stride) codebooks
         # — IVF probe CTEs + the shared encode/ADC tail over book0.
+        # q134: q109's replay over a query SET — per-query probes
+        # (rank over cent partitioned by qid), ONE corpus encode
+        # (query-independent), per-query decimal ADC tables, and a
+        # per-query rank window. Self is excluded (the batch read's
+        # exclude_self contract).
+        "q134_ivf_pq_batch_indexed": f"""
+            WITH {_PQ_BASE_CTES},
+            qs AS (
+                SELECT vec_id AS qid, e AS qe2 FROM emb
+                WHERE vec_id % 100 = 0 AND vec_id <> 0
+            ),
+            ivfasg AS (
+                SELECT c.vec_id, c.e,
+                       (SELECT code FROM cent
+                        ORDER BY ROUND(
+                            list_dot_product(c.e, ce)
+                            / (sqrt(list_dot_product(c.e, c.e))
+                               * sqrt(list_dot_product(ce, ce))), 6
+                        ) DESC, code
+                        LIMIT 1) AS lst
+                FROM corpus c
+            ),
+            qprob AS (
+                SELECT qid, code FROM (
+                    SELECT qs.qid, cent.code,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY qs.qid
+                               ORDER BY ROUND(
+                                   list_dot_product(qe2, ce)
+                                   / (sqrt(list_dot_product(qe2, qe2))
+                                      * sqrt(list_dot_product(ce, ce))),
+                                   6) DESC, cent.code) AS r
+                    FROM qs, cent
+                ) WHERE r <= 4
+            ),
+            enc AS (
+                SELECT c.vec_id, sp.s,
+                       {_pq_argmin_subq("book0", "c.e[sp.s*8+1 : sp.s*8+8]")} AS code
+                FROM corpus c, sp
+            ),
+            qtbl AS (
+                SELECT qs.qid, b.s, b.code,
+                       CAST(list_dot_product(
+                           list_transform(
+                               list_zip(qe2[b.s*8+1 : b.s*8+8], b.bsub),
+                               p -> p[1] - p[2]),
+                           list_transform(
+                               list_zip(qe2[b.s*8+1 : b.s*8+8], b.bsub),
+                               p -> p[1] - p[2]))
+                           AS DECIMAL(20,12)) AS d
+                FROM book0 b, qs
+            ),
+            cand AS (
+                SELECT p.qid, a.vec_id
+                FROM ivfasg a JOIN qprob p ON a.lst = p.code
+                WHERE a.vec_id <> p.qid
+            ),
+            adc AS (
+                SELECT c.qid, c.vec_id,
+                       CAST(SUM(t.d) AS DOUBLE) AS adc_dist
+                FROM cand c
+                JOIN enc e ON e.vec_id = c.vec_id
+                JOIN qtbl t ON t.qid = c.qid AND t.s = e.s
+                           AND t.code = e.code
+                GROUP BY c.qid, c.vec_id
+            )
+            SELECT qid AS query_id, vec_id, adc_dist,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY qid ORDER BY adc_dist, vec_id) AS rank
+                FROM adc
+            ) WHERE rank <= 10
+        """,
         "q109_ivf_pq_indexed_topk": f"""
             WITH {_PQ_BASE_CTES},
             ivfasg AS (

@@ -3264,6 +3264,110 @@ def test_auto_sized_codebooks_hold_candidate_volume(spark, tmp_path):
         )
 
 
+def test_ivf_pq_batch_indexed_equals_per_query(spark, tmp_path):
+    """ivf_pq_topk_batch_indexed: the one-plan batch ADC read returns,
+    for every query, exactly ivf_pq_topk_indexed's per-query result —
+    on a plain-PQ index AND on a residual index (where the broadcast
+    row's list id selects the query-residual before the table
+    build)."""
+    from tinyflux_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    corpus = emb.where(F.col("vec_id") != 0)
+    queries = emb.where(
+        (F.col("vec_id") % 150 == 0) & (F.col("vec_id") != 0)
+    )
+    for name, kw in [
+        ("pq", dict(num_centroids=8, pq_m=8, pq_ksub=8)),
+        ("res", dict(num_centroids=8, pq_m=8, pq_ksub=8,
+                     residual=True, coarse_refine_iters=1)),
+    ]:
+        path = str(tmp_path / name)
+        sim.ivf_write_index(corpus, path, **kw)
+        batch = sim.ivf_pq_topk_batch_indexed(
+            spark, path, queries, k=5, nprobe=3
+        )
+        got = {}
+        for r in batch.collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"], r["adc_dist"])
+            )
+        for q in queries.collect():
+            # per-query read does not exclude self: over-fetch one,
+            # drop self, keep 5, re-rank
+            per_q = [
+                (r["id"], r["adc_dist"])
+                for r in sim.ivf_pq_topk_indexed(
+                    spark, path, list(q["embedding"]), k=6, nprobe=3
+                ).collect()
+                if r["id"] != q["vec_id"]
+            ][:5]
+            want = [
+                (i + 1, vid, d) for i, (vid, d) in enumerate(per_q)
+            ]
+            assert sorted(got[q["vec_id"]]) == want, (name, q["vec_id"])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        sim.ivf_pq_topk_batch_indexed(
+            spark, str(tmp_path / "pq"), queries, k=0
+        )
+
+
+def test_index_recall_probe_adc_scoring_arm(spark, tmp_path):
+    """index_recall_probe(scoring='adc'): measures the codes-only ADC
+    serving stack — per-query recall equals the Python intersection
+    of the batch-ADC read against exact cosine; refused on SRP and
+    codes-less IVF indexes."""
+    from tinyflux_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    sample = emb.where(F.col("vec_id") % 200 == 0)
+    path = str(tmp_path / "pq")
+    sim.ivf_write_index(emb, path, num_centroids=4, pq_m=8, pq_ksub=8)
+    got = {
+        r["query_id"]: (r["hits"], r["n_exact"], r["recall"])
+        for r in sim.index_recall_probe(
+            spark, path, sample, k=6, nprobe=4, scoring="adc"
+        ).collect()
+    }
+    adc = {}
+    for r in sim.ivf_pq_topk_batch_indexed(
+        spark, path, sample, k=6, nprobe=4
+    ).collect():
+        adc.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in sample.collect():
+        exact_ids = {
+            r["vec_id"]
+            for r in sim.cosine_topk(
+                emb.where(F.col("vec_id") != q["vec_id"]),
+                list(q["embedding"]), k=6,
+            ).collect()
+        }
+        h = len(adc.get(q["vec_id"], set()) & exact_ids)
+        assert got[q["vec_id"]] == (
+            h, len(exact_ids), round(h / len(exact_ids), 6)
+        )
+
+    import pytest
+
+    flat = str(tmp_path / "flat")
+    sim.ivf_write_index(emb, flat, num_centroids=4)
+    with pytest.raises(ValueError, match="pq_books"):
+        sim.index_recall_probe(spark, flat, sample, scoring="adc")
+    srp = str(tmp_path / "srp")
+    sim.srp_write_index(emb, srp, num_planes=3)
+    with pytest.raises(ValueError, match="SRP"):
+        sim.index_recall_probe(spark, srp, sample, scoring="adc")
+    with pytest.raises(ValueError, match="scoring"):
+        sim.index_recall_probe(spark, path, sample, scoring="bogus")
+
+
 def test_index_recall_probe_measures_pruning_recall(spark, tmp_path):
     """index_recall_probe: (a) an IVF index probed with nprobe ==
     num_centroids scans every list, so recall is exactly 1.0 for

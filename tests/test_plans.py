@@ -1110,6 +1110,46 @@ def test_bloom_decontamination_never_broadcasts_eval_strings(spark):
     assert "bit_or" not in plan, "bitmap aggregation re-planned per probe"
 
 
+def test_ivf_pq_batch_indexed_codes_only_pruned_limited(
+    spark, tmp_path
+):
+    """The batch ADC read (q134) keeps all three scale contracts at
+    once: the codes/ scan is pruned to the union of the queries'
+    probed directories (PartitionFilters on _ivf_list), the ReadSchema
+    carries ONLY (id, codes) — no raw vector column ever leaves
+    storage — and the per-query top-k compiles to WindowGroupLimit."""
+    from pyspark.sql import functions as F
+
+    from tinyflux_spark.operators.similarity import (
+        ivf_pq_topk_batch_indexed,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    path = str(tmp_path / "idx")
+    ivf_write_index(emb, path, num_centroids=16, pq_m=8, pq_ksub=8)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    res = ivf_pq_topk_batch_indexed(
+        spark, path, queries, k=5, nprobe=4
+    )
+    plan = plan_of(res)
+    assert "PartitionFilters" in plan
+    assert "_ivf_list" in plan.split("PartitionFilters")[1][:300]
+    assert "WindowGroupLimit" in plan
+    # codes-only corpus read: the index FileScan's ReadSchema carries
+    # (id, codes) and never the raw embedding column (the queries-side
+    # scan of the embeddings table legitimately reads embeddings)
+    corpus_scans = [
+        c.splitlines()[0]
+        for c in plan.split("ReadSchema:")[1:]
+        if "codes" in c.splitlines()[0]
+    ]
+    assert corpus_scans, "no codes scan found in plan"
+    assert all("embedding" not in s for s in corpus_scans), corpus_scans
+
+
 def test_ivf_batch_indexed_prunes_partitions_and_limits_groups(
     spark, tmp_path
 ):

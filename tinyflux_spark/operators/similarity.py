@@ -1002,6 +1002,141 @@ def ivf_pq_topk_indexed(
     )
 
 
+def ivf_pq_topk_batch_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    query_vec_col: Optional[str] = None,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch ADC against a persisted IVF-PQ index —
+    :func:`ivf_pq_topk_indexed` for a query SET in one plan, i.e. the
+    kNN-graph / hard-negative-mining read where the corpus side is
+    codes-only: the ``codes/`` scan is pruned to the union of the
+    queries' probed list directories (PartitionFilters) and reads
+    ONLY the (id, codes) columns — the raw vectors never leave
+    storage even though thousands of queries are served. Returns
+    ``(query_id, <id_col>, adc_dist, rank)``, per-query ascending ADC
+    with id ties, rank <= k. Results equal issuing
+    :func:`ivf_pq_topk_indexed` once per query row
+    (pytest-asserted; the q134 oracle replays probe + encode +
+    decimal ADC per query in SQL).
+
+    Plan shape: probe lists rank ENGINE-side per query from the
+    codebook literals (:func:`_batch_query_probes`), the per-query
+    m × ksub ADC lookup tables are ALSO built engine-side from the
+    query vector (the same sequential (x−y)² left fold as
+    :func:`pq_adc_topk`'s driver-side tables, each entry cast to
+    DECIMAL(20,12) in the engine so the m-term per-row sum stays
+    exact and order-independent), and the (query, list, tables) rows
+    broadcast onto the pruned codes scan — per code row the ADC is m
+    array lookups + m decimal adds, and the per-query top-k compiles
+    to a rank window (WindowGroupLimit). On a ``residual=True`` index
+    the table build subtracts the probed list's centroid from the
+    query first (``zip_with`` — the query-residual of
+    :func:`ivf_pq_residual_topk`) and everything downstream is
+    unchanged: the broadcast row already carries its list id.
+
+    Scoring law is q126's with the 32× smaller operand: per-query
+    cost ∝ |probed codes| = nprobe·N/K m-byte rows — grow K with the
+    corpus (``num_centroids="auto"``) to hold it.
+    """
+    import json as _json
+    import os as _os
+
+    if k <= 0:
+        raise ValueError("ivf_pq_topk_batch_indexed: k must be positive")
+    if nprobe <= 0:
+        raise ValueError(
+            "ivf_pq_topk_batch_indexed: nprobe must be positive"
+        )
+    from pyspark.sql import Window
+
+    qid = query_id_col or id_col
+    qvc = query_vec_col or vec_col
+    cents = ivf_read_codebook(path)
+    with open(_os.path.join(path, "pq_books.json")) as f:
+        books = _json.load(f)
+    params = _read_index_params(path) or {}
+    m, sub, ksub = books["m"], books["sub"], books["ksub"]
+    q_exp = _batch_query_probes(queries, cents, qid, qvc, nprobe)
+    if params.get("residual"):
+        # query-residual per probed list: q − c_list, selected from
+        # the centroid literals by the row's own _ivf_list
+        cent_arr = F.array(
+            *[_lit_vec(v) for _, v in sorted(cents)]
+        )
+        csel = F.element_at(
+            cent_arr, (F.col("_ivf_list") + F.lit(1)).cast("int")
+        )
+        qbase = F.zip_with(
+            F.col("_qvec"), csel, lambda x, c: x.cast("double") - c
+        )
+    else:
+        qbase = F.transform(F.col("_qvec"), lambda x: x.cast("double"))
+
+    def entry_expr(s: int, bsub) -> Column:
+        # the same sequential left fold as pq_adc_topk's fold_sqdist:
+        # acc = 0.0; acc += (x - y)**2 term by term
+        acc: Optional[Column] = None
+        for j in range(sub):
+            d = F.element_at(qbase, s * sub + j + 1) - F.lit(
+                float(bsub[j])
+            )
+            term = d * d
+            acc = term if acc is None else acc + term
+        return acc.cast("decimal(20,12)")
+
+    tables = F.array(
+        *[
+            F.array(
+                *[entry_expr(s, books["books"][s][c]) for c in range(ksub)]
+            )
+            for s in range(m)
+        ]
+    )
+    bq = F.broadcast(
+        q_exp.select("_qid", "_ivf_list", tables.alias("_tbl"))
+    )
+    # K-bounded driver round-trip — the literal IN list becomes the
+    # directory-level PartitionFilters on the codes scan.
+    probe_ids = sorted(
+        r[0] for r in q_exp.select("_ivf_list").distinct().collect()
+    )
+    codes = spark.read.parquet(_os.path.join(path, "codes")).where(
+        F.col("_ivf_list").isin(probe_ids)
+    )
+    joined = codes.join(bq, "_ivf_list")
+    if exclude_self:
+        joined = joined.where(F.col("id") != F.col("_qid"))
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("_tbl"), s + 1),
+            (F.element_at(F.col("codes"), s + 1) + F.lit(1)).cast(
+                "int"
+            ),
+        )
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col)
+    )
+    return (
+        joined.select(
+            F.col("_qid").alias("query_id"),
+            F.col("id").alias(id_col),
+            adc.cast("double").alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def srp_write_index(
     df: DataFrame,
     path: str,
@@ -1230,6 +1365,7 @@ def index_recall_probe(
     nprobe: int = 4,
     multiprobe: int = 1,
     exclude_self: bool = True,
+    scoring: str = "exact",
 ) -> DataFrame:
     """Sampled recall@k of a PERSISTED index (IVF, IVF-PQ, residual,
     or SRP — detected from the on-disk layout) against the exact
@@ -1252,9 +1388,14 @@ def index_recall_probe(
     (:func:`ivf_topk_batch_indexed` / :func:`srp_topk_batch_indexed`:
     PartitionFilters-pruned scan, broadcast query batch,
     WindowGroupLimit), so what's measured is exactly what production
-    queries get — for a PQ-carrying index this measures the
-    candidate/pruning recall of the frozen coarse codebook (the
-    drift-sensitive part); ADC ranking error is rerank's concern.
+    queries get — with ``scoring="exact"`` (default) a PQ-carrying
+    index is read through its raw ``lists/`` (the candidate/pruning
+    recall of the frozen coarse codebook — the drift-sensitive part);
+    ``scoring="adc"`` instead ranks candidates by the codes-only ADC
+    read (:func:`ivf_pq_topk_batch_indexed`), measuring the FULL
+    approximation stack the cheapest serving path ships — the honest
+    SCALE_r9 finding (ADC-only recall is coarse at small corpora,
+    rerank recovers) as a per-index number.
     The exact side is a brute-force scan scored per query with the
     same rounded-cosine ranking — per-query cost is |corpus|, which
     is the point of SAMPLING the queries: probe tens of queries, not
@@ -1265,7 +1406,16 @@ def index_recall_probe(
 
     if k <= 0:
         raise ValueError("index_recall_probe: k must be positive")
+    if scoring not in ("exact", "adc"):
+        raise ValueError(
+            f"scoring must be 'exact' or 'adc', got {scoring!r}"
+        )
     if _os.path.exists(_os.path.join(path, "planes.json")):
+        if scoring == "adc":
+            raise ValueError(
+                "scoring='adc' applies to IVF-PQ indexes; SRP "
+                "indexes hold raw vectors only"
+            )
         with open(_os.path.join(path, "planes.json")) as f:
             rec = _json.load(f)
         id_col = rec.get("id_col", "vec_id")
@@ -1284,10 +1434,21 @@ def index_recall_probe(
         qid = query_id_col or id_col
         qvc = query_vec_col or vec_col
         corpus = spark.read.parquet(_os.path.join(path, "lists"))
-        approx = ivf_topk_batch_indexed(
-            spark, path, queries, k, id_col, vec_col,
-            qid, qvc, nprobe, exclude_self,
-        )
+        if scoring == "adc":
+            if not _os.path.exists(_os.path.join(path, "pq_books.json")):
+                raise ValueError(
+                    "scoring='adc' needs an IVF-PQ index (no "
+                    f"pq_books.json at {path!r})"
+                )
+            approx = ivf_pq_topk_batch_indexed(
+                spark, path, queries, k, id_col, vec_col,
+                qid, qvc, nprobe, exclude_self,
+            )
+        else:
+            approx = ivf_topk_batch_indexed(
+                spark, path, queries, k, id_col, vec_col,
+                qid, qvc, nprobe, exclude_self,
+            )
     else:
         raise ValueError(
             f"no planes.json or codebook.json at {path!r}: not a "
