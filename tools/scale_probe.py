@@ -126,14 +126,24 @@ def probe_index_recall(spark, sf_dir, name):
         return None
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     sample = emb.where(F.col("vec_id") % 100 == 0)
-    mean_r = (
-        index_recall_probe(
-            spark, path, sample, k=10, nprobe=4, multiprobe=1
-        )
-        .agg(F.avg("recall"))
-        .first()[0]
-    )
-    return round(float(mean_r), 3)
+
+    def mean_recall(scoring):
+        return round(float(
+            index_recall_probe(
+                spark, path, sample, k=10, nprobe=4, multiprobe=1,
+                scoring=scoring,
+            )
+            .agg(F.avg("recall"))
+            .first()[0]
+        ), 3)
+
+    out = {"probe_recall_at_10": mean_recall("exact")}
+    if os.path.exists(os.path.join(path, "pq_books.json")):
+        # the FULL codes-only stack: where the residual-drift rule
+        # shows up as a number (pruning recall alone can stay 1.0
+        # while the ADC ranking degrades under codebook drift)
+        out["probe_adc_recall_at_10"] = mean_recall("adc")
+    return out
 
 # ANN family: besides sec/rows, record recall@10 against the exact
 # cosine top-10 (q24's ranking) on the SAME scale dir — latency that
@@ -365,7 +375,7 @@ def run(out_path: str, dirs: dict[int, str], only=None) -> None:
             if name in PROBE_INDEXED or name in AUTO_RECALL:
                 pr = probe_index_recall(spark, sf_dir, name)
                 if pr is not None:
-                    entry[str(f)]["probe_recall_at_10"] = pr
+                    entry[str(f)].update(pr)
             print(f"{name} @{f}x: {sec:.2f}s "
                   f"{entry[str(f)]['rows']} rows"
                   + (
