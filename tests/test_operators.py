@@ -3264,6 +3264,62 @@ def test_auto_sized_codebooks_hold_candidate_volume(spark, tmp_path):
         )
 
 
+def test_index_build_tiny_and_empty_corpora(spark, tmp_path):
+    """Auto-sizing edge cases (ADVICE r10): an EMPTY corpus raises an
+    actionable error in every write path (auto AND explicit — no
+    obscure downstream assign failure), and a tiny corpus (n < 4,
+    below the K floor) caps auto-K at N instead of minting empty
+    stride buckets, then builds and serves normally."""
+    import json
+    import os
+
+    import pytest
+
+    from tinyflux_spark.operators import similarity as sim
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda j: (
+                    (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2000))
+                     - F.lit(1000)) / F.lit(1000.0)
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+
+    empty = corpus(0)
+    with pytest.raises(ValueError, match="empty"):
+        sim.ivf_write_index(empty, str(tmp_path / "e1"),
+                            num_centroids="auto")
+    with pytest.raises(ValueError, match="empty"):
+        sim.ivf_write_index(empty, str(tmp_path / "e2"),
+                            num_centroids=4)
+    with pytest.raises(ValueError, match="empty"):
+        sim.srp_write_index(empty, str(tmp_path / "e3"),
+                            num_planes="auto")
+    with pytest.raises(ValueError, match="empty"):
+        sim.srp_write_index(empty, str(tmp_path / "e4"), num_planes=2)
+
+    # n=2 < the K floor of 4: auto caps K at N; the index serves
+    tiny = corpus(2)
+    ip = str(tmp_path / "tiny")
+    sim.ivf_write_index(tiny, ip, num_centroids="auto")
+    params = json.load(open(os.path.join(ip, "params.json")))
+    assert params["num_centroids"] == 2
+    got = sim.ivf_topk_indexed(
+        spark, ip, [0.1] * 8, k=2, nprobe=2
+    ).collect()
+    assert len(got) == 2
+    assert sim._auto_num_centroids(1) == 1
+    assert sim._auto_num_centroids(3) == 3
+    assert sim._auto_num_centroids(4) == 4
+    assert sim._auto_num_centroids(100) == 10
+    with pytest.raises(ValueError, match="empty"):
+        sim._auto_num_centroids(0)
+
+
 def test_ivf_pq_batch_indexed_equals_per_query(spark, tmp_path):
     """ivf_pq_topk_batch_indexed: the one-plan batch ADC read returns,
     for every query, exactly ivf_pq_topk_indexed's per-query result —

@@ -1578,12 +1578,14 @@ def test_stream_self_dedup_matches_batch_all_pairs(spark, tmp_path):
 def test_stream_self_dedup_state_compaction_long_stream(
     spark, tmp_path
 ):
-    """state_compact_every: a 20-epoch stream with a crash-retry
-    injected at the last epoch keeps (a) the pair results identical
+    """state_compact_every: a 20-epoch stream with a DOUBLE
+    crash-retry injected at the last epoch (two interrupted attempts
+    each left the batch's sig rows behind — the repeated-retry growth
+    mode, VERDICT r10 note) keeps (a) the pair results identical
     to the one-shot all-pairs oracle, (b) the sig/docs state file
     count BOUNDED (folds into <sub>_base/v=V instead of one parquet
-    job's files per epoch), (c) zero duplicate signature rows after
-    the fold's distinct() clears the crash-retry re-append."""
+    job's files per epoch), (c) zero duplicate rows in EITHER state
+    dir after the fold's distinct() clears the retry re-appends."""
     import json
     import os
 
@@ -1627,13 +1629,16 @@ def test_stream_self_dedup_state_compaction_long_stream(
     q = run()
     assert q.awaitTermination(600) and q.exception() is None
 
-    # inject the sig-committed/docs-missing crash at the next epoch,
-    # then deliver it for real — epoch 19 retries into the poisoned
-    # state AND triggers a fold right after ((19+1) % 5 == 0)
+    # inject the sig-committed/docs-missing crash TWICE at the next
+    # epoch (two interrupted retries, each re-appending the batch's
+    # signatures), then deliver it for real — epoch 19 retries into
+    # the doubly-poisoned state AND triggers a fold right after
+    # ((19+1) % 5 == 0)
     lineage = ingest._checkpoint_query_lineage(spark, ck)
-    banded_signatures(
-        last, "doc_id", num_hashes=12, bands=4
-    ).write.mode("append").parquet(os.path.join(state, "sig"))
+    for _ in range(2):
+        banded_signatures(
+            last, "doc_id", num_hashes=12, bands=4
+        ).write.mode("append").parquet(os.path.join(state, "sig"))
     ingest._write_json_marker(
         spark, os.path.join(state, "_pending.json"),
         {"lineage": lineage, "batch_id": n_files - 1},
@@ -1679,9 +1684,12 @@ def test_stream_self_dedup_state_compaction_long_stream(
         ]
         assert len(live) <= 8, (sub, len(live))
 
-    # (c) the fold's distinct() cleared the crash-retry duplicates
+    # (c) the fold's distinct() cleared the crash-retry duplicates —
+    # in BOTH dirs (docs folds distinct too: ids unique by contract)
     sig = ingest._read_state_dir(spark, state, "sig")
     assert sig.count() == sig.distinct().count()
+    docs_state = ingest._read_state_dir(spark, state, "docs")
+    assert docs_state.count() == docs_state.distinct().count()
     # and the state content equals a clean one-shot signature build
     want_sig = sorted(
         tuple(r)
@@ -1690,6 +1698,73 @@ def test_stream_self_dedup_state_compaction_long_stream(
         ).collect()
     )
     assert sorted(tuple(r) for r in sig.collect()) == want_sig
+
+
+def test_truncated_fold_manifest_treated_as_uncommitted(
+    spark, tmp_path
+):
+    """ADVICE r10 medium: a fold manifest that EXISTS but doesn't
+    parse (the crash-mid-write artifact of a non-atomic fs.create)
+    must read as an UNCOMMITTED version — readers fall back to the
+    previous committed base ∪ live files instead of raising
+    JSONDecodeError on every later read — and the staged+renamed
+    writer (_write_json_atomic) can't produce one in the first
+    place (the final name appears only via an atomic rename)."""
+    import os
+
+    from tinyflux_spark.streaming import ingest
+
+    state = str(tmp_path / "state")
+    rows = spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    rows.where("id < 5").write.mode("append").parquet(state + "/sig")
+    rows.where("id >= 5").write.mode("append").parquet(state + "/sig")
+    ingest._compact_state_dir(spark, state, "sig")
+    base_v, _ = ingest._latest_committed_state_base(spark, state, "sig")
+    assert base_v == 0
+    assert ingest._read_state_dir(spark, state, "sig").count() == 10
+
+    # fabricate a NEWER version whose manifest is truncated mid-write
+    v1 = os.path.join(state, "sig_base", "v=1")
+    spark.range(3).write.mode("overwrite").parquet(v1)  # has _SUCCESS
+    with open(os.path.join(v1, "_folded.json"), "w") as f:
+        f.write('{"files": ["part-0000')  # truncated JSON
+
+    # the truncated version is skipped, not fatal: v=0 still serves
+    base_v, folded = ingest._latest_committed_state_base(
+        spark, state, "sig"
+    )
+    assert base_v == 0
+    assert ingest._read_state_dir(spark, state, "sig").count() == 10
+
+    # same tolerance for the epoch-result fold manifests
+    res = str(tmp_path / "res")
+    rows.write.mode("overwrite").parquet(res + "/_base/v=0")
+    ingest._write_json_atomic(
+        spark, res + "/_base/v=0/_folded.json", {"folded_through": 3}
+    )
+    rows.write.mode("overwrite").parquet(res + "/_base/v=1")
+    with open(os.path.join(res, "_base", "v=1", "_folded.json"),
+              "w") as f:
+        f.write('{"folded_thr')
+    assert ingest._latest_committed_base(spark, res) == (0, 3)
+
+    # the atomic writer: round-trips, replaces an existing target,
+    # leaves no temp droppings
+    p = str(tmp_path / "m" / "_marker.json")
+    ingest._write_json_atomic(spark, p, {"a": 1})
+    assert ingest._read_json_marker(spark, p) == {"a": 1}
+    ingest._write_json_atomic(spark, p, {"a": 2})
+    assert ingest._read_json_marker(spark, p) == {"a": 2}
+    # no temp droppings (the checksum FS's .crc sidecars are fine)
+    left = [
+        f for f in os.listdir(str(tmp_path / "m"))
+        if not f.endswith(".crc")
+    ]
+    assert left == ["_marker.json"]
+    assert not any(".tmp-" in f
+                   for f in os.listdir(str(tmp_path / "m")))
 
 
 def test_stream_self_dedup_crash_between_sig_and_docs_append(

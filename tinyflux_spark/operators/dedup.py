@@ -799,9 +799,14 @@ def contamination_hits(
     string set no longer broadcasts. The eval shingles fold into a
     Bloom bitmap instead — ``bloom_bits`` bits as ``bloom_bits/64``
     packed-long words built by ONE ``bit_or`` aggregation, then
-    eagerly materialized (``localCheckpoint``: the bloom arm runs
-    that one job at call time) so the j per-probe joins broadcast a
-    precomputed table instead of re-planning the aggregation — and
+    eagerly materialized (``persist()`` + ``count()``: the bloom arm
+    runs that one bitmap job AT CALL TIME, even if the returned
+    DataFrame is never evaluated) so the j per-probe joins broadcast
+    the one cached table instead of re-planning the aggregation;
+    the lineage stays recomputable, so an executor loss after the
+    materialization recomputes the bitmap instead of failing the job
+    (a ``localCheckpoint`` would truncate lineage to executor-only
+    blocks) — and
     only the word table (8 bytes/word: 2^20 bits ≡ 16 K rows ≡ 128 KB,
     three orders smaller than the strings) broadcasts. Each train
     shingle probes its ``bloom_hashes`` double-hashed positions
@@ -870,9 +875,14 @@ def contamination_hits(
         # canonicalize them and, unmaterialized, the eval-side shingle
         # scan + bit_or aggregation would be re-planned and re-executed
         # j times — at the documented 256 MB scale, j full bitmap
-        # rebuilds. After the checkpoint each broadcast ships the same
-        # precomputed <= bloom_bits/64-row table.
-        words = words.localCheckpoint(eager=True)
+        # rebuilds. persist() + count() rather than localCheckpoint:
+        # the InMemoryRelation is shared by every alias (one cached
+        # <= bloom_bits/64-row table per broadcast) AND the lineage
+        # stays recomputable — an executor lost after a checkpoint
+        # would take its truncated-lineage blocks with it and fail
+        # the job; a lost cached block just recomputes (ADVICE r10).
+        words = words.persist()
+        words.count()
         # Train side: j narrow broadcast lookups of the word table —
         # a probe misses iff its word row is absent or its bit unset.
         cand = train_g

@@ -589,6 +589,96 @@ def _encode_for_index(assigned: DataFrame, cents, books, id_col: str,
     )
 
 
+def _ivdir(version: int) -> str:
+    """Directory name of an index version (``index_v000003``) — the
+    ``storages.py`` MVCC version-dir naming applied to ANN indexes."""
+    return f"index_v{version:06d}"
+
+
+# Top-level members of the flat (pre-versioning) index layout — what a
+# retrain's GC removes once the flat generation is superseded twice.
+_FLAT_INDEX_MEMBERS = (
+    "lists", "codes", "codebook.json", "pq_books.json", "params.json",
+    "buckets", "planes.json",
+)
+
+
+def _read_index_version(path: str):
+    """Current version number of a versioned index root, or None for
+    a flat (never-retrained) index."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(path, "_current.json")
+    if not _os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(_json.load(f)["version"])
+
+
+def _resolve_index_root(path: str) -> str:
+    """Physical directory of the CURRENT index version. A retrained
+    index is versioned — ``<path>/index_v<N>/`` generations plus an
+    atomically-flipped ``<path>/_current.json`` pointer (the
+    ``storages.py`` MVCC pointer-flip pattern applied to ANN
+    indexes) — while a freshly-built index is flat at ``<path>``
+    itself. Readers resolve the pointer when they PLAN, so an
+    in-flight serving read keeps a consistent snapshot across a
+    concurrent :func:`ivf_retrain_index` / :func:`srp_retrain_index`
+    (the superseded version dir survives one further retrain before
+    GC). Idempotent: a resolved version dir carries no pointer of its
+    own, so double resolution is a no-op."""
+    import os as _os
+
+    v = _read_index_version(path)
+    return path if v is None else _os.path.join(path, _ivdir(v))
+
+
+def _flip_index_pointer(path: str, version: int) -> None:
+    """Commit a retrain: write ``_current.json`` via temp-file +
+    ``os.replace`` (atomic on POSIX), so a concurrent reader resolves
+    the old version or the new — never a torn pointer — and a crash
+    before the replace leaves the old index fully intact (the staged
+    version dir is invisible until the pointer names it)."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    final = _os.path.join(path, "_current.json")
+    tmp = final + f".tmp.{_os.getpid()}.{_uuid.uuid4().hex[:6]}"
+    with open(tmp, "w") as f:
+        _json.dump({"version": int(version)}, f)
+    _os.replace(tmp, final)
+
+
+def _gc_index_versions(path: str, new_v: int, keep_versions: int) -> None:
+    """Retire index generations older than the immediately previous
+    one (``keep_versions`` floor of 2 — current + previous, so a read
+    planned against the old version mid-flip still completes). The
+    flat pre-versioning layout counts as generation -1: its top-level
+    members are deleted only once TWO retrains have superseded it."""
+    import os as _os
+    import shutil as _shutil
+
+    keep_versions = max(2, int(keep_versions))
+    for name in _os.listdir(path):
+        if not name.startswith("index_v"):
+            continue
+        try:
+            v = int(name[len("index_v"):])
+        except ValueError:
+            continue
+        if v <= new_v - keep_versions:
+            _shutil.rmtree(_os.path.join(path, name), ignore_errors=True)
+    if -1 <= new_v - keep_versions:
+        for m in _FLAT_INDEX_MEMBERS:
+            p = _os.path.join(path, m)
+            if _os.path.isdir(p):
+                _shutil.rmtree(p, ignore_errors=True)
+            elif _os.path.exists(p):
+                _os.remove(p)
+
+
 def _index_params_path(path: str) -> str:
     import os as _os
 
@@ -596,12 +686,13 @@ def _index_params_path(path: str) -> str:
 
 
 def _read_index_params(path: str) -> Optional[dict]:
-    """Index manifest, or None for a pre-manifest index (round-8
-    layout: plain IVF-PQ, no residual — the defaults)."""
+    """Index manifest of the CURRENT version (pointer-resolved), or
+    None for a pre-manifest index (round-8 layout: plain IVF-PQ, no
+    residual — the defaults)."""
     import json as _json
     import os as _os
 
-    p = _index_params_path(path)
+    p = _index_params_path(_resolve_index_root(path))
     if not _os.path.exists(p):
         return None
     with open(p) as f:
@@ -613,10 +704,17 @@ def _auto_num_centroids(n: int) -> int:
     nprobe·(N/K) candidate scans plus K centroid comparisons, and
     √N balances the two, so per-query cost grows as √N instead of N.
     Floor of 4 keeps tiny corpora from degenerating to a flat scan
-    with extra steps."""
+    with extra steps; the floor itself is capped at N so K never
+    exceeds the row count (K > N would mint empty stride buckets),
+    and N = 0 raises an actionable error instead of minting a
+    codebook no vector can be assigned to."""
     import math as _math
 
-    return max(4, min(n, int(round(_math.sqrt(max(n, 1))))))
+    if n <= 0:
+        raise ValueError(
+            "cannot auto-size num_centroids for an empty corpus"
+        )
+    return max(min(4, n), min(n, int(round(_math.sqrt(n)))))
 
 
 def _auto_num_planes(n: int, target_bucket_rows: int) -> int:
@@ -695,7 +793,13 @@ def ivf_write_index(
         # K ≈ √N (one count job at build time — the build already
         # scans the corpus). The resolved int is stamped in
         # params.json so appends and reads see a plain number.
-        num_centroids = _auto_num_centroids(df.count())
+        n = df.count()
+        if n == 0:
+            raise ValueError(
+                "ivf_write_index: the corpus DataFrame is empty — "
+                "an index needs at least one vector"
+            )
+        num_centroids = _auto_num_centroids(n)
     elif not isinstance(num_centroids, int) or num_centroids < 1:
         raise ValueError(
             "num_centroids must be a positive int or 'auto', got "
@@ -704,6 +808,11 @@ def ivf_write_index(
     cents = ivf_centroids(
         df, id_col, vec_col, num_centroids, coarse_refine_iters
     )
+    if not cents:
+        raise ValueError(
+            "ivf_write_index: the corpus DataFrame is empty — "
+            "an index needs at least one vector"
+        )
     assigned = df.withColumn("_ivf_list", ivf_assign(F.col(vec_col), cents))
     (
         assigned.repartition(F.col("_ivf_list"))
@@ -847,6 +956,7 @@ def ivf_read_codebook(path: str):
     import json as _json
     import os as _os
 
+    path = _resolve_index_root(path)
     with open(_os.path.join(path, "codebook.json")) as f:
         return [(int(i), [float(x) for x in v]) for i, v in _json.load(f)]
 
@@ -1022,10 +1132,12 @@ def ivf_pq_topk_batch_indexed(
     ONLY the (id, codes) columns — the raw vectors never leave
     storage even though thousands of queries are served. Returns
     ``(query_id, <id_col>, adc_dist, rank)``, per-query ascending ADC
-    with id ties, rank <= k. Results equal issuing
-    :func:`ivf_pq_topk_indexed` once per query row
+    with id ties, rank <= k. With ``exclude_self=False`` results
+    equal issuing :func:`ivf_pq_topk_indexed` once per query row
     (pytest-asserted; the q134 oracle replays probe + encode +
-    decimal ADC per query in SQL).
+    decimal ADC per query in SQL) — the per-query read has no
+    self-exclusion, so the default ``exclude_self=True`` matches it
+    only for query sets disjoint from the corpus.
 
     Plan shape: probe lists rank ENGINE-side per query from the
     codebook literals (:func:`_batch_query_probes`), the per-query
@@ -1161,13 +1273,25 @@ def srp_write_index(
     import os as _os
 
     if num_planes == "auto":
-        num_planes = _auto_num_planes(df.count(), target_bucket_rows)
+        n = df.count()
+        if n == 0:
+            raise ValueError(
+                "srp_write_index: the corpus DataFrame is empty — "
+                "an index needs at least one vector"
+            )
+        num_planes = _auto_num_planes(n, target_bucket_rows)
     elif not isinstance(num_planes, int) or num_planes < 1:
         raise ValueError(
             "num_planes must be a positive int or 'auto', got "
             f"{num_planes!r}"
         )
-    dim = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError(
+            "srp_write_index: the corpus DataFrame is empty — "
+            "an index needs at least one vector"
+        )
+    dim = len(first[0])
     planes = srp_planes(dim, num_planes, seed)
     bucketed = df.withColumn("_bucket", srp_bucket(F.col(vec_col), planes))
     (

@@ -38,6 +38,44 @@ def _hadoop_path(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
+def _write_json_atomic(spark: SparkSession, path: str, obj: dict) -> None:
+    """Write a small JSON marker/manifest file ATOMICALLY: stage the
+    bytes under a dot-prefixed temp name in the same directory, then
+    ``fs.rename`` into place — rename is atomic on HDFS and the local
+    FS, so a concurrent reader sees the old content or the new, never
+    a truncated file. A direct ``fs.create`` over the final name is
+    NOT crash-safe: a crash mid-write leaves a file that EXISTS but
+    doesn't parse, and every committed-marker predicate of the form
+    "exists(_folded.json)" then raises ``JSONDecodeError`` forever
+    (ADVICE r10 medium — a wedged ``_compact_state_dir`` manifest).
+    With staging, a mid-write crash leaves only an invisible
+    dot-prefixed temp; the marker is absent, which every reader
+    already interprets correctly (version uncommitted / no intent).
+
+    The pre-rename delete of an existing target (HDFS rename refuses
+    to clobber) opens a tiny absent-marker window; every caller's
+    absent-interpretation is safe: high-water marker absent → batch
+    treated as undelivered → the crash probe re-decides; _folded.json
+    absent → fold uncommitted → readers use the previous base ∪ live
+    files, whose rows the not-yet-finalized fold never deleted."""
+    import uuid as _uuid
+
+    fs, jpath = _hadoop_path(spark, path)
+    d, name = path.rsplit("/", 1)
+    tmp = f"{d}/.{name}.tmp-{_uuid.uuid4().hex[:8]}"
+    _, jtmp = _hadoop_path(spark, tmp)
+    out = fs.create(jtmp, True)
+    try:
+        out.write(bytearray(json.dumps(obj, sort_keys=True).encode()))
+    finally:
+        out.close()
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(jtmp, jpath):
+        fs.delete(jtmp, False)
+        raise IOError(f"atomic marker rename failed for {path!r}")
+
+
 def _write_params_manifest(
     spark: SparkSession, dir_path: str, params: dict
 ) -> None:
@@ -46,13 +84,9 @@ def _write_params_manifest(
     The underscore-prefixed name keeps the file invisible to parquet
     directory scans (same convention as ``_SUCCESS``). Written through
     the Hadoop FS API so any supported scheme (local, HDFS, s3a)
-    works."""
-    fs, mpath = _hadoop_path(spark, dir_path + "/_params.json")
-    out = fs.create(mpath, True)
-    try:
-        out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
-    finally:
-        out.close()
+    works; staged + renamed so a crash can't leave a truncated
+    manifest (:func:`_write_json_atomic`)."""
+    _write_json_atomic(spark, dir_path + "/_params.json", params)
 
 
 class _MissingManifestError(ValueError):
@@ -219,13 +253,18 @@ def _latest_committed_base(spark: SparkSession, result_path: str):
         _, jman = _hadoop_path(spark, vdir + "/_folded.json")
         if not (fs.exists(jsucc) and fs.exists(jman)):
             continue
-        if best is None or v > best:
-            best = v
-            folded = int(
+        try:
+            f = int(
                 json.loads(_read_small_file(fs, jman).decode())[
                     "folded_through"
                 ]
             )
+        except (ValueError, KeyError):
+            # Unparseable manifest = uncommitted version (belt to the
+            # atomic staged write — pre-fix folds may have left one).
+            continue
+        if best is None or v > best:
+            best, folded = v, f
     return best, folded
 
 
@@ -283,11 +322,16 @@ def _latest_committed_state_base(
         _, jman = _hadoop_path(spark, vdir + "/_folded.json")
         if not (fs.exists(jsucc) and fs.exists(jman)):
             continue
-        if best is None or v > best:
-            best = v
-            files = set(
+        try:
+            f = set(
                 json.loads(_read_small_file(fs, jman).decode())["files"]
             )
+        except (ValueError, KeyError):
+            # Unparseable manifest = uncommitted version (belt to the
+            # atomic staged write — pre-fix folds may have left one).
+            continue
+        if best is None or v > best:
+            best, files = v, f
     return best, files
 
 
@@ -353,7 +397,10 @@ def _compact_state_dir(
     (sig rows duplicated by a crash-retry re-append collapse here);
     (3) overwrite ``<sub>_base/v=V+1`` — invisible until BOTH
     ``_SUCCESS`` and the ``_folded.json`` manifest (the folded live
-    files' basenames) exist; (4) only then delete the folded live
+    files' basenames) exist; the manifest is staged + renamed
+    (:func:`_write_json_atomic`) so a crash mid-write can't leave a
+    truncated-but-present file that wedges every later read;
+    (4) only then delete the folded live
     files and the superseded older bases (their rows are in V)."""
     fs, _ = _hadoop_path(spark, state_path)
     base_v, folded_files = _latest_committed_state_base(
@@ -380,19 +427,11 @@ def _compact_state_dir(
     new_v = 0 if base_v is None else base_v + 1
     new_dir = f"{state_path}/{sub}_base/v={new_v}"
     merged.write.mode("overwrite").parquet(new_dir)
-    out = fs.create(
-        _hadoop_path(spark, new_dir + "/_folded.json")[1], True
+    _write_json_atomic(
+        spark,
+        new_dir + "/_folded.json",
+        {"files": [f.rsplit("/", 1)[-1] for f in live]},
     )
-    try:
-        out.write(
-            bytearray(
-                json.dumps(
-                    {"files": [f.rsplit("/", 1)[-1] for f in live]}
-                ).encode()
-            )
-        )
-    finally:
-        out.close()
     for f in live:
         fs.delete(_hadoop_path(spark, f)[1], False)
     jbase = _hadoop_path(spark, f"{state_path}/{sub}_base")[1]
@@ -463,15 +502,11 @@ def _write_epoch_result(
     new_v = 0 if base_v is None else base_v + 1
     new_dir = f"{result_path}/_base/v={new_v}"
     merged.write.mode("overwrite").parquet(new_dir)
-    out = fs.create(_hadoop_path(spark, new_dir + "/_folded.json")[1], True)
-    try:
-        out.write(
-            bytearray(
-                json.dumps({"folded_through": fold_through}).encode()
-            )
-        )
-    finally:
-        out.close()
+    _write_json_atomic(
+        spark,
+        new_dir + "/_folded.json",
+        {"folded_through": fold_through},
+    )
     # Only after the new base committed: drop the folded epochs and
     # bases older than the predecessor (one version of headroom).
     for e in live:
@@ -1181,7 +1216,14 @@ def stream_self_dedup_insert(
     itself: self-pairs at jaccard 1.0 plus a second copy of every
     within-batch pair), and any sig rows duplicated by the retry's
     re-append are harmless afterwards because candidates are
-    ``.distinct()``-ed before verify. State grows with the stream (near-dup needs
+    ``.distinct()``-ed before verify. REPEATED crash-retries in that
+    same gap each re-append the batch's signatures, so ``sig/`` (and
+    on a crash after the docs append, ``docs/``) can grow one batch
+    copy per retry until the next ``state_compact_every`` fold —
+    results stay correct throughout (the anti-join + distinct
+    candidates mask the copies); the fold's ``distinct=True`` on
+    BOTH dirs then heals the growth (ids are unique by the ingest
+    contract, so doc-row dedup is free). State grows with the stream (near-dup needs
     the texts for exact verify — this is the corpus growing, not
     bookkeeping); per-batch cost tracks batch size × candidate count,
     never total history size, because the band equi-join prunes
@@ -1192,7 +1234,7 @@ def stream_self_dedup_insert(
     ``state_compact_every=c`` folds the live append files of
     ``sig/``/``docs/`` into a ``_SUCCESS``+manifest-gated
     ``<sub>_base/v=V`` every c epochs (:func:`_compact_state_dir` —
-    sig rows ``distinct()``-ed on fold, clearing any crash-retry
+    both dirs ``distinct()``-ed on fold, clearing any crash-retry
     duplicates), so a long-lived stream's state file count stays
     bounded instead of growing one parquet job's files per epoch.
     Readers and the crash probe go through :func:`_read_state_dir`
@@ -1327,9 +1369,12 @@ def stream_self_dedup_insert(
         ):
             # after finalize only: a fold never interleaves with a
             # batch append, and a crash mid-fold is masked by the
-            # base manifest (readers never see rows twice).
+            # base manifest (readers never see rows twice). Both dirs
+            # fold distinct: ids are unique by the ingest contract,
+            # so dedup is free — and it bounds crash-retry growth
+            # (see docstring).
             _compact_state_dir(sp, state_path, "sig", distinct=True)
-            _compact_state_dir(sp, state_path, "docs")
+            _compact_state_dir(sp, state_path, "docs", distinct=True)
 
     writer = (
         docs_stream.writeStream.foreachBatch(sink).outputMode("append")
@@ -1960,12 +2005,7 @@ def _read_json_marker(spark: SparkSession, path: str):
 
 
 def _write_json_marker(spark: SparkSession, path: str, obj: dict) -> None:
-    fs, jpath = _hadoop_path(spark, path)
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(json.dumps(obj, sort_keys=True).encode()))
-    finally:
-        out.close()
+    _write_json_atomic(spark, path, obj)
 
 
 def _delete_path(spark: SparkSession, path: str) -> None:
