@@ -3135,6 +3135,48 @@ def q130_srp_append_serve(spark, sf_dir):
     )
 
 
+def q135_ivf_retrain_serve(spark, sf_dir):
+    """The full IVF drift-remediation loop (round-11, closing VERDICT
+    r10's #1 — the engine's reindex(), reference database.py:687-705):
+    build the persisted index on two thirds of the corpus at K=8,
+    grow it with ivf_append_index at the FROZEN codebooks (the drift
+    q131's recall probe alerts on), then ivf_retrain_index at K=16 —
+    a staged rebuild from the index's OWN stored rows at fresh
+    codebooks, committed by an atomic pointer flip while serving
+    reads continue — and serve q126's batch ANN read over the
+    retrained index. Retrained ≡ a fresh ivf_write_index over the
+    full corpus at K=16 EXACTLY (codebook training is order-
+    independent), so q75's oracle — the fresh-build batch-ANN replay
+    in SQL — gates the whole loop verbatim: a retrain that missed
+    stored rows, kept stale codebooks, or flipped to a wrong
+    generation changes the probe ranking and the gate catches it."""
+    import tempfile
+
+    from tinyflux_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_retrain_index,
+        ivf_topk_batch_indexed,
+        ivf_write_index,
+    )
+
+    emb = _t("embeddings")(spark, sf_dir)
+    per_session = _IVF_INDEX_CACHE.setdefault(spark, {})
+    key = (sf_dir, "retrain_lifecycle")
+    if key not in per_session:
+        path = tempfile.mkdtemp(prefix="tfs_ivf_retrain_")
+        ivf_write_index(
+            emb.where(F.col("vec_id") % 3 != 0), path, num_centroids=8
+        )
+        ivf_append_index(emb.where(F.col("vec_id") % 3 == 0), path)
+        info = ivf_retrain_index(spark, path, num_centroids=16)
+        assert info["version"] == 0 and info["num_centroids"] == 16
+        per_session[key] = path
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ivf_topk_batch_indexed(
+        spark, per_session[key], queries, k=5, nprobe=4
+    )
+
+
 def q128_srp_batch_indexed(spark, sf_dir):
     """Batch ANN against the PERSISTED SRP index — q126's sibling for
     the hyperplane family (and q31's batch form): top-5 for every
@@ -3230,6 +3272,37 @@ def q132_holt_winters_last(spark, sf_dir):
     )
 
 
+def q136_holt_winters_damped(spark, sf_dir):
+    """q132 with Gardner-McKenzie trend DAMPING (phi=0.9) — the
+    standard guard against linear-trend overshoot on long horizons
+    and the last piece of the forecast family (VERDICT r10 #7): the
+    carried trend shrinks by phi at every step of the recurrence
+    (l uses l+phi*b, b uses (1-beta)*(phi*b)) and the one-step
+    forecast is level + phi*trend + season. phi=1.0 is bit-exactly
+    q132 (IEEE 1.0*x == x — pytest-asserted); the oracle is q132's
+    recursive CTE with the phi*b products pasted exactly where the
+    engine computes them. Micro-units projection, q60's convention."""
+    from tinyflux_spark.operators.aggregates import holt_winters_last
+
+    ev = _t("events")(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"), "ts", "value"
+    )
+    out = holt_winters_last(
+        ev, "user_id", "ts", "value",
+        alpha=0.3, beta=0.1, gamma=0.2, period=4, phi=0.9,
+        round_digits=None,
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.floor(F.col(c) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias(c + "_u")
+            for c in ("level", "trend", "season", "forecast")
+        ],
+    )
+
+
 def q133_stream_holt_winters(spark, sf_dir):
     """Per-user running Holt-Winters over the event stream via
     applyInPandasWithState — q132's streaming twin (identical
@@ -3282,18 +3355,68 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS artifact records
     # only the FIRST 50 entries. The order rotates each round so every
-    # query periodically lands in that window. Round 10 (VERDICT r9 ask
-    # #1): the four round-10 operators q130-q133 lead (registered
-    # DURING the round, before the window froze — ending the
-    # "new operators wait a rotation" blemish), then the thirteen
-    # round-9 operators q117-q129 (never driver-gated), then q47/q50/
-    # q76-q88 (next-longest unrefreshed), then the longest-unrefreshed
-    # r8-window rows (q02/q03/q05/q07/q08/q10/q33/q38/q42-q46/q48/q49/
-    # q51-q52): exactly 50. Below the window: q53-q69/q26 + the rows
-    # driver-refreshed in r9 (q53-q57 were displaced by q130-q134 and
-    # lead the r11 rotation). tools/check_gate.py remains the
-    # per-commit guard over the full registry.
+    # query periodically lands in that window. Round 11 (VERDICT r10
+    # ask #2): the two round-11 operators q135/q136 lead (registered
+    # during the round — the r10 precedent), then q53-q57 (displaced
+    # from the r10 window, queued by the r10 comment), then q26 (the
+    # single oldest row, r7), then the rest of the r8-refreshed cohort
+    # (q58-q69, q91-q100, q103-q108), then the VERDICT-named r9 rows
+    # (q01/q04/q06/q09/q11-q16) and the next-longest r9 rows
+    # (q17-q20): exactly 50. Below the window: everything r9/r10-fresh
+    # (q21-q25/q27-q52/q70-q90/q101-q102/q109-q134 — the r10 window's
+    # rows are the freshest and rotate last). tools/check_gate.py
+    # remains the per-commit guard over the full registry.
     return {
+        "q135_ivf_retrain_serve": q135_ivf_retrain_serve,
+        "q136_holt_winters_damped": q136_holt_winters_damped,
+        "q53_hash_sample": q53_hash_sample,
+        "q54_repetition_stats": q54_repetition_stats,
+        "q55_source_quota": q55_source_quota,
+        "q56_embedding_dup_clusters": q56_embedding_dup_clusters,
+        "q57_length_deciles": q57_length_deciles,
+        "q26_stream_hourly_rollup": q26_stream_hourly_rollup,
+        "q58_dedup_keep_canonical": q58_dedup_keep_canonical,
+        "q59_ivf_indexed_topk": q59_ivf_indexed_topk,
+        "q60_resample_gapfill": q60_resample_gapfill,
+        "q61_rolling_zscore": q61_rolling_zscore,
+        "q62_top_tokens": q62_top_tokens,
+        "q63_scrub_pii": q63_scrub_pii,
+        "q64_chunk_documents": q64_chunk_documents,
+        "q65_derivative": q65_derivative,
+        "q66_percentiles": q66_percentiles,
+        "q67_db_sql": q67_db_sql,
+        "q68_downsample": q68_downsample,
+        "q69_from_table": q69_from_table,
+        "q91_bigram_logprob": q91_bigram_logprob,
+        "q92_normalize_text": q92_normalize_text,
+        "q93_stream_near_dup": q93_stream_near_dup,
+        "q94_trigram_logprob": q94_trigram_logprob,
+        "q95_semantic_dedup": q95_semantic_dedup,
+        "q96_ppl_buckets": q96_ppl_buckets,
+        "q97_importance_weights": q97_importance_weights,
+        "q98_kneser_ney": q98_kneser_ney,
+        "q99_text_semantic_dedup": q99_text_semantic_dedup,
+        "q100_kmv_distinct": q100_kmv_distinct,
+        "q103_fivegram_logprob": q103_fivegram_logprob,
+        "q104_kmv_quantiles": q104_kmv_quantiles,
+        "q105_pq_adc_topk": q105_pq_adc_topk,
+        "q106_stream_kmv_distinct": q106_stream_kmv_distinct,
+        "q107_ivf_pq_topk": q107_ivf_pq_topk,
+        "q108_weighted_sample": q108_weighted_sample,
+        "q01_search_time_range": q01_search_time_range,
+        "q04_search_compound": q04_search_compound,
+        "q06_count": q06_count,
+        "q09_get_measurements": q09_get_measurements,
+        "q11_agg_pricing_summary": q11_agg_pricing_summary,
+        "q12_daily_revenue_ma7": q12_daily_revenue_ma7,
+        "q13_topk_users_per_type": q13_topk_users_per_type,
+        "q14_region_revenue": q14_region_revenue,
+        "q15_hourly_window": q15_hourly_window,
+        "q16_asof_join": q16_asof_join,
+        "q17_dedup_exact": q17_dedup_exact,
+        "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
+        "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
+        "q20_simhash": q20_simhash,
         "q134_ivf_pq_batch_indexed": q134_ivf_pq_batch_indexed,
         "q130_srp_append_serve": q130_srp_append_serve,
         "q131_index_recall_probe": q131_index_recall_probe,
@@ -3344,11 +3467,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_measurement_handle": q49_measurement_handle,
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_ivf_ann_topk": q52_ivf_ann_topk,
-        "q53_hash_sample": q53_hash_sample,
-        "q54_repetition_stats": q54_repetition_stats,
-        "q55_source_quota": q55_source_quota,
-        "q56_embedding_dup_clusters": q56_embedding_dup_clusters,
-        "q57_length_deciles": q57_length_deciles,
         "q109_ivf_pq_indexed_topk": q109_ivf_pq_indexed_topk,
         "q110_kmv_quantiles_by_key": q110_kmv_quantiles_by_key,
         "q111_pq_rerank_topk": q111_pq_rerank_topk,
@@ -3363,24 +3481,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_shard_assign": q73_shard_assign,
         "q74_pack_sequences": q74_pack_sequences,
         "q75_ivf_batch_topk": q75_ivf_batch_topk,
-        "q17_dedup_exact": q17_dedup_exact,
         "q90_rollup_card": q90_rollup_card,
         "q101_kmv_set_overlap": q101_kmv_set_overlap,
         "q102_stream_semantic_dedup": q102_stream_semantic_dedup,
         "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
-        "q01_search_time_range": q01_search_time_range,
-        "q04_search_compound": q04_search_compound,
-        "q06_count": q06_count,
-        "q09_get_measurements": q09_get_measurements,
-        "q11_agg_pricing_summary": q11_agg_pricing_summary,
-        "q12_daily_revenue_ma7": q12_daily_revenue_ma7,
-        "q13_topk_users_per_type": q13_topk_users_per_type,
-        "q14_region_revenue": q14_region_revenue,
-        "q15_hourly_window": q15_hourly_window,
-        "q16_asof_join": q16_asof_join,
-        "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
-        "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
-        "q20_simhash": q20_simhash,
         "q21_text_quality": q21_text_quality,
         "q22_lang_id": q22_lang_id,
         "q23_doc_fingerprint": q23_doc_fingerprint,
@@ -3399,35 +3503,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_get_tag_keys": q39_get_tag_keys,
         "q40_get_field_values": q40_get_field_values,
         "q41_get_timestamps": q41_get_timestamps,
-        "q26_stream_hourly_rollup": q26_stream_hourly_rollup,
-        "q58_dedup_keep_canonical": q58_dedup_keep_canonical,
-        "q59_ivf_indexed_topk": q59_ivf_indexed_topk,
-        "q60_resample_gapfill": q60_resample_gapfill,
-        "q61_rolling_zscore": q61_rolling_zscore,
-        "q62_top_tokens": q62_top_tokens,
-        "q63_scrub_pii": q63_scrub_pii,
-        "q64_chunk_documents": q64_chunk_documents,
-        "q65_derivative": q65_derivative,
-        "q66_percentiles": q66_percentiles,
-        "q67_db_sql": q67_db_sql,
-        "q68_downsample": q68_downsample,
-        "q69_from_table": q69_from_table,
-        "q91_bigram_logprob": q91_bigram_logprob,
-        "q92_normalize_text": q92_normalize_text,
-        "q93_stream_near_dup": q93_stream_near_dup,
-        "q94_trigram_logprob": q94_trigram_logprob,
-        "q95_semantic_dedup": q95_semantic_dedup,
-        "q96_ppl_buckets": q96_ppl_buckets,
-        "q97_importance_weights": q97_importance_weights,
-        "q98_kneser_ney": q98_kneser_ney,
-        "q99_text_semantic_dedup": q99_text_semantic_dedup,
-        "q100_kmv_distinct": q100_kmv_distinct,
-        "q103_fivegram_logprob": q103_fivegram_logprob,
-        "q104_kmv_quantiles": q104_kmv_quantiles,
-        "q105_pq_adc_topk": q105_pq_adc_topk,
-        "q106_stream_kmv_distinct": q106_stream_kmv_distinct,
-        "q107_ivf_pq_topk": q107_ivf_pq_topk,
-        "q108_weighted_sample": q108_weighted_sample,
     }
 
 
@@ -3683,8 +3758,8 @@ def _srp_ann_oracle_sql(num_planes: int = 4, dim: int = 64,
     """
 
 
-def _holt_winters_oracle_sql(every_row: bool) -> str:
-    """q132/q133: the coupled THREE-term Holt-Winters recurrence
+def _holt_winters_oracle_sql(every_row: bool, phi: float = 1.0) -> str:
+    """q132/q133/q136: the coupled THREE-term Holt-Winters recurrence
     (alpha=0.3, beta=0.1, gamma=0.2, period=4) replayed with a
     recursive CTE carrying the four seasonal columns. The seed is the
     first season pivoted wide: l = the same sequential left-fold mean
@@ -3693,19 +3768,24 @@ def _holt_winters_oracle_sql(every_row: bool) -> str:
     neither engine constant-folds to a different double; rounding at
     the end only. ``every_row=True`` (q133) emits every position —
     warm-up NULLs, the init row, and each recursion step — so every
-    intermediate streaming state is gated; ``False`` (q132) keeps the
-    final row per key with the season/forecast projection."""
+    intermediate streaming state is gated; ``False`` (q132/q136)
+    keeps the final row per key with the season/forecast projection.
+    ``phi`` (q136) pastes the Gardner-McKenzie damped-trend products
+    ``phi*b`` exactly where the engine computes them; at the default
+    1.0 the products are omitted — IEEE ``1.0*x == x``, so the
+    undamped SQL is the same arithmetic either way."""
+    PHIB = "s.b" if phi == 1.0 else f"({phi!r}::DOUBLE * s.b)"
     LAG = (
         "(CASE ((o.rn - 1) % 4) WHEN 0 THEN s.s0 WHEN 1 THEN s.s1 "
         "WHEN 2 THEN s.s2 ELSE s.s3 END)"
     )
     NL = (
         f"(0.3::DOUBLE * (o.v - {LAG}) "
-        f"+ (1.0::DOUBLE - 0.3::DOUBLE) * (s.l + s.b))"
+        f"+ (1.0::DOUBLE - 0.3::DOUBLE) * (s.l + {PHIB}))"
     )
     NB = (
         f"(0.1::DOUBLE * ({NL} - s.l) "
-        f"+ (1.0::DOUBLE - 0.1::DOUBLE) * s.b)"
+        f"+ (1.0::DOUBLE - 0.1::DOUBLE) * {PHIB})"
     )
     SNEW = (
         f"(0.2::DOUBLE * (o.v - {NL}) "
@@ -3764,6 +3844,7 @@ def _holt_winters_oracle_sql(every_row: bool) -> str:
         "CASE (i % 4) WHEN 0 THEN s0 WHEN 1 THEN s1 "
         "WHEN 2 THEN s2 ELSE s3 END"
     )
+    FB = "b" if phi == 1.0 else f"({phi!r}::DOUBLE * b)"
     # integer micro-units via floor(x*1e6 + 0.5) — q60's convention:
     # decimal ROUND breaks half-ulp boundary values differently across
     # engines; floor over the bit-identical IEEE product does not.
@@ -3778,8 +3859,8 @@ def _holt_winters_oracle_sql(every_row: bool) -> str:
         SELECT k AS user_id, ts, v AS value,
                CAST(FLOOR(l * 1000000 + 0.5) AS BIGINT) AS level_u,
                CAST(FLOOR(b * 1000000 + 0.5) AS BIGINT) AS trend_u,
-               CAST(FLOOR((l + b + {season}) * 1000000 + 0.5) AS BIGINT)
-                   AS forecast_u
+               CAST(FLOOR((l + {FB} + {season}) * 1000000 + 0.5)
+                    AS BIGINT) AS forecast_u
         FROM s
     """
     return head + f"""
@@ -3788,8 +3869,8 @@ def _holt_winters_oracle_sql(every_row: bool) -> str:
                CAST(FLOOR(b * 1000000 + 0.5) AS BIGINT) AS trend_u,
                CAST(FLOOR(({season}) * 1000000 + 0.5) AS BIGINT)
                    AS season_u,
-               CAST(FLOOR((l + b + {season}) * 1000000 + 0.5) AS BIGINT)
-                   AS forecast_u
+               CAST(FLOOR((l + {FB} + {season}) * 1000000 + 0.5)
+                    AS BIGINT) AS forecast_u
         FROM s WHERE i = n
     """
 
@@ -7286,6 +7367,12 @@ def oracle_sql() -> dict[str, str]:
     # bit-for-bit (same codebook derivation, assignment, probes,
     # ranking) — one oracle gates both, the q52/q59 convention.
     d["q126_ivf_batch_indexed"] = d["q75_ivf_batch_topk"]
+    # q135: retrain ≡ fresh build over the same stored rows at the
+    # new codebooks is EXACT (order-independent training), so q75's
+    # fresh-build replay gates the whole build→append→retrain→serve
+    # loop verbatim — stale codebooks, missed rows, or a wrong
+    # pointer flip all change the probe ranking.
+    d["q135_ivf_retrain_serve"] = d["q75_ivf_batch_topk"]
     # q127: Holt's coupled (level, trend) recurrence replayed with a
     # recursive CTE — list_reduce can't carry a 2-field accumulator
     # (its accumulator type is the element type), so the recursion
@@ -7330,6 +7417,10 @@ def oracle_sql() -> dict[str, str]:
     # (q133), recursive CTEs carrying the four seasonal columns.
     d["q132_holt_winters_last"] = _holt_winters_oracle_sql(False)
     d["q133_stream_holt_winters"] = _holt_winters_oracle_sql(True)
+    # q136: the damped recurrence — q132's CTE with phi*b pasted.
+    d["q136_holt_winters_damped"] = _holt_winters_oracle_sql(
+        False, phi=0.9
+    )
     # q131: recall probe — both rankings + the intersection fraction.
     d["q131_index_recall_probe"] = _srp_recall_oracle_sql(
         num_planes=4, dim=64, seed=42, k=5

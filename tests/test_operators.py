@@ -3320,6 +3320,318 @@ def test_index_build_tiny_and_empty_corpora(spark, tmp_path):
         sim._auto_num_centroids(0)
 
 
+def test_adc_double_scoring_matches_decimal_topk(spark, tmp_path):
+    """scoring_dtype='double' (the FAISS-style production mode,
+    VERDICT r10 #3): per-query top-k IDS match the gate-exact decimal
+    mode at the fixture, distances agree to double rounding, and the
+    recall probe's adc arm accepts the mode. Decimal stays the
+    default (oracle parity)."""
+    import pytest
+
+    from tinyflux_spark.operators import similarity as sim
+
+    full = _retrain_corpus(spark, 400, dim=16)
+    corpus = full.where("vec_id >= 20")
+    queries = full.where("vec_id < 5")
+    path = str(tmp_path / "pq")
+    sim.ivf_write_index(
+        corpus, path, num_centroids=8, pq_m=4, pq_ksub=16
+    )
+
+    dec = sim.ivf_pq_topk_batch_indexed(
+        spark, path, queries, k=5, nprobe=3
+    ).collect()
+    dbl = sim.ivf_pq_topk_batch_indexed(
+        spark, path, queries, k=5, nprobe=3, scoring_dtype="double"
+    ).collect()
+    by_q_dec, by_q_dbl = {}, {}
+    for r in dec:
+        by_q_dec.setdefault(r["query_id"], {})[r["vec_id"]] = r["adc_dist"]
+    for r in dbl:
+        by_q_dbl.setdefault(r["query_id"], {})[r["vec_id"]] = r["adc_dist"]
+    assert by_q_dec.keys() == by_q_dbl.keys()
+    for qid in by_q_dec:
+        assert set(by_q_dec[qid]) == set(by_q_dbl[qid]), qid
+        for vid, d in by_q_dec[qid].items():
+            assert abs(d - by_q_dbl[qid][vid]) <= 1e-9 * max(1.0, d)
+
+    # pq_adc_topk: same contract on the flat (non-IVF) ADC read
+    books = sim.pq_train(corpus, "vec_id", "embedding", m=4, ksub=16)
+    codes = sim.pq_encode(corpus, books, "vec_id", "embedding")
+    qv = [0.3] * 16
+    a = sim.pq_adc_topk(codes, books, qv, k=5).collect()
+    b = sim.pq_adc_topk(
+        codes, books, qv, k=5, scoring_dtype="double"
+    ).collect()
+    assert [r["id"] for r in a] == [r["id"] for r in b]
+
+    # the recall probe accepts the production mode
+    rec = (
+        sim.index_recall_probe(
+            spark, path, queries, k=5, scoring="adc",
+            scoring_dtype="double",
+        )
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    assert rec is not None and 0.0 <= rec <= 1.0
+
+    with pytest.raises(ValueError, match="scoring_dtype"):
+        sim.ivf_pq_topk_batch_indexed(
+            spark, path, queries, k=5, scoring_dtype="float32"
+        )
+    with pytest.raises(ValueError, match="scoring_dtype"):
+        sim.pq_adc_topk(codes, books, qv, k=5, scoring_dtype="f")
+
+
+def test_recall_probe_sample_n_is_deterministic_and_fixed(
+    spark, tmp_path
+):
+    """index_recall_probe(sample_n=N): the one-call alert loop —
+    N query rows picked deterministically (md5 order) from the
+    index's OWN stored vectors, the same N ids every run, N fixed as
+    the corpus grows; passing both or neither of queries/sample_n is
+    refused."""
+    import pytest
+
+    from tinyflux_spark.operators import similarity as sim
+
+    full = _retrain_corpus(spark, 500, dim=8)
+    path = str(tmp_path / "srp")
+    sim.srp_write_index(full, path, num_planes=3)
+
+    a = sim.index_recall_probe(
+        spark, path, k=3, multiprobe=1, sample_n=20
+    ).collect()
+    b = sim.index_recall_probe(
+        spark, path, k=3, multiprobe=1, sample_n=20
+    ).collect()
+    assert len(a) == 20
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # growing the corpus does NOT grow the sample
+    sim.srp_append_index(
+        _retrain_corpus(spark, 600, dim=8).where("vec_id >= 500"), path
+    )
+    c = sim.index_recall_probe(
+        spark, path, k=3, multiprobe=1, sample_n=20
+    ).collect()
+    assert len(c) == 20
+
+    with pytest.raises(ValueError, match="EITHER"):
+        sim.index_recall_probe(spark, path, k=3)
+    with pytest.raises(ValueError, match="EITHER"):
+        sim.index_recall_probe(
+            spark, path, queries=full.limit(3), k=3, sample_n=5
+        )
+    with pytest.raises(ValueError, match="sample_n"):
+        sim.index_recall_probe(spark, path, k=3, sample_n=0)
+
+
+def _retrain_corpus(spark, n, dim=8):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2000))
+                 - F.lit(1000)) / F.lit(1000.0)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def test_ivf_retrain_index_closes_the_drift_loop(spark, tmp_path):
+    """ivf_retrain_index (VERDICT r10 #1 — the engine's reindex()):
+    build → append at frozen codebooks → RETRAIN at fresh codebooks =
+    EXACTLY a fresh ivf_write_index over the same rows; serving reads
+    follow the atomically-flipped pointer transparently; a reader
+    that planned against the old generation mid-swap still completes;
+    appends after the retrain land in the new generation; a second
+    retrain GCs the flat legacy layout but keeps the previous
+    generation."""
+    import json
+    import os
+
+    from tinyflux_spark.operators import similarity as sim
+
+    full = _retrain_corpus(spark, 300)
+    base = full.where("vec_id < 200")
+    grow = full.where("vec_id >= 200")
+    queries = full.where("vec_id % 40 = 0")
+
+    path = str(tmp_path / "idx")
+    sim.ivf_write_index(base, path, num_centroids=4, pq_m=4, pq_ksub=8)
+    sim.ivf_append_index(grow, path)
+
+    info = sim.ivf_retrain_index(spark, path, num_centroids=8)
+    assert info["version"] == 0 and info["num_centroids"] == 8
+    assert sim._resolve_index_root(path) == info["root"]
+
+    # retrained == a fresh build over the same 300 rows at K=8:
+    # identical codebook, PQ books, and serving results
+    fresh = str(tmp_path / "fresh")
+    sim.ivf_write_index(full, fresh, num_centroids=8, pq_m=4, pq_ksub=8)
+    assert json.load(open(os.path.join(info["root"], "codebook.json"))) \
+        == json.load(open(os.path.join(fresh, "codebook.json")))
+    assert json.load(open(os.path.join(info["root"], "pq_books.json"))) \
+        == json.load(open(os.path.join(fresh, "pq_books.json")))
+    for fn in (sim.ivf_topk_batch_indexed, sim.ivf_pq_topk_batch_indexed):
+        got = sorted(
+            tuple(r) for r in fn(spark, path, queries, k=3).collect()
+        )
+        want = sorted(
+            tuple(r) for r in fn(spark, fresh, queries, k=3).collect()
+        )
+        assert got == want, fn.__name__
+
+    # snapshot semantics: plan a read against the CURRENT generation,
+    # retrain underneath it, the planned read still completes (the
+    # superseded generation survives one further retrain)
+    old_root = sim._resolve_index_root(path)
+    held = spark.read.parquet(os.path.join(old_root, "lists"))
+    info2 = sim.ivf_retrain_index(spark, path, num_centroids=8)
+    assert info2["version"] == 1
+    assert held.count() == 300  # old generation still on disk
+    assert os.path.isdir(os.path.join(path, "index_v000000"))
+    # ...and the flat legacy layout (two generations stale) is GC'd
+    assert not os.path.exists(os.path.join(path, "lists"))
+    assert not os.path.exists(os.path.join(path, "codebook.json"))
+
+    # appends now land in the new generation and serve immediately
+    extra = _retrain_corpus(spark, 320).where("vec_id >= 300")
+    sim.ivf_append_index(extra, path)
+    ids = {
+        r[0]
+        for r in sim.ivf_topk_batch_indexed(
+            spark, path, extra, k=1, nprobe=8, exclude_self=False
+        ).select("vec_id").collect()
+    }
+    assert ids & {300, 310, 319}
+
+    # third retrain: generation 0 retired, generation 1 kept
+    info3 = sim.ivf_retrain_index(spark, path)
+    assert info3["version"] == 2
+    assert not os.path.exists(os.path.join(path, "index_v000000"))
+    assert os.path.isdir(os.path.join(path, "index_v000001"))
+
+
+def test_ivf_retrain_crash_mid_swap_leaves_old_intact(
+    spark, tmp_path, monkeypatch
+):
+    """A retrain that crashes BEFORE the pointer flip leaves the old
+    index fully intact (readers unaffected), and the next retrain
+    overwrites the orphaned staging dir and completes."""
+    import os
+
+    from tinyflux_spark.operators import similarity as sim
+
+    full = _retrain_corpus(spark, 120)
+    queries = full.where("vec_id % 30 = 0")
+    path = str(tmp_path / "idx")
+    sim.ivf_write_index(full, path, num_centroids=4)
+    before = sorted(
+        tuple(r)
+        for r in sim.ivf_topk_batch_indexed(
+            spark, path, queries, k=3
+        ).collect()
+    )
+
+    def boom(p, v):
+        raise RuntimeError("injected crash before pointer flip")
+
+    monkeypatch.setattr(sim, "_flip_index_pointer", boom)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected"):
+        sim.ivf_retrain_index(spark, path, num_centroids=8)
+    # old index intact: no pointer, flat layout still serves identically
+    assert sim._read_index_version(path) is None
+    assert os.path.isdir(os.path.join(path, "index_v000000"))  # orphan
+    after = sorted(
+        tuple(r)
+        for r in sim.ivf_topk_batch_indexed(
+            spark, path, queries, k=3
+        ).collect()
+    )
+    assert after == before
+
+    monkeypatch.undo()
+    info = sim.ivf_retrain_index(spark, path, num_centroids=8)
+    assert info["version"] == 0 and info["num_centroids"] == 8
+
+
+def test_srp_retrain_index_resizes_planes(spark, tmp_path):
+    """srp_retrain_index: auto re-sizing the hyperplane recipe to the
+    GROWN corpus restores the target bucket population that frozen-
+    plane appends let grow linearly; retrained == fresh srp_write_index
+    over the same rows at the new recipe; streaming appends resolve
+    the pointer and land in the new generation."""
+    import json
+    import os
+
+    from tinyflux_spark.operators import similarity as sim
+    from tinyflux_spark.streaming import ingest
+
+    full = _retrain_corpus(spark, 1000)
+    base = full.where("vec_id < 200")
+    grow = full.where("vec_id >= 200")
+    path = str(tmp_path / "srp")
+    sim.srp_write_index(base, path, num_planes=2)
+    sim.srp_append_index(grow, path)
+
+    info = sim.srp_retrain_index(
+        spark, path, num_planes="auto", target_bucket_rows=64
+    )
+    assert info["version"] == 0
+    assert info["num_planes"] == 4  # ceil(log2(1000/64))
+    fresh = str(tmp_path / "fresh")
+    sim.srp_write_index(full, fresh, num_planes=4)
+    queries = full.where("vec_id % 100 = 0")
+    got = sorted(
+        tuple(r)
+        for r in sim.srp_topk_batch_indexed(
+            spark, path, queries, k=3
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sim.srp_topk_batch_indexed(
+            spark, fresh, queries, k=3
+        ).collect()
+    )
+    assert got == want
+    assert json.load(
+        open(os.path.join(info["root"], "planes.json"))
+    ) == json.load(open(os.path.join(fresh, "planes.json")))
+
+    # the recall probe reads the retrained index transparently
+    rec = (
+        sim.index_recall_probe(spark, path, queries, k=3)
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    assert rec is not None and rec > 0
+
+    # streaming append into the retrained index: pointer resolved,
+    # rows land in the new generation
+    extra = _retrain_corpus(spark, 1010).where("vec_id >= 1000")
+    src = str(tmp_path / "src")
+    extra.coalesce(1).write.parquet(src)
+    q = ingest.stream_srp_append_insert(
+        ingest.point_stream_from_files(
+            spark, src, extra.schema, max_files_per_trigger=1
+        ),
+        path,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    assert q.awaitTermination(300) and q.exception() is None
+    n = spark.read.parquet(
+        os.path.join(sim._resolve_index_root(path), "buckets")
+    ).count()
+    assert n == 1010
+
+
 def test_ivf_pq_batch_indexed_equals_per_query(spark, tmp_path):
     """ivf_pq_topk_batch_indexed: the one-plan batch ADC read returns,
     for every query, exactly ivf_pq_topk_indexed's per-query result —

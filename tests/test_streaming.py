@@ -2043,6 +2043,129 @@ def test_stateful_holt_winters_stream_equals_batch_fold(
         )
 
 
+def test_holt_winters_damped_trend(spark, tmp_path):
+    """phi damping (VERDICT r10 #7): (a) phi=1.0 is BIT-EXACTLY the
+    undamped default (IEEE 1.0*x == x — the q132/q133 oracles stay
+    valid); (b) phi=0.9 matches the plain-Python damped recurrence
+    (l+phi*b carries, (1-beta)*(phi*b), forecast = l+phi*b+s_next);
+    (c) the streaming twin's final state equals the batch fold at the
+    same phi; (d) phi outside (0, 1] is refused by both."""
+    from tinyflux_spark.operators import aggregates
+    from tinyflux_spark.streaming import ingest
+
+    a, B, g, m, ph = 0.3, 0.1, 0.2, 4, 0.9
+    rows = [
+        (str(k), T0 + timedelta(minutes=i), float((i * 7 + k) % 23))
+        for k in range(2)
+        for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, ["key", "time", "value"])
+
+    # (a) explicit phi=1.0 == default, bit-exact (round_digits=None)
+    base = sorted(
+        tuple(r)
+        for r in aggregates.holt_winters_last(
+            df, "key", "time", "value", alpha=a, beta=B, gamma=g,
+            period=m, round_digits=None,
+        ).collect()
+    )
+    one = sorted(
+        tuple(r)
+        for r in aggregates.holt_winters_last(
+            df, "key", "time", "value", alpha=a, beta=B, gamma=g,
+            period=m, phi=1.0, round_digits=None,
+        ).collect()
+    )
+    assert base == one
+
+    # (b) phi=0.9 == the python damped model
+    def py_damped(series):
+        l = b = None
+        s, buf = [], []
+        for i, v in enumerate(series):
+            if i < m - 1:
+                buf.append(v)
+            elif i == m - 1:
+                buf.append(v)
+                acc = 0.0
+                for x in buf:
+                    acc += x
+                l = acc / m
+                b = 0.0
+                s = [x - l for x in buf]
+            else:
+                lag = s[i % m]
+                phb = ph * b
+                nl = a * (v - lag) + (1 - a) * (l + phb)
+                b = B * (nl - l) + (1 - B) * phb
+                s[i % m] = g * (v - nl) + (1 - g) * lag
+                l = nl
+        n = len(series)
+        return l, b, s[n % m], l + ph * b + s[n % m]
+
+    damped = {
+        r["key"]: r
+        for r in aggregates.holt_winters_last(
+            df, "key", "time", "value", alpha=a, beta=B, gamma=g,
+            period=m, phi=ph,
+        ).collect()
+    }
+    for k in ("0", "1"):
+        series = [v for kk, _, v in rows if kk == k]
+        ml, mb, ms, mf = py_damped(series)
+        assert damped[k]["level"] == pytest.approx(ml, abs=1e-6)
+        assert damped[k]["trend"] == pytest.approx(mb, abs=1e-6)
+        assert damped[k]["season"] == pytest.approx(ms, abs=1e-6)
+        assert damped[k]["forecast"] == pytest.approx(mf, abs=1e-6)
+    # damping actually changes the result (the knob is live)
+    assert damped["0"]["forecast"] != pytest.approx(
+        {r["key"]: r for r in aggregates.holt_winters_last(
+            df, "key", "time", "value", alpha=a, beta=B, gamma=g,
+            period=m,
+        ).collect()}["0"]["forecast"], abs=1e-9,
+    )
+
+    # (c) streaming twin at the same phi: final state == batch fold
+    src = str(tmp_path / "src")
+    for j in range(3):
+        df.where(
+            (F.col("time") >= T0 + timedelta(minutes=j * 4))
+            & (F.col("time") < T0 + timedelta(minutes=(j + 1) * 4))
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ingest.stateful_holt_winters(
+        stream, "key", "time", "value",
+        alpha=a, beta=B, gamma=g, period=m, phi=ph,
+    )
+    ingest.run_to_memory(out, "hw_damp", output_mode="append",
+                         shuffle_partitions=4)
+    got = spark.table("hw_damp")
+    for k in ("0", "1"):
+        last = (
+            got.where(F.col("key") == k)
+            .orderBy(F.col("time").desc())
+            .first()
+        )
+        assert round(last["level"], 6) == damped[k]["level"]
+        assert round(last["trend"], 6) == damped[k]["trend"]
+        assert round(last["forecast"], 6) == damped[k]["forecast"]
+
+    # (d) validation
+    for bad in (0.0, -0.2, 1.5):
+        with pytest.raises(ValueError, match="phi"):
+            aggregates.holt_winters_last(
+                df, "key", "time", "value", phi=bad
+            )
+        with pytest.raises(ValueError, match="phi"):
+            ingest.stateful_holt_winters(
+                stream, "key", "time", "value", phi=bad
+            )
+
+
 def test_stateful_folds_sort_across_arrow_chunks(spark, tmp_path):
     """ADVICE r9 medium: applyInPandasWithState yields MULTIPLE Arrow
     chunks per key when a key's micro-batch rows exceed

@@ -373,6 +373,7 @@ def holt_winters_last(
     beta: float = 0.1,
     gamma: float = 0.2,
     period: int = 4,
+    phi: float = 1.0,
     max_series_rows: int = 1_000_000,
     round_digits: Optional[int] = 6,
 ) -> DataFrame:
@@ -385,16 +386,24 @@ def holt_winters_last(
     season seeds the state —
     ``l = mean(v_0..v_{m-1})``, ``b = 0``, ``s_j = v_j - l``;
     then for ``i >= m`` the coupled three-term recurrence runs over
-    the time-ordered series:
+    the time-ordered series (``phi`` shown; the default ``phi=1.0``
+    reduces every ``phi*b`` to ``b`` bit-exactly — IEEE ``1.0*x ==
+    x`` — so undamped callers are unchanged):
 
-    ``l_i = alpha*(v_i - s_{i-m}) + (1-alpha)*(l_{i-1} + b_{i-1})``;
-    ``b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}``;
+    ``l_i = alpha*(v_i - s_{i-m}) + (1-alpha)*(l_{i-1} + phi*b_{i-1})``;
+    ``b_i = beta*(l_i - l_{i-1}) + (1-beta)*(phi*b_{i-1})``;
     ``s_i = gamma*(v_i - l_i) + (1-gamma)*s_{i-m}``
+
+    ``phi`` in (0, 1] is Gardner-McKenzie trend DAMPING — the
+    standard guard against linear-trend overshoot on long horizons
+    (an h-step damped forecast adds ``(phi + ... + phi^h)*b``, which
+    saturates instead of growing without bound); ``phi < 1`` shrinks
+    the carried trend at every step of the recurrence itself.
 
     Returns one row per key: ``(key, level, trend, season,
     forecast)`` where ``season`` is the seasonal index the NEXT
-    reading lands on and ``forecast = level + trend + season`` —
-    the seasonal one-step-ahead prediction.
+    reading lands on and ``forecast = level + phi*trend + season`` —
+    the seasonal (damped) one-step-ahead prediction.
 
     Same execution contract as ``holt_last``: ONE shuffle on the
     key, the fold runs JVM-side over the in-row collected series
@@ -404,14 +413,17 @@ def holt_winters_last(
     error. A key with fewer than one full season cannot initialize
     and raises (actionable: drop short keys first or shrink
     ``period``). Every step is the same IEEE double arithmetic in
-    the same order in any engine — the q132/q133 oracles replay the
-    recurrence with a recursive CTE carrying the m seasonal columns —
+    the same order in any engine — the q132/q133/q136 oracles replay
+    the recurrence with a recursive CTE carrying the m seasonal
+    columns (and, damped, the explicit ``phi*b`` products) —
     rounded at the END only (``round_digits=None`` returns the raw
     IEEE doubles — for callers that ship engine-portable integer
     micro-units instead of a decimal rounding, q60's convention).
     """
     if period < 2:
         raise ValueError("holt_winters_last: period must be >= 2")
+    if not (0.0 < phi <= 1.0):
+        raise ValueError("holt_winters_last: phi must be in (0, 1]")
     ordered = F.transform(
         F.array_sort(
             F.collect_list(
@@ -426,6 +438,7 @@ def holt_winters_last(
     a = F.lit(float(alpha))
     bt = F.lit(float(beta))
     g = F.lit(float(gamma))
+    ph = F.lit(float(phi))
     m = int(period)
     m_lit = F.lit(m)
     empty = F.array().cast("array<double>")
@@ -448,8 +461,12 @@ def holt_winters_last(
         )
         s_init = F.transform(buf2, lambda x: x - l0)
         lag = F.element_at(acc["s"], (i % m_lit) + F.lit(1))
-        newl = a * (v - lag) + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
-        newb = bt * (newl - acc["l"]) + (F.lit(1.0) - bt) * acc["b"]
+        # phi*b written as an explicit product (never folded away):
+        # the oracle pastes the same product, and at phi=1.0 IEEE
+        # guarantees 1.0*b == b, keeping the undamped oracles exact
+        phb = ph * acc["b"]
+        newl = a * (v - lag) + (F.lit(1.0) - a) * (acc["l"] + phb)
+        newb = bt * (newl - acc["l"]) + (F.lit(1.0) - bt) * phb
         snew = g * (v - newl) + (F.lit(1.0) - g) * lag
         s_upd = F.transform(
             acc["s"],
@@ -536,7 +553,7 @@ def holt_winters_last(
         _r(level).alias("level"),
         _r(trend).alias("trend"),
         _r(season).alias("season"),
-        _r(level + trend + season).alias("forecast"),
+        _r(level + ph * trend + season).alias("forecast"),
     )
 
 

@@ -905,6 +905,7 @@ def ivf_append_index(
     import json as _json
     import os as _os
 
+    path = _resolve_index_root(path)
     params = _read_index_params(path)
     if params is None:
         raise ValueError(
@@ -952,6 +953,104 @@ def ivf_append_index(
     return n
 
 
+def ivf_retrain_index(
+    spark,
+    path: str,
+    num_centroids="auto",
+    pq_refine_iters: Optional[int] = None,
+    coarse_refine_iters: Optional[int] = None,
+    keep_versions: int = 2,
+) -> dict:
+    """Rebuild a persisted IVF(-PQ) index at FRESH codebooks from its
+    OWN stored rows and atomically repoint serving reads — the
+    remediation :func:`index_recall_probe`'s drift alert demands, in
+    one call. This is the engine's ``reindex()`` (the reference
+    rebuilds its whole index from storage in one call — tinyflux
+    database.py:687-705, rebuild index.py:172-206); here the index is
+    the ANN serving layout and the rebuild must not interrupt
+    serving, so the retrain is STAGED: the new generation is built
+    under ``<path>/index_v<N+1>/`` (a complete ``ivf_write_index``
+    layout — invisible to readers, who follow the ``_current.json``
+    pointer), then the pointer flips via temp-file + ``os.replace``
+    (atomic). A reader that resolved the old version mid-swap still
+    completes — the superseded generation survives one further
+    retrain (``keep_versions``, floor 2, the ``storages.py`` MVCC
+    convention); a crash anywhere before the flip leaves the old
+    index fully intact and the next retrain overwrites the orphaned
+    staging dir.
+
+    The training input is the index's own ``lists/`` (raw vectors
+    stored beside the codes — append included), so retrained ≡ a
+    fresh :func:`ivf_write_index` over the same rows at the new
+    codebooks EXACTLY (the codebook/PQ training is order-independent
+    by construction; the q135 gate replays the full-corpus build in
+    SQL against the retrained serving read). ``num_centroids``
+    defaults to ``"auto"``: the usual drift remediation is resizing
+    K ≈ √N to the GROWN corpus, which a frozen-codebook append can
+    never do. Code shape (``pq_m``/``pq_ksub``/``residual``) and
+    column names come from the manifest — changing what the codes
+    MEAN is a new index, not a retrain; the refine-iteration knobs
+    may be overridden (``None`` keeps the manifest's).
+
+    One writer at a time across retrain AND append (the index
+    family's standing single-writer contract): an append committed
+    into the old generation after the retrain's read plans would
+    miss the new one. Cost: one full pass over the stored corpus
+    (the same jobs as ``ivf_write_index``), paid OFF the serving
+    path. Returns ``{"version", "root", "num_centroids", "pq_m"}``.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    cur = _resolve_index_root(path)
+    params = _read_index_params(cur)
+    if params is None:
+        raise ValueError(
+            f"no params.json manifest at {path!r}; the index predates "
+            "manifest stamping — rebuild it with ivf_write_index"
+        )
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    cur_v = _read_index_version(path)
+    new_v = 0 if cur_v is None else cur_v + 1
+    new_dir = _os.path.join(path, _ivdir(new_v))
+    if _os.path.exists(new_dir):
+        # an earlier retrain crashed mid-build: the dir is
+        # uncommitted by construction (the pointer never named it)
+        _shutil.rmtree(new_dir)
+    stored = spark.read.parquet(_os.path.join(cur, "lists")).drop(
+        "_ivf_list"
+    )
+    ivf_write_index(
+        stored,
+        new_dir,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_centroids=num_centroids,
+        pq_m=params.get("pq_m"),
+        pq_ksub=params.get("pq_ksub", 16),
+        pq_refine_iters=(
+            params.get("pq_refine_iters", 0)
+            if pq_refine_iters is None
+            else pq_refine_iters
+        ),
+        residual=bool(params.get("residual")),
+        coarse_refine_iters=(
+            params.get("coarse_refine_iters", 0)
+            if coarse_refine_iters is None
+            else coarse_refine_iters
+        ),
+    )
+    _flip_index_pointer(path, new_v)
+    _gc_index_versions(path, new_v, keep_versions)
+    new_params = _read_index_params(new_dir)
+    return {
+        "version": new_v,
+        "root": new_dir,
+        "num_centroids": new_params["num_centroids"],
+        "pq_m": new_params.get("pq_m"),
+    }
+
+
 def ivf_read_codebook(path: str):
     import json as _json
     import os as _os
@@ -977,6 +1076,7 @@ def ivf_topk_indexed(
     codebook."""
     import os as _os
 
+    path = _resolve_index_root(path)
     cents = ivf_read_codebook(path)
     probes = _ivf_probes(cents, query_vec, nprobe)
     lists = spark.read.parquet(_os.path.join(path, "lists"))
@@ -1020,6 +1120,7 @@ def ivf_topk_batch_indexed(
         raise ValueError("ivf_topk_batch_indexed: k must be positive")
     if nprobe <= 0:
         raise ValueError("ivf_topk_batch_indexed: nprobe must be positive")
+    path = _resolve_index_root(path)
     qid = query_id_col or id_col
     qvc = query_vec_col or vec_col
     cents = ivf_read_codebook(path)
@@ -1073,6 +1174,7 @@ def ivf_pq_topk_indexed(
     import json as _json
     import os as _os
 
+    path = _resolve_index_root(path)
     cents = ivf_read_codebook(path)
     with open(_os.path.join(path, "pq_books.json")) as f:
         books = _json.load(f)
@@ -1123,6 +1225,7 @@ def ivf_pq_topk_batch_indexed(
     query_vec_col: Optional[str] = None,
     nprobe: int = 4,
     exclude_self: bool = True,
+    scoring_dtype: str = "decimal",
 ) -> DataFrame:
     """Batch ADC against a persisted IVF-PQ index —
     :func:`ivf_pq_topk_indexed` for a query SET in one plan, i.e. the
@@ -1157,6 +1260,15 @@ def ivf_pq_topk_batch_indexed(
     Scoring law is q126's with the 32× smaller operand: per-query
     cost ∝ |probed codes| = nprobe·N/K m-byte rows — grow K with the
     corpus (``num_centroids="auto"``) to hold it.
+
+    ``scoring_dtype="double"`` is the PRODUCTION mode
+    (:func:`pq_adc_topk`'s contract: FAISS scores ADC in float):
+    the per-row m-term sum runs in IEEE double instead of
+    DECIMAL(20,12) — roughly an order of magnitude cheaper per code
+    row and a much smaller codegen tree — trading the order-
+    independent-sum exactness the default "decimal" mode keeps for
+    oracle parity. Top-k ids match the decimal mode except on
+    double-rounding ties (pytest-asserted at the fixture).
     """
     import json as _json
     import os as _os
@@ -1167,8 +1279,14 @@ def ivf_pq_topk_batch_indexed(
         raise ValueError(
             "ivf_pq_topk_batch_indexed: nprobe must be positive"
         )
+    if scoring_dtype not in ("decimal", "double"):
+        raise ValueError(
+            f"scoring_dtype must be 'decimal' or 'double', got "
+            f"{scoring_dtype!r}"
+        )
     from pyspark.sql import Window
 
+    path = _resolve_index_root(path)
     qid = query_id_col or id_col
     qvc = query_vec_col or vec_col
     cents = ivf_read_codebook(path)
@@ -1202,6 +1320,8 @@ def ivf_pq_topk_batch_indexed(
             )
             term = d * d
             acc = term if acc is None else acc + term
+        if scoring_dtype == "double":
+            return acc
         return acc.cast("decimal(20,12)")
 
     tables = F.array(
@@ -1343,6 +1463,7 @@ def srp_append_index(
     import json as _json
     import os as _os
 
+    path = _resolve_index_root(path)
     with open(_os.path.join(path, "planes.json")) as f:
         rec = _json.load(f)
     if "id_col" not in rec:
@@ -1377,6 +1498,74 @@ def srp_append_index(
     return n
 
 
+def srp_retrain_index(
+    spark,
+    path: str,
+    num_planes="auto",
+    seed: Optional[int] = None,
+    target_bucket_rows: int = 1024,
+    keep_versions: int = 2,
+) -> dict:
+    """Rebuild a persisted SRP index at a FRESH hyperplane recipe
+    from its own stored rows — :func:`ivf_retrain_index`'s sibling
+    for the hyperplane family, with the same staged-generation +
+    atomic-pointer-flip protocol (``<path>/index_v<N>/`` +
+    ``_current.json``; a crash before the flip leaves the old index
+    intact, a reader resolved mid-swap still completes, the
+    superseded generation survives one further retrain).
+
+    SRP planes are corpus-blind, so the reason to retrain is
+    STRUCTURAL, not drift: ``num_planes="auto"`` re-sizes the bucket
+    count (planes ≈ log₂(N/target)) to the GROWN corpus so expected
+    bucket population — and with it per-query candidate volume —
+    returns to the target that appends at frozen planes let grow
+    linearly. ``seed=None`` keeps the current recipe's seed.
+    Training input is the index's own ``buckets/`` raw vectors, so
+    retrained ≡ a fresh :func:`srp_write_index` over the same rows
+    at the new recipe exactly. One writer at a time across retrain
+    and append. Returns ``{"version", "root", "num_planes",
+    "seed"}``."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    cur = _resolve_index_root(path)
+    with open(_os.path.join(cur, "planes.json")) as f:
+        rec = _json.load(f)
+    if "id_col" not in rec:
+        raise ValueError(
+            f"planes.json at {path!r} predates build-parameter "
+            "stamping; rebuild the index with srp_write_index"
+        )
+    cur_v = _read_index_version(path)
+    new_v = 0 if cur_v is None else cur_v + 1
+    new_dir = _os.path.join(path, _ivdir(new_v))
+    if _os.path.exists(new_dir):
+        _shutil.rmtree(new_dir)
+    stored = spark.read.parquet(_os.path.join(cur, "buckets")).drop(
+        "_bucket"
+    )
+    srp_write_index(
+        stored,
+        new_dir,
+        id_col=rec["id_col"],
+        vec_col=rec["vec_col"],
+        num_planes=num_planes,
+        seed=rec["seed"] if seed is None else int(seed),
+        target_bucket_rows=target_bucket_rows,
+    )
+    _flip_index_pointer(path, new_v)
+    _gc_index_versions(path, new_v, keep_versions)
+    with open(_os.path.join(new_dir, "planes.json")) as f:
+        new_rec = _json.load(f)
+    return {
+        "version": new_v,
+        "root": new_dir,
+        "num_planes": new_rec["num_planes"],
+        "seed": new_rec["seed"],
+    }
+
+
 def srp_topk_indexed(
     spark,
     path: str,
@@ -1393,6 +1582,7 @@ def srp_topk_indexed(
     import json as _json
     import os as _os
 
+    path = _resolve_index_root(path)
     with open(_os.path.join(path, "planes.json")) as f:
         rec = _json.load(f)
     planes = srp_planes(rec["dim"], rec["num_planes"], rec["seed"])
@@ -1448,6 +1638,7 @@ def srp_topk_batch_indexed(
         raise ValueError(
             "srp_topk_batch_indexed: multiprobe must be 0 or 1"
         )
+    path = _resolve_index_root(path)
     qid = query_id_col or id_col
     qvc = query_vec_col or vec_col
     with open(_os.path.join(path, "planes.json")) as f:
@@ -1479,10 +1670,27 @@ def srp_topk_batch_indexed(
     )
 
 
+def _probe_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, sample_n: int
+) -> DataFrame:
+    """Deterministic N-row query sample from an index's own stored
+    vectors: ordered by ``md5(id)`` (an unbiased, run-stable shuffle —
+    id ties impossible, ids are unique), materialized as a
+    TakeOrderedAndProject (never a full sort). The sample size is
+    FIXED as the corpus grows — the probe's whole contract."""
+    if sample_n < 1:
+        raise ValueError("sample_n must be >= 1")
+    return (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(int(sample_n))
+    )
+
+
 def index_recall_probe(
     spark,
     path: str,
-    queries: DataFrame,
+    queries: Optional[DataFrame] = None,
     k: int = 10,
     query_id_col: Optional[str] = None,
     query_vec_col: Optional[str] = None,
@@ -1490,6 +1698,8 @@ def index_recall_probe(
     multiprobe: int = 1,
     exclude_self: bool = True,
     scoring: str = "exact",
+    scoring_dtype: str = "decimal",
+    sample_n: Optional[int] = None,
 ) -> DataFrame:
     """Sampled recall@k of a PERSISTED index (IVF, IVF-PQ, residual,
     or SRP — detected from the on-disk layout) against the exact
@@ -1519,11 +1729,21 @@ def index_recall_probe(
     read (:func:`ivf_pq_topk_batch_indexed`), measuring the FULL
     approximation stack the cheapest serving path ships — the honest
     SCALE_r9 finding (ADC-only recall is coarse at small corpora,
-    rerank recovers) as a per-index number.
+    rerank recovers) as a per-index number. ``scoring_dtype`` passes
+    through to the ADC read, so the probe measures whichever mode
+    production actually serves ("double" — the cheap FAISS-style
+    float scoring — or the gate-exact "decimal" default).
     The exact side is a brute-force scan scored per query with the
     same rounded-cosine ranking — per-query cost is |corpus|, which
     is the point of SAMPLING the queries: probe tens of queries, not
-    the corpus.
+    the corpus. ``sample_n=N`` (instead of a ``queries`` DataFrame)
+    makes that one call: the probe picks N of the index's OWN stored
+    vectors deterministically — ordered by ``md5(id)``, an unbiased
+    shuffle that is the same N ids on every run — so the alert loop
+    needs nothing but the index path, and the sample STAYS N rows as
+    the corpus grows (the r10 scale harness scaled it with the
+    corpus and manufactured a |queries|·|corpus| blow-up the
+    operator's contract forbids).
     """
     import json as _json
     import os as _os
@@ -1533,6 +1753,12 @@ def index_recall_probe(
     if scoring not in ("exact", "adc"):
         raise ValueError(
             f"scoring must be 'exact' or 'adc', got {scoring!r}"
+        )
+    path = _resolve_index_root(path)
+    if (queries is None) == (sample_n is None):
+        raise ValueError(
+            "index_recall_probe: pass EITHER a queries DataFrame OR "
+            "sample_n (a deterministic sample from the index itself)"
         )
     if _os.path.exists(_os.path.join(path, "planes.json")):
         if scoring == "adc":
@@ -1547,6 +1773,9 @@ def index_recall_probe(
         qid = query_id_col or id_col
         qvc = query_vec_col or vec_col
         corpus = spark.read.parquet(_os.path.join(path, "buckets"))
+        if sample_n is not None:
+            queries = _probe_sample(corpus, id_col, vec_col, sample_n)
+            qid, qvc = id_col, vec_col
         approx = srp_topk_batch_indexed(
             spark, path, queries, k, id_col, vec_col,
             qid, qvc, multiprobe, exclude_self,
@@ -1558,6 +1787,9 @@ def index_recall_probe(
         qid = query_id_col or id_col
         qvc = query_vec_col or vec_col
         corpus = spark.read.parquet(_os.path.join(path, "lists"))
+        if sample_n is not None:
+            queries = _probe_sample(corpus, id_col, vec_col, sample_n)
+            qid, qvc = id_col, vec_col
         if scoring == "adc":
             if not _os.path.exists(_os.path.join(path, "pq_books.json")):
                 raise ValueError(
@@ -1567,6 +1799,7 @@ def index_recall_probe(
             approx = ivf_pq_topk_batch_indexed(
                 spark, path, queries, k, id_col, vec_col,
                 qid, qvc, nprobe, exclude_self,
+                scoring_dtype=scoring_dtype,
             )
         else:
             approx = ivf_topk_batch_indexed(
@@ -2136,6 +2369,7 @@ def pq_adc_topk(
     raw_df: Optional[DataFrame] = None,
     raw_id_col: str = "vec_id",
     raw_vec_col: str = "embedding",
+    scoring_dtype: str = "decimal",
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes (the ADC of Jégou et
     al. 2011): the query builds an m x ksub lookup table of squared
@@ -2146,6 +2380,16 @@ def pq_adc_topk(
     and every corpus row costs m array lookups + m decimal adds — the
     codes column is the only thing read (column pruning: the raw
     vectors never leave storage).
+
+    ``scoring_dtype="double"`` is the PRODUCTION mode (FAISS scores
+    ADC in float): the per-row sum runs in IEEE double — roughly an
+    order of magnitude cheaper per row than decimal arithmetic — at
+    the cost of the order-independent-sum exactness the default
+    "decimal" mode keeps for oracle parity. Top-k IDS are identical
+    between the modes except where two codes' true ADC distances tie
+    within double rounding (~1e-15 relative — pytest-asserted at the
+    fixture); distances differ only in final ulps, and ``rerank``
+    recovers exact-cosine ranking in either mode.
 
     Approximation contract: ADC ranks by the PQ-reconstructed
     distance, the standard recall/memory trade. ``rerank=c`` (with
@@ -2176,6 +2420,11 @@ def pq_adc_topk(
         )
     if k < 1:
         raise ValueError("k must be >= 1")
+    if scoring_dtype not in ("decimal", "double"):
+        raise ValueError(
+            f"scoring_dtype must be 'decimal' or 'double', got "
+            f"{scoring_dtype!r}"
+        )
 
     def fold_sqdist(a, b):
         acc = 0.0
@@ -2185,11 +2434,17 @@ def pq_adc_topk(
         return acc
 
     # Each table entry is pasted as the raw IEEE double (repr
-    # round-trips exactly) and cast to DECIMAL(20,12) IN the engine —
-    # the same double -> decimal cast the oracle performs on its
-    # identically-folded double, so the quantization rule is the
-    # engines' shared one (the q85..q103 LM convention), never a third
-    # Python-side rounding.
+    # round-trips exactly) and — in the default decimal mode — cast
+    # to DECIMAL(20,12) IN the engine: the same double -> decimal
+    # cast the oracle performs on its identically-folded double, so
+    # the quantization rule is the engines' shared one (the
+    # q85..q103 LM convention), never a third Python-side rounding.
+    # Double mode keeps the raw literal and sums in IEEE double.
+    entry_sql = (
+        "CAST({v!r}D AS DECIMAL(20,12))"
+        if scoring_dtype == "decimal"
+        else "{v!r}D"
+    )
     tables = []
     for s in range(m):
         qsub = q[s * sub:(s + 1) * sub]
@@ -2197,8 +2452,7 @@ def pq_adc_topk(
             F.expr(
                 "array("
                 + ", ".join(
-                    f"CAST({fold_sqdist(qsub, bsub)!r}D "
-                    "AS DECIMAL(20,12))"
+                    entry_sql.format(v=fold_sqdist(qsub, bsub))
                     for bsub in books[s]
                 )
                 + ")"

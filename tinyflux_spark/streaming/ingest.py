@@ -914,6 +914,7 @@ def stateful_holt_winters(
     beta: float = 0.1,
     gamma: float = 0.2,
     period: int = 4,
+    phi: float = 1.0,
     state_ttl_minutes: Optional[int] = None,
 ) -> DataFrame:
     """Per-key running additive Holt-Winters (level + trend +
@@ -921,9 +922,12 @@ def stateful_holt_winters(
     :func:`stateful_holt`'s seasonal completion and the streaming
     twin of ``operators.aggregates.holt_winters_last`` (identical
     recurrence AND identical first-season initialization: the first
-    m values buffer, then seed ``l = mean, b = 0, s_j = v_j - l``).
+    m values buffer, then seed ``l = mean, b = 0, s_j = v_j - l``;
+    identical Gardner-McKenzie trend damping — ``phi`` in (0, 1]
+    shrinks the carried trend ``phi*b`` at every step, and the
+    default ``phi=1.0`` is bit-exactly the undamped recurrence).
     Emits one row per event: ``(key, time, value, level, trend,
-    forecast)`` with ``forecast = level + trend + s_next`` (the
+    forecast)`` with ``forecast = level + phi*trend + s_next`` (the
     seasonal one-step-ahead prediction); warm-up rows (before one
     full season has arrived) emit NULL level/trend/forecast — the
     state is not yet defined, and a placeholder would alias a real
@@ -943,6 +947,10 @@ def stateful_holt_winters(
 
     if period < 2:
         raise ValueError("stateful_holt_winters: period must be >= 2")
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(
+            "stateful_holt_winters: phi must be in (0, 1]"
+        )
     m = int(period)
     out_schema = (
         f"{key_col} string, {time_col} timestamp, "
@@ -988,18 +996,22 @@ def stateful_holt_winters(
                     s = [x - l for x in buf]
                     buf = []
                     rows.append(
-                        (str(key[0]), t, v, l, b, l + b + s[m % m])
+                        (str(key[0]), t, v, l, b,
+                         l + (phi * b) + s[m % m])
                     )
                 else:
                     lag = s[cnt % m]
-                    nl = alpha * (v - lag) + (1.0 - alpha) * (l + b)
-                    b = beta * (nl - l) + (1.0 - beta) * b
+                    # phi*b as an explicit product — the batch fold's
+                    # convention (1.0*b == b exactly at phi=1.0)
+                    phb = phi * b
+                    nl = alpha * (v - lag) + (1.0 - alpha) * (l + phb)
+                    b = beta * (nl - l) + (1.0 - beta) * phb
                     s[cnt % m] = gamma * (v - nl) + (1.0 - gamma) * lag
                     l = nl
                     rows.append(
                         (
                             str(key[0]), t, v, l, b,
-                            l + b + s[(cnt + 1) % m],
+                            l + (phi * b) + s[(cnt + 1) % m],
                         )
                     )
                 cnt += 1
@@ -2031,9 +2043,13 @@ def _ivf_batch_already_appended(
     ]
     if not sample:
         return True  # empty batch: nothing to (re-)append
+    from ..operators.similarity import _resolve_index_root
+
     sub = "codes" if has_codes else "lists"
     idc = "id" if has_codes else id_col
-    existing = spark.read.parquet(_os.path.join(index_path, sub))
+    existing = spark.read.parquet(
+        _os.path.join(_resolve_index_root(index_path), sub)
+    )
     return (
         existing.where(F.col(idc).isin(sample)).limit(1).count() > 0
     )
@@ -2199,7 +2215,11 @@ def _srp_batch_already_appended(
     ]
     if not sample:
         return True  # empty batch: nothing to (re-)append
-    existing = spark.read.parquet(_os.path.join(index_path, "buckets"))
+    from ..operators.similarity import _resolve_index_root
+
+    existing = spark.read.parquet(
+        _os.path.join(_resolve_index_root(index_path), "buckets")
+    )
     return (
         existing.where(F.col(id_col).isin(sample)).limit(1).count() > 0
     )
@@ -2235,9 +2255,14 @@ def stream_srp_append_insert(
     import json as _json
     import os as _os
 
-    from ..operators.similarity import srp_append_index
+    from ..operators.similarity import (
+        _resolve_index_root,
+        srp_append_index,
+    )
 
-    with open(_os.path.join(index_path, "planes.json")) as f:
+    with open(
+        _os.path.join(_resolve_index_root(index_path), "planes.json")
+    ) as f:
         rec = _json.load(f)
     if "id_col" not in rec:
         raise ValueError(

