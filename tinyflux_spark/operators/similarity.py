@@ -555,20 +555,41 @@ def _ivf_probes(centroids, query_vec: Sequence[float], nprobe: int):
     return [i for _, i in ranked[:nprobe]]
 
 
-def _residual_col(vec_col: str, cents) -> Column:
-    """Elementwise residual ``x - c_list`` of a vector from its
-    assigned coarse centroid (``_ivf_list`` must already be present) —
+def _with_residual(
+    assigned: DataFrame, cents, vec_col: str
+) -> DataFrame:
+    """Residual ``x - c_list`` computed through a BROADCAST JOIN on
+    the assigned list id (``_ivf_list`` must already be present) —
     an exact IEEE subtraction of two doubles both engines hold
     bit-identically, so every downstream PQ stage stays
-    oracle-replayable."""
-    cent_arrs = "array(" + ", ".join(
-        "array(" + ", ".join(f"{float(x)!r}D" for x in cvec) + ")"
-        for _, cvec in cents
-    ) + ")"
-    return F.expr(
-        f"zip_with(`{vec_col}`, "
-        f"element_at({cent_arrs}, _ivf_list + 1), "
-        "(x, y) -> CAST(x AS DOUBLE) - y)"
+    oracle-replayable; joined rather than pasted, which is what
+    survives auto-K scale.
+    The codebook is DATA (K rows), not an expression: pasting a
+    K x dim literal array into the residual expression lets
+    CollapseProject inline it into every one of pq_encode's m x ksub
+    distance terms — at K ≈ √N = 2449 (the 100x corpus) that is
+    ~20M expression nodes and the DRIVER OOMs while planning the
+    encode (measured, r11). Joined, each PQ term references a plain
+    ``zip_with(vec, _cvec, ...)`` over two real columns; the K rows
+    ship once as a broadcast relation. Same doubles, same IEEE
+    subtraction — bit-identical to the literal form
+    (pytest-asserted via append ≡ rebuild and the q118 gate)."""
+    spark = assigned.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in cents],
+        "_ivf_list int, _cvec array<double>",
+    )
+    return (
+        assigned.join(F.broadcast(cdf), "_ivf_list")
+        .withColumn(
+            "_res",
+            F.zip_with(
+                F.col(vec_col),
+                F.col("_cvec"),
+                lambda x, y: x.cast("double") - y,
+            ),
+        )
+        .drop("_cvec")
     )
 
 
@@ -580,7 +601,7 @@ def _encode_for_index(assigned: DataFrame, cents, books, id_col: str,
     FROZEN books — write/append can never drift on what a code
     means."""
     if residual:
-        src = assigned.withColumn("_res", _residual_col(vec_col, cents))
+        src = _with_residual(assigned, cents, vec_col)
         return pq_encode(
             src, books, id_col, "_res", extra_cols=("_ivf_list",)
         )
@@ -823,21 +844,29 @@ def ivf_write_index(
     with open(_os.path.join(path, "codebook.json"), "w") as f:
         _json.dump([[i, list(v)] for i, v in cents], f)
     if pq_m is not None:
+        # Train/encode from the JUST-WRITTEN lists/, not the live
+        # `assigned` expression: (a) the K·N-dot-product assignment
+        # runs ONCE (inside the lists write) instead of once more per
+        # PQ job, and (b) the parquet scan is a plan barrier — at
+        # auto-K scale the K-literal argmax expression must never be
+        # inlined into the PQ distance terms (the driver-OOM class
+        # _with_residual documents).
+        stored = assigned.sparkSession.read.parquet(
+            _os.path.join(path, "lists")
+        )
         if residual:
-            train = assigned.withColumn(
-                "_res", _residual_col(vec_col, cents)
-            )
+            train = _with_residual(stored, cents, vec_col)
             books = pq_train(
                 train, id_col, "_res", m=pq_m, ksub=pq_ksub,
                 refine_iters=pq_refine_iters,
             )
         else:
             books = pq_train(
-                df, id_col, vec_col, m=pq_m, ksub=pq_ksub,
+                stored, id_col, vec_col, m=pq_m, ksub=pq_ksub,
                 refine_iters=pq_refine_iters,
             )
         codes = _encode_for_index(
-            assigned, cents, books, id_col, vec_col, residual
+            stored, cents, books, id_col, vec_col, residual
         )
         (
             codes.repartition(F.col("_ivf_list"))

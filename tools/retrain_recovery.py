@@ -1,0 +1,109 @@
+"""Close the loop on the standing 0.4-recall residual finding.
+
+SCALE_r9/r10 measured residual-index recall collapsing to ~0.4 at
+100x when the index keeps the SMALL-corpus configuration (K=16 —
+q118's fixture build) while the corpus grows 100x: each inverted list
+holds 100x more vectors, nprobe/K pruning discards most true
+neighbors, and the PQ books trained on the old geometry rank the
+survivors coarsely. Round 10 made that drift ALERTABLE
+(index_recall_probe, q131); round 11 makes it ACTIONABLE
+(ivf_retrain_index, q135). This probe runs the whole loop once at the
+100x dir and records the numbers:
+
+    build at the stale configuration  ->  probe (low recall)
+    ivf_retrain_index(num_centroids="auto")  ->  probe again
+    (same index path, serving reads repointed atomically)
+
+Output: one JSON doc with before/after recall (exact candidate/
+pruning arm AND the codes-only ADC arm), the K resize, and the
+retrain wall time.
+
+Usage: python tools/retrain_recovery.py <out.json> [scale_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def mean_recall(spark, path, scoring):
+    from tinyflux_spark.operators.similarity import index_recall_probe
+
+    return round(float(
+        index_recall_probe(
+            spark, path, k=10, nprobe=4, scoring=scoring, sample_n=50
+        )
+        .agg(F.avg("recall"))
+        .first()[0]
+    ), 3)
+
+
+def main() -> None:
+    out_path = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale100"
+
+    from tinyflux_spark.operators.similarity import (
+        _read_index_params,
+        _resolve_index_root,
+        ivf_retrain_index,
+        ivf_write_index,
+    )
+    from tinyflux_spark.schema import get_spark
+
+    spark = get_spark("retrain_recovery")
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    path = tempfile.mkdtemp(prefix="tfs_retrain_rec_")
+    # q118's fixture configuration — correct at sf0.1, stale at 100x
+    t0 = time.perf_counter()
+    ivf_write_index(
+        emb, path, num_centroids=16, pq_m=8, pq_ksub=16,
+        residual=True, coarse_refine_iters=2,
+    )
+    build_s = time.perf_counter() - t0
+    before = {
+        "recall_at_10_exact": mean_recall(spark, path, "exact"),
+        "recall_at_10_adc": mean_recall(spark, path, "adc"),
+        "num_centroids": 16,
+    }
+    t0 = time.perf_counter()
+    info = ivf_retrain_index(spark, path, num_centroids="auto")
+    retrain_s = time.perf_counter() - t0
+    after = {
+        "recall_at_10_exact": mean_recall(spark, path, "exact"),
+        "recall_at_10_adc": mean_recall(spark, path, "adc"),
+        "num_centroids": info["num_centroids"],
+    }
+    doc = {
+        "what": (
+            "run the probe, retrain, recall recovers — the r9/r10 "
+            "0.4-recall residual finding closed as a measured loop "
+            "(VERDICT r10 #1)"
+        ),
+        "scale_dir": sf_dir,
+        "corpus_rows": n,
+        "probe": "index_recall_probe(k=10, nprobe=4, sample_n=50)",
+        "before": before,
+        "after": after,
+        "resolved_root": _resolve_index_root(path),
+        "params_after": _read_index_params(path),
+        "build_s": round(build_s, 1),
+        "retrain_s": round(retrain_s, 1),
+        "machine": f"load average {os.getloadavg()[0]:.2f}",
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"before": before, "after": after,
+                      "retrain_s": doc["retrain_s"]}))
+
+
+if __name__ == "__main__":
+    main()
