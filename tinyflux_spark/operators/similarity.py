@@ -1325,16 +1325,25 @@ def ivf_pq_topk_batch_indexed(
     m, sub, ksub = books["m"], books["sub"], books["ksub"]
     q_exp = _batch_query_probes(queries, cents, qid, qvc, nprobe)
     if params.get("residual"):
-        # query-residual per probed list: q − c_list, selected from
-        # the centroid literals by the row's own _ivf_list
-        cent_arr = F.array(
-            *[_lit_vec(v) for _, v in sorted(cents)]
+        # query-residual per probed (query, list) row: q − c_list.
+        # The centroid comes from a broadcast JOIN on the row's own
+        # _ivf_list, NOT from element_at over a K x dim literal
+        # array: qbase is inlined into every one of the m x ksub
+        # table-entry terms below, and at auto-K (K ≈ √N = 2449 at
+        # the 100x corpus) a literal-array qbase explodes to ~10^8
+        # expression nodes — the driver OOMs planning the read
+        # (measured, r11; _with_residual's corpus-side lesson,
+        # query-side).
+        spark_q = queries.sparkSession
+        cdf = spark_q.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in cents],
+            "_ivf_list int, _qcvec array<double>",
         )
-        csel = F.element_at(
-            cent_arr, (F.col("_ivf_list") + F.lit(1)).cast("int")
-        )
+        q_exp = q_exp.join(F.broadcast(cdf), "_ivf_list")
         qbase = F.zip_with(
-            F.col("_qvec"), csel, lambda x, c: x.cast("double") - c
+            F.col("_qvec"),
+            F.col("_qcvec"),
+            lambda x, c: x.cast("double") - c,
         )
     else:
         qbase = F.transform(F.col("_qvec"), lambda x: x.cast("double"))
