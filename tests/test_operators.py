@@ -3384,6 +3384,39 @@ def test_adc_double_scoring_matches_decimal_topk(spark, tmp_path):
         sim.pq_adc_topk(codes, books, qv, k=5, scoring_dtype="f")
 
 
+def test_batch_probe_join_path_equals_literal_path(
+    spark, tmp_path, monkeypatch
+):
+    """_batch_query_probes above _PROBE_LITERAL_MAX_K ranks probe
+    lists through a broadcast join + rank window instead of a
+    K-literal expression (plan size must not grow with the corpus at
+    auto-K — the r11 driver-OOM/slow-planning class). Results are
+    bit-identical across the two physical forms at a K straddling
+    the threshold."""
+    from tinyflux_spark.operators import similarity as sim
+
+    full = _retrain_corpus(spark, 400, dim=8)
+    queries = full.where("vec_id % 80 = 0")
+    path = str(tmp_path / "bigk")
+    sim.ivf_write_index(full, path, num_centroids=80)
+    assert sim._PROBE_LITERAL_MAX_K < 80
+
+    join_form = sorted(
+        tuple(r)
+        for r in sim.ivf_topk_batch_indexed(
+            spark, path, queries, k=4, nprobe=6
+        ).collect()
+    )
+    monkeypatch.setattr(sim, "_PROBE_LITERAL_MAX_K", 10_000)
+    literal_form = sorted(
+        tuple(r)
+        for r in sim.ivf_topk_batch_indexed(
+            spark, path, queries, k=4, nprobe=6
+        ).collect()
+    )
+    assert join_form == literal_form and join_form
+
+
 def test_recall_probe_sample_n_is_deterministic_and_fixed(
     spark, tmp_path
 ):

@@ -453,36 +453,96 @@ def ivf_topk_batch(
     )
 
 
+# Above this K the probe ranking switches from a literal expression
+# to a broadcast join: the literal form costs O(K*dim) expression
+# nodes PER PLAN, and at auto-K (K ~ sqrt(N)) plan-build + codegen
+# compile time grows with the corpus — measured: the 100x retrained
+# index (K=447) served a 50-query batch 5x SLOWER than the stale
+# K=16 index purely on planning cost, and K=2449 OOMed the driver
+# in the residual path before r11's join rewrites. 64 keeps every
+# gate fixture (K <= 16) and typical hand-tuned indexes on the
+# narrow no-shuffle path, with bit-identical results either way
+# (pytest-asserted at K straddling the threshold).
+_PROBE_LITERAL_MAX_K = 64
+
+
 def _batch_query_probes(
     queries: DataFrame, cents, qid: str, qvc: str, nprobe: int
 ) -> DataFrame:
     """``(_qid, _qvec, _qnrm, _ivf_list)`` — each query row exploded
     to its ``nprobe`` probe list ids, selected ENGINE-side with the
     same rounded-cosine ranking (ties toward the lower centroid
-    index, zero-norm sentinel) as ``_ivf_probes``/``ivf_assign``."""
+    index, zero-norm sentinel) as ``_ivf_probes``/``ivf_assign``.
+
+    Two physically different, numerically IDENTICAL forms: small
+    codebooks rank inside one narrow expression (array_sort over K
+    literal structs — no join, no shuffle); codebooks past
+    ``_PROBE_LITERAL_MAX_K`` rank through a broadcast join of the
+    K-row centroid table + a per-query rank window that compiles to
+    WindowGroupLimit (the codebook is DATA at auto-K scale — pasting
+    it as literals makes plan size grow with the corpus)."""
     qv = F.col(qvc)
     qn = _norm(qv)
-    scored = []
-    for i, cvec in cents:
-        c = _lit_vec(cvec)
-        cn = math.sqrt(_seq_dot(cvec, cvec))
-        # zero-norm query/centroid -> sentinel (ns = 2.0, ranking
-        # last, ties by index) — identical to _ivf_probes/ivf_assign
-        den = qn * F.lit(cn)
-        sim = F.when(
-            den > 0, F.round(_dot(qv, c) / den, 6)
-        ).otherwise(F.lit(-2.0))
-        # ascending sort over (-sim, idx): best centroid first, ties
-        # toward the lower index — identical to _ivf_probes.
-        scored.append(F.struct((-sim).alias("ns"), F.lit(i).alias("i")))
-    probes = F.slice(F.array_sort(F.array(*scored)), 1, nprobe)
-    return queries.select(
+    if len(cents) <= _PROBE_LITERAL_MAX_K:
+        scored = []
+        for i, cvec in cents:
+            c = _lit_vec(cvec)
+            cn = math.sqrt(_seq_dot(cvec, cvec))
+            # zero-norm query/centroid -> sentinel (ns = 2.0, ranking
+            # last, ties by index) — identical to _ivf_probes/ivf_assign
+            den = qn * F.lit(cn)
+            sim = F.when(
+                den > 0, F.round(_dot(qv, c) / den, 6)
+            ).otherwise(F.lit(-2.0))
+            # ascending sort over (-sim, idx): best centroid first, ties
+            # toward the lower index — identical to _ivf_probes.
+            scored.append(
+                F.struct((-sim).alias("ns"), F.lit(i).alias("i"))
+            )
+        probes = F.slice(F.array_sort(F.array(*scored)), 1, nprobe)
+        return queries.select(
+            F.col(qid).alias("_qid"),
+            qv.alias("_qvec"),
+            _norm(qv).alias("_qnrm"),
+            F.explode(F.transform(probes, lambda s: s["i"])).alias(
+                "_ivf_list"
+            ),
+        )
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    # centroid norm precomputed driver-side with the SAME python
+    # sqrt/dot as the literal path, so den is the same double
+    cdf = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in v],
+             float(math.sqrt(_seq_dot(v, v))))
+            for i, v in cents
+        ],
+        "_cidx int, _cvec array<double>, _cn double",
+    )
+    q = queries.select(
         F.col(qid).alias("_qid"),
         qv.alias("_qvec"),
         _norm(qv).alias("_qnrm"),
-        F.explode(F.transform(probes, lambda s: s["i"])).alias(
-            "_ivf_list"
-        ),
+        F.lit(0).alias("_j"),
+    )
+    den = F.col("_qnrm") * F.col("_cn")
+    sim = F.when(
+        den > 0,
+        F.round(_dot(F.col("_qvec"), F.col("_cvec")) / den, 6),
+    ).otherwise(F.lit(-2.0))
+    w = Window.partitionBy("_qid").orderBy(
+        (-sim).asc(), F.col("_cidx").asc()
+    )
+    return (
+        q.join(F.broadcast(cdf.withColumn("_j", F.lit(0))), "_j")
+        .withColumn("_pr", F.row_number().over(w))
+        .where(F.col("_pr") <= nprobe)
+        .select(
+            "_qid", "_qvec", "_qnrm",
+            F.col("_cidx").alias("_ivf_list"),
+        )
     )
 
 
