@@ -77,6 +77,13 @@ PANEL = [
     ("q130_srp_append_serve", (1, 10, 100)),
     ("q131_index_recall_probe", (1, 10, 100)),
     ("q132_holt_winters_last", (1, 10, 100)),
+    # round-11 rows: the batch ADC read (decimal gate mode — the
+    # dtype A/B lives in ADC_DTYPE_AB_r11*.json), the full
+    # build->append->retrain->serve lifecycle's SERVE read, and the
+    # damped forecast family member.
+    ("q134_ivf_pq_batch_indexed", (1, 10)),
+    ("q135_ivf_retrain_serve", (1, 10, 100)),
+    ("q136_holt_winters_damped", (1, 10, 100)),
     # auto-K variants of the batch ANN reads (VERDICT r9 ask #4): the
     # index is built per scale dir with num_centroids/num_planes
     # "auto", so per-query candidate volume should hold ~sqrt(N)
@@ -106,6 +113,7 @@ PROBE_INDEXED = {
     "q126_ivf_batch_indexed": lambda sf: sf + "#full16",
     "q128_srp_batch_indexed": lambda sf: sf + "#srp4",
     "q130_srp_append_serve": lambda sf: (sf, "srp_append_lifecycle"),
+    "q135_ivf_retrain_serve": lambda sf: (sf, "retrain_lifecycle"),
 }
 
 
