@@ -3355,18 +3355,103 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's CORRECTNESS artifact records
     # only the FIRST 50 entries. The order rotates each round so every
-    # query periodically lands in that window. Round 11 (VERDICT r10
-    # ask #2): the two round-11 operators q135/q136 lead (registered
-    # during the round — the r10 precedent), then q53-q57 (displaced
-    # from the r10 window, queued by the r10 comment), then q26 (the
-    # single oldest row, r7), then the rest of the r8-refreshed cohort
-    # (q58-q69, q91-q100, q103-q108), then the VERDICT-named r9 rows
-    # (q01/q04/q06/q09/q11-q16) and the next-longest r9 rows
-    # (q17-q20): exactly 50. Below the window: everything r9/r10-fresh
-    # (q21-q25/q27-q52/q70-q90/q101-q102/q109-q134 — the r10 window's
-    # rows are the freshest and rotate last). tools/check_gate.py
+    # query periodically lands in that window. Round 12 (VERDICT r11
+    # ask #2): the 36 r9-aged rows lead — q21-q25, q27-q32, q34-q37,
+    # q39-q41, q70-q75, q89, q90, q101, q102, q109-q116 (every row's
+    # last driver green is r9) — then 14 of the r10-refreshed cohort
+    # (q02/q03/q05/q07/q08/q10/q33/q38/q42-q46/q48, the core-API rows)
+    # fill the window to exactly 50. Below the window: the rest of the
+    # r10 cohort (q47/q49-q52/q76-q88/q117-q134), then everything
+    # r11-fresh (q135/q136/q53-q69/q91-q100/q103-q108/q01/q04/q06/q09/
+    # q11-q20/q26 — the freshest rows rotate last). tools/check_gate.py
     # remains the per-commit guard over the full registry.
     return {
+        "q21_text_quality": q21_text_quality,
+        "q22_lang_id": q22_lang_id,
+        "q23_doc_fingerprint": q23_doc_fingerprint,
+        "q24_ann_cosine_topk": q24_ann_cosine_topk,
+        "q25_embedding_near_dup": q25_embedding_near_dup,
+        "q27_simhash_hamming_pairs": q27_simhash_hamming_pairs,
+        "q28_sessionize": q28_sessionize,
+        "q29_ewma_last": q29_ewma_last,
+        "q30_token_stats": q30_token_stats,
+        "q31_srp_ann_topk": q31_srp_ann_topk,
+        "q32_frame_sample_plan": q32_frame_sample_plan,
+        "q34_get_field_keys": q34_get_field_keys,
+        "q35_get_tag_values": q35_get_tag_values,
+        "q36_stream_ewma": q36_stream_ewma,
+        "q37_dml_update_unset_remove": q37_dml_update_unset_remove,
+        "q39_get_tag_keys": q39_get_tag_keys,
+        "q40_get_field_values": q40_get_field_values,
+        "q41_get_timestamps": q41_get_timestamps,
+        "q70_stream_rollup_store": q70_stream_rollup_store,
+        "q71_time_travel": q71_time_travel,
+        "q72_decontaminate": q72_decontaminate,
+        "q73_shard_assign": q73_shard_assign,
+        "q74_pack_sequences": q74_pack_sequences,
+        "q75_ivf_batch_topk": q75_ivf_batch_topk,
+        "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
+        "q90_rollup_card": q90_rollup_card,
+        "q101_kmv_set_overlap": q101_kmv_set_overlap,
+        "q102_stream_semantic_dedup": q102_stream_semantic_dedup,
+        "q109_ivf_pq_indexed_topk": q109_ivf_pq_indexed_topk,
+        "q110_kmv_quantiles_by_key": q110_kmv_quantiles_by_key,
+        "q111_pq_rerank_topk": q111_pq_rerank_topk,
+        "q112_ivf_refined_topk": q112_ivf_refined_topk,
+        "q113_ivf_pq_residual_topk": q113_ivf_pq_residual_topk,
+        "q114_kmv_sketch_merge": q114_kmv_sketch_merge,
+        "q115_stream_kmv_quantiles": q115_stream_kmv_quantiles,
+        "q116_kmv_distinct_by_key": q116_kmv_distinct_by_key,
+        "q02_search_tag_eq": q02_search_tag_eq,
+        "q03_search_field_range": q03_search_field_range,
+        "q05_search_measurement_regex": q05_search_measurement_regex,
+        "q07_field_missing_key": q07_field_missing_key,
+        "q08_not_exists": q08_not_exists,
+        "q10_select_projection": q10_select_projection,
+        "q33_media_features": q33_media_features,
+        "q38_get_contains": q38_get_contains,
+        "q42_all_len_iter": q42_all_len_iter,
+        "q43_update_all": q43_update_all,
+        "q44_remove_all": q44_remove_all,
+        "q45_drop_measurement": q45_drop_measurement,
+        "q46_insert_point_path": q46_insert_point_path,
+        "q48_search_predicate": q48_search_predicate,
+        "q47_map_test_predicates": q47_map_test_predicates,
+        "q49_measurement_handle": q49_measurement_handle,
+        "q50_csv_interop": q50_csv_interop,
+        "q51_dedup_clusters": q51_dedup_clusters,
+        "q52_ivf_ann_topk": q52_ivf_ann_topk,
+        "q76_quality_filter": q76_quality_filter,
+        "q77_bm25_scores": q77_bm25_scores,
+        "q78_quantize_embeddings": q78_quantize_embeddings,
+        "q79_edit_distance_pairs": q79_edit_distance_pairs,
+        "q80_incremental_dedup_join": q80_incremental_dedup_join,
+        "q81_corpus_profile": q81_corpus_profile,
+        "q82_remove_boilerplate": q82_remove_boilerplate,
+        "q83_temperature_sample": q83_temperature_sample,
+        "q84_interval_join": q84_interval_join,
+        "q85_unigram_logprob": q85_unigram_logprob,
+        "q86_salted_join": q86_salted_join,
+        "q87_version_diff": q87_version_diff,
+        "q88_merge_intervals": q88_merge_intervals,
+        "q117_ivf_append_serve": q117_ivf_append_serve,
+        "q118_ivf_pq_residual_indexed": q118_ivf_pq_residual_indexed,
+        "q119_data_card": q119_data_card,
+        "q120_stream_ivf_append": q120_stream_ivf_append,
+        "q121_weighted_sample_by_key": q121_weighted_sample_by_key,
+        "q122_top_tokens_by_key": q122_top_tokens_by_key,
+        "q123_decontaminate_bloom": q123_decontaminate_bloom,
+        "q124_audio_features": q124_audio_features,
+        "q125_stream_self_dedup": q125_stream_self_dedup,
+        "q126_ivf_batch_indexed": q126_ivf_batch_indexed,
+        "q127_holt_last": q127_holt_last,
+        "q128_srp_batch_indexed": q128_srp_batch_indexed,
+        "q129_stream_holt": q129_stream_holt,
+        "q130_srp_append_serve": q130_srp_append_serve,
+        "q131_index_recall_probe": q131_index_recall_probe,
+        "q132_holt_winters_last": q132_holt_winters_last,
+        "q133_stream_holt_winters": q133_stream_holt_winters,
+        "q134_ivf_pq_batch_indexed": q134_ivf_pq_batch_indexed,
         "q135_ivf_retrain_serve": q135_ivf_retrain_serve,
         "q136_holt_winters_damped": q136_holt_winters_damped,
         "q53_hash_sample": q53_hash_sample,
@@ -3417,92 +3502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_ngram_jaccard_pairs": q18_ngram_jaccard_pairs,
         "q19_minhash_lsh_pairs": q19_minhash_lsh_pairs,
         "q20_simhash": q20_simhash,
-        "q134_ivf_pq_batch_indexed": q134_ivf_pq_batch_indexed,
-        "q130_srp_append_serve": q130_srp_append_serve,
-        "q131_index_recall_probe": q131_index_recall_probe,
-        "q132_holt_winters_last": q132_holt_winters_last,
-        "q133_stream_holt_winters": q133_stream_holt_winters,
-        "q117_ivf_append_serve": q117_ivf_append_serve,
-        "q118_ivf_pq_residual_indexed": q118_ivf_pq_residual_indexed,
-        "q119_data_card": q119_data_card,
-        "q120_stream_ivf_append": q120_stream_ivf_append,
-        "q121_weighted_sample_by_key": q121_weighted_sample_by_key,
-        "q122_top_tokens_by_key": q122_top_tokens_by_key,
-        "q123_decontaminate_bloom": q123_decontaminate_bloom,
-        "q124_audio_features": q124_audio_features,
-        "q125_stream_self_dedup": q125_stream_self_dedup,
-        "q126_ivf_batch_indexed": q126_ivf_batch_indexed,
-        "q127_holt_last": q127_holt_last,
-        "q128_srp_batch_indexed": q128_srp_batch_indexed,
-        "q129_stream_holt": q129_stream_holt,
-        "q47_map_test_predicates": q47_map_test_predicates,
-        "q50_csv_interop": q50_csv_interop,
-        "q76_quality_filter": q76_quality_filter,
-        "q77_bm25_scores": q77_bm25_scores,
-        "q78_quantize_embeddings": q78_quantize_embeddings,
-        "q79_edit_distance_pairs": q79_edit_distance_pairs,
-        "q80_incremental_dedup_join": q80_incremental_dedup_join,
-        "q81_corpus_profile": q81_corpus_profile,
-        "q82_remove_boilerplate": q82_remove_boilerplate,
-        "q83_temperature_sample": q83_temperature_sample,
-        "q84_interval_join": q84_interval_join,
-        "q85_unigram_logprob": q85_unigram_logprob,
-        "q86_salted_join": q86_salted_join,
-        "q87_version_diff": q87_version_diff,
-        "q88_merge_intervals": q88_merge_intervals,
-        "q02_search_tag_eq": q02_search_tag_eq,
-        "q03_search_field_range": q03_search_field_range,
-        "q05_search_measurement_regex": q05_search_measurement_regex,
-        "q07_field_missing_key": q07_field_missing_key,
-        "q08_not_exists": q08_not_exists,
-        "q10_select_projection": q10_select_projection,
-        "q33_media_features": q33_media_features,
-        "q38_get_contains": q38_get_contains,
-        "q42_all_len_iter": q42_all_len_iter,
-        "q43_update_all": q43_update_all,
-        "q44_remove_all": q44_remove_all,
-        "q45_drop_measurement": q45_drop_measurement,
-        "q46_insert_point_path": q46_insert_point_path,
-        "q48_search_predicate": q48_search_predicate,
-        "q49_measurement_handle": q49_measurement_handle,
-        "q51_dedup_clusters": q51_dedup_clusters,
-        "q52_ivf_ann_topk": q52_ivf_ann_topk,
-        "q109_ivf_pq_indexed_topk": q109_ivf_pq_indexed_topk,
-        "q110_kmv_quantiles_by_key": q110_kmv_quantiles_by_key,
-        "q111_pq_rerank_topk": q111_pq_rerank_topk,
-        "q112_ivf_refined_topk": q112_ivf_refined_topk,
-        "q113_ivf_pq_residual_topk": q113_ivf_pq_residual_topk,
-        "q114_kmv_sketch_merge": q114_kmv_sketch_merge,
-        "q115_stream_kmv_quantiles": q115_stream_kmv_quantiles,
-        "q116_kmv_distinct_by_key": q116_kmv_distinct_by_key,
-        "q70_stream_rollup_store": q70_stream_rollup_store,
-        "q71_time_travel": q71_time_travel,
-        "q72_decontaminate": q72_decontaminate,
-        "q73_shard_assign": q73_shard_assign,
-        "q74_pack_sequences": q74_pack_sequences,
-        "q75_ivf_batch_topk": q75_ivf_batch_topk,
-        "q90_rollup_card": q90_rollup_card,
-        "q101_kmv_set_overlap": q101_kmv_set_overlap,
-        "q102_stream_semantic_dedup": q102_stream_semantic_dedup,
-        "q89_excise_duplicate_spans": q89_excise_duplicate_spans,
-        "q21_text_quality": q21_text_quality,
-        "q22_lang_id": q22_lang_id,
-        "q23_doc_fingerprint": q23_doc_fingerprint,
-        "q24_ann_cosine_topk": q24_ann_cosine_topk,
-        "q25_embedding_near_dup": q25_embedding_near_dup,
-        "q27_simhash_hamming_pairs": q27_simhash_hamming_pairs,
-        "q28_sessionize": q28_sessionize,
-        "q29_ewma_last": q29_ewma_last,
-        "q30_token_stats": q30_token_stats,
-        "q31_srp_ann_topk": q31_srp_ann_topk,
-        "q32_frame_sample_plan": q32_frame_sample_plan,
-        "q34_get_field_keys": q34_get_field_keys,
-        "q35_get_tag_values": q35_get_tag_values,
-        "q36_stream_ewma": q36_stream_ewma,
-        "q37_dml_update_unset_remove": q37_dml_update_unset_remove,
-        "q39_get_tag_keys": q39_get_tag_keys,
-        "q40_get_field_values": q40_get_field_values,
-        "q41_get_timestamps": q41_get_timestamps,
     }
 
 

@@ -1371,10 +1371,14 @@ def test_srp_append_index_equals_rebuild(spark, tmp_path):
     # refusals: mismatched columns; pre-stamp planes.json
     with pytest.raises(ValueError, match="id_col"):
         sim.srp_append_index(batch, path, id_col="other")
-    rec = json.load(open(os.path.join(path, "planes.json")))
+    # rewrite THROUGH the Hadoop FS layer (r12: metadata lives behind
+    # fsio; a plain open() rewrite would leave a stale checksum sidecar)
+    from tinyflux_spark import fsio
+
+    rec = fsio.read_json(os.path.join(path, "planes.json"))
     for kk in ("id_col", "vec_col"):
         rec.pop(kk)
-    json.dump(rec, open(os.path.join(path, "planes.json"), "w"))
+    fsio.write_json_atomic(os.path.join(path, "planes.json"), rec)
     with pytest.raises(ValueError, match="stamping"):
         sim.srp_append_index(batch, path)
 
@@ -1456,10 +1460,14 @@ def test_stream_srp_append_matches_batch_and_exactly_once(
             ),
             path, id_col="other",
         )
-    rec = json.load(open(os.path.join(path, "planes.json")))
+    # rewrite THROUGH the Hadoop FS layer (r12: metadata lives behind
+    # fsio; a plain open() rewrite would leave a stale checksum sidecar)
+    from tinyflux_spark import fsio
+
+    rec = fsio.read_json(os.path.join(path, "planes.json"))
     for kk in ("id_col", "vec_col"):
         rec.pop(kk)
-    json.dump(rec, open(os.path.join(path, "planes.json"), "w"))
+    fsio.write_json_atomic(os.path.join(path, "planes.json"), rec)
     with pytest.raises(ValueError, match="stamping"):
         ingest.stream_srp_append_insert(
             ingest.point_stream_from_files(

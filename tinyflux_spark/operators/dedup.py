@@ -822,6 +822,16 @@ def contamination_hits(
     count for ~1e-3 FP (bits/entry = 14 ⇒ j=5 is near-optimal);
     at 100 M eval shingles that is 2^31 bits = 256 MB of words —
     still a broadcastable table where the string set is not.
+
+    Cache lifetime (bloom arm only): the persisted word table stays
+    cached for the SparkSession lifetime so the returned DataFrame —
+    and any plan derived from it — can keep re-executing against the
+    one materialized bitmap; repeated calls each pin their own
+    (ADVICE r11). Once the result is fully consumed, release it via
+    the handle the result carries: ``res._bloom_words.unpersist()``
+    (non-blocking is fine), or ``spark.catalog.clearCache()`` to drop
+    every cached relation. Unpersisting early is safe — correctness
+    is unaffected; the bitmap lineage just recomputes on next use.
     """
     test_g = (
         exploded_shingles(test, id_col, text_col, n=n, unit=unit)
@@ -912,13 +922,18 @@ def contamination_hits(
         raise ValueError(
             f"prefilter must be 'broadcast' or 'bloom', got {prefilter!r}"
         )
-    return (
+    out = (
         matched.groupBy("id")
         .agg(
             F.count("*").alias("n_hits"),
             F.min("shingle").alias("sample_shingle"),
         )
     )
+    if prefilter == "bloom":
+        # the unpersist handle documented above — callers release the
+        # cached word table once the result is consumed
+        out._bloom_words = words
+    return out
 
 
 def edit_distance_pairs(

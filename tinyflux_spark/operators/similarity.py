@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import fsio as _fsio
+
 
 def _lit_vec(values: Sequence[float]) -> Column:
     """Constant double-array Column built as ONE parsed SQL expression.
@@ -521,18 +523,25 @@ def _batch_query_probes(
         ],
         "_cidx int, _cvec array<double>, _cn double",
     )
+    # rank per QUERY ROW, not per _qid: a per-row key captured BEFORE
+    # the join keeps duplicate query ids from sharing one nprobe
+    # budget across their rows — the literal path ranks per row, and
+    # the two forms must stay bit-identical either side of the
+    # threshold (ADVICE r11). Query ids should still be unique for
+    # the downstream per-_qid top-k to mean anything; the probe step
+    # itself no longer silently diverges when they aren't.
     q = queries.select(
         F.col(qid).alias("_qid"),
         qv.alias("_qvec"),
         _norm(qv).alias("_qnrm"),
         F.lit(0).alias("_j"),
-    )
+    ).withColumn("_qrow", F.monotonically_increasing_id())
     den = F.col("_qnrm") * F.col("_cn")
     sim = F.when(
         den > 0,
         F.round(_dot(F.col("_qvec"), F.col("_cvec")) / den, 6),
     ).otherwise(F.lit(-2.0))
-    w = Window.partitionBy("_qid").orderBy(
+    w = Window.partitionBy("_qrow").orderBy(
         (-sim).asc(), F.col("_cidx").asc()
     )
     return (
@@ -683,101 +692,203 @@ _FLAT_INDEX_MEMBERS = (
     "buckets", "planes.json",
 )
 
+# Generation commit marker: ``<path>/index_v<N>/_SUCCESS``, created
+# LAST, after the staged generation is a complete index layout.
+# Existence-gated — readers never parse it — so the commit is one
+# marker CREATION, which holds on object stores too (no atomic rename
+# exists there; a pointer-file flip would not survive the port off
+# POSIX). The underscore prefix keeps it invisible to parquet scans.
+_GEN_COMMIT_MARKER = "_SUCCESS"
 
-def _read_index_version(path: str):
-    """Current version number of a versioned index root, or None for
-    a flat (never-retrained) index."""
-    import json as _json
-    import os as _os
-
-    p = _os.path.join(path, "_current.json")
-    if not _os.path.exists(p):
-        return None
-    with open(p) as f:
-        return int(_json.load(f)["version"])
-
-
-def _resolve_index_root(path: str) -> str:
-    """Physical directory of the CURRENT index version. A retrained
-    index is versioned — ``<path>/index_v<N>/`` generations plus an
-    atomically-flipped ``<path>/_current.json`` pointer (the
-    ``storages.py`` MVCC pointer-flip pattern applied to ANN
-    indexes) — while a freshly-built index is flat at ``<path>``
-    itself. Readers resolve the pointer when they PLAN, so an
-    in-flight serving read keeps a consistent snapshot across a
-    concurrent :func:`ivf_retrain_index` / :func:`srp_retrain_index`
-    (the superseded version dir survives one further retrain before
-    GC). Idempotent: a resolved version dir carries no pointer of its
-    own, so double resolution is a no-op."""
-    import os as _os
-
-    v = _read_index_version(path)
-    return path if v is None else _os.path.join(path, _ivdir(v))
+# Retrain intent marker at the index ROOT: enforces the index family's
+# single-writer contract across retrain AND append (an append
+# committed into the old generation after the retrain's read plans
+# would silently miss the new one). A marker older than this is a
+# crashed retrain and is reclaimed rather than wedging appends.
+_RETRAIN_INTENT = "_retrain_intent.json"
+_RETRAIN_INTENT_STALE_S = 3600.0
 
 
-def _flip_index_pointer(path: str, version: int) -> None:
-    """Commit a retrain: write ``_current.json`` via temp-file +
-    ``os.replace`` (atomic on POSIX), so a concurrent reader resolves
-    the old version or the new — never a torn pointer — and a crash
-    before the replace leaves the old index fully intact (the staged
-    version dir is invisible until the pointer names it)."""
-    import json as _json
-    import os as _os
-    import uuid as _uuid
-
-    final = _os.path.join(path, "_current.json")
-    tmp = final + f".tmp.{_os.getpid()}.{_uuid.uuid4().hex[:6]}"
-    with open(tmp, "w") as f:
-        _json.dump({"version": int(version)}, f)
-    _os.replace(tmp, final)
-
-
-def _gc_index_versions(path: str, new_v: int, keep_versions: int) -> None:
-    """Retire index generations older than the immediately previous
-    one (``keep_versions`` floor of 2 — current + previous, so a read
-    planned against the old version mid-flip still completes). The
-    flat pre-versioning layout counts as generation -1: its top-level
-    members are deleted only once TWO retrains have superseded it."""
-    import os as _os
-    import shutil as _shutil
-
-    keep_versions = max(2, int(keep_versions))
-    for name in _os.listdir(path):
+def _list_index_versions(path: str, spark=None) -> dict:
+    """``{version: committed}`` for every ``index_v*`` generation dir
+    under the index root — one Hadoop listing + one marker-existence
+    probe per generation (generation counts are single-digit by the
+    keep-2 GC)."""
+    out = {}
+    for name in _fsio.list_names(path, spark):
         if not name.startswith("index_v"):
             continue
         try:
             v = int(name[len("index_v"):])
         except ValueError:
             continue
+        out[v] = _fsio.exists(
+            _fsio.pjoin(path, name, _GEN_COMMIT_MARKER), spark
+        )
+    return out
+
+
+def _read_index_version(path: str, spark=None):
+    """Current version number of a versioned index root, or None for
+    a flat (never-retrained) index: the highest generation whose
+    ``_SUCCESS`` marker exists. A legacy ``_current.json`` pointer
+    (the pre-r12 POSIX-rename commit) is honored only when NO
+    marker-committed generation exists — the first marker-protocol
+    retrain supersedes and deletes it."""
+    committed = [
+        v for v, ok in _list_index_versions(path, spark).items() if ok
+    ]
+    if committed:
+        return max(committed)
+    legacy = _fsio.read_json_if_exists(
+        _fsio.pjoin(path, "_current.json"), spark
+    )
+    return None if legacy is None else int(legacy["version"])
+
+
+def _resolve_index_root(path: str, spark=None) -> str:
+    """Physical directory of the CURRENT index version. A retrained
+    index is versioned — ``<path>/index_v<N>/`` generations, each
+    committed by the creation of its ``_SUCCESS`` marker (scan
+    protocol: current = highest committed generation) — while a
+    freshly-built index is flat at ``path`` itself. Readers resolve
+    when they PLAN, so an in-flight serving read keeps a consistent
+    snapshot across a concurrent :func:`ivf_retrain_index` /
+    :func:`srp_retrain_index` (the superseded generation survives one
+    further retrain before GC). All metadata I/O goes through the
+    Hadoop FS API (:mod:`tinyflux_spark.fsio`), so the index root may
+    live on any supported scheme — local, ``file://``, ``hdfs://``,
+    object storage — exactly like its parquet halves. Idempotent: a
+    resolved version dir contains no ``index_v*`` children, so double
+    resolution is a no-op."""
+    v = _read_index_version(path, spark)
+    return path if v is None else _fsio.pjoin(path, _ivdir(v))
+
+
+def _flip_index_pointer(path: str, version: int) -> None:
+    """Commit a retrain: CREATE the staged generation's ``_SUCCESS``
+    marker. A concurrent reader's generation scan sees the marker or
+    not — never a torn state — and a crash anywhere before this call
+    leaves the old index fully intact (an unmarked staging dir is
+    invisible to :func:`_read_index_version`). Creation-gated rather
+    than rename-gated so the commit holds on object stores, which
+    have no atomic rename (VERDICT r11: the pointer-file flip was the
+    one POSIX-rename dependency in the lifecycle). The marker is
+    written after ALL generation data, so even a torn marker write
+    gates a complete index. A superseded legacy ``_current.json``
+    pointer is removed after the marker lands (the scan outranks it
+    either way)."""
+    _fsio.create_json(
+        _fsio.pjoin(path, _ivdir(int(version)), _GEN_COMMIT_MARKER),
+        {"version": int(version)},
+    )
+    _fsio.delete(_fsio.pjoin(path, "_current.json"), False)
+
+
+def _gc_index_versions(path: str, new_v: int, keep_versions: int) -> None:
+    """Retire index generations older than the immediately previous
+    one (``keep_versions`` floor of 2 — current + previous, so a read
+    planned against the old version mid-commit still completes). The
+    flat pre-versioning layout counts as generation -1: its top-level
+    members are deleted only once TWO retrains have superseded it."""
+    keep_versions = max(2, int(keep_versions))
+    for v in _list_index_versions(path):
         if v <= new_v - keep_versions:
-            _shutil.rmtree(_os.path.join(path, name), ignore_errors=True)
+            _fsio.delete(_fsio.pjoin(path, _ivdir(v)), True)
     if -1 <= new_v - keep_versions:
         for m in _FLAT_INDEX_MEMBERS:
-            p = _os.path.join(path, m)
-            if _os.path.isdir(p):
-                _shutil.rmtree(p, ignore_errors=True)
-            elif _os.path.exists(p):
-                _os.remove(p)
+            _fsio.delete(_fsio.pjoin(path, m), True)
+
+
+def _claim_retrain_intent(path: str, spark=None) -> str:
+    """Stamp retrain intent at the index root BEFORE the retrain reads
+    the stored rows; returns the claim token. A fresh existing marker
+    means another retrain is in flight → fail fast (single-writer
+    contract); a marker older than ``_RETRAIN_INTENT_STALE_S`` (or an
+    unparseable one — impossible via the atomic writer, so a relic) is
+    a crashed retrain and is reclaimed. Best-effort mutual exclusion:
+    two claims racing within one marker round-trip can both proceed
+    (no compare-and-swap exists on object stores) — the contract
+    remains single-writer; the marker turns the common violation into
+    an actionable error instead of silent index corruption."""
+    import time as _time
+    import uuid as _uuid
+
+    mpath = _fsio.pjoin(path, _RETRAIN_INTENT)
+    try:
+        cur = _fsio.read_json_if_exists(mpath, spark)
+    except ValueError:
+        cur = {}
+    if cur is not None:
+        age = _time.time() - float(cur.get("ts", 0))
+        if age < _RETRAIN_INTENT_STALE_S:
+            raise RuntimeError(
+                f"another retrain is in flight on index {path!r} "
+                f"(intent marker {mpath}, age {age:.0f}s): one writer "
+                "at a time across retrain and append. If the previous "
+                "retrain crashed, its marker is reclaimed "
+                f"automatically after {_RETRAIN_INTENT_STALE_S:.0f}s, "
+                "or delete the marker to reclaim now."
+            )
+    token = _uuid.uuid4().hex
+    _fsio.write_json_atomic(
+        mpath, {"token": token, "ts": _time.time()}, spark
+    )
+    return token
+
+
+def _clear_retrain_intent(path: str, token: str, spark=None) -> None:
+    """Release a retrain-intent claim (only our own: a newer claim's
+    marker — the racing-writers edge — is left for its owner)."""
+    mpath = _fsio.pjoin(path, _RETRAIN_INTENT)
+    try:
+        cur = _fsio.read_json_if_exists(mpath, spark)
+    except ValueError:
+        cur = {}
+    if cur is None or cur.get("token") == token:
+        _fsio.delete(mpath, False, spark)
+
+
+def _check_no_retrain_intent(path: str, op: str, spark=None) -> None:
+    """Appender-side half of the single-writer contract: fail fast
+    when a retrain has stamped intent on this index (an append that
+    lands mid-retrain goes into the about-to-be-superseded generation
+    and silently vanishes from serving at the commit). A stale marker
+    (crashed retrain) is reclaimed here so a crash never wedges
+    ingest."""
+    import time as _time
+
+    mpath = _fsio.pjoin(path, _RETRAIN_INTENT)
+    try:
+        cur = _fsio.read_json_if_exists(mpath, spark)
+    except ValueError:
+        cur = {}
+    if cur is None:
+        return
+    age = _time.time() - float(cur.get("ts", 0))
+    if age < _RETRAIN_INTENT_STALE_S:
+        raise RuntimeError(
+            f"{op}: a retrain is in flight on index {path!r} (intent "
+            f"marker {mpath}, age {age:.0f}s) — an append committed "
+            "now would land in the about-to-be-superseded generation "
+            "and vanish from serving at the retrain's commit. Retry "
+            "after the retrain commits; a crashed retrain's marker is "
+            f"reclaimed after {_RETRAIN_INTENT_STALE_S:.0f}s."
+        )
+    _fsio.delete(mpath, False, spark)
 
 
 def _index_params_path(path: str) -> str:
-    import os as _os
-
-    return _os.path.join(path, "params.json")
+    return _fsio.pjoin(path, "params.json")
 
 
-def _read_index_params(path: str) -> Optional[dict]:
-    """Index manifest of the CURRENT version (pointer-resolved), or
+def _read_index_params(path: str, spark=None) -> Optional[dict]:
+    """Index manifest of the CURRENT version (generation-resolved), or
     None for a pre-manifest index (round-8 layout: plain IVF-PQ, no
     residual — the defaults)."""
-    import json as _json
-    import os as _os
-
-    p = _index_params_path(_resolve_index_root(path))
-    if not _os.path.exists(p):
-        return None
-    with open(p) as f:
-        return _json.load(f)
+    return _fsio.read_json_if_exists(
+        _index_params_path(_resolve_index_root(path, spark)), spark
+    )
 
 
 def _auto_num_centroids(n: int) -> int:
@@ -825,6 +936,7 @@ def ivf_write_index(
     pq_refine_iters: int = 0,
     residual: bool = False,
     coarse_refine_iters: int = 0,
+    scoring_dtype: Optional[str] = None,
 ):
     """Build and persist an IVF-Flat index: inverted lists as
     ``<path>/lists/_ivf_list=<i>/`` parquet partitions plus the codebook
@@ -856,6 +968,17 @@ def ivf_write_index(
     build parameter so the serving read and :func:`ivf_append_index`
     can never misread what the codes mean.
 
+    ``scoring_dtype`` ("decimal" | "double") optionally DECLARES the
+    index's production ADC scoring mode in the manifest: batch ADC
+    reads (:func:`ivf_pq_topk_batch_indexed`, and through it
+    :func:`index_recall_probe`'s ``scoring="adc"`` arm) resolve their
+    mode as kwarg > manifest > "decimal", so an index built for
+    FAISS-style float serving gets it on every read without each
+    caller passing the kwarg — and gate/oracle paths that pass
+    ``"decimal"`` explicitly are unaffected. The JSON artifacts are
+    written through the Hadoop FS API (:mod:`tinyflux_spark.fsio`),
+    so ``path`` may be on any supported scheme, like the parquet.
+
     One pass over the corpus per artifact (the same distributed
     bucket-min codebook build as ``ivf_centroids``, then a narrow
     assign + clustered write; the codes pass adds pq_train's bounded
@@ -865,11 +988,13 @@ def ivf_write_index(
     codebooks without retraining. Queries meanwhile touch only their
     probed directories.
     """
-    import json as _json
-    import os as _os
-
     if residual and pq_m is None:
         raise ValueError("residual=True requires pq_m")
+    if scoring_dtype not in (None, "decimal", "double"):
+        raise ValueError(
+            f"scoring_dtype must be 'decimal' or 'double', got "
+            f"{scoring_dtype!r}"
+        )
     if num_centroids == "auto":
         # K ≈ √N (one count job at build time — the build already
         # scans the corpus). The resolved int is stamped in
@@ -899,10 +1024,12 @@ def ivf_write_index(
         assigned.repartition(F.col("_ivf_list"))
         .write.mode("overwrite")
         .partitionBy("_ivf_list")
-        .parquet(_os.path.join(path, "lists"))
+        .parquet(_fsio.pjoin(path, "lists"))
     )
-    with open(_os.path.join(path, "codebook.json"), "w") as f:
-        _json.dump([[i, list(v)] for i, v in cents], f)
+    _fsio.write_json_atomic(
+        _fsio.pjoin(path, "codebook.json"),
+        [[i, list(v)] for i, v in cents],
+    )
     if pq_m is not None:
         # Train/encode from the JUST-WRITTEN lists/, not the live
         # `assigned` expression: (a) the K·N-dot-product assignment
@@ -912,7 +1039,7 @@ def ivf_write_index(
         # inlined into the PQ distance terms (the driver-OOM class
         # _with_residual documents).
         stored = assigned.sparkSession.read.parquet(
-            _os.path.join(path, "lists")
+            _fsio.pjoin(path, "lists")
         )
         if residual:
             train = _with_residual(stored, cents, vec_col)
@@ -932,26 +1059,24 @@ def ivf_write_index(
             codes.repartition(F.col("_ivf_list"))
             .write.mode("overwrite")
             .partitionBy("_ivf_list")
-            .parquet(_os.path.join(path, "codes"))
+            .parquet(_fsio.pjoin(path, "codes"))
         )
-        with open(_os.path.join(path, "pq_books.json"), "w") as f:
-            _json.dump(books, f)
-    with open(_index_params_path(path), "w") as f:
-        _json.dump(
-            {
-                "kind": "ivf_index",
-                "id_col": id_col,
-                "vec_col": vec_col,
-                "num_centroids": num_centroids,
-                "pq_m": pq_m,
-                "pq_ksub": pq_ksub,
-                "pq_refine_iters": pq_refine_iters,
-                "residual": residual,
-                "coarse_refine_iters": coarse_refine_iters,
-            },
-            f,
-            sort_keys=True,
-        )
+        _fsio.write_json_atomic(_fsio.pjoin(path, "pq_books.json"), books)
+    _fsio.write_json_atomic(
+        _index_params_path(path),
+        {
+            "kind": "ivf_index",
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "num_centroids": num_centroids,
+            "pq_m": pq_m,
+            "pq_ksub": pq_ksub,
+            "pq_refine_iters": pq_refine_iters,
+            "residual": residual,
+            "coarse_refine_iters": coarse_refine_iters,
+            "scoring_dtype": scoring_dtype,
+        },
+    )
     return cents
 
 
@@ -990,10 +1115,14 @@ def ivf_append_index(
     the ``params.json`` manifest (indexes written before manifests
     were stamped are refused: appending without knowing the build
     parameters could silently write codes that mean something else).
+    The single-writer contract vs RETRAIN is enforced: an append
+    attempted while a retrain has stamped intent on this index fails
+    fast (:func:`_check_no_retrain_intent` — the rows would land in
+    the about-to-be-superseded generation and vanish from serving at
+    the retrain's commit); a crashed retrain's stale marker is
+    reclaimed automatically.
     """
-    import json as _json
-    import os as _os
-
+    _check_no_retrain_intent(path, "ivf_append_index")
     path = _resolve_index_root(path)
     params = _read_index_params(path)
     if params is None:
@@ -1022,11 +1151,10 @@ def ivf_append_index(
             assigned.repartition(F.col("_ivf_list"))
             .write.mode("append")
             .partitionBy("_ivf_list")
-            .parquet(_os.path.join(path, "lists"))
+            .parquet(_fsio.pjoin(path, "lists"))
         )
         if params.get("pq_m") is not None:
-            with open(_os.path.join(path, "pq_books.json")) as f:
-                books = _json.load(f)
+            books = _fsio.read_json(_fsio.pjoin(path, "pq_books.json"))
             codes = _encode_for_index(
                 assigned, cents, books, id_col, vec_col,
                 bool(params.get("residual")),
@@ -1035,7 +1163,7 @@ def ivf_append_index(
                 codes.repartition(F.col("_ivf_list"))
                 .write.mode("append")
                 .partitionBy("_ivf_list")
-                .parquet(_os.path.join(path, "codes"))
+                .parquet(_fsio.pjoin(path, "codes"))
             )
     finally:
         assigned.unpersist()
@@ -1059,12 +1187,14 @@ def ivf_retrain_index(
     the ANN serving layout and the rebuild must not interrupt
     serving, so the retrain is STAGED: the new generation is built
     under ``<path>/index_v<N+1>/`` (a complete ``ivf_write_index``
-    layout — invisible to readers, who follow the ``_current.json``
-    pointer), then the pointer flips via temp-file + ``os.replace``
-    (atomic). A reader that resolved the old version mid-swap still
-    completes — the superseded generation survives one further
-    retrain (``keep_versions``, floor 2, the ``storages.py`` MVCC
-    convention); a crash anywhere before the flip leaves the old
+    layout — invisible to readers, whose generation scan only sees
+    COMMITTED generations), then commits by CREATING the generation's
+    ``_SUCCESS`` marker (:func:`_flip_index_pointer`) — existence-
+    gated, rename-free, so the protocol holds on object stores too.
+    A reader that resolved the old version mid-swap still completes —
+    the superseded generation survives one further retrain
+    (``keep_versions``, floor 2, the ``storages.py`` MVCC
+    convention); a crash anywhere before the marker leaves the old
     index fully intact and the next retrain overwrites the orphaned
     staging dir.
 
@@ -1082,15 +1212,16 @@ def ivf_retrain_index(
     may be overridden (``None`` keeps the manifest's).
 
     One writer at a time across retrain AND append (the index
-    family's standing single-writer contract): an append committed
-    into the old generation after the retrain's read plans would
-    miss the new one. Cost: one full pass over the stored corpus
-    (the same jobs as ``ivf_write_index``), paid OFF the serving
-    path. Returns ``{"version", "root", "num_centroids", "pq_m"}``.
+    family's standing single-writer contract) — ENFORCED via the
+    ``_retrain_intent.json`` marker: the retrain stamps intent before
+    it reads ``lists/`` (:func:`_claim_retrain_intent` — a concurrent
+    retrain fails fast), appends check it and fail fast
+    (:func:`_check_no_retrain_intent`), and a crashed retrain's stale
+    marker is age-reclaimed rather than wedging ingest. Cost: one
+    full pass over the stored corpus (the same jobs as
+    ``ivf_write_index``), paid OFF the serving path. Returns
+    ``{"version", "root", "num_centroids", "pq_m"}``.
     """
-    import os as _os
-    import shutil as _shutil
-
     cur = _resolve_index_root(path)
     params = _read_index_params(cur)
     if params is None:
@@ -1099,38 +1230,46 @@ def ivf_retrain_index(
             "manifest stamping — rebuild it with ivf_write_index"
         )
     id_col, vec_col = params["id_col"], params["vec_col"]
-    cur_v = _read_index_version(path)
-    new_v = 0 if cur_v is None else cur_v + 1
-    new_dir = _os.path.join(path, _ivdir(new_v))
-    if _os.path.exists(new_dir):
+    token = _claim_retrain_intent(path)
+    try:
+        cur_v = _read_index_version(path)
+        new_v = 0 if cur_v is None else cur_v + 1
+        new_dir = _fsio.pjoin(path, _ivdir(new_v))
         # an earlier retrain crashed mid-build: the dir is
-        # uncommitted by construction (the pointer never named it)
-        _shutil.rmtree(new_dir)
-    stored = spark.read.parquet(_os.path.join(cur, "lists")).drop(
-        "_ivf_list"
-    )
-    ivf_write_index(
-        stored,
-        new_dir,
-        id_col=id_col,
-        vec_col=vec_col,
-        num_centroids=num_centroids,
-        pq_m=params.get("pq_m"),
-        pq_ksub=params.get("pq_ksub", 16),
-        pq_refine_iters=(
-            params.get("pq_refine_iters", 0)
-            if pq_refine_iters is None
-            else pq_refine_iters
-        ),
-        residual=bool(params.get("residual")),
-        coarse_refine_iters=(
-            params.get("coarse_refine_iters", 0)
-            if coarse_refine_iters is None
-            else coarse_refine_iters
-        ),
-    )
-    _flip_index_pointer(path, new_v)
-    _gc_index_versions(path, new_v, keep_versions)
+        # uncommitted by construction (it carries no _SUCCESS marker)
+        _fsio.delete(new_dir, True)
+        stored = spark.read.parquet(_fsio.pjoin(cur, "lists")).drop(
+            "_ivf_list"
+        )
+        ivf_write_index(
+            stored,
+            new_dir,
+            id_col=id_col,
+            vec_col=vec_col,
+            num_centroids=num_centroids,
+            pq_m=params.get("pq_m"),
+            pq_ksub=params.get("pq_ksub", 16),
+            pq_refine_iters=(
+                params.get("pq_refine_iters", 0)
+                if pq_refine_iters is None
+                else pq_refine_iters
+            ),
+            residual=bool(params.get("residual")),
+            coarse_refine_iters=(
+                params.get("coarse_refine_iters", 0)
+                if coarse_refine_iters is None
+                else coarse_refine_iters
+            ),
+            scoring_dtype=params.get("scoring_dtype"),
+        )
+        _flip_index_pointer(path, new_v)
+        _gc_index_versions(path, new_v, keep_versions)
+    finally:
+        # released on success AND on a clean failure (an exception
+        # raised here is not a crash: nothing is mid-write, the old
+        # generation still serves) — only a hard crash leaves the
+        # marker, and age-reclaim handles that.
+        _clear_retrain_intent(path, token)
     new_params = _read_index_params(new_dir)
     return {
         "version": new_v,
@@ -1141,12 +1280,11 @@ def ivf_retrain_index(
 
 
 def ivf_read_codebook(path: str):
-    import json as _json
-    import os as _os
-
     path = _resolve_index_root(path)
-    with open(_os.path.join(path, "codebook.json")) as f:
-        return [(int(i), [float(x) for x in v]) for i, v in _json.load(f)]
+    return [
+        (int(i), [float(x) for x in v])
+        for i, v in _fsio.read_json(_fsio.pjoin(path, "codebook.json"))
+    ]
 
 
 def ivf_topk_indexed(
@@ -1163,12 +1301,10 @@ def ivf_topk_indexed(
     (partition pruning — never a full-corpus scan), brute-force the
     survivors. Identical results to ``ivf_topk`` with the same
     codebook."""
-    import os as _os
-
-    path = _resolve_index_root(path)
+    path = _resolve_index_root(path, spark)
     cents = ivf_read_codebook(path)
     probes = _ivf_probes(cents, query_vec, nprobe)
-    lists = spark.read.parquet(_os.path.join(path, "lists"))
+    lists = spark.read.parquet(_fsio.pjoin(path, "lists"))
     cand = lists.where(F.col("_ivf_list").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
@@ -1203,13 +1339,11 @@ def ivf_topk_batch_indexed(
     task. At 100 TB this reads ~|union probes|/K of the corpus once,
     regardless of |queries|.
     """
-    import os as _os
-
     if k <= 0:
         raise ValueError("ivf_topk_batch_indexed: k must be positive")
     if nprobe <= 0:
         raise ValueError("ivf_topk_batch_indexed: nprobe must be positive")
-    path = _resolve_index_root(path)
+    path = _resolve_index_root(path, spark)
     qid = query_id_col or id_col
     qvc = query_vec_col or vec_col
     cents = ivf_read_codebook(path)
@@ -1220,7 +1354,7 @@ def ivf_topk_batch_indexed(
         r[0] for r in q_exp.select("_ivf_list").distinct().collect()
     )
     lists = (
-        spark.read.parquet(_os.path.join(path, "lists"))
+        spark.read.parquet(_fsio.pjoin(path, "lists"))
         .where(F.col("_ivf_list").isin(probe_ids))
         .withColumn("_nrm", _norm(F.col(vec_col)))
     )
@@ -1260,16 +1394,12 @@ def ivf_pq_topk_indexed(
     math over the same at-rest layout); the plan shape is unchanged:
     PartitionFilters + codes-only ReadSchema.
     """
-    import json as _json
-    import os as _os
-
-    path = _resolve_index_root(path)
+    path = _resolve_index_root(path, spark)
     cents = ivf_read_codebook(path)
-    with open(_os.path.join(path, "pq_books.json")) as f:
-        books = _json.load(f)
+    books = _fsio.read_json(_fsio.pjoin(path, "pq_books.json"))
     params = _read_index_params(path) or {}
     probes = _ivf_probes(cents, query_vec, nprobe)
-    codes = spark.read.parquet(_os.path.join(path, "codes")).where(
+    codes = spark.read.parquet(_fsio.pjoin(path, "codes")).where(
         F.col("_ivf_list").isin(probes)
     )
     if params.get("residual"):
@@ -1286,14 +1416,14 @@ def ivf_pq_topk_indexed(
         if rerank < k:
             raise ValueError("rerank must be >= k")
         cand_ids = [r["id"] for r in ranked.select("id").collect()]
-        lists = spark.read.parquet(_os.path.join(path, "lists")).where(
+        lists = spark.read.parquet(_fsio.pjoin(path, "lists")).where(
             F.col("_ivf_list").isin(probes)
             & F.col(id_col).isin(cand_ids)
         )
         return cosine_topk(lists, query_vec, k, id_col, vec_col)
     if not rerank:
         return pq_adc_topk(codes, books, query_vec, k)
-    lists = spark.read.parquet(_os.path.join(path, "lists")).where(
+    lists = spark.read.parquet(_fsio.pjoin(path, "lists")).where(
         F.col("_ivf_list").isin(probes)
     )
     return pq_adc_topk(
@@ -1314,7 +1444,7 @@ def ivf_pq_topk_batch_indexed(
     query_vec_col: Optional[str] = None,
     nprobe: int = 4,
     exclude_self: bool = True,
-    scoring_dtype: str = "decimal",
+    scoring_dtype: Optional[str] = None,
 ) -> DataFrame:
     """Batch ADC against a persisted IVF-PQ index —
     :func:`ivf_pq_topk_indexed` for a query SET in one plan, i.e. the
@@ -1358,30 +1488,35 @@ def ivf_pq_topk_batch_indexed(
     independent-sum exactness the default "decimal" mode keeps for
     oracle parity. Top-k ids match the decimal mode except on
     double-rounding ties (pytest-asserted at the fixture).
-    """
-    import json as _json
-    import os as _os
 
+    ``scoring_dtype=None`` (default) defers to the index MANIFEST: an
+    index built with ``ivf_write_index(..., scoring_dtype="double")``
+    declares its production mode once and every read picks it up;
+    precedence is kwarg > manifest > "decimal" (pytest-asserted), so
+    gate paths passing "decimal" explicitly are unaffected by any
+    manifest.
+    """
     if k <= 0:
         raise ValueError("ivf_pq_topk_batch_indexed: k must be positive")
     if nprobe <= 0:
         raise ValueError(
             "ivf_pq_topk_batch_indexed: nprobe must be positive"
         )
+    from pyspark.sql import Window
+
+    path = _resolve_index_root(path, spark)
+    qid = query_id_col or id_col
+    qvc = query_vec_col or vec_col
+    cents = ivf_read_codebook(path)
+    books = _fsio.read_json(_fsio.pjoin(path, "pq_books.json"))
+    params = _read_index_params(path) or {}
+    if scoring_dtype is None:
+        scoring_dtype = params.get("scoring_dtype") or "decimal"
     if scoring_dtype not in ("decimal", "double"):
         raise ValueError(
             f"scoring_dtype must be 'decimal' or 'double', got "
             f"{scoring_dtype!r}"
         )
-    from pyspark.sql import Window
-
-    path = _resolve_index_root(path)
-    qid = query_id_col or id_col
-    qvc = query_vec_col or vec_col
-    cents = ivf_read_codebook(path)
-    with open(_os.path.join(path, "pq_books.json")) as f:
-        books = _json.load(f)
-    params = _read_index_params(path) or {}
     m, sub, ksub = books["m"], books["sub"], books["ksub"]
     q_exp = _batch_query_probes(queries, cents, qid, qvc, nprobe)
     if params.get("residual"):
@@ -1438,7 +1573,7 @@ def ivf_pq_topk_batch_indexed(
     probe_ids = sorted(
         r[0] for r in q_exp.select("_ivf_list").distinct().collect()
     )
-    codes = spark.read.parquet(_os.path.join(path, "codes")).where(
+    codes = spark.read.parquet(_fsio.pjoin(path, "codes")).where(
         F.col("_ivf_list").isin(probe_ids)
     )
     joined = codes.join(bq, "_ivf_list")
@@ -1487,9 +1622,6 @@ def srp_write_index(
     population — and with it per-query candidate volume — roughly
     flat as the corpus grows, where a fixed plane count lets buckets
     grow linearly. The resolved int lands in ``planes.json``."""
-    import json as _json
-    import os as _os
-
     if num_planes == "auto":
         n = df.count()
         if n == 0:
@@ -1516,21 +1648,20 @@ def srp_write_index(
         bucketed.repartition(F.col("_bucket"))
         .write.mode("overwrite")
         .partitionBy("_bucket")
-        .parquet(_os.path.join(path, "buckets"))
+        .parquet(_fsio.pjoin(path, "buckets"))
     )
-    with open(_os.path.join(path, "planes.json"), "w") as f:
-        _json.dump(
-            {
-                "dim": dim,
-                "num_planes": num_planes,
-                "seed": seed,
-                # build-parameter stamp: srp_append_index refuses to
-                # append without knowing what the bucketed rows mean
-                "id_col": id_col,
-                "vec_col": vec_col,
-            },
-            f,
-        )
+    _fsio.write_json_atomic(
+        _fsio.pjoin(path, "planes.json"),
+        {
+            "dim": dim,
+            "num_planes": num_planes,
+            "seed": seed,
+            # build-parameter stamp: srp_append_index refuses to
+            # append without knowing what the bucketed rows mean
+            "id_col": id_col,
+            "vec_col": vec_col,
+        },
+    )
 
 
 def srp_append_index(
@@ -1557,13 +1688,13 @@ def srp_append_index(
     validated against the ``planes.json`` stamp (indexes written
     before stamping are refused: rebuild with
     :func:`srp_write_index`). Returns the number of appended rows.
+    An append attempted while a retrain has stamped intent fails fast
+    (:func:`_check_no_retrain_intent` — the single-writer contract,
+    enforced); a crashed retrain's stale marker is reclaimed.
     """
-    import json as _json
-    import os as _os
-
+    _check_no_retrain_intent(path, "srp_append_index")
     path = _resolve_index_root(path)
-    with open(_os.path.join(path, "planes.json")) as f:
-        rec = _json.load(f)
+    rec = _fsio.read_json(_fsio.pjoin(path, "planes.json"))
     if "id_col" not in rec:
         raise ValueError(
             f"planes.json at {path!r} predates build-parameter "
@@ -1589,7 +1720,7 @@ def srp_append_index(
             bucketed.repartition(F.col("_bucket"))
             .write.mode("append")
             .partitionBy("_bucket")
-            .parquet(_os.path.join(path, "buckets"))
+            .parquet(_fsio.pjoin(path, "buckets"))
         )
     finally:
         bucketed.unpersist()
@@ -1607,10 +1738,13 @@ def srp_retrain_index(
     """Rebuild a persisted SRP index at a FRESH hyperplane recipe
     from its own stored rows — :func:`ivf_retrain_index`'s sibling
     for the hyperplane family, with the same staged-generation +
-    atomic-pointer-flip protocol (``<path>/index_v<N>/`` +
-    ``_current.json``; a crash before the flip leaves the old index
-    intact, a reader resolved mid-swap still completes, the
-    superseded generation survives one further retrain).
+    marker-commit protocol (``<path>/index_v<N>/``, committed by
+    creating its ``_SUCCESS`` marker — rename-free, object-store
+    safe; a crash before the marker leaves the old index intact, a
+    reader resolved mid-swap still completes, the superseded
+    generation survives one further retrain) and the same enforced
+    single-writer contract (retrain-intent marker: concurrent
+    retrains and appends fail fast, crashed retrains age-reclaim).
 
     SRP planes are corpus-blind, so the reason to retrain is
     STRUCTURAL, not drift: ``num_planes="auto"`` re-sizes the bucket
@@ -1623,39 +1757,36 @@ def srp_retrain_index(
     at the new recipe exactly. One writer at a time across retrain
     and append. Returns ``{"version", "root", "num_planes",
     "seed"}``."""
-    import json as _json
-    import os as _os
-    import shutil as _shutil
-
     cur = _resolve_index_root(path)
-    with open(_os.path.join(cur, "planes.json")) as f:
-        rec = _json.load(f)
+    rec = _fsio.read_json(_fsio.pjoin(cur, "planes.json"))
     if "id_col" not in rec:
         raise ValueError(
             f"planes.json at {path!r} predates build-parameter "
             "stamping; rebuild the index with srp_write_index"
         )
-    cur_v = _read_index_version(path)
-    new_v = 0 if cur_v is None else cur_v + 1
-    new_dir = _os.path.join(path, _ivdir(new_v))
-    if _os.path.exists(new_dir):
-        _shutil.rmtree(new_dir)
-    stored = spark.read.parquet(_os.path.join(cur, "buckets")).drop(
-        "_bucket"
-    )
-    srp_write_index(
-        stored,
-        new_dir,
-        id_col=rec["id_col"],
-        vec_col=rec["vec_col"],
-        num_planes=num_planes,
-        seed=rec["seed"] if seed is None else int(seed),
-        target_bucket_rows=target_bucket_rows,
-    )
-    _flip_index_pointer(path, new_v)
-    _gc_index_versions(path, new_v, keep_versions)
-    with open(_os.path.join(new_dir, "planes.json")) as f:
-        new_rec = _json.load(f)
+    token = _claim_retrain_intent(path)
+    try:
+        cur_v = _read_index_version(path)
+        new_v = 0 if cur_v is None else cur_v + 1
+        new_dir = _fsio.pjoin(path, _ivdir(new_v))
+        _fsio.delete(new_dir, True)
+        stored = spark.read.parquet(_fsio.pjoin(cur, "buckets")).drop(
+            "_bucket"
+        )
+        srp_write_index(
+            stored,
+            new_dir,
+            id_col=rec["id_col"],
+            vec_col=rec["vec_col"],
+            num_planes=num_planes,
+            seed=rec["seed"] if seed is None else int(seed),
+            target_bucket_rows=target_bucket_rows,
+        )
+        _flip_index_pointer(path, new_v)
+        _gc_index_versions(path, new_v, keep_versions)
+    finally:
+        _clear_retrain_intent(path, token)
+    new_rec = _fsio.read_json(_fsio.pjoin(new_dir, "planes.json"))
     return {
         "version": new_v,
         "root": new_dir,
@@ -1677,12 +1808,8 @@ def srp_topk_indexed(
     1-bit multiprobe neighborhood driver-side, scan only those bucket
     directories. Identical results to ``srp_lsh_topk`` with the same
     recipe."""
-    import json as _json
-    import os as _os
-
-    path = _resolve_index_root(path)
-    with open(_os.path.join(path, "planes.json")) as f:
-        rec = _json.load(f)
+    path = _resolve_index_root(path, spark)
+    rec = _fsio.read_json(_fsio.pjoin(path, "planes.json"))
     planes = srp_planes(rec["dim"], rec["num_planes"], rec["seed"])
     qv = [float(x) for x in query_vec]
     qbucket = 0
@@ -1693,7 +1820,7 @@ def srp_topk_indexed(
     if multiprobe >= 1:
         for i in range(rec["num_planes"]):
             probes.add(qbucket ^ (1 << i))
-    buckets = spark.read.parquet(_os.path.join(path, "buckets"))
+    buckets = spark.read.parquet(_fsio.pjoin(path, "buckets"))
     cand = buckets.where(F.col("_bucket").isin(list(probes)))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
@@ -1727,20 +1854,16 @@ def srp_topk_batch_indexed(
     by growing ``num_planes`` with the corpus (the q126 lesson,
     SRP-flavored: more planes = smaller buckets).
     """
-    import json as _json
-    import os as _os
-
     if k <= 0:
         raise ValueError("srp_topk_batch_indexed: k must be positive")
     if multiprobe not in (0, 1):
         raise ValueError(
             "srp_topk_batch_indexed: multiprobe must be 0 or 1"
         )
-    path = _resolve_index_root(path)
+    path = _resolve_index_root(path, spark)
     qid = query_id_col or id_col
     qvc = query_vec_col or vec_col
-    with open(_os.path.join(path, "planes.json")) as f:
-        rec = _json.load(f)
+    rec = _fsio.read_json(_fsio.pjoin(path, "planes.json"))
     planes = srp_planes(rec["dim"], rec["num_planes"], rec["seed"])
     qb = srp_bucket(F.col(qvc), planes)
     probe_cols = [qb]
@@ -1759,7 +1882,7 @@ def srp_topk_batch_indexed(
         r[0] for r in q_exp.select("_bucket").distinct().collect()
     )
     buckets = (
-        spark.read.parquet(_os.path.join(path, "buckets"))
+        spark.read.parquet(_fsio.pjoin(path, "buckets"))
         .where(F.col("_bucket").isin(probe_ids))
         .withColumn("_nrm", _norm(F.col(vec_col)))
     )
@@ -1796,7 +1919,7 @@ def index_recall_probe(
     multiprobe: int = 1,
     exclude_self: bool = True,
     scoring: str = "exact",
-    scoring_dtype: str = "decimal",
+    scoring_dtype: Optional[str] = None,
     sample_n: Optional[int] = None,
 ) -> DataFrame:
     """Sampled recall@k of a PERSISTED index (IVF, IVF-PQ, residual,
@@ -1843,34 +1966,40 @@ def index_recall_probe(
     corpus and manufactured a |queries|·|corpus| blow-up the
     operator's contract forbids).
     """
-    import json as _json
-    import os as _os
-
     if k <= 0:
         raise ValueError("index_recall_probe: k must be positive")
     if scoring not in ("exact", "adc"):
         raise ValueError(
             f"scoring must be 'exact' or 'adc', got {scoring!r}"
         )
-    path = _resolve_index_root(path)
+    path = _resolve_index_root(path, spark)
     if (queries is None) == (sample_n is None):
         raise ValueError(
             "index_recall_probe: pass EITHER a queries DataFrame OR "
             "sample_n (a deterministic sample from the index itself)"
         )
-    if _os.path.exists(_os.path.join(path, "planes.json")):
+    if sample_n is not None and (query_id_col or query_vec_col):
+        # the sample IS the index's own (id_col, vec_col) rows —
+        # caller-supplied query column names have nothing to name and
+        # were previously ignored silently (ADVICE r11)
+        raise ValueError(
+            "index_recall_probe: query_id_col/query_vec_col apply to "
+            "a caller-supplied queries DataFrame; with sample_n the "
+            "queries are the index's own rows under its manifest "
+            "columns"
+        )
+    if _fsio.exists(_fsio.pjoin(path, "planes.json"), spark):
         if scoring == "adc":
             raise ValueError(
                 "scoring='adc' applies to IVF-PQ indexes; SRP "
                 "indexes hold raw vectors only"
             )
-        with open(_os.path.join(path, "planes.json")) as f:
-            rec = _json.load(f)
+        rec = _fsio.read_json(_fsio.pjoin(path, "planes.json"), spark)
         id_col = rec.get("id_col", "vec_id")
         vec_col = rec.get("vec_col", "embedding")
         qid = query_id_col or id_col
         qvc = query_vec_col or vec_col
-        corpus = spark.read.parquet(_os.path.join(path, "buckets"))
+        corpus = spark.read.parquet(_fsio.pjoin(path, "buckets"))
         if sample_n is not None:
             queries = _probe_sample(corpus, id_col, vec_col, sample_n)
             qid, qvc = id_col, vec_col
@@ -1878,18 +2007,20 @@ def index_recall_probe(
             spark, path, queries, k, id_col, vec_col,
             qid, qvc, multiprobe, exclude_self,
         )
-    elif _os.path.exists(_os.path.join(path, "codebook.json")):
+    elif _fsio.exists(_fsio.pjoin(path, "codebook.json"), spark):
         params = _read_index_params(path) or {}
         id_col = params.get("id_col", "vec_id")
         vec_col = params.get("vec_col", "embedding")
         qid = query_id_col or id_col
         qvc = query_vec_col or vec_col
-        corpus = spark.read.parquet(_os.path.join(path, "lists"))
+        corpus = spark.read.parquet(_fsio.pjoin(path, "lists"))
         if sample_n is not None:
             queries = _probe_sample(corpus, id_col, vec_col, sample_n)
             qid, qvc = id_col, vec_col
         if scoring == "adc":
-            if not _os.path.exists(_os.path.join(path, "pq_books.json")):
+            if not _fsio.exists(
+                _fsio.pjoin(path, "pq_books.json"), spark
+            ):
                 raise ValueError(
                     "scoring='adc' needs an IVF-PQ index (no "
                     f"pq_books.json at {path!r})"

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import fsio
 from ..storages import Storage
 
 
@@ -57,23 +58,16 @@ def _write_json_atomic(spark: SparkSession, path: str, obj: dict) -> None:
     absent-interpretation is safe: high-water marker absent → batch
     treated as undelivered → the crash probe re-decides; _folded.json
     absent → fold uncommitted → readers use the previous base ∪ live
-    files, whose rows the not-yet-finalized fold never deleted."""
-    import uuid as _uuid
+    files, whose rows the not-yet-finalized fold never deleted.
 
-    fs, jpath = _hadoop_path(spark, path)
-    d, name = path.rsplit("/", 1)
-    tmp = f"{d}/.{name}.tmp-{_uuid.uuid4().hex[:8]}"
-    _, jtmp = _hadoop_path(spark, tmp)
-    out = fs.create(jtmp, True)
-    try:
-        out.write(bytearray(json.dumps(obj, sort_keys=True).encode()))
-    finally:
-        out.close()
-    if fs.exists(jpath):
-        fs.delete(jpath, False)
-    if not fs.rename(jtmp, jpath):
-        fs.delete(jtmp, False)
-        raise IOError(f"atomic marker rename failed for {path!r}")
+    Implementation lives in :func:`tinyflux_spark.fsio.
+    write_json_atomic` (r12: the persisted-index metadata layer moved
+    onto the same Hadoop-FS choke point); this wrapper keeps the
+    streaming module's established ``(spark, path, obj)`` signature.
+    A slash-less bare filename raises a descriptive error there
+    (ADVICE r11) — this helper is the single choke point for every
+    marker/manifest write."""
+    fsio.write_json_atomic(path, obj, spark)
 
 
 def _write_params_manifest(
@@ -111,17 +105,7 @@ def _read_params_manifest(spark: SparkSession, dir_path: str) -> dict:
             "predates manifest stamping or was built by other means — "
             "delete it (or rebuild through this function) before reuse"
         )
-    stream = fs.open(mpath)
-    try:
-        buf = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            buf.append(b)
-    finally:
-        stream.close()
-    return json.loads(buf.decode("utf-8"))
+    return json.loads(_read_small_file(fs, mpath).decode("utf-8"))
 
 
 def _check_params_manifest(
@@ -177,17 +161,8 @@ def _checkpoint_query_lineage(
         # Defensive: Spark writes metadata before the first batch, so
         # a sink never lands here; treat as a fresh incarnation.
         return "run-" + uuid.uuid4().hex
-    stream = fs.open(mpath)
-    try:
-        buf = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            buf.append(b)
-    finally:
-        stream.close()
-    return "query-" + str(json.loads(buf.decode("utf-8"))["id"])
+    meta = json.loads(_read_small_file(fs, mpath).decode("utf-8"))
+    return "query-" + str(meta["id"])
 
 
 def _reset_stale_result_epochs(
@@ -219,20 +194,23 @@ def _reset_stale_result_epochs(
 
 
 def _read_small_file(fs, jpath) -> bytes:
-    """Byte-loop read of a tiny file through the Hadoop FS API (the
-    manifest-reading recipe — spark.read.text can't see
-    underscore-prefixed files)."""
+    """Whole-file read of a tiny file through the Hadoop FS API in ONE
+    JVM call (``IOUtils.toByteArray`` — the fsio recipe; a per-byte
+    py4j loop costs one RPC per byte, which a per-batch marker read
+    pays on every epoch). spark.read.text can't do this: Spark's
+    hidden-file filter drops underscore-prefixed files even when named
+    explicitly."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
     stream = fs.open(jpath)
     try:
-        buf = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            buf.append(b)
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+            stream
+        )
     finally:
         stream.close()
-    return bytes(buf)
+    return bytes(data)
 
 
 def _latest_committed_base(spark: SparkSession, result_path: str):
@@ -1252,8 +1230,6 @@ def stream_self_dedup_insert(
     Readers and the crash probe go through :func:`_read_state_dir`
     (newest committed base ∪ unfolded live files) either way.
     """
-    import os as _os
-
     from ..operators.dedup import (
         banded_signatures,
         minhash_lsh_join,
@@ -1264,8 +1240,8 @@ def stream_self_dedup_insert(
     _reset_stale_result_epochs(spark, result_path, checkpoint_dir)
     kw = dict(text_col=text_col, n=n, num_hashes=num_hashes,
               bands=bands, unit=unit)
-    sig_dir = _os.path.join(state_path, "sig")
-    docs_dir = _os.path.join(state_path, "docs")
+    sig_dir = fsio.pjoin(state_path, "sig")
+    docs_dir = fsio.pjoin(state_path, "docs")
     params = {"kind": "self_dedup_state", "id_col": id_col, **kw}
     if state_compact_every is not None and state_compact_every < 2:
         raise ValueError("state_compact_every must be >= 2")
@@ -1278,8 +1254,8 @@ def stream_self_dedup_insert(
         _check_params_manifest(
             spark, state_path, params, "self-dedup state"
         )
-    hw_path = _os.path.join(state_path, "_ingest.json")
-    pend_path = _os.path.join(state_path, "_pending.json")
+    hw_path = fsio.pjoin(state_path, "_ingest.json")
+    pend_path = fsio.pjoin(state_path, "_pending.json")
     lineage_cell: list = []
     base_docs = corpus.select(
         F.col(id_col), F.col(text_col)
@@ -2036,8 +2012,6 @@ def _ivf_batch_already_appended(
     are unique across the stream, so the presence of ANY batch id in
     the index decides it. Pays one pushed-IN-filter scan, and only on
     the retry after a crash between append and finalize."""
-    import os as _os
-
     sample = [
         r[0] for r in batch_df.select(id_col).limit(5).collect()
     ]
@@ -2048,7 +2022,7 @@ def _ivf_batch_already_appended(
     sub = "codes" if has_codes else "lists"
     idc = "id" if has_codes else id_col
     existing = spark.read.parquet(
-        _os.path.join(_resolve_index_root(index_path), sub)
+        fsio.pjoin(_resolve_index_root(index_path), sub)
     )
     return (
         existing.where(F.col(idc).isin(sample)).limit(1).count() > 0
@@ -2147,10 +2121,8 @@ def _start_exactly_once_append(
     job commit is atomic; ids unique) — finalize if so, re-append if
     not. Lineage derives from the checkpoint's persisted query id so
     a recreated checkpoint cannot alias an old numbering."""
-    import os as _os
-
-    hw_path = _os.path.join(state_root, "_ingest.json")
-    pend_path = _os.path.join(state_root, "_pending.json")
+    hw_path = fsio.pjoin(state_root, "_ingest.json")
+    pend_path = fsio.pjoin(state_root, "_pending.json")
     lineage_cell: list = []
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -2208,8 +2180,6 @@ def _srp_batch_already_appended(
     same decision as :func:`_ivf_batch_already_appended` (atomic
     parquet job commit + unique ids ⇒ any-present ⇔ all-present),
     read from the SRP ``buckets/`` layout."""
-    import os as _os
-
     sample = [
         r[0] for r in batch_df.select(id_col).limit(5).collect()
     ]
@@ -2218,7 +2188,7 @@ def _srp_batch_already_appended(
     from ..operators.similarity import _resolve_index_root
 
     existing = spark.read.parquet(
-        _os.path.join(_resolve_index_root(index_path), "buckets")
+        fsio.pjoin(_resolve_index_root(index_path), "buckets")
     )
     return (
         existing.where(F.col(id_col).isin(sample)).limit(1).count() > 0
@@ -2252,18 +2222,14 @@ def stream_srp_append_insert(
     crash probe against ``buckets/``. ``id_col`` values must be
     unique across the stream's whole history and the index's
     existing contents; single writer."""
-    import json as _json
-    import os as _os
-
     from ..operators.similarity import (
         _resolve_index_root,
         srp_append_index,
     )
 
-    with open(
-        _os.path.join(_resolve_index_root(index_path), "planes.json")
-    ) as f:
-        rec = _json.load(f)
+    rec = fsio.read_json(
+        fsio.pjoin(_resolve_index_root(index_path), "planes.json")
+    )
     if "id_col" not in rec:
         raise ValueError(
             f"planes.json at {index_path!r} predates build-parameter "
