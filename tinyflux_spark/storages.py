@@ -21,6 +21,18 @@ temp-store swap protocol for rewrites (reference tinyflux/storages.py:
 No in-memory index is built: Parquet column statistics + partition
 pruning + Catalyst pushdown do the pruning the reference's Index does
 (SURVEY.md §4).
+
+Filesystem scope — deliberate, not an oversight: this module's MVCC
+metadata (lock file, ``_tinyflux_meta.json``, version-dir snapshots)
+uses driver-local POSIX primitives (``fcntl``, ``os.replace``,
+hardlink-or-copy) because the DB surface it implements IS the
+reference's embedded single-process store — its contention tests and
+crash semantics depend on POSIX locking, and a TinyFlux database is a
+local artifact by contract (reference design-principles.rst). The
+100 TB-scale artifacts that DO live on cluster storage — persisted
+ANN indexes and streaming state — route all metadata through the
+Hadoop FS layer instead (:mod:`tinyflux_spark.fsio`): any scheme,
+creation-gated commit markers, no atomic-rename dependency.
 """
 
 from __future__ import annotations
