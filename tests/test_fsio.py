@@ -80,6 +80,26 @@ def test_fsio_create_json_is_existence_gated_commit(spark, tmp_path):
     assert fsio.read_json(p) == {"version": 3}
 
 
+def test_metadata_memo_coherent_on_rewrite(spark, tmp_path):
+    """Immutable-artifact memoization must never serve stale data
+    after an in-place rebuild or any write/delete through fsio (every
+    write through the choke point invalidates its own key)."""
+    path = str(tmp_path / "idx")
+    a = _corpus(spark, 100)
+    sim.ivf_write_index(a, path, num_centroids=4)
+    assert len(sim.ivf_read_codebook(path)) == 4
+    sim.ivf_write_index(a, path, num_centroids=8)
+    assert len(sim.ivf_read_codebook(path)) == 8
+
+    p = fsio.pjoin(str(tmp_path), "m.json")
+    fsio.write_json_atomic(p, {"v": 1})
+    assert fsio.read_json_cached(p) == {"v": 1}
+    fsio.write_json_atomic(p, {"v": 2})
+    assert fsio.read_json_cached(p) == {"v": 2}
+    fsio.delete(p, False)
+    assert fsio.read_json_cached_if_exists(p) is None
+
+
 # ----------------------------------------- lifecycle through file://
 
 

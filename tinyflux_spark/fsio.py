@@ -115,6 +115,7 @@ def delete(path: str, recursive: bool = True, spark=None) -> None:
     """Delete a file or directory tree if present (idempotent — the
     GC's semantics: a concurrently-removed generation is not an
     error)."""
+    invalidate_cached(path)
     fs, jpath = hadoop_fs(path, spark)
     if fs.exists(jpath):
         fs.delete(jpath, bool(recursive))
@@ -142,6 +143,51 @@ def read_json_if_exists(path: str, spark=None) -> Optional[Any]:
     if not exists(path, spark):
         return None
     return read_json(path, spark)
+
+
+# Driver-side memo for IMMUTABLE metadata artifacts (codebooks, PQ
+# books, plane recipes, params manifests): once a generation is
+# committed its artifacts never change, and a flat index's artifacts
+# are written once at build time — so repeat serving reads can skip
+# the Hadoop round-trips (each read is 1-3 py4j/JVM calls; a batch
+# ANN serve does 3-4 reads, which doubled the flat sub-second scale
+# rows under load before this memo). Builders that DO rewrite
+# artifacts in place (``ivf_write_index``/``srp_write_index`` over an
+# existing path) call :func:`invalidate_cached` when they finish.
+# NEVER used for mutable decision files (version markers, intent
+# markers, high-water marks): those are read live, every time.
+# Every write/delete through THIS module invalidates its own key, so
+# in-process rewrites are always coherent. Cross-process: generation
+# RESOLUTION is always live, and a retrain lands in a NEW generation
+# path (new cache key), so another process's retrain is picked up at
+# the next plan; only an out-of-band in-place rewrite of a FLAT
+# index's artifacts by a different process could serve stale here —
+# that violates the index family's single-writer contract anyway.
+_JSON_CACHE: dict = {}
+
+
+def read_json_cached(path: str, spark=None) -> Any:
+    if path not in _JSON_CACHE:
+        _JSON_CACHE[path] = read_json(path, spark)
+    return _JSON_CACHE[path]
+
+
+def read_json_cached_if_exists(path: str, spark=None) -> Optional[Any]:
+    if path not in _JSON_CACHE:
+        spark = active_spark(spark)
+        if not exists(path, spark):
+            return None
+        _JSON_CACHE[path] = read_json(path, spark)
+    return _JSON_CACHE[path]
+
+
+def invalidate_cached(path_prefix: str) -> None:
+    """Drop memoized artifacts under a path prefix — called by index
+    builders after (re)writing artifacts so a rebuild at the same
+    path serves its NEW metadata within the same driver process."""
+    pref = path_prefix.rstrip("/")
+    for k in [k for k in _JSON_CACHE if k == pref or k.startswith(pref + "/")]:
+        del _JSON_CACHE[k]
 
 
 def _require_parent(path: str) -> str:
@@ -174,6 +220,7 @@ def write_json_atomic(path: str, obj: Any, spark=None) -> None:
     object stores, where rename is copy+delete."""
     import uuid as _uuid
 
+    invalidate_cached(path)
     spark = active_spark(spark)
     d = _require_parent(path)
     name = path.rsplit("/", 1)[1]
@@ -199,6 +246,7 @@ def create_json(path: str, obj: Any, spark=None) -> None:
     exists but truncated) is still a correct commit; readers never
     parse it to decide committedness. Rename-free, so the commit
     protocol holds on object stores too."""
+    invalidate_cached(path)
     spark = active_spark(spark)
     fs, jpath = hadoop_fs(path, spark)
     out = fs.create(jpath, True)

@@ -885,8 +885,11 @@ def _index_params_path(path: str) -> str:
 def _read_index_params(path: str, spark=None) -> Optional[dict]:
     """Index manifest of the CURRENT version (generation-resolved), or
     None for a pre-manifest index (round-8 layout: plain IVF-PQ, no
-    residual — the defaults)."""
-    return _fsio.read_json_if_exists(
+    residual — the defaults). The RESOLUTION is live (the MVCC
+    contract: readers resolve when they plan); the manifest itself is
+    memoized — it's immutable once its generation commits, and the
+    builders invalidate on in-place rebuild."""
+    return _fsio.read_json_cached_if_exists(
         _index_params_path(_resolve_index_root(path, spark)), spark
     )
 
@@ -1077,6 +1080,9 @@ def ivf_write_index(
             "scoring_dtype": scoring_dtype,
         },
     )
+    # an in-place rebuild over an existing path must not serve the
+    # OLD memoized artifacts within this driver process
+    _fsio.invalidate_cached(path)
     return cents
 
 
@@ -1154,7 +1160,7 @@ def ivf_append_index(
             .parquet(_fsio.pjoin(path, "lists"))
         )
         if params.get("pq_m") is not None:
-            books = _fsio.read_json(_fsio.pjoin(path, "pq_books.json"))
+            books = _fsio.read_json_cached(_fsio.pjoin(path, "pq_books.json"))
             codes = _encode_for_index(
                 assigned, cents, books, id_col, vec_col,
                 bool(params.get("residual")),
@@ -1283,7 +1289,7 @@ def ivf_read_codebook(path: str):
     path = _resolve_index_root(path)
     return [
         (int(i), [float(x) for x in v])
-        for i, v in _fsio.read_json(_fsio.pjoin(path, "codebook.json"))
+        for i, v in _fsio.read_json_cached(_fsio.pjoin(path, "codebook.json"))
     ]
 
 
@@ -1396,7 +1402,7 @@ def ivf_pq_topk_indexed(
     """
     path = _resolve_index_root(path, spark)
     cents = ivf_read_codebook(path)
-    books = _fsio.read_json(_fsio.pjoin(path, "pq_books.json"))
+    books = _fsio.read_json_cached(_fsio.pjoin(path, "pq_books.json"))
     params = _read_index_params(path) or {}
     probes = _ivf_probes(cents, query_vec, nprobe)
     codes = spark.read.parquet(_fsio.pjoin(path, "codes")).where(
@@ -1508,7 +1514,7 @@ def ivf_pq_topk_batch_indexed(
     qid = query_id_col or id_col
     qvc = query_vec_col or vec_col
     cents = ivf_read_codebook(path)
-    books = _fsio.read_json(_fsio.pjoin(path, "pq_books.json"))
+    books = _fsio.read_json_cached(_fsio.pjoin(path, "pq_books.json"))
     params = _read_index_params(path) or {}
     if scoring_dtype is None:
         scoring_dtype = params.get("scoring_dtype") or "decimal"
@@ -1662,6 +1668,9 @@ def srp_write_index(
             "vec_col": vec_col,
         },
     )
+    # an in-place rebuild over an existing path must not serve the
+    # OLD memoized recipe within this driver process
+    _fsio.invalidate_cached(path)
 
 
 def srp_append_index(
@@ -1694,7 +1703,7 @@ def srp_append_index(
     """
     _check_no_retrain_intent(path, "srp_append_index")
     path = _resolve_index_root(path)
-    rec = _fsio.read_json(_fsio.pjoin(path, "planes.json"))
+    rec = _fsio.read_json_cached(_fsio.pjoin(path, "planes.json"))
     if "id_col" not in rec:
         raise ValueError(
             f"planes.json at {path!r} predates build-parameter "
@@ -1758,7 +1767,7 @@ def srp_retrain_index(
     and append. Returns ``{"version", "root", "num_planes",
     "seed"}``."""
     cur = _resolve_index_root(path)
-    rec = _fsio.read_json(_fsio.pjoin(cur, "planes.json"))
+    rec = _fsio.read_json_cached(_fsio.pjoin(cur, "planes.json"))
     if "id_col" not in rec:
         raise ValueError(
             f"planes.json at {path!r} predates build-parameter "
@@ -1786,7 +1795,7 @@ def srp_retrain_index(
         _gc_index_versions(path, new_v, keep_versions)
     finally:
         _clear_retrain_intent(path, token)
-    new_rec = _fsio.read_json(_fsio.pjoin(new_dir, "planes.json"))
+    new_rec = _fsio.read_json_cached(_fsio.pjoin(new_dir, "planes.json"))
     return {
         "version": new_v,
         "root": new_dir,
@@ -1809,7 +1818,7 @@ def srp_topk_indexed(
     directories. Identical results to ``srp_lsh_topk`` with the same
     recipe."""
     path = _resolve_index_root(path, spark)
-    rec = _fsio.read_json(_fsio.pjoin(path, "planes.json"))
+    rec = _fsio.read_json_cached(_fsio.pjoin(path, "planes.json"))
     planes = srp_planes(rec["dim"], rec["num_planes"], rec["seed"])
     qv = [float(x) for x in query_vec]
     qbucket = 0
@@ -1863,7 +1872,7 @@ def srp_topk_batch_indexed(
     path = _resolve_index_root(path, spark)
     qid = query_id_col or id_col
     qvc = query_vec_col or vec_col
-    rec = _fsio.read_json(_fsio.pjoin(path, "planes.json"))
+    rec = _fsio.read_json_cached(_fsio.pjoin(path, "planes.json"))
     planes = srp_planes(rec["dim"], rec["num_planes"], rec["seed"])
     qb = srp_bucket(F.col(qvc), planes)
     probe_cols = [qb]
@@ -1994,7 +2003,7 @@ def index_recall_probe(
                 "scoring='adc' applies to IVF-PQ indexes; SRP "
                 "indexes hold raw vectors only"
             )
-        rec = _fsio.read_json(_fsio.pjoin(path, "planes.json"), spark)
+        rec = _fsio.read_json_cached(_fsio.pjoin(path, "planes.json"), spark)
         id_col = rec.get("id_col", "vec_id")
         vec_col = rec.get("vec_col", "embedding")
         qid = query_id_col or id_col
