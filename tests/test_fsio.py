@@ -392,3 +392,59 @@ def test_batch_probe_join_path_ranks_per_query_row(
     # each of the 2 rows expands to its own 2 probes in BOTH forms
     assert len(literal) == 4
     assert join_form == literal
+
+
+def test_cross_process_retrain_visible_to_serving_session(
+    spark, tmp_path
+):
+    """The production deployment shape: a long-lived SERVING driver
+    and a separate offline RETRAIN job (different process, own
+    SparkSession). The serving session must pick up the retrain at
+    its next plan — generation resolution is live (never memoized),
+    the new generation is a new path (so the artifact memo cannot
+    serve stale), and the commit marker written by the other process
+    is the only coordination."""
+    import subprocess
+    import sys
+    import textwrap
+
+    path = str(tmp_path / "idx")
+    full = _corpus(spark, 200)
+    sim.ivf_write_index(full, path, num_centroids=4, pq_m=4)
+
+    # serve once in THIS session (warms the artifact memo on the
+    # flat layout — the stale-serve hazard the test exists for)
+    queries = full.where("vec_id < 3")
+    before = sim.ivf_pq_topk_batch_indexed(
+        spark, path, queries, k=3, nprobe=2, scoring_dtype="decimal"
+    ).collect()
+    assert before and sim._read_index_version(path) is None
+
+    # retrain from a DIFFERENT process with its own SparkSession
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {repo_root!r})
+        from tinyflux_spark.schema import get_spark
+        from tinyflux_spark.operators import similarity as sim
+        spark = get_spark("retrain_job", cpus="2")
+        info = sim.ivf_retrain_index(spark, {path!r}, num_centroids=8)
+        assert info["version"] == 0, info
+        print("RETRAIN_OK", info["num_centroids"])
+    """)
+    res = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert "RETRAIN_OK 8" in res.stdout, res.stdout + res.stderr
+
+    # the serving session resolves the OTHER process's commit at its
+    # next plan: new generation, new K, fresh (uncached) artifacts
+    assert sim._read_index_version(path) == 0
+    assert len(sim.ivf_read_codebook(path)) == 8
+    after = sim.ivf_pq_topk_batch_indexed(
+        spark, path, queries, k=3, nprobe=2, scoring_dtype="decimal"
+    ).collect()
+    assert len(after) == len(before)
