@@ -1148,21 +1148,22 @@ def excise_duplicate_spans(
     2. per-fingerprint first-occurrence + distinct-doc count in one
        aggregation; non-first occurrences of cross-doc grams become
        excision ranges ``[pos, pos+n-1]``;
-    3. overlapping ranges per doc collapse via
-       :func:`~tinyflux_spark.operators.aggregates.merge_intervals`
-       (running-frame windows, linear state per doc);
-    4. tokens inside a merged range are identified with the bucketed
-       :func:`~tinyflux_spark.operators.aggregates.interval_join`
-       keyed by doc (bin width 2n — no nested-loop BETWEEN plan),
-       anti-joined away, and the survivors reassemble in position
-       order.
+    3. each doc's ranges collect into ONE sorted array and coalesce
+       in-row with a linear ``aggregate`` fold — semantics identical
+       to :func:`~tinyflux_spark.operators.aggregates.merge_intervals`
+       at ``gap=0`` (a range opens a new span iff its start exceeds
+       the running max end; adjacent spans stay separate);
+    4. the clean text reassembles in-row from the token-array slices
+       between merged spans — tokens never shuffle: the only
+       post-gram exchanges are the two aggregations and the final
+       doc-keyed join (r12 opt; previously this half was two window
+       passes + a bucketed interval_join + a token anti-join + a
+       collect_list rebuild, computed twice — once per output stat).
 
     Documents shorter than ``n`` tokens are untouched; a document whose
     every token is excised survives as an empty string (row count is
     preserved). Returns ``id, clean_text, n_removed, n_spans``.
     """
-    from .aggregates import interval_join, merge_intervals
-
     if n <= 0 or min_docs < 2:
         raise ValueError("need n >= 1 and min_docs >= 2")
     arr = _norm_words(text_col)
@@ -1209,42 +1210,89 @@ def excise_duplicate_spans(
         )
         .select("id", F.col("pos").alias("s"), (F.col("pos") + n - 1).alias("e"))
     )
-    merged = merge_intervals(cut_ranges, "id", "s", "e").select(
-        F.col("key").alias("id"), "start", "end"
+    # In-row linear merge of each doc's sorted cut ranges. Equivalent
+    # to merge_intervals(gap=0): sorted by (start, end), a range joins
+    # the open span iff start <= span.end (running max end — adjacent
+    # ranges do NOT merge), else it opens a new span. One aggregation
+    # replaces the two running-frame windows, and the array is in the
+    # row the rebuild needs it in — no second pass, no re-join.
+    _empty_spans = F.expr(
+        "CAST(array() AS array<struct<start:int,end:int>>)"
     )
-
-    toks = base.select(
-        "id", F.posexplode("_arr").alias("pos", "tok")
-    )
-    hit = interval_join(
-        toks.select("id", "pos"), merged, "pos", "start", "end",
-        bin_width=2 * n, keys=["id"],
-    ).select("id", "pos")
-    kept = toks.join(hit, ["id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("clean_text"),
-        F.count("*").alias("_n_kept"),
-    )
-    span_counts = merged.groupBy("id").agg(
-        F.count("*").alias("n_spans"),
-        F.sum(F.col("end") - F.col("start") + 1).alias("_n_cut"),
-    )
-    return (
-        base.select("id", F.size("_arr").alias("_n_toks"))
-        .join(rebuilt, "id", "left")
-        .join(span_counts, "id", "left")
+    spans = (
+        cut_ranges.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_raw"))
         .select(
             "id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            (F.col("_n_toks") - F.coalesce("_n_kept", F.lit(0)))
+            F.aggregate(
+                "_raw",
+                _empty_spans,
+                lambda acc, r: F.when(
+                    (F.size(acc) > 0)
+                    & (r["s"] <= F.element_at(acc, -1)["end"]),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["start"].alias(
+                                    "start"
+                                ),
+                                F.greatest(
+                                    F.element_at(acc, -1)["end"], r["e"]
+                                ).alias("end"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        acc,
+                        F.array(
+                            F.struct(
+                                r["s"].alias("start"),
+                                r["e"].alias("end"),
+                            )
+                        ),
+                    )
+                ),
+            ).alias("_spans"),
+        )
+    )
+
+    # Rebuild each doc from the slices BETWEEN its merged spans — a
+    # linear fold over the (few, disjoint, sorted) spans; tokens stay
+    # inside their row. Docs with no spans keep every token.
+    kept_arr = F.aggregate(
+        "_spans",
+        F.struct(
+            F.lit(0).alias("p"),
+            F.expr("CAST(array() AS array<string>)").alias("out"),
+        ),
+        lambda acc, sp: F.struct(
+            (sp["end"] + 1).alias("p"),
+            F.concat(
+                acc["out"],
+                F.slice("_arr", acc["p"] + 1, sp["start"] - acc["p"]),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.slice("_arr", acc["p"] + 1, F.size("_arr") - acc["p"]),
+        ),
+    )
+    return (
+        base.join(spans, "id", "left")
+        .select(
+            "id",
+            "_arr",
+            F.coalesce("_spans", _empty_spans).alias("_spans"),
+        )
+        .select("id", "_arr", "_spans", kept_arr.alias("_kept"))
+        .select(
+            "id",
+            F.concat_ws(" ", "_kept").alias("clean_text"),
+            (F.size("_arr") - F.size("_kept"))
             .cast("long")
             .alias("n_removed"),
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.size("_spans").cast("long").alias("n_spans"),
         )
     )
