@@ -196,6 +196,30 @@ def test_fingerprint_normalizes_whitespace_case(spark):
     assert fps[0] == fps[1]
 
 
+def test_spread_scan_widens_only_narrow_inputs(spark):
+    from tinyflux_spark.operators._spread import spread_scan
+
+    target = spark.sparkContext.defaultParallelism
+    rows = [(i, f"doc {i}") for i in range(64)]
+    narrow = spark.createDataFrame(rows, ["id", "t"]).coalesce(1)
+    widened = spread_scan(narrow, "id")
+    assert widened.rdd.getNumPartitions() == target
+    # results are a pure repartition — identical row set
+    assert sorted(map(tuple, widened.collect())) == sorted(rows)
+
+    wide = spark.createDataFrame(rows, ["id", "t"]).repartition(target + 1)
+    assert spread_scan(wide, "id") is wide  # no-op, no added exchange
+
+
+def test_shingle_fingerprint_identical_on_single_partition_input(spark):
+    rows = [(i, f"some document text number {i} with shingles") for i in range(20)]
+    one = spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1)
+    many = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, text.shingle_fingerprint(one, "doc_id", "text", n=8).collect()))
+    b = sorted(map(tuple, text.shingle_fingerprint(many, "doc_id", "text", n=8).collect()))
+    assert a == b
+
+
 # ---------------- similarity ----------------
 
 @pytest.fixture(scope="module")

@@ -263,10 +263,16 @@ def shingle_fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 8) -
     # and sessions — Spark's xxhash64 (XXH64, seed 42) has no DuckDB
     # replay, so swapping it would trade the hard correctness gate for
     # ~hash-cost savings. Do not.
-    base = df.select(
-        F.col(id_col),
-        F.regexp_replace(F.lower(F.trim(null_to_empty(text_col))), r"\s+", " ")
-        .alias("_t"),
+    from ._spread import spread_scan
+
+    base = spread_scan(
+        df.select(
+            F.col(id_col),
+            F.regexp_replace(
+                F.lower(F.trim(null_to_empty(text_col))), r"\s+", " "
+            ).alias("_t"),
+        ),
+        id_col,
     )
     c = F.col("_t")
     shingles = F.transform(
