@@ -18,6 +18,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._spread import spread_scan
+
 # A BPE-ish tokenization regex: runs of word chars, or single
 # non-word/non-space chars (each punctuation mark its own token).
 BPE_TOKEN_RE = r"\w+|[^\w\s]"
@@ -63,6 +65,30 @@ def null_to_empty(text_col) -> Column:
     ``SELECT * REPLACE (coalesce(text, '') AS text)`` wrap."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.coalesce(c, F.lit(""))
+
+
+def _spread_sources(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref: Optional[DataFrame],
+    ref_text_col: str,
+):
+    """Widen the doc and reference text scans when under-partitioned
+    (single-row-group / small-files inputs — see ``_spread``); the
+    tokenize/explode/partial-agg work that follows is per-row compute
+    and would otherwise run as one task per input file. Self-scoring
+    (``ref is None``) shares ONE spread so the partition check runs
+    once. Returns ``(doc_src, ref_src)`` carrying the original column
+    names; a no-op with zero added exchange on well-partitioned
+    inputs (the 100 TB case)."""
+    if ref is None:
+        src = spread_scan(df.select(id_col, text_col), id_col)
+        return src, src
+    return (
+        spread_scan(df.select(id_col, text_col), id_col),
+        spread_scan(ref.select(ref_text_col)),
+    )
 
 
 def normalize_text(
@@ -263,8 +289,6 @@ def shingle_fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 8) -
     # and sessions — Spark's xxhash64 (XXH64, seed 42) has no DuckDB
     # replay, so swapping it would trade the hard correctness gate for
     # ~hash-cost savings. Do not.
-    from ._spread import spread_scan
-
     base = spread_scan(
         df.select(
             F.col(id_col),
@@ -860,7 +884,8 @@ def unigram_logprob(
     Returns one row per document that has at least one token of
     ``min_token_len``+ chars: ``id``, ``n_tokens``, ``avg_logp``.
     """
-    toks = df.select(
+    src, _ = _spread_sources(df, id_col, text_col, None, text_col)
+    toks = src.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+")
@@ -933,8 +958,8 @@ def bigram_logprob(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
-    ref_df = df if ref is None else ref
     ref_tc = text_col if ref_text_col is None else ref_text_col
+    doc_df, ref_df = _spread_sources(df, id_col, text_col, ref, ref_tc)
 
     def tok_ws(tc: str):
         return F.filter(
@@ -993,7 +1018,7 @@ def bigram_logprob(
     )
 
     doc_big = (
-        tok_arr(df, id_col)
+        tok_arr(doc_df, id_col)
         .where(F.size("_ws") >= 2)
         .select("id", F.explode(bigram_structs).alias("b"))
         .select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
@@ -1071,8 +1096,8 @@ def trigram_logprob(
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     alpha2 = alpha * alpha
-    ref_df = df if ref is None else ref
     ref_tc = text_col if ref_text_col is None else ref_text_col
+    doc_df, ref_df = _spread_sources(df, id_col, text_col, ref, ref_tc)
 
     def tok_ws(tc: str):
         return F.filter(
@@ -1145,8 +1170,8 @@ def trigram_logprob(
     )
 
     doc_tri = (
-        df.select(F.col(id_col).alias("id"),
-                  tok_ws(text_col).alias("_ws"))
+        doc_df.select(F.col(id_col).alias("id"),
+                      tok_ws(text_col).alias("_ws"))
         .where(F.size("_ws") >= 3)
         .select("id", F.explode(gram_structs(3)).alias("t"))
         .select("id", "t.w1", "t.w2", "t.w3")
@@ -1296,8 +1321,8 @@ def kneser_ney_logprob(
     if not 0.0 < discount < 1.0:
         raise ValueError("discount must be in (0, 1)")
     d = float(discount)
-    ref_df = df if ref is None else ref
     ref_tc = text_col if ref_text_col is None else ref_text_col
+    doc_df, ref_df = _spread_sources(df, id_col, text_col, ref, ref_tc)
 
     def tok_ws(tc: str):
         return F.filter(
@@ -1335,7 +1360,7 @@ def kneser_ney_logprob(
     )
 
     doc_big = (
-        df.select(F.col(id_col).alias("id"), tok_ws(text_col).alias("_ws"))
+        doc_df.select(F.col(id_col).alias("id"), tok_ws(text_col).alias("_ws"))
         .where(F.size("_ws") >= 2)
         .select("id", F.explode(bigram_structs).alias("b"))
         .select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
@@ -1437,8 +1462,8 @@ def ngram_backoff_logprob(
     a_pow = [1.0]
     for _ in range(order - 1):
         a_pow.append(a_pow[-1] * alpha)
-    ref_df = df if ref is None else ref
     ref_tc = text_col if ref_text_col is None else ref_text_col
+    doc_df, ref_df = _spread_sources(df, id_col, text_col, ref, ref_tc)
 
     def tok_ws(tc: str):
         return F.filter(
@@ -1511,7 +1536,7 @@ def ngram_backoff_logprob(
 
     doc_cols = [f"w{j + 1}" for j in range(order)]
     doc_ng = (
-        df.select(F.col(id_col).alias("id"), tok_ws(text_col).alias("_ws"))
+        doc_df.select(F.col(id_col).alias("id"), tok_ws(text_col).alias("_ws"))
         .where(F.size("_ws") >= order)
         .select("id", F.explode(gram_structs(order)).alias("g"))
         .select("id", *[F.col(f"g.{c}") for c in doc_cols])
@@ -1576,7 +1601,8 @@ def embed_bow(
     """
     if dim < 2:
         raise ValueError("dim must be >= 2")
-    toks = df.select(
+    src, _ = _spread_sources(df, id_col, text_col, None, text_col)
+    toks = src.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(F.lower(F.trim(null_to_empty(text_col))), r"\s+")

@@ -60,6 +60,13 @@ def main() -> None:
 
     spark = get_spark("ab_probe")
     fn = scale_probe.probe_fn(qname)
+    # Some scale overrides take a corpus multiplier; probe at 1x.
+    import inspect
+
+    if "_factor" in inspect.signature(fn).parameters:
+        import functools
+
+        fn = functools.partial(fn, _factor=1)
 
     def one_run() -> float:
         t0 = time.perf_counter()
