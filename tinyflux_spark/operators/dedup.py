@@ -31,7 +31,16 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._spread import spread_scan
 from .text import fingerprint, null_to_empty
+
+
+def _txt(text_col) -> Column:
+    """The text expression (str name or Column) projected under the
+    fixed alias ``_txt`` — the dedup family accepts either, and the
+    spread projections need one stable column name downstream."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return c.alias("_txt")
 
 
 def _norm_text(text_col) -> Column:
@@ -139,10 +148,9 @@ def exploded_shingles(
         # regexp_replace (what _norm_text does for char shingles) yields
         # the IDENTICAL token array and costs a second regex pass over
         # every document.
-        pre = df.select(
-            F.col(id_col).alias("id"),
-            _norm_words(text_col).alias("_arr"),
-        )
+        pre = spread_scan(
+            df.select(F.col(id_col).alias("id"), _txt(text_col)), "id"
+        ).select("id", _norm_words("_txt").alias("_arr"))
         toks = pre.select(
             "id",
             F.size("_arr").alias("_ntok"),
@@ -167,9 +175,9 @@ def exploded_shingles(
         return out.distinct() if distinct else out
     # char unit: per-row substr transform over the projected normalized
     # text (cheap per element; the normalization is evaluated once).
-    base = df.select(
-        F.col(id_col).alias("id"), _norm_text(text_col).alias("_t")
-    )
+    base = spread_scan(
+        df.select(F.col(id_col).alias("id"), _txt(text_col)), "id"
+    ).select("id", _norm_text("_txt").alias("_t"))
     c = F.col("_t")
     k = F.greatest(F.length(c) - (n - 1), F.lit(1))
     sh = F.array_distinct(
@@ -586,11 +594,14 @@ def simhash(
         return F.xxhash64(tok)
 
     toks = F.filter(
-        _norm_words(text_col),
+        _norm_words("_txt"),
         lambda t: t != "",
     )
     hashed = (
-        df.select(F.col(id_col).alias("id"), toks.alias("_a"))
+        spread_scan(
+            df.select(F.col(id_col).alias("id"), _txt(text_col)), "id"
+        )
+        .select("id", toks.alias("_a"))
         .select("id", F.explode_outer("_a").alias("_tok"))
         .select("id", _tok_hash(F.col("_tok")).alias("_h"))
     )
@@ -964,9 +975,11 @@ def edit_distance_pairs(
     cand = simhash_pairs(
         df, id_col, text_col, bits, max_hamming, use_md5
     ).select("id_a", "id_b")
-    texts = df.select(
-        F.col(id_col).alias("_tid"), _norm_text(text_col).alias("_t")
-    )
+    # The Levenshtein DP runs inside the broadcast-join scan stages —
+    # widen the text side or the whole verify serializes per file.
+    texts = spread_scan(
+        df.select(F.col(id_col).alias("_tid"), _txt(text_col)), "_tid"
+    ).select("_tid", _norm_text("_txt").alias("_t"))
     a = texts.select(F.col("_tid").alias("id_a"), F.col("_t").alias("t_a"))
     b = texts.select(F.col("_tid").alias("id_b"), F.col("_t").alias("t_b"))
     lev = F.levenshtein(F.col("t_a"), F.col("t_b"), max_distance)

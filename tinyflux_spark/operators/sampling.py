@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._spread import spread_scan
+
 __all__ = [
     "hash_bucket",
     "hash_sample",
@@ -273,14 +275,15 @@ def importance_weights(
 
     def _toks(frame: DataFrame, with_id: bool):
         cols = [F.col(id_col).alias("id")] if with_id else []
-        t = F.trim(
-            F.coalesce(
-                F.col(text_col if with_id else tgt_tc).cast("string"),
-                F.lit(""),
-            )
+        tc = text_col if with_id else tgt_tc
+        # the explode + per-token md5 below is pre-shuffle compute —
+        # widen single-row-group inputs or it runs one task per file
+        frame = spread_scan(
+            frame.select(*cols, F.col(tc)), *(["id"] if with_id else [])
         )
+        t = F.trim(F.coalesce(F.col(tc).cast("string"), F.lit("")))
         out = frame.select(
-            *cols,
+            *(["id"] if with_id else []),
             F.explode(F.split(F.lower(t), r"\s+")).alias("tok"),
         ).where(F.length("tok") >= 1)
         bucket = (
