@@ -1179,8 +1179,9 @@ def excise_duplicate_spans(
     """
     if n <= 0 or min_docs < 2:
         raise ValueError("need n >= 1 and min_docs >= 2")
-    arr = _norm_words(text_col)
-    base = df.select(F.col(id_col).alias("id"), arr.alias("_arr"))
+    base = spread_scan(
+        df.select(F.col(id_col).alias("id"), _txt(text_col)), "id"
+    ).select("id", _norm_words("_txt").alias("_arr"))
 
     # fp is engine-internal (the oracle replays grams by value), so it
     # is stored as the 16-byte unhex'd md5, not the 32-char hex string:
