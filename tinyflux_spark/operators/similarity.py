@@ -484,24 +484,42 @@ def _batch_query_probes(
     WindowGroupLimit (the codebook is DATA at auto-K scale — pasting
     it as literals makes plan size grow with the corpus)."""
     qv = F.col(qvc)
-    qn = _norm(qv)
     if len(cents) <= _PROBE_LITERAL_MAX_K:
-        scored = []
-        for i, cvec in cents:
-            c = _lit_vec(cvec)
-            cn = math.sqrt(_seq_dot(cvec, cvec))
-            # zero-norm query/centroid -> sentinel (ns = 2.0, ranking
-            # last, ties by index) — identical to _ivf_probes/ivf_assign
-            den = qn * F.lit(cn)
-            sim = F.when(
-                den > 0, F.round(_dot(qv, c) / den, 6)
-            ).otherwise(F.lit(-2.0))
-            # ascending sort over (-sim, idx): best centroid first, ties
-            # toward the lower index — identical to _ivf_probes.
-            scored.append(
-                F.struct((-sim).alias("ns"), F.lit(i).alias("i"))
+        # ONE transform over a centroid struct-array literal, with the
+        # query norm bound once via a 1-element transform (the unrolled
+        # form repeated the norm subtree inside every one of the K
+        # scored structs — K x (dot + 2 norm) trees the optimizer
+        # re-walked per save). Numerically IDENTICAL to the unrolled
+        # form and to _ivf_probes/ivf_assign: same 0.0-seeded
+        # left-fold dot, same sqrt-of-fold norm, same rounded cosine,
+        # same zero-norm sentinel (ns = 2.0 = -(-2.0), ranking last),
+        # same (ns, i) ascending sort with ties toward the lower index.
+        cents_sql = "array(" + ", ".join(
+            "named_struct('cn', {cn!r}D, 'i', {i}, 'v', array({v}))".format(
+                cn=math.sqrt(_seq_dot(cvec, cvec)),
+                i=int(i),
+                v=", ".join(f"{float(x)!r}D" for x in cvec),
             )
-        probes = F.slice(F.array_sort(F.array(*scored)), 1, nprobe)
+            for i, cvec in cents
+        ) + ")"
+        norm_sql = (
+            f"SQRT(aggregate(`{qvc}`, 0.0D, (acc, v) -> "
+            "acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+        dot_sql = (
+            f"aggregate(zip_with(`{qvc}`, cs.v, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, v) -> acc + v)"
+        )
+        scored_sql = (
+            f"element_at(transform(array({norm_sql}), n -> "
+            f"transform({cents_sql}, cs -> named_struct("
+            "'ns', -(CASE WHEN (n * cs.cn) > 0.0D THEN "
+            f"round({dot_sql} / (n * cs.cn), 6) "
+            "ELSE -2.0D END), "
+            "'i', cs.i))), 1)"
+        )
+        probes = F.slice(F.array_sort(F.expr(scored_sql)), 1, nprobe)
         return queries.select(
             F.col(qid).alias("_qid"),
             qv.alias("_qvec"),
@@ -1549,30 +1567,39 @@ def ivf_pq_topk_batch_indexed(
     else:
         qbase = F.transform(F.col("_qvec"), lambda x: x.cast("double"))
 
-    def entry_expr(s: int, bsub) -> Column:
-        # the same sequential left fold as pq_adc_topk's fold_sqdist:
-        # acc = 0.0; acc += (x - y)**2 term by term
-        acc: Optional[Column] = None
-        for j in range(sub):
-            d = F.element_at(qbase, s * sub + j + 1) - F.lit(
-                float(bsub[j])
-            )
-            term = d * d
-            acc = term if acc is None else acc + term
-        if scoring_dtype == "double":
-            return acc
-        return acc.cast("decimal(20,12)")
-
-    tables = F.array(
-        *[
-            F.array(
-                *[entry_expr(s, books["books"][s][c]) for c in range(ksub)]
-            )
-            for s in range(m)
-        ]
+    # The per-query m x ksub table as ONE nested-HOF expression over a
+    # single books literal, with the query base projected as a real
+    # column first. The unrolled form this replaces inlined the qbase
+    # subtree into every one of the m*ksub*sub terms — a ~330 KB
+    # single-line projection the optimizer re-walked on every save
+    # (~1.1 s driver time before the first job at sf0.1, measured
+    # r12). The fold is bit-identical: aggregate's 0.0D seed + t0 +
+    # t1 ... equals the bare t0 + t1 ... left fold for t >= 0.0
+    # (t = d*d), and each d = x - y pairs the same slice element with
+    # the same codeword double as the element_at form did.
+    books_sql = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(
+                f"{float(x)!r}D" for x in books["books"][s][c]
+            ) + ")"
+            for c in range(ksub)
+        ) + ")"
+        for s in range(m)
+    ) + ")"
+    entry = (
+        f"aggregate(zip_with(slice(_qb, s * {sub} + 1, {sub}), bc, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"
+    )
+    if scoring_dtype == "decimal":
+        entry = f"CAST({entry} AS DECIMAL(20,12))"
+    tables = F.expr(
+        f"transform({books_sql}, (bsub, s) -> "
+        f"transform(bsub, bc -> {entry}))"
     )
     bq = F.broadcast(
-        q_exp.select("_qid", "_ivf_list", tables.alias("_tbl"))
+        q_exp.select(
+            "_qid", "_ivf_list", qbase.alias("_qb")
+        ).select("_qid", "_ivf_list", tables.alias("_tbl"))
     )
     # K-bounded driver round-trip — the literal IN list becomes the
     # directory-level PartitionFilters on the codes scan.
