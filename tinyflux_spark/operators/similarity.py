@@ -344,23 +344,44 @@ def ivf_assign(
     flip the argmax) and ties broken toward the lower centroid index.
     One struct array_max — each centroid dot evaluated exactly once.
     """
-    nv = _norm(vec_col)
-    scores = []
-    for i, cvec in centroids:
-        c = _lit_vec(cvec)
-        cn = math.sqrt(_seq_dot(cvec, cvec))
-        # -2.0 sentinel (below any real cosine) when the vector or the
-        # centroid has zero norm: every centroid then ties and the
-        # lowest index wins — the same pick DuckDB's nulls-last DESC
-        # ordering makes, so the oracle agrees without special-casing.
-        den = nv * F.lit(cn)
+    # ONE transform over a centroid struct-array literal, the vector
+    # norm bound once via a 1-element transform — the unrolled form
+    # repeated the norm subtree inside every one of the K scored
+    # structs, so the expression tree (and the optimizer's per-save
+    # walk of it) grew K x (dot + 2 norm) instead of O(1) + the
+    # centroid literal. Numerically IDENTICAL: same 0.0-seeded
+    # left-fold dot and sqrt-of-fold norm, same rounded cosine, and
+    # the same -2.0 sentinel (below any real cosine) when the vector
+    # or the centroid has zero norm — every centroid then ties and
+    # the lowest index wins (r = -i, array_max ties to the higher r),
+    # the same pick DuckDB's nulls-last DESC ordering makes.
+    cents_lit = F.expr(
+        "array(" + ", ".join(
+            "named_struct('cn', {cn!r}D, 'r', {r}, 'v', array({v}))".format(
+                cn=math.sqrt(_seq_dot(cvec, cvec)),
+                r=-int(i),
+                v=", ".join(f"{float(x)!r}D" for x in cvec),
+            )
+            for i, cvec in centroids
+        ) + ")"
+    )
+
+    def _score(n: Column, cs: Column) -> Column:
+        den = n * cs["cn"]
         sim = F.when(
-            den > 0, F.round(_dot(vec_col, c) / den, 6)
+            den > 0, F.round(_dot(vec_col, cs["v"]) / den, 6)
         ).otherwise(F.lit(-2.0))
-        scores.append(
-            F.struct(sim.alias("s"), F.lit(-i).alias("r"))
-        )
-    top = F.array_max(F.array(*scores))
+        return F.struct(sim.alias("s"), cs["r"].alias("r"))
+
+    top = F.element_at(
+        F.transform(
+            F.array(_norm(vec_col)),
+            lambda n: F.array_max(
+                F.transform(cents_lit, lambda cs: _score(n, cs))
+            ),
+        ),
+        1,
+    )
     return (-top["r"]).cast("int")
 
 
@@ -2555,18 +2576,26 @@ def _pq_code_sql_exprs(vname: str, books, sub: int) -> list:
     def lit_arr(vals):
         return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
 
+    # ONE transform over the per-subspace book literal instead of ksub
+    # unrolled structs: the book data is the same either way, but the
+    # expression tree drops from ksub aggregate/zip_with folds (each
+    # repeating the slice subtree) to one fold body the engine loops —
+    # the optimizer's per-save walk and the codegen source shrink
+    # ~ksub x. Same distances (identical fold), same 6dp round, same
+    # array_min over (d, c) with ties toward the lower code.
     exprs = []
     for s, book in enumerate(books):
         seg = f"slice(`{vname}`, {s * sub + 1}, {sub})"
-        cands = ", ".join(
-            "struct(round(aggregate(zip_with("
-            f"{seg}, {lit_arr(bsub)}, "
+        book_lit = (
+            "array(" + ", ".join(lit_arr(bsub) for bsub in book) + ")"
+        )
+        exprs.append(
+            f"array_min(transform({book_lit}, (bc, c) -> "
+            f"struct(round(aggregate(zip_with({seg}, bc, "
             "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)"
             "), 0.0D, (acc, v) -> acc + v), 6) AS d, "
-            f"{c} AS c)"
-            for c, bsub in enumerate(book)
+            "c AS c))).c"
         )
-        exprs.append(f"array_min(array({cands})).c")
     return exprs
 
 
@@ -2837,6 +2866,16 @@ def ivf_pq_residual_topk(
         df, id_col, vec_col, num_centroids, coarse_refine_iters
     )
     probes = _ivf_probes(cents, query_vec, nprobe)
+    # The serving pipeline below (assign + residual + m*ksub encode
+    # folds + per-list ADC) is the heaviest per-row expression chain
+    # in the similarity family; on a single-row-group corpus it runs
+    # as ONE task. Widen the scan first (no-op on well-partitioned
+    # inputs). Unlike the family-wide embeddings spread (measured a
+    # regression r12 and reverted), this one sits where per-row work
+    # dominates the added exchange.
+    from ._spread import spread_scan
+
+    df = spread_scan(df, id_col)
     cent_arrs = "array(" + ", ".join(
         "array(" + ", ".join(f"{float(x)!r}D" for x in cvec) + ")"
         for _, cvec in cents
@@ -2857,8 +2896,29 @@ def ivf_pq_residual_topk(
         refine_iters=pq_refine_iters,
     )
     cand = res.where(F.col("_ivf_list").isin(probes))
-    codes = pq_encode(
-        cand, books, id_col, "_res", extra_cols=("_ivf_list",)
+    # pq_encode's degenerate-row filter, applied to the RAW vector
+    # column instead of the computed "_res": the optimizer pushes
+    # filter conjuncts below the projection by SUBSTITUTING the
+    # aliased expression, so filtering on "_res" inlined the whole
+    # residual+assign tree into each of the three validity conjuncts
+    # (a ~150 KB pushed Filter re-evaluated per row — measured r12).
+    # Equivalent by construction: the centroid literal has no nulls
+    # and length dim, so zip_with pads iff len(vec) != dim and
+    # produces a null element iff vec does — (size(_res)=dim AND no
+    # null in _res AND _res not null) <=> the same checks on vec.
+    # The encode expressions are the SAME shared argmin builder
+    # pq_encode uses, so the convention cannot drift.
+    dim = m * books["sub"]
+    code_exprs = _pq_code_sql_exprs("_res", books["books"], books["sub"])
+    codes = cand.where(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.expr(f"exists(`{vec_col}`, x -> x IS NULL)")
+    ).selectExpr(
+        f"`{id_col}` AS id",
+        "CAST(array(" + ", ".join(code_exprs) + ") AS array<int>) "
+        "AS codes",
+        "`_ivf_list`",
     )
 
     adc = _residual_adc_col(cents, probes, books, query_vec)
