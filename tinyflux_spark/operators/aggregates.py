@@ -782,6 +782,14 @@ def salted_join(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
     ).cast("int")
     l_df = left.withColumn("_salt", lsalt)
+    # Widen an under-partitioned big side before the join's map work
+    # (no-op when the input already has >= cores partitions, i.e. the
+    # at-scale case). Hashing on (keys..., salt) is exactly the
+    # skew-safe distribution this operator exists to create — never
+    # on the bare keys, which would rebuild the hot-key pileup.
+    from ._spread import spread_scan
+
+    l_df = spread_scan(l_df, *keys, "_salt")
     r_df = right.withColumn(
         "_salt",
         F.explode(
