@@ -50,9 +50,15 @@ def main() -> None:
     sys.path.insert(
         0, os.path.join(os.path.dirname(os.path.abspath(__file__)))
     )
+    import functools
+    import inspect
+
     import scale_probe
 
     fn = scale_probe.probe_fn(qname)
+    # scale_probe overrides take a _factor arg (ab_probe's fix, shared)
+    if "_factor" in inspect.signature(fn).parameters:
+        fn = functools.partial(fn, _factor=1)
 
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()  # warm
