@@ -25,6 +25,8 @@ row order is immaterial to every caller (aggregations / per-row maps).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -35,6 +37,10 @@ def spread_scan(df: DataFrame, *part_cols: str) -> DataFrame:
     no added exchange) on well-partitioned inputs, so it is safe at
     any scale. Pass the operator's id column(s) to use a deterministic
     hash exchange instead of round-robin."""
+    # Kill switch for A/B measurement and for deployments whose input
+    # layout makes the widening unnecessary (TINYFLUX_SPARK_NO_SPREAD=1).
+    if os.environ.get("TINYFLUX_SPARK_NO_SPREAD"):
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
@@ -48,3 +54,33 @@ def spread_scan(df: DataFrame, *part_cols: str) -> DataFrame:
     if part_cols:
         return df.repartition(target, *part_cols)
     return df.repartition(target)
+
+
+def pin_group_width(df: DataFrame, *group_cols: str) -> DataFrame:
+    """Pre-shuffle ``df`` by ``group_cols`` at an explicitly pinned
+    partition count, for grouped compute (``groupBy().applyInPandas``)
+    whose per-group COST is far larger than its per-group BYTES.
+
+    AQE's partition coalescing targets bytes
+    (``advisoryPartitionSizeInBytes``): a kilobyte-sized shuffle ahead
+    of a compute-heavy grouped map collapses to ONE post-shuffle
+    partition and the whole grouped pass serializes on one core. An
+    explicit ``repartition(n, cols)`` is exempt from AQE coalescing,
+    and because it already satisfies the grouped map's required
+    (hash) distribution, it REPLACES the groupBy's own exchange
+    rather than adding one — same shuffle count, pinned width.
+
+    The pinned count is ``max(defaultParallelism, input partitions)``:
+    at 100 TB the input arrives with >= thousands of partitions, so
+    the width matches what the groupBy exchange would have used
+    anyway; on small inputs it keeps every core eligible instead of
+    one."""
+    if os.environ.get("TINYFLUX_SPARK_NO_SPREAD"):
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(max(target, n), *group_cols)

@@ -2418,7 +2418,13 @@ def semantic_dedup(
             )
         return pd.concat(frames, ignore_index=True)
 
-    pairs = base.groupBy("cluster").applyInPandas(
+    # The pair scan's cost is per-cluster COMPUTE (the Gram fold), not
+    # bytes: left to AQE, the kilobyte-sized cluster shuffle coalesces
+    # to one partition and the whole scan serializes on one core. Pin
+    # the width (same exchange, explicit count — see pin_group_width).
+    from ._spread import pin_group_width
+
+    pairs = pin_group_width(base, "cluster").groupBy("cluster").applyInPandas(
         _cluster_pairs, pair_schema
     )
     # of a qualifying pair, the dominated (removed) member is the one
