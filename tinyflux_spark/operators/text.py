@@ -1463,7 +1463,8 @@ def ngram_backoff_logprob(
     for _ in range(order - 1):
         a_pow.append(a_pow[-1] * alpha)
     ref_tc = text_col if ref_text_col is None else ref_text_col
-    doc_df, ref_df = _spread_sources(df, id_col, text_col, ref, ref_tc)
+    doc_df = spread_scan(df.select(id_col, text_col), id_col)
+    ref_base = df if ref is None else ref
 
     def tok_ws(tc: str):
         return F.filter(
@@ -1482,18 +1483,31 @@ def ngram_backoff_logprob(
             ),
         )
 
-    ref_arr = ref_df.select(tok_ws(ref_tc).alias("_ws"))
+    # Tokenize BELOW the spread exchange, once for all N count tables:
+    # spreading the raw text (the old layout) left each count table
+    # re-running tokenize above the shared exchange — N regex passes
+    # over the corpus in one plan. Repartitioning the TOKENIZED arrays
+    # instead puts the tokenizer below a single exchange that AQE's
+    # stage cache shares across every consumer (guide §2.4). For that
+    # sharing to survive the optimizer, no consumer may push a filter
+    # beneath the exchange: the per-order `size >= k` guard is
+    # therefore a `when()` in the consumer's OWN projection (explode
+    # drops the null array — row-for-row the same as the filter), not
+    # a `where()`. On wide inputs the spread is a no-op and the layout
+    # degrades to exactly the old one (per-consumer tokenize, no added
+    # exchange).
+    ref_arr = spread_scan(ref_base.select(tok_ws(ref_tc).alias("_ws")))
 
     def count_table(k: int) -> DataFrame:
         cols = [f"w{j + 1}" for j in range(k)]
         if k == 1:
             g = ref_arr.select(F.explode("_ws").alias("w1"))
         else:
-            g = (
-                ref_arr.where(F.size("_ws") >= k)
-                .select(F.explode(gram_structs(k)).alias("g"))
-                .select(*[F.col(f"g.{c}") for c in cols])
-            )
+            g = ref_arr.select(
+                F.explode(
+                    F.when(F.size("_ws") >= k, gram_structs(k))
+                ).alias("g")
+            ).select(*[F.col(f"g.{c}") for c in cols])
         out = g.groupBy(*cols).agg(F.count("*").alias(f"_c{k}"))
         if k >= 2 and prune_min_count > 1:
             out = out.where(F.col(f"_c{k}") >= prune_min_count)
