@@ -959,7 +959,8 @@ def bigram_logprob(
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
     ref_tc = text_col if ref_text_col is None else ref_text_col
-    doc_df, ref_df = _spread_sources(df, id_col, text_col, ref, ref_tc)
+    doc_df = spread_scan(df.select(id_col, text_col), id_col)
+    ref_base = df if ref is None else ref
 
     def tok_ws(tc: str):
         return F.filter(
@@ -980,7 +981,11 @@ def bigram_logprob(
 
     # Ref side needs no id — project only its text column so a
     # reference corpus with a different/absent id column works.
-    ref_arr = ref_df.select(tok_ws(ref_tc).alias("_ws"))
+    # Tokenize BELOW the spread exchange so both count tables share one
+    # tokenizer pass via AQE's stage cache (see ngram_backoff_logprob);
+    # the size guard stays a when() so no filter pushes beneath the
+    # shared exchange and splits it.
+    ref_arr = spread_scan(ref_base.select(tok_ws(ref_tc).alias("_ws")))
     uni = (
         ref_arr.select(F.explode("_ws").alias("tok"))
         .groupBy("tok")
@@ -988,8 +993,11 @@ def bigram_logprob(
     )
     total = uni.agg(F.sum("_c1").alias("_total"))
     big = (
-        ref_arr.where(F.size("_ws") >= 2)
-        .select(F.explode(bigram_structs).alias("b"))
+        ref_arr.select(
+            F.explode(
+                F.when(F.size("_ws") >= 2, bigram_structs)
+            ).alias("b")
+        )
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("_c2"))
@@ -1097,7 +1105,8 @@ def trigram_logprob(
         raise ValueError("alpha must be in (0, 1]")
     alpha2 = alpha * alpha
     ref_tc = text_col if ref_text_col is None else ref_text_col
-    doc_df, ref_df = _spread_sources(df, id_col, text_col, ref, ref_tc)
+    doc_df = spread_scan(df.select(id_col, text_col), id_col)
+    ref_base = df if ref is None else ref
 
     def tok_ws(tc: str):
         return F.filter(
@@ -1116,7 +1125,11 @@ def trigram_logprob(
             ),
         )
 
-    ref_arr = ref_df.select(tok_ws(ref_tc).alias("_ws"))
+    # Tokenize below the spread exchange — one shared tokenizer pass
+    # for all three count tables (see ngram_backoff_logprob); size
+    # guards stay in the consumers' projections so nothing pushes
+    # beneath the shared exchange.
+    ref_arr = spread_scan(ref_base.select(tok_ws(ref_tc).alias("_ws")))
     uni = (
         ref_arr.select(F.explode("_ws").alias("w1"))
         .groupBy("w1")
@@ -1124,15 +1137,21 @@ def trigram_logprob(
     )
     total = uni.agg(F.sum("_c1").alias("_total"))
     big = (
-        ref_arr.where(F.size("_ws") >= 2)
-        .select(F.explode(gram_structs(2)).alias("b"))
+        ref_arr.select(
+            F.explode(
+                F.when(F.size("_ws") >= 2, gram_structs(2))
+            ).alias("b")
+        )
         .select("b.w1", "b.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("_c2"))
     )
     tri = (
-        ref_arr.where(F.size("_ws") >= 3)
-        .select(F.explode(gram_structs(3)).alias("t"))
+        ref_arr.select(
+            F.explode(
+                F.when(F.size("_ws") >= 3, gram_structs(3))
+            ).alias("t")
+        )
         .select("t.w1", "t.w2", "t.w3")
         .groupBy("w1", "w2", "w3")
         .agg(F.count("*").alias("_c3"))
@@ -1322,7 +1341,8 @@ def kneser_ney_logprob(
         raise ValueError("discount must be in (0, 1)")
     d = float(discount)
     ref_tc = text_col if ref_text_col is None else ref_text_col
-    doc_df, ref_df = _spread_sources(df, id_col, text_col, ref, ref_tc)
+    doc_df = spread_scan(df.select(id_col, text_col), id_col)
+    ref_base = df if ref is None else ref
 
     def tok_ws(tc: str):
         return F.filter(
@@ -1338,10 +1358,17 @@ def kneser_ney_logprob(
         ),
     )
 
-    ref_arr = ref_df.select(tok_ws(ref_tc).alias("_ws"))
+    # Tokenize below the spread exchange — the bigram table and the
+    # vocabulary share one tokenizer pass (see ngram_backoff_logprob);
+    # the size guard stays a when() so nothing pushes beneath the
+    # shared exchange.
+    ref_arr = spread_scan(ref_base.select(tok_ws(ref_tc).alias("_ws")))
     big = (
-        ref_arr.where(F.size("_ws") >= 2)
-        .select(F.explode(bigram_structs).alias("b"))
+        ref_arr.select(
+            F.explode(
+                F.when(F.size("_ws") >= 2, bigram_structs)
+            ).alias("b")
+        )
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("_c2"))
