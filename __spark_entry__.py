@@ -433,9 +433,16 @@ def q21_text_quality(spark, sf_dir):
 def q22_lang_id(spark, sf_dir):
     """Heuristic language ID (script ranges + stopword argmax) with the
     corpus's labeled lang for accuracy auditing."""
+    from tinyflux_spark.operators._spread import spread_scan
     from tinyflux_spark.operators.text import lang_id
 
-    docs = _t("documents")(spark, sf_dir)
+    # lang_id is pure per-row compute (script-range counts + stopword
+    # scan); widen the narrow projection first or the whole pass runs
+    # one task per input file (no-op on well-partitioned inputs).
+    docs = spread_scan(
+        _t("documents")(spark, sf_dir).select("doc_id", "lang", "text"),
+        "doc_id",
+    )
     return docs.select(
         "doc_id", "lang", lang_id("text").alias("lang_guess")
     )

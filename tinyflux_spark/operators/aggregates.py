@@ -718,7 +718,17 @@ def interval_join(
     p = points.withColumn(
         "_bin", F.floor(F.col(point_col) / bin_width).cast("long")
     )
-    iv = intervals.where(F.col(end_col) >= F.col(start_col)).withColumn(
+    iv_src = intervals.where(F.col(end_col) >= F.col(start_col))
+    if broadcast_points:
+        # With the point side broadcast there is no exchange anywhere:
+        # the interval explode + probe + residual run on the scan's own
+        # partitioning, which on single-row-group inputs is one task
+        # per file. Widen it (no-op on well-partitioned inputs); the
+        # non-broadcast path shuffles on (keys, _bin) and needs no help.
+        from ._spread import spread_scan
+
+        iv_src = spread_scan(iv_src, start_col, end_col)
+    iv = iv_src.withColumn(
         "_bin",
         F.explode(
             F.sequence(
@@ -835,8 +845,18 @@ def merge_intervals(
     grp = F.sum(opens).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Pin the window's width: its shuffle is small in bytes but the
+    # sort + two running frames are per-row compute, and AQE's
+    # byte-targeted coalescing under-parallelizes it (see
+    # pin_group_width). The explicit hash repartition satisfies the
+    # window's required distribution, so it REPLACES the window's own
+    # exchange — same shuffle count.
+    from ._spread import pin_group_width
+
     return (
-        df.where(F.col(end_col) >= F.col(start_col))
+        pin_group_width(
+            df.where(F.col(end_col) >= F.col(start_col)), key_col
+        )
         .withColumn("_period", grp)
         .groupBy(F.col(key_col).alias("key"), F.col("_period").alias("period"))
         .agg(

@@ -819,6 +819,10 @@ def remove_boilerplate_spans(
     Returns one row per input document: ``id``, ``clean_text`` (spans
     rejoined with ``joiner``), ``n_removed``, ``n_kept``.
     """
+    # Measured, deliberately NOT spread (r12): widening the (id, text)
+    # projection ahead of the split+md5 regressed the bench 1.32 ->
+    # 2.40 s — the added exchange ahead of the span regroup (this op's
+    # one corpus-text shuffle) costs more than the widened split saves.
     spans = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(null_to_empty(text_col), delimiter)).alias(
