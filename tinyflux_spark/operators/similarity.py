@@ -193,6 +193,11 @@ def near_dup_pairs(
         "nrm",
         *[f"CAST(_v[{i}] AS DOUBLE) AS _x{i}" for i in range(dim)],
     )
+    # Measured, deliberately NOT width-pinned (r12): pinning the bucket
+    # join via pin_group_width was a wash-to-slight-loss (1.25 ->
+    # 1.37 s bench protocol) — parallelism is capped by 2^num_planes
+    # distinct buckets and the small-corpus verify is cheaper than the
+    # pinned exchange's overhead.
     left = b.selectExpr(
         "bucket",
         "id AS id_a",
