@@ -211,6 +211,98 @@ def test_spread_scan_widens_only_narrow_inputs(spark):
     assert spread_scan(wide, "id") is wide  # no-op, no added exchange
 
 
+def test_pin_group_width_pins_and_preserves_rows(spark, monkeypatch):
+    from tinyflux_spark.operators._spread import pin_group_width
+
+    target = spark.sparkContext.defaultParallelism
+    rows = [(i % 4, i) for i in range(64)]
+    narrow = spark.createDataFrame(rows, ["k", "v"]).coalesce(1)
+    pinned = pin_group_width(narrow, "k")
+    # explicit repartition count: at least defaultParallelism wide
+    assert pinned.rdd.getNumPartitions() >= target
+    assert sorted(map(tuple, pinned.collect())) == sorted(rows)
+    # kill switch returns the input untouched
+    monkeypatch.setenv("TINYFLUX_SPARK_NO_SPREAD", "1")
+    assert pin_group_width(narrow, "k") is narrow
+
+
+def test_semantic_dedup_pin_replaces_not_adds_exchange(spark, monkeypatch):
+    # The pair scan's explicit repartition satisfies the grouped map's
+    # required distribution, so pinning must not ADD an exchange over
+    # the unpinned plan — it replaces the groupBy's own one.
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(6)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def n_exchanges() -> int:
+        plan = (
+            similarity.semantic_dedup(df, num_clusters=4, tau=0.9)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        return plan.count("Exchange")
+
+    monkeypatch.delenv("TINYFLUX_SPARK_NO_SPREAD", raising=False)
+    pinned = n_exchanges()
+    monkeypatch.setenv("TINYFLUX_SPARK_NO_SPREAD", "1")
+    unpinned = n_exchanges()
+    assert pinned == unpinned
+
+
+def test_backoff_lms_identical_with_spread_disabled(spark, monkeypatch):
+    # The r12 shared-tokenize layout (tokenize below the spread
+    # exchange, size guards as when() projections) must be a pure
+    # physical change: results bit-identical with the spread disabled.
+    rows = [
+        (0, "a b c d e f g a b c"),
+        (1, "a b"),            # shorter than high orders
+        (2, "single"),         # no bigram
+        (3, ""),               # empty text
+        (4, None),             # null text
+        (5, "a b c a b c a b c d"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def snap():
+        out = {}
+        out["bi"] = sorted(map(tuple, text.bigram_logprob(
+            df, "doc_id", "text").collect()))
+        out["tri"] = sorted(map(tuple, text.trigram_logprob(
+            df, "doc_id", "text").collect()))
+        out["kn"] = sorted(map(tuple, text.kneser_ney_logprob(
+            df, "doc_id", "text").collect()))
+        out["ng"] = sorted(map(tuple, text.ngram_backoff_logprob(
+            df, "doc_id", "text", order=4, prune_min_count=2
+        ).collect()))
+        return out
+
+    monkeypatch.delenv("TINYFLUX_SPARK_NO_SPREAD", raising=False)
+    with_spread = snap()
+    monkeypatch.setenv("TINYFLUX_SPARK_NO_SPREAD", "1")
+    without = snap()
+    assert with_spread == without
+
+
+def test_interval_join_broadcast_matches_shuffle_path(spark):
+    pts = [(p,) for p in [0, 5, 9, 10, 11, 25, 40, 99]]
+    ivs = [(0, 0, 0), (1, 3, 12), (2, 10, 10), (3, 8, 41), (5, 90, 120)]
+    p = spark.createDataFrame(pts, ["t"]).coalesce(1)
+    iv = spark.createDataFrame(ivs, ["iv_id", "s", "e"]).coalesce(1)
+    shuffled = sorted(
+        (r["iv_id"], r["t"])
+        for r in aggregates.interval_join(
+            p, iv, "t", "s", "e", bin_width=10
+        ).collect()
+    )
+    bcast = sorted(
+        (r["iv_id"], r["t"])
+        for r in aggregates.interval_join(
+            p, iv, "t", "s", "e", bin_width=10, broadcast_points=True
+        ).collect()
+    )
+    assert bcast == shuffled
+
+
 def test_shingle_fingerprint_identical_on_single_partition_input(spark):
     rows = [(i, f"some document text number {i} with shingles") for i in range(20)]
     one = spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1)
