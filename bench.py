@@ -120,13 +120,24 @@ def _emit() -> None:
         compact["partial"] = True
     if RESULT.get("errors"):
         compact["n_errors"] = len(RESULT["errors"])
-    # Belt and braces: stay under the 2000-char window even if the
-    # registry grows — drop the least-essential blocks first.
-    for drop in ("qps_c16", "qps", "queries"):
-        if len(json.dumps(compact)) <= 1950:
+    # Stay under the 2000-char stdout window even as the registry
+    # grows. Compact separators first; then drop the qps blocks (they
+    # live in the sidecar's `derived` anyway); as a last resort KEEP
+    # the per-query dict but truncate it to the largest-N timings —
+    # rounds 11-12 dropped `queries` wholesale here and the driver's
+    # per-query comparison came back empty two rounds running
+    # (PERF_r12.per_query == {}), so the slowest queries must survive
+    # the squeeze.
+    _dumps = lambda o: json.dumps(o, separators=(",", ":"))  # noqa: E731
+    for drop in ("qps_c16", "qps"):
+        if len(_dumps(compact)) <= 1950:
             break
         compact.pop(drop, None)
-    print(json.dumps(compact), flush=True)
+    while len(_dumps(compact)) > 1950 and compact.get("queries"):
+        q = compact["queries"]
+        q.pop(min(q, key=q.get))
+        compact["n_queries_shown"] = len(q)
+    print(_dumps(compact), flush=True)
 
 
 def _on_signal(signum, frame):
