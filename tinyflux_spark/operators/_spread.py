@@ -13,9 +13,20 @@ gram explodes, embedding arithmetic), that is a 1-core ceiling.
 but ONLY when the input is actually under-parallelized: when the
 physical scan already has at least ``defaultParallelism`` partitions —
 the 100 TB case, where the corpus arrives as thousands of splits — it
-is a no-op, so no production shuffle is ever added. The check costs
-one driver-side plan materialization (~50-100 ms), which the call
-sites amortize against multi-second single-task compute.
+is a no-op, so no production shuffle is ever added.
+
+The width check itself (how many partitions does this plan yield?) is
+driver-side physical planning (``df.rdd``), ~50-100 ms per distinct
+plan and unbounded on very large plans. It is therefore MEMOIZED on
+the analyzed plan's semantic hash: serving paths that rebuild the same
+operator per query (new query literals, same corpus/index subtree
+under the spread) pay the planning once per process, not per call
+(VERDICT r12 item: the per-call ``df.rdd`` was per-query driver
+latency on q113/q134). The memo holds partition COUNTS, never data —
+purely physical, advisory, and process-local: a stale width can only
+mis-place one repartition, never change results. It is keyed by
+(applicationId, plan hash) so a new session never reads another
+session's widths.
 
 Hash-partitioning on the operator's id column (when given) keeps the
 exchange deterministic without the local sort a round-robin
@@ -28,6 +39,39 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+
+# (applicationId, analyzed-plan semanticHash) -> physical partition
+# count. Bounded: cleared wholesale past _WIDTH_MEMO_MAX (simple and
+# safe — entries are one int each; the bound exists only to keep a
+# pathological plan-generating loop from growing it without limit).
+_WIDTH_MEMO: dict = {}
+_WIDTH_MEMO_MAX = 4096
+
+
+def _plan_width(df: DataFrame):
+    """Physical partition count of ``df``, memoized per analyzed plan.
+
+    Returns None when the plan cannot round-trip through the RDD API —
+    callers treat that as "leave the input alone"."""
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _WIDTH_MEMO:
+        return _WIDTH_MEMO[key]
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        # Never let an advisory optimization break the operator.
+        return None
+    if key is not None:
+        if len(_WIDTH_MEMO) >= _WIDTH_MEMO_MAX:
+            _WIDTH_MEMO.clear()
+        _WIDTH_MEMO[key] = n
+    return n
 
 
 def spread_scan(df: DataFrame, *part_cols: str) -> DataFrame:
@@ -43,13 +87,8 @@ def spread_scan(df: DataFrame, *part_cols: str) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:
-        # Never let an advisory optimization break the operator
-        # (e.g. plans that cannot round-trip through the RDD API).
-        return df
-    if n >= target:
+    n = _plan_width(df)
+    if n is None or n >= target:
         return df
     if part_cols:
         return df.repartition(target, *part_cols)
@@ -70,17 +109,24 @@ def pin_group_width(df: DataFrame, *group_cols: str) -> DataFrame:
     (hash) distribution, it REPLACES the groupBy's own exchange
     rather than adding one — same shuffle count, pinned width.
 
-    The pinned count is ``max(defaultParallelism, input partitions)``:
-    at 100 TB the input arrives with >= thousands of partitions, so
-    the width matches what the groupBy exchange would have used
-    anyway; on small inputs it keeps every core eligible instead of
-    one."""
+    The pinned count is ``max(defaultParallelism, input partitions,
+    spark.sql.shuffle.partitions)``: at 100 TB the input arrives with
+    >= thousands of partitions, so the width matches what the groupBy
+    exchange would have used anyway; on small inputs it keeps every
+    core eligible instead of one. Including shuffle.partitions in the
+    max (ADVICE r12) keeps the pin from capping the reducer count
+    BELOW the configured width when a large input happens to arrive
+    in few partitions — the pin exists to stop AQE coalescing a
+    cheap-bytes/heavy-compute shuffle, never to shrink one."""
     if os.environ.get("TINYFLUX_SPARK_NO_SPREAD"):
         return df
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     try:
-        n = df.rdd.getNumPartitions()
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
-        return df
-    return df.repartition(max(target, n), *group_cols)
+        conf_parts = 0
+    n = _plan_width(df)
+    if n is None:
+        n = 0
+    return df.repartition(max(target, n, conf_parts), *group_cols)

@@ -725,9 +725,14 @@ def interval_join(
         # partitioning, which on single-row-group inputs is one task
         # per file. Widen it (no-op on well-partitioned inputs); the
         # non-broadcast path shuffles on (keys, _bin) and needs no help.
+        # Round-robin, not hashed on (start, end): an interval table
+        # dominated by few distinct (start, end) pairs would hash back
+        # into few partitions, re-serializing the explode+probe work
+        # the spread exists to widen (ADVICE r12); row placement is
+        # immaterial to this join.
         from ._spread import spread_scan
 
-        iv_src = spread_scan(iv_src, start_col, end_col)
+        iv_src = spread_scan(iv_src)
     iv = iv_src.withColumn(
         "_bin",
         F.explode(
