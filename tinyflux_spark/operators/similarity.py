@@ -472,7 +472,17 @@ def ivf_topk_batch(
     # through the join — the aggregate fold is interpreted, so folding
     # it per candidate PAIR would redo each corpus row's norm once per
     # matching query (same rationale as near_dup_pairs).
-    assigned = corpus.withColumn(
+    # The assign + probe-join + cosine + per-query group-limit all run
+    # on the corpus scan's own partitioning (the query side is
+    # broadcast, so there is no exchange before the top-k window):
+    # widen a single-row-group corpus first (r13 profile: the whole
+    # scoring pass was ONE 480 ms task with 31 idle cores; no-op on
+    # well-partitioned inputs — see _spread).
+    from ._spread import spread_scan
+
+    assigned = spread_scan(
+        corpus.select(id_col, vec_col), id_col
+    ).withColumn(
         "_ivf_list", ivf_assign(F.col(vec_col), cents)
     ).withColumn("_nrm", _norm(F.col(vec_col)))
     q_exp = _batch_query_probes(queries, cents, qid, qvc, nprobe)
