@@ -228,6 +228,10 @@ def q11_agg_pricing_summary(spark, sf_dir):
     map-side partial aggregation; decimal sums for determinism."""
     li = _t("lineitem")(spark, sf_dir)
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    # Measured do-not-do (r13): widening the 3-split scan ahead of the
+    # partial aggregation inflated task time ~15x (per-task fixed costs
+    # over a detail-row shuffle) for a wall delta inside run-to-run
+    # noise (A/B receipt in OPTIMIZATION_r13.md).
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -989,6 +993,13 @@ def q47_map_test_predicates(spark, sf_dir):
     """.map(func) and .test(func) predicates — the Python-UDF escape
     hatch (reference queries.py:648-747): user tag mapped to
     int(u) % 7 == 3, AND a .test lambda on the value field."""
+    # Measured do-not-do (r13): widening the single-split events scan
+    # ahead of this UDF filter needs the UDF marked nondeterministic
+    # (the filter otherwise pushes below the repartition, keeping the
+    # Python pass single-task) — and that marker breaks the pinned
+    # non-UDF-conjunct isolation property, while the widened pass pays
+    # ~15x task time in per-task Python worker fan-out for ~0.15 s of
+    # wall. At scale a multi-split corpus parallelizes this naturally.
     pts = events_as_points(spark, sf_dir)
     q = (TagQuery().user.map(lambda u: str(int(u) % 7)) == "3") & (
         FieldQuery().value.test(
